@@ -1,0 +1,158 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** Fossil schema objects re-expressed as a Scala ADT with a mapping onto
+  * Spark SQL types.
+  *
+  * Reference: `pkg/schema/objects.go:20-38` (Type/Array/Composite/Unknown/
+  * Ambiguous), DDL grammar `docs/schema.md:89-103`, widening `Combine`
+  * (`pkg/schema/objects.go:40-71`).
+  *
+  * Unsigned types map to the next wider signed Spark type — the reference
+  * itself reads uint* into int64 at pipeline runtime
+  * (`pkg/query/types/value.go:69-75`).
+  */
+object FossilSchema {
+
+  sealed trait SType {
+    /** DDL string, e.g. `float64`, `[4]int32`, `{"a": string}`. */
+    def ddl: String
+    def sparkType: DataType
+  }
+
+  sealed abstract class Scalar(val name: String, val width: Int, val spark: DataType)
+      extends SType {
+    def ddl: String = name
+    def sparkType: DataType = spark
+    def isNumeric: Boolean = this != SString && this != SBinary && this != SBool
+    def isFloat: Boolean = this == SFloat32 || this == SFloat64
+  }
+  case object SString extends Scalar("string", 0, StringType)
+  case object SBinary extends Scalar("binary", 0, BinaryType)
+  case object SBool extends Scalar("boolean", 1, BooleanType)
+  case object SInt8 extends Scalar("int8", 1, ByteType)
+  case object SInt16 extends Scalar("int16", 2, ShortType)
+  case object SInt32 extends Scalar("int32", 4, IntegerType)
+  case object SInt64 extends Scalar("int64", 8, LongType)
+  case object SUInt8 extends Scalar("uint8", 2, ShortType)
+  case object SUInt16 extends Scalar("uint16", 4, IntegerType)
+  case object SUInt32 extends Scalar("uint32", 8, LongType)
+  case object SUInt64 extends Scalar("uint64", 8, LongType)
+  case object SFloat32 extends Scalar("float32", 4, FloatType)
+  case object SFloat64 extends Scalar("float64", 8, DoubleType)
+
+  /** `[N]T`, fixed length, element must be a fixed-width scalar
+    * (`docs/schema.md:32-34`). */
+  final case class SArray(length: Int, elem: Scalar) extends SType {
+    def ddl: String = s"[$length]${elem.name}"
+    def sparkType: DataType = ArrayType(elem.sparkType, containsNull = false)
+  }
+
+  /** `{"k": type, ...}`; values must not be composites. Keys kept sorted for
+    * a canonical layout (the reference sorts keys when materializing,
+    * `pkg/query/types/value.go:230-240`). */
+  final case class SComposite(fields: List[(String, SType)]) extends SType {
+    def ddl: String =
+      fields.map { case (k, v) => s""""$k": ${v.ddl}""" }.mkString("{", ", ", "}")
+    def sparkType: DataType =
+      StructType(fields.sortBy(_._1).map { case (k, v) => StructField(k, v.sparkType) })
+    def sorted: SComposite = SComposite(fields.sortBy(_._1))
+  }
+
+  case object SUnknown extends SType {
+    def ddl = "unknown"; def sparkType: DataType = BinaryType
+  }
+  /** Result of combining incompatible schemas over a topic-prefix scan. */
+  case object SAmbiguous extends SType {
+    def ddl = "ambiguous"; def sparkType: DataType = BinaryType
+  }
+
+  val scalars: Map[String, Scalar] = List(
+    SString, SBinary, SBool, SInt8, SInt16, SInt32, SInt64,
+    SUInt8, SUInt16, SUInt32, SUInt64, SFloat32, SFloat64,
+  ).map(s => s.name -> s).toMap ++ Map("float" -> SFloat64)
+
+  /** Default per-topic schema is `string` (`docs/schema.md:37-39`). */
+  val default: SType = SString
+
+  // --- DDL parser --------------------------------------------------------
+
+  /** Parse a fossil schema DDL string (grammar `docs/schema.md:89-103`).
+    * Accepts trailing commas in composites like the reference
+    * (`pkg/schema/encoding_test.go`). */
+  def parse(ddl: String): SType = {
+    val s = ddl.trim
+    if (s.isEmpty) throw new IllegalArgumentException("empty schema")
+    if (s.startsWith("[")) {
+      val close = s.indexOf(']')
+      if (close < 0) throw new IllegalArgumentException(s"bad array schema '$s'")
+      val len = s.substring(1, close).trim.toInt
+      val elem = s.substring(close + 1).trim
+      scalars.get(elem) match {
+        case Some(sc) if sc != SString && sc != SBinary => SArray(len, sc)
+        case Some(_) => throw new IllegalArgumentException(
+          s"array element must be fixed-width, got '$elem'")
+        case None => throw new IllegalArgumentException(s"unknown type '$elem'")
+      }
+    } else if (s.startsWith("{")) {
+      if (!s.endsWith("}")) throw new IllegalArgumentException(s"bad composite '$s'")
+      val body = s.substring(1, s.length - 1).trim
+      // split on top-level commas (no nested composites allowed)
+      val parts = body.split(",").map(_.trim).filter(_.nonEmpty)
+      val fields = parts.toList.map { p =>
+        val colon = p.indexOf(':')
+        if (colon < 0) throw new IllegalArgumentException(s"bad composite entry '$p'")
+        val rawKey = p.substring(0, colon).trim
+        val key =
+          if (rawKey.length >= 2 && rawKey.startsWith("\"") && rawKey.endsWith("\""))
+            rawKey.substring(1, rawKey.length - 1)
+          else rawKey
+        val v = parse(p.substring(colon + 1))
+        v match {
+          case _: SComposite =>
+            throw new IllegalArgumentException("composite values may not be composites")
+          case _ => (key, v)
+        }
+      }
+      SComposite(fields).sorted
+    } else scalars.getOrElse(s, throw new IllegalArgumentException(s"unknown type '$s'"))
+  }
+
+  // --- Combine (prefix-scan schema merging) ------------------------------
+
+  private def numericRank(s: Scalar): Int = s match {
+    case SBool => 0
+    case SInt8 | SUInt8 => 1
+    case SInt16 | SUInt16 => 2
+    case SInt32 | SUInt32 => 3
+    case SInt64 | SUInt64 => 4
+    case SFloat32 => 5
+    case SFloat64 => 6
+    case _ => -1
+  }
+
+  /** Widest-numeric merge of two schemas; incompatible → [[SAmbiguous]]
+    * (mirrors `pkg/schema/objects.go:40-71`: numerics widen by size,
+    * same-kind scalars keep, arrays must match elem-compat + length,
+    * composites are always ambiguous). */
+  def combine(a: SType, b: SType): SType = (a, b) match {
+    case (SAmbiguous, _) | (_, SAmbiguous) => SAmbiguous
+    case (SUnknown, _) | (_, SUnknown) => SUnknown
+    case (x: Scalar, y: Scalar) =>
+      if (x == y) x
+      else if (x.isNumeric && y.isNumeric)
+        if (numericRank(x) >= numericRank(y)) x else y
+      else if ((x == SString && y == SBinary) || (x == SBinary && y == SString)) SBinary
+      else SAmbiguous
+    case (SArray(l1, e1), SArray(l2, e2)) if l1 == l2 =>
+      combine(e1, e2) match {
+        case s: Scalar => SArray(l1, s)
+        case _ => SAmbiguous
+      }
+    case _ => SAmbiguous
+  }
+
+  def combineAll(ss: Seq[SType]): SType =
+    if (ss.isEmpty) SUnknown else ss.reduce(combine)
+}

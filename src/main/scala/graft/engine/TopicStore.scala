@@ -1,0 +1,144 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import FossilSchema._
+
+/** Entry source abstraction: something that can produce the canonical
+  * entries DataFrame `(time TIMESTAMP, topic STRING, value T)` for a topic
+  * prefix. The analog of fossil's `Database.Retrieve`
+  * (`pkg/database/db.go:554-649`) — but scan pruning is Parquet row-group
+  * stats + partition pruning instead of segment binary search.
+  */
+trait TopicStore {
+  def catalog: Catalog
+  /** Typed entries for all topics under `prefix` ("/" = everything). */
+  def entries(prefix: String): DataFrame
+}
+
+/** In-memory view over an existing DataFrame — the embedded "local client"
+  * path (`api/local.go:17-91` analog) and the adapter for querying arbitrary
+  * tables (e.g. the events table) through FQL. */
+final class ViewStore(df: DataFrame, val catalog: Catalog) extends TopicStore {
+  def entries(prefix: String): DataFrame = df
+}
+
+/** Parquet-backed persistent store.
+  *
+  * Layout: `root/data/sgroup=<schema-hash>/topic=<escaped>/part-*.parquet`
+  * — one directory tree per distinct schema (so each subtree has a uniform
+  * Parquet value type), topic as a partition column (partition pruning for
+  * prefix scans), rows time-sorted within files (row-group min/max stats
+  * give time-range pruning, replacing fossil's segment `HeadTime` pruning +
+  * binary search, `pkg/database/segment.go:45-85`).
+  *
+  * The topic registry persists as a JSON sidecar `root/catalog.json`
+  * (analog of fossil's serialized topic/schema tables,
+  * `pkg/database/db.go:243-410`); durability of data comes from Parquet's
+  * atomic commit protocol, replacing the reference WAL (`pkg/database/log.go`).
+  */
+final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
+  val catalog: Catalog = ParquetStore.loadCatalog(root)
+
+  private def groupDir(s: SType): String =
+    s"$root/data/sgroup=${ParquetStore.schemaKey(s)}"
+
+  def createTopic(path: String, ddl: String): Unit = {
+    catalog.createDdl(path, ddl)
+    persistCatalog()
+  }
+
+  /** Batch append: rows `(time TIMESTAMP, topic STRING, value T)` sharing one
+    * schema. Auto-creates topics (inheritance rules apply). */
+  def append(rows: DataFrame, schema: SType): Unit = {
+    val topics = rows.select("topic").distinct().collect().map(_.getString(0))
+    topics.foreach { t =>
+      val existing = catalog.ensure(t)
+      val combined = FossilSchema.combine(existing, schema)
+      if (combined == SAmbiguous)
+        throw new IllegalArgumentException(
+          s"append schema ${schema.ddl} conflicts with topic $t schema ${existing.ddl}")
+    }
+    persistCatalog()
+    rows.select(col("time"), col("topic"), col("value").cast(schema.sparkType).as("value"))
+      .sortWithinPartitions("topic", "time")
+      .write.mode(SaveMode.Append)
+      .partitionBy("topic")
+      .parquet(groupDir(schema))
+  }
+
+  def entries(prefix: String): DataFrame = {
+    val wanted = catalog.topicsUnder(prefix)
+    val schemas = wanted.flatMap(catalog.schemaOf).distinct
+    val groups = schemas.map(s => (s, groupDir(s))).filter { case (_, d) =>
+      Files.exists(Paths.get(d))
+    }
+    if (groups.isEmpty) {
+      val combined = catalog.combinedSchema(prefix) match {
+        case SUnknown | SAmbiguous => FossilSchema.default
+        case s => s
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("time", TimestampType), StructField("topic", StringType),
+          StructField("value", combined.sparkType))))
+    }
+    val combined = FossilSchema.combineAll(groups.map(_._1))
+    val target: DataType = combined match {
+      case SAmbiguous => BinaryType // untyped fallback view
+      case s => s.sparkType
+    }
+    groups.map { case (s, dir) =>
+      val df = spark.read.parquet(dir)
+      val v = combined match {
+        case SAmbiguous => lit(null).cast(BinaryType).as("value") // opaque
+        case _ => col("value").cast(target).as("value")
+      }
+      df.select(col("time"), col("topic").cast(StringType).as("topic"), v)
+    }.reduce(_ unionByName _)
+  }
+
+  private def persistCatalog(): Unit = ParquetStore.saveCatalog(root, catalog)
+}
+
+object ParquetStore {
+  def schemaKey(s: SType): String = {
+    val ddl = s.ddl
+    // filesystem-safe stable key
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(ddl)) +
+      "_" + ddl.replaceAll("[^A-Za-z0-9]", "").take(24)
+  }
+
+  def saveCatalog(root: String, catalog: Catalog): Unit = {
+    Files.createDirectories(Paths.get(root))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = catalog.list
+      .map { case (t, s) => s"""  "${esc(t)}": "${esc(s.ddl)}"""" }
+      .mkString("{\n", ",\n", "\n}")
+    val tmp = Paths.get(root, ".catalog.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, "catalog.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadCatalog(root: String): Catalog = {
+    val c = new Catalog
+    val p = Paths.get(root, "catalog.json")
+    if (Files.exists(p)) {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      // minimal parser for the flat {"topic": "ddl", ...} shape we write
+      val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      entry.findAllMatchIn(json).foreach { m =>
+        def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+        c.create(un(m.group(1)), FossilSchema.parse(un(m.group(2))))
+      }
+    }
+    c
+  }
+}

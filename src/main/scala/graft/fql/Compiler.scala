@@ -1,0 +1,391 @@
+package graft.fql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fql.Ast._
+
+/** Compiles an FQL query AST onto a Spark DataFrame of entries.
+  *
+  * The input frame must have columns `time TIMESTAMP`, `topic STRING`, and a
+  * `value` column whose Spark type reflects the (combined) topic schema —
+  * the analog of fossil's hydrated `Entry` (`pkg/database/result.go:24-29`)
+  * after the typed decode.
+  *
+  * Everything is declarative DataFrame API: time/topic predicates become
+  * Catalyst filters (pushed to the Parquet scan), pipeline stages become
+  * `select`/`filter` (fused by whole-stage codegen), and `reduce` becomes a
+  * real aggregate when the body is sum/min/max-shaped — a single partial+final
+  * agg at scale — falling back to a distributed `treeReduce` with the FQL
+  * interpreter for arbitrary associative bodies.
+  *
+  * Deliberate deviations from reference behavior (documented semantics win):
+  * `!=` works (ref runtime panics, `pkg/query/types/value.go:406-466`),
+  * `len`/`pow` exist (ref registers only max/min,
+  * `pkg/query/types/builtin.go:14-21`).
+  */
+object Compiler {
+
+  final val TimeCol = "time"
+  final val TopicCol = "topic"
+  final val ValueCol = "value"
+
+  /** Epoch nanos clock, injectable for deterministic `~now`. */
+  type Clock = () => Long
+
+  def systemClock: Clock = () => System.currentTimeMillis() * 1000000L
+
+  def compile(q: Query, entries: DataFrame, clock: Clock = systemClock): DataFrame = {
+    var df = entries
+
+    // --- topic selection (F3): exact match or descendant ------------------
+    q.topic.foreach { raw =>
+      val t = if (raw.length > 1 && raw.endsWith("/")) raw.dropRight(1) else raw
+      if (t != "/")
+        df = df.filter(col(TopicCol) === t || col(TopicCol).startsWith(t + "/"))
+    }
+
+    // --- time predicate (F4): since [t,now], before (-inf,t], between [a,b]
+    q.timePred.foreach { tp =>
+      val nowNs = clock()
+      def ts(ns: Long): Column = timestamp_micros(lit(Math.floorDiv(ns, 1000L)))
+      tp match {
+        case Since(t) =>
+          df = df.filter(col(TimeCol) >= ts(t.resolve(nowNs)) && col(TimeCol) <= ts(nowNs))
+        case Before(t) =>
+          df = df.filter(col(TimeCol) <= ts(t.resolve(nowNs)))
+        case Between(a, b) =>
+          df = df.filter(col(TimeCol) >= ts(a.resolve(nowNs)) &&
+            col(TimeCol) <= ts(b.resolve(nowNs)))
+      }
+    }
+
+    // --- quantifier (F2): greedy downsample applied after selection --------
+    q.quantifier match {
+      case All =>
+      case Sample(ns) => df = graft.operators.Sample.greedyPerTopic(df, ns)
+    }
+
+    // --- data pipeline -----------------------------------------------------
+    // The fold threads the logical tuple arity alongside the frame: Spark's
+    // ArrayType carries no length, but fossil's checker enforces arg-count
+    // against declared tuple width (`pkg/query/analysis/types.go:233-260`).
+    q.pipeline.foldLeft((df, Option.empty[Int])) { case ((acc, arity), stage) =>
+      compileStage(stage, acc, arity)
+    }._1
+  }
+
+  // === stage compilation ===================================================
+
+  private def valueType(df: DataFrame): DataType =
+    df.schema(ValueCol).dataType
+
+  /** Bind stage args to columns: one arg = whole value; k args = elements of
+    * an incoming k-tuple (`pkg/query/analysis/types.go:233-260`). */
+  private def bind(args: List[String], df: DataFrame,
+      arity: Option[Int]): Map[String, (Column, DataType)] = {
+    val vt = valueType(df)
+    args match {
+      case a :: Nil => Map(a -> (col(ValueCol), vt))
+      case _ =>
+        vt match {
+          case ArrayType(et, _) =>
+            arity.foreach { n =>
+              if (n != args.length)
+                throw new FqlException(
+                  s"stage takes ${args.length} args but input is a $n-tuple")
+            }
+            args.zipWithIndex.map { case (a, i) => a -> (col(ValueCol).getItem(i), et) }.toMap
+          case st: StructType if st.length == args.length =>
+            args.zip(st.fields).map { case (a, f) =>
+              a -> (col(ValueCol).getField(f.name), f.dataType)
+            }.toMap
+          case other =>
+            throw new FqlException(
+              s"stage takes ${args.length} args but input value is ${other.simpleString}")
+        }
+    }
+  }
+
+  private def outArity(out: StageOut): Option[Int] = out match {
+    case OutTuple(es) => Some(es.length)
+    case _ => None
+  }
+
+  private def compileStage(stage: Stage, df: DataFrame,
+      arity: Option[Int]): (DataFrame, Option[Int]) = stage match {
+    case FilterStage(args, pred) =>
+      val env = bind(args, df, arity)
+      val (c, dt) = compileExpr(pred, env)
+      (df.filter(truthy(c, dt)), arity)
+
+    case MapStage(args, out) =>
+      val env = bind(args, df, arity)
+      val (vc, _) = compileOut(out, env)
+      (df.select(col(TimeCol), col(TopicCol), vc.as(ValueCol)), outArity(out))
+
+    case ReduceStage(args, out) =>
+      (compileReduce(args, out, df), outArity(out))
+  }
+
+  /** Truthiness per `pkg/query/types/value.go:326-337`: numeric ≠ 0 is true. */
+  private def truthy(c: Column, dt: DataType): Column = dt match {
+    case BooleanType => c
+    case _: NumericType => c =!= lit(0)
+    case StringType => c.isNotNull && c =!= lit("")
+    case _ => c.isNotNull
+  }
+
+  /** Compile a stage RHS to a single value Column + its type. */
+  private def compileOut(out: StageOut, env: Map[String, (Column, DataType)]): (Column, DataType) =
+    out match {
+      case OutExpr(e) => compileExpr(e, env)
+      case OutTuple(es) =>
+        val compiled = es.map(e => compileExpr(e, env))
+        // homogeneous-numeric tuples; floats win (`analysis/types.go:203-225`)
+        val anyFloat = compiled.exists(c => isFloat(c._2))
+        val et: DataType = if (anyFloat) DoubleType else LongType
+        (array(compiled.map(_._1.cast(et)): _*), ArrayType(et, containsNull = false))
+      case OutComposite(fields) =>
+        // canonical sorted key order, like the reference's materialization
+        // (`pkg/query/types/value.go:230-240`)
+        val sorted = fields.sortBy(_._1)
+        val cols = sorted.map { case (k, e) => compileExpr(e, env)._1.as(k) }
+        val st = StructType(sorted.map { case (k, e) =>
+          StructField(k, inferType(e, env))
+        })
+        (struct(cols: _*), st)
+    }
+
+  // === expression compiler =================================================
+
+  def compileExpr(e: Expr, env: Map[String, (Column, DataType)]): (Column, DataType) = {
+    val dt = inferType(e, env)
+    (compileCol(e, env), dt)
+  }
+
+  private def numeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+  private def isFloat(dt: DataType): Boolean =
+    dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]
+
+  private def compileCol(e: Expr, env: Map[String, (Column, DataType)]): Column = e match {
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StringLit(v) => lit(v)
+    case Ident(n) =>
+      env.getOrElse(n, throw new FqlException(s"unresolved identifier '$n'"))._1
+    case Unary("-", x) => negate(compileCol(x, env))
+    case Unary(_, x) => compileCol(x, env)
+    case Binary(op, l, r) =>
+      val lc = compileCol(l, env)
+      val rc = compileCol(r, env)
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        // `/` always yields float, even int/int (`value.go:436`)
+        case "/" => lc.cast(DoubleType) / rc.cast(DoubleType)
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "==" => lc === rc
+        case "!=" => lc =!= rc
+        case other => throw new FqlException(s"unknown operator '$other'")
+      }
+    case IndexSub(x, i) =>
+      val xt = inferType(x, env)
+      xt match {
+        case ArrayType(_, _) => compileCol(x, env).getItem(i)
+        case _ => throw new FqlException(s"cannot subscript ${xt.simpleString} with [$i]")
+      }
+    case KeySub(x, k) => compileCol(x, env).getField(k)
+    case Call(name, args) => compileBuiltin(name, args, env)
+  }
+
+  /** Builtin registry. Parity: max/min (tuple → element-wise,
+    * `pkg/query/types/builtin.go:29-105`); documented-but-missing len/pow
+    * shipped working. The rest are capability extensions via
+    * `org.apache.spark.sql.functions` (all codegen'd; no UDFs). */
+  private def compileBuiltin(
+      name: String, args: List[Expr], env: Map[String, (Column, DataType)]): Column = {
+    def one: Column = compileCol(args.head, env)
+    def compiled: List[(Column, DataType)] = args.map(a => compileExpr(a, env))
+    name match {
+      case "max" =>
+        if (args.length == 1 && inferType(args.head, env).isInstanceOf[ArrayType]) array_max(one)
+        else greatest(compiled.map(_._1): _*)
+      case "min" =>
+        if (args.length == 1 && inferType(args.head, env).isInstanceOf[ArrayType]) array_min(one)
+        else least(compiled.map(_._1): _*)
+      case "len" =>
+        (inferType(args.head, env) match {
+          case _: ArrayType => size(one)
+          case _ => length(one)
+        }).cast(LongType)
+      case "pow" =>
+        if (args.length != 2) throw new FqlException("pow takes 2 arguments")
+        pow(compiled(0)._1.cast(DoubleType), compiled(1)._1.cast(DoubleType))
+      case "abs" => abs(one)
+      case "round" =>
+        if (args.length == 2) round(compiled(0)._1, args(1) match {
+          case IntLit(v) => v.toInt
+          case _ => throw new FqlException("round scale must be an integer literal")
+        }) else round(one)
+      case "floor" => floor(one)
+      case "ceil" => ceil(one)
+      case "sqrt" => sqrt(one)
+      case "exp" => exp(one)
+      case "ln" => log(one)
+      case other => throw new FqlException(s"Unknown builtin function '$other'")
+    }
+  }
+
+  def inferType(e: Expr, env: Map[String, (Column, DataType)]): DataType = e match {
+    case IntLit(_) => LongType
+    case FloatLit(_) => DoubleType
+    case StringLit(_) => StringType
+    case Ident(n) =>
+      env.getOrElse(n, throw new FqlException(s"unresolved identifier '$n'"))._2
+    case Unary(_, x) => inferType(x, env)
+    case Binary(op, l, r) => op match {
+      case "/" => DoubleType
+      case "+" | "-" | "*" =>
+        val lt = inferType(l, env); val rt = inferType(r, env)
+        if (!numeric(lt) || !numeric(rt))
+          throw new FqlException(s"operator '$op' requires numeric operands, " +
+            s"got ${lt.simpleString} and ${rt.simpleString}")
+        if (isFloat(lt) || isFloat(rt)) DoubleType else LongType
+      case "<" | "<=" | ">" | ">=" =>
+        val lt = inferType(l, env); val rt = inferType(r, env)
+        if (!numeric(lt) || !numeric(rt))
+          throw new FqlException(s"comparison requires numeric operands, " +
+            s"got ${lt.simpleString} and ${rt.simpleString}")
+        BooleanType
+      case "==" | "!=" =>
+        val lt = inferType(l, env); val rt = inferType(r, env)
+        val comparable = (numeric(lt) && numeric(rt)) || lt == rt
+        if (!comparable)
+          throw new FqlException(s"'$op' operands not comparable: " +
+            s"${lt.simpleString} vs ${rt.simpleString}")
+        BooleanType
+      case _ => throw new FqlException(s"unknown operator '$op'")
+    }
+    case IndexSub(x, i) => inferType(x, env) match {
+      case ArrayType(et, _) => et
+      case st: StructType if i < st.length => st.fields(i).dataType
+      case other => throw new FqlException(s"cannot index ${other.simpleString}")
+    }
+    case KeySub(x, k) => inferType(x, env) match {
+      case st: StructType => st.find(_.name == k).map(_.dataType)
+        .getOrElse(throw new FqlException(s"no composite member '$k'"))
+      case other => throw new FqlException(s"cannot key-subscript ${other.simpleString}")
+    }
+    case Call(name, args) => name match {
+      case "max" | "min" =>
+        inferType(args.head, env) match {
+          case ArrayType(et, _) if args.length == 1 => et
+          case dt =>
+            if (args.map(a => inferType(a, env)).exists(isFloat)) DoubleType else dt
+        }
+      case "len" => LongType
+      case "pow" | "sqrt" | "exp" | "ln" => DoubleType
+      case "abs" | "round" | "floor" | "ceil" => inferType(args.head, env)
+      case other => throw new FqlException(s"Unknown builtin function '$other'")
+    }
+  }
+
+  // === reduce ==============================================================
+
+  /** Reference for the agg-pattern matcher: an output slot is aggregable when
+    * it's `a⊕b` / `a[i]⊕b[i]` / `max(a,b)`-shaped over the two reduce args. */
+  private sealed trait AggPat
+  private case object AggSum extends AggPat
+  private case object AggMin extends AggPat
+  private case object AggMax extends AggPat
+
+  private def slotRef(e: Expr, a: String, b: String, slot: Int, nSlots: Int): Option[String] =
+    e match {
+      case Ident(n) if (n == a || n == b) && nSlots == 1 => Some(n)
+      case IndexSub(Ident(n), i) if (n == a || n == b) && i == slot => Some(n)
+      case _ => None
+    }
+
+  private def matchSlot(e: Expr, a: String, b: String, slot: Int, n: Int): Option[AggPat] =
+    e match {
+      case Binary("+", l, r) =>
+        for {
+          ln <- slotRef(l, a, b, slot, n)
+          rn <- slotRef(r, a, b, slot, n)
+          if ln != rn
+        } yield AggSum
+      case Call("max", List(l, r)) =>
+        for { ln <- slotRef(l, a, b, slot, n); rn <- slotRef(r, a, b, slot, n); if ln != rn }
+          yield AggMax
+      case Call("min", List(l, r)) =>
+        for { ln <- slotRef(l, a, b, slot, n); rn <- slotRef(r, a, b, slot, n); if ln != rn }
+          yield AggMin
+      case _ => None
+    }
+
+  private def compileReduce(args: List[String], out: StageOut, df: DataFrame): DataFrame = {
+    val List(a, b) = args
+    val slots: List[Expr] = out match {
+      case OutExpr(e) => List(e)
+      case OutTuple(es) => es
+      case OutComposite(_) =>
+        throw new FqlException("reduce output must be an expression or tuple")
+    }
+    val n = slots.length
+    val pats = slots.zipWithIndex.map { case (e, i) => matchSlot(e, a, b, i, n) }
+
+    val vt = valueType(df)
+    if (pats.forall(_.isDefined)) {
+      // Sum/min/max shapes → native partial+final aggregate (map-side combine,
+      // single shuffle of one row per partition — the 100 TB path).
+      def slotCol(i: Int): Column = vt match {
+        case _: ArrayType if n > 1 || slots.exists(_.isInstanceOf[IndexSub]) =>
+          col(ValueCol).getItem(i)
+        case _ if n == 1 => col(ValueCol)
+        case _ => col(ValueCol).getItem(i)
+      }
+      val aggs = pats.zipWithIndex.map {
+        case (Some(AggSum), i) => sum(slotCol(i))
+        case (Some(AggMin), i) => min(slotCol(i))
+        case (Some(AggMax), i) => max(slotCol(i))
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      val vc: Column =
+        if (n == 1) aggs.head
+        else {
+          val anyFloat = vt match {
+            case ArrayType(et, _) => isFloat(et)
+            case other => isFloat(other)
+          }
+          val et: DataType = if (anyFloat) DoubleType else LongType
+          array(aggs.map(_.cast(et)): _*)
+        }
+      df.agg(vc.as(ValueCol))
+        .select(
+          lit(null).cast(TimestampType).as(TimeCol),
+          // the reduce output entry is synthetic — topic "N/A"
+          // (`pkg/query/plan/reduce.go:73-75`, documented semantics)
+          lit("N/A").as(TopicCol),
+          col(ValueCol))
+    } else {
+      // General associative fold: distributed treeReduce with the FQL
+      // interpreter. Same contract as the reference (arrival-order fold,
+      // `reduce.go:47-79`): only assoc+comm bodies are well-defined.
+      val spark = df.sparkSession
+      val combined = Eval.treeReduceValues(df.select(col(ValueCol)), a, b, out)
+      val vDt = vt // reduce output type must equal input type (types.go:228-231)
+      val schema = StructType(Seq(
+        StructField(TimeCol, TimestampType), StructField(TopicCol, StringType),
+        StructField(ValueCol, vDt)))
+      val row = Row(null, "N/A", Eval.toRowValue(combined, vDt))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+    }
+  }
+}

@@ -1,0 +1,170 @@
+package graft.fql
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.fql.Ast._
+
+/** Row-at-a-time FQL expression interpreter.
+  *
+  * Used for (a) the general `reduce` fallback (distributed `treeReduce` over
+  * runtime values) and (b) unit-testing expression semantics independently of
+  * Spark. Mirrors the reference VM's coercions (`pkg/query/types/value.go`):
+  * int⊕float upcasts to float, `/` always yields float, numeric truthiness.
+  *
+  * Runtime values: Long, Double, Boolean, String, Seq[Any] (tuple/array),
+  * Map[String,Any] (composite).
+  */
+object Eval {
+
+  def eval(e: Expr, env: Map[String, Any]): Any = e match {
+    case IntLit(v) => v
+    case FloatLit(v) => v
+    case StringLit(v) => v
+    case Ident(n) => env.getOrElse(n, throw new FqlException(s"unresolved identifier '$n'"))
+    case Unary("-", x) => eval(x, env) match {
+      case l: Long => -l
+      case d: Double => -d
+      case other => throw new FqlException(s"cannot negate $other")
+    }
+    case Unary(_, x) => eval(x, env)
+    case Binary(op, l, r) => binop(op, eval(l, env), eval(r, env))
+    case IndexSub(x, i) => eval(x, env) match {
+      case s: Seq[_] =>
+        if (i < 0 || i >= s.length) throw new FqlException(s"index $i out of bounds")
+        s(i)
+      case other => throw new FqlException(s"cannot subscript $other")
+    }
+    case KeySub(x, k) => eval(x, env) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(k,
+        throw new FqlException(s"no composite member '$k'"))
+      case r: Row => r.getAs[Any](k)
+      case other => throw new FqlException(s"cannot key-subscript $other")
+    }
+    case Call(name, args) => builtin(name, args.map(a => eval(a, env)))
+  }
+
+  def evalOut(out: StageOut, env: Map[String, Any]): Any = out match {
+    case OutExpr(e) => eval(e, env)
+    case OutTuple(es) =>
+      val vs = es.map(e => eval(e, env))
+      if (vs.exists(_.isInstanceOf[Double])) vs.map(toD) else vs
+    case OutComposite(fields) =>
+      fields.sortBy(_._1).map { case (k, e) => k -> eval(e, env) }.toMap
+  }
+
+  private def toD(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case b: Boolean => if (b) 1.0 else 0.0
+    case other => throw new FqlException(s"not numeric: $other")
+  }
+
+  private def bothLong(l: Any, r: Any): Boolean =
+    l.isInstanceOf[Long] && r.isInstanceOf[Long]
+
+  private def binop(op: String, l: Any, r: Any): Any = op match {
+    case "+" => if (bothLong(l, r)) l.asInstanceOf[Long] + r.asInstanceOf[Long] else toD(l) + toD(r)
+    case "-" => if (bothLong(l, r)) l.asInstanceOf[Long] - r.asInstanceOf[Long] else toD(l) - toD(r)
+    case "*" => if (bothLong(l, r)) l.asInstanceOf[Long] * r.asInstanceOf[Long] else toD(l) * toD(r)
+    case "/" => toD(l) / toD(r) // always float (`value.go:436`)
+    case "<" => toD(l) < toD(r)
+    case "<=" => toD(l) <= toD(r)
+    case ">" => toD(l) > toD(r)
+    case ">=" => toD(l) >= toD(r)
+    case "==" => eq(l, r)
+    case "!=" => !eq(l, r) // works here, unlike the reference (bug E7)
+    case other => throw new FqlException(s"unknown operator '$other'")
+  }
+
+  private def eq(l: Any, r: Any): Boolean = (l, r) match {
+    case (a: String, b: String) => a == b
+    case (a: Boolean, b: Boolean) => a == b
+    case _ => toD(l) == toD(r)
+  }
+
+  def truthy(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case l: Long => l != 0
+    case d: Double => d != 0.0
+    case s: String => s.nonEmpty
+    case null => false
+    case _ => true
+  }
+
+  private def builtin(name: String, args: List[Any]): Any = name match {
+    case "max" => args match {
+      case List(s: Seq[_]) => s.map(toD).max match { case d => numOut(s, d) }
+      case xs => if (xs.exists(_.isInstanceOf[Double])) xs.map(toD).max
+        else xs.map(_.asInstanceOf[Long]).max
+    }
+    case "min" => args match {
+      case List(s: Seq[_]) => numOut(s, s.map(toD).min)
+      case xs => if (xs.exists(_.isInstanceOf[Double])) xs.map(toD).min
+        else xs.map(_.asInstanceOf[Long]).min
+    }
+    case "len" => args.head match {
+      case s: String => s.length.toLong
+      case s: Seq[_] => s.length.toLong
+      case b: Array[Byte] => b.length.toLong
+      case other => throw new FqlException(s"len: unsupported $other")
+    }
+    case "pow" => math.pow(toD(args(0)), toD(args(1)))
+    case "abs" => args.head match {
+      case l: Long => math.abs(l)
+      case d: Double => math.abs(d)
+      case o => throw new FqlException(s"abs: not numeric $o")
+    }
+    case "sqrt" => math.sqrt(toD(args.head))
+    case "exp" => math.exp(toD(args.head))
+    case "ln" => math.log(toD(args.head))
+    case "floor" => args.head match { case l: Long => l; case d: Double => math.floor(d) }
+    case "ceil" => args.head match { case l: Long => l; case d: Double => math.ceil(d) }
+    case "round" => args match {
+      case List(l: Long) => l
+      case List(d: Double) => math.round(d).toDouble
+      case List(d: Double, s: Long) =>
+        BigDecimal(d).setScale(s.toInt, BigDecimal.RoundingMode.HALF_UP).toDouble
+      case _ => throw new FqlException("round: bad args")
+    }
+    case other => throw new FqlException(s"Unknown builtin function '$other'")
+  }
+
+  private def numOut(src: Seq[_], d: Double): Any =
+    if (src.exists(_.isInstanceOf[Double])) d else d.toLong
+
+  // === Spark bridge for the general reduce fallback ========================
+
+  /** Row cell → runtime value. */
+  def fromRowValue(v: Any): Any = v match {
+    case null => null
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case s: scala.collection.Seq[_] => s.toList.map(fromRowValue)
+    case r: Row => r.schema.fieldNames.zip(r.toSeq.map(fromRowValue)).toMap
+    case other => other
+  }
+
+  /** Runtime value → Row cell of the given Spark type. */
+  def toRowValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: Long, IntegerType) => l.toInt
+    case (l: Long, DoubleType) => l.toDouble
+    case (d: Double, LongType) => d.toLong
+    case (s: Seq[_], ArrayType(et, _)) => s.map(x => toRowValue(x, et))
+    case (m: Map[_, _], st: StructType) =>
+      Row.fromSeq(st.fields.map(f =>
+        toRowValue(m.asInstanceOf[Map[String, Any]].getOrElse(f.name, null), f.dataType)).toSeq)
+    case (other, _) => other
+  }
+
+  /** Distributed associative fold of the `value` column with a reduce body.
+    * `treeAggregate`-style: combine within partitions, then across — no
+    * single-node collect of the data. */
+  def treeReduceValues(valueDf: DataFrame, a: String, b: String, out: StageOut): Any = {
+    val rdd = valueDf.rdd.map(r => fromRowValue(r.get(0))).filter(_ != null)
+    rdd.treeReduce({ (x, y) => evalOut(out, Map(a -> x, b -> y)) }, depth = 2)
+  }
+}

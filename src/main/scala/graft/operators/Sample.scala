@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** `sample(d)` — fossil's greedy time downsample
+  * (`pkg/query/plan/metadata.go:46-64`): keep the first entry, then the next
+  * entry whose time is ≥ lastKept + d. NOT fixed buckets — the kept set
+  * depends on the previous kept entry, so it's a sequential scan per stream.
+  *
+  * Scale design: greedy sampling is inherently sequential *within a stream*,
+  * but streams (topics) are independent — so the 100 TB path is
+  * one sequential pass per topic, all topics in parallel
+  * (`repartition(topic)` + secondary sort, no global ordering). The
+  * fossil-exact single-global-stream variant ([[greedyGlobal]]) is provided
+  * for parity and documented as the non-scalable one.
+  *
+  * [[bucketed]] is the fully-parallel approximation (tumbling buckets, keep
+  * earliest per bucket) — the variant you'd reach for at extreme scale, and
+  * the one with a clean SQL equivalence for oracle checks.
+  */
+object Sample {
+
+  private val T = "__t_us"
+
+  /** Exact greedy sample, one independent pass per topic. */
+  def greedyPerTopic(df: DataFrame, intervalNs: Long): DataFrame =
+    greedy(df, intervalNs, perTopic = true)
+
+  /** Fossil-exact: one greedy pass over the single global time-ordered
+    * stream (all selected topics merged). Forces parallelism 1 — use only
+    * when cross-topic greedy semantics genuinely matter. */
+  def greedyGlobal(df: DataFrame, intervalNs: Long): DataFrame =
+    greedy(df, intervalNs, perTopic = false)
+
+  private def greedy(df: DataFrame, intervalNs: Long, perTopic: Boolean): DataFrame = {
+    val intervalUs = Math.floorDiv(intervalNs, 1000L)
+    val spark = df.sparkSession
+    val withT = df.withColumn(T, unix_micros(col("time")))
+    val schema = withT.schema
+    val tIdx = schema.fieldIndex(T)
+    val topicIdx = schema.fieldIndex("topic")
+
+    val arranged =
+      if (perTopic)
+        withT.repartition(col("topic")).sortWithinPartitions(col("topic"), col(T))
+      else
+        withT.repartition(1).sortWithinPartitions(col(T))
+
+    // Sequential greedy scan; partitions are (topic-sorted, time-sorted) so a
+    // single pass with a per-topic carry is exact.
+    val rows = arranged.rdd.mapPartitions { it =>
+      var lastKept = Map.empty[String, Long]
+      it.flatMap { r =>
+        val key = if (perTopic) r.getString(topicIdx) else ""
+        val t = r.getLong(tIdx)
+        lastKept.get(key) match {
+          case Some(prev) if t - prev < intervalUs => None
+          case _ =>
+            lastKept = lastKept.updated(key, t)
+            Some(r)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema).drop(T)
+  }
+
+  /** Tumbling-bucket approximation: keep the earliest entry per
+    * (topic, epoch-aligned bucket). Embarrassingly parallel; documented
+    * deviation from the greedy carry semantics. */
+  def bucketed(df: DataFrame, intervalNs: Long): DataFrame = {
+    val intervalUs = math.max(1L, Math.floorDiv(intervalNs, 1000L))
+    val bucket = (unix_micros(col("time")) / lit(intervalUs)).cast(LongType)
+    val w = Window.partitionBy(col("topic"), bucket).orderBy(col("time"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
