@@ -1,0 +1,335 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.FossilEngine
+import graft.fql.Compiler
+import graft.operators.{AsOfJoin, RangeJoin, Sample}
+
+/** The operator battery behind [[SparkEntry.queries]].
+  *
+  * Conventions shared with the DuckDB oracle SQL in [[SparkEntry.oracleSql]]:
+  *   - timestamps surface as `t_us` BIGINT (epoch micros) — both engines
+  *     truncate the parquet nanos identically;
+  *   - double aggregates go through exact integer-cents arithmetic
+  *     (`round(x*100)::bigint`) so sums are order-independent;
+  *   - every result has a deterministic ORDER BY;
+  *   - aliases match the oracle column names exactly (the driver's compare
+  *     sorts columns by name).
+  */
+object Queries {
+
+  /** Fixed query-evaluation clock (2025-01-01T00:00:00Z) so `since`'s
+    * implicit "now" upper bound is deterministic for the oracle. */
+  val FixedNowNs: Long = 1735689600L * 1000000000L
+  val fixedClock: Compiler.Clock = () => FixedNowNs
+
+  private def engine(spark: SparkSession, dir: String): FossilEngine =
+    FossilEngine.over(Tables.eventEntries(spark, dir), Tables.eventsCatalog, fixedClock)
+
+  private def engineLong(spark: SparkSession, dir: String): FossilEngine =
+    FossilEngine.over(Tables.eventEntriesLong(spark, dir), Tables.eventsCatalogLong, fixedClock)
+
+  private def engineDocs(spark: SparkSession, dir: String): FossilEngine = {
+    val c = new graft.engine.Catalog
+    c.createDdl("/docs", "string")
+    val entries = Tables.documents(spark, dir).select(
+      timestamp_micros(col("doc_id")).as("time"),
+      concat(lit("/docs/"), col("source")).as("topic"),
+      col("text").as("value"))
+    FossilEngine.over(entries, c, fixedClock)
+  }
+
+  /** Entry frame → oracle-comparable projection. */
+  private def entryOut(df: DataFrame): DataFrame =
+    df.select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
+      .orderBy("t_us", "topic")
+
+  private def valueOut(df: DataFrame): DataFrame = df.select("value")
+
+  /** Exact integer-cents: round(x*100) as BIGINT. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // ======================== FQL parity set ================================
+
+  def fqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fql_scan_all" -> ((s, d) => entryOut(engine(s, d).query("all in /events"))),
+    "fql_topic_prefix" -> ((s, d) => entryOut(engine(s, d).query("all in /events/purchase"))),
+    "fql_between" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events between ~(2024/01/10), ~(2024/01/20)"))),
+    "fql_since" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events since ~(2024/01/15)"))),
+    "fql_before" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events before ~(2024/01/15) - @day * 2"))),
+    "fql_filter" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | filter v -> v > 100"))),
+    "fql_map_arith" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map F -> 5/9 * (F-32)"))),
+    "fql_map_tuple" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> 1, x | map a, b -> a + b"))),
+    "fql_builtin_max" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> max(x, 100 - x)"))),
+    "fql_builtin_len" -> ((s, d) => entryOut(engineDocs(s, d).query(
+      "all in /docs | map t -> len(t)"))),
+    "fql_pow" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> pow(x, 2)"))),
+    "fql_composite" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> \"raw\": x, \"doubled\": x * 2 | map c -> c[\"doubled\"]"))),
+    "fql_reduce_count" -> ((s, d) => valueOut(engine(s, d).query(
+      "all in /events | map e -> 1 | reduce a, b -> a + b"))),
+    "fql_reduce_min" -> ((s, d) => valueOut(engine(s, d).query(
+      "all in /events | reduce a, b -> min(a, b)"))),
+    "fql_reduce_max" -> ((s, d) => valueOut(engine(s, d).query(
+      "all in /events | reduce a, b -> max(a, b)"))),
+    "fql_avg" -> ((s, d) => valueOut(engineLong(s, d).query(
+      "all in /events | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] | map c, s -> s / c"))),
+    "fql_sample_greedy" -> ((s, d) => entryOut(engine(s, d).query(
+      "sample(@hour) in /events"))),
+    "fql_sample_bucketed" -> ((s, d) =>
+      entryOut(Sample.bucketed(Tables.eventEntries(s, d), 3600L * 1000000000L))),
+  )
+
+  def fqlOracles: Map[String, String] = {
+    val entryCols = "epoch_us(ts) AS t_us, '/events/' || event_type AS topic"
+    def ev(valueExpr: String, where: String = "TRUE") =
+      s"SELECT $entryCols, $valueExpr AS value FROM events WHERE $where ORDER BY t_us, topic"
+    Map(
+      "fql_scan_all" -> ev("value"),
+      "fql_topic_prefix" -> (
+        s"SELECT $entryCols, value FROM events WHERE event_type = 'purchase' ORDER BY t_us, topic"),
+      "fql_between" -> ev("value",
+        "ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'"),
+      "fql_since" -> ev("value",
+        "ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2025-01-01'"),
+      "fql_before" -> ev("value", "ts <= TIMESTAMP '2024-01-13'"),
+      "fql_filter" -> ev("value", "value > 100"),
+      "fql_map_arith" -> ev("5.0/9.0 * (value - 32)"),
+      "fql_map_tuple" -> ev("1.0 + value"),
+      "fql_builtin_max" -> ev("greatest(value, 100 - value)"),
+      "fql_builtin_len" -> ("SELECT doc_id AS t_us, '/docs/' || source AS topic, " +
+        "CAST(length(text) AS BIGINT) AS value FROM documents ORDER BY t_us, topic"),
+      "fql_pow" -> ev("pow(value, 2)"),
+      "fql_composite" -> ev("value * 2"),
+      "fql_reduce_count" -> "SELECT CAST(COUNT(*) AS BIGINT) AS value FROM events",
+      "fql_reduce_min" -> "SELECT MIN(value) AS value FROM events",
+      "fql_reduce_max" -> "SELECT MAX(value) AS value FROM events",
+      "fql_avg" -> "SELECT CAST(SUM(user_id) AS DOUBLE) / COUNT(*) AS value FROM events",
+      // exact greedy downsample: per-topic sequential carry, expressible as a
+      // recursive CTE (next kept = min ts >= last kept + interval)
+      "fql_sample_greedy" -> """
+        |WITH RECURSIVE kept(topic, t) AS (
+        |  SELECT event_type, MIN(ts) FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT k.topic,
+        |    (SELECT MIN(e.ts) FROM events e WHERE e.event_type = k.topic
+        |       AND e.ts >= k.t + INTERVAL 1 HOUR)
+        |  FROM kept k
+        |  WHERE (SELECT MIN(e.ts) FROM events e WHERE e.event_type = k.topic
+        |       AND e.ts >= k.t + INTERVAL 1 HOUR) IS NOT NULL
+        |)
+        |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic, e.value
+        |FROM events e JOIN kept k ON e.event_type = k.topic AND e.ts = k.t
+        |ORDER BY t_us, topic""".stripMargin.trim,
+      "fql_sample_bucketed" -> ("SELECT epoch_us(ts) AS t_us, '/events/' || event_type AS topic, value " +
+        "FROM events QUALIFY row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000 " +
+        "ORDER BY ts) = 1 ORDER BY t_us, topic"),
+    )
+  }
+
+  // ===================== relational extension set =========================
+
+  def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary; exact cents arithmetic
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")) / 100L)) / 10000.0)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_join_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_join_large" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_lines"),
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")) / 100L)) / 10000.0)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q_window_rank" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+    "q_window_running" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("running_qty", sum("l_quantity").over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q_topk" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+    "q_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      building.union(rich).distinct()
+        .except(urgent.distinct())
+        .orderBy("c_custkey")
+    }),
+    "q_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.filter(col("c_acctbal") > 1000).select("c_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.lastOnOrBefore(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("click_ts")).as("click_t_us"))
+        .orderBy("event_id")
+    }),
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("click_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts").as("err_ts"))
+        .withColumn("w_start", col("err_ts") - expr("INTERVAL 5 MINUTES"))
+      RangeJoin.pointInInterval(clicks, errors, "click_ts", "w_start", "err_ts",
+          bucketUs = 5L * 60 * 1000000)
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+  )
+
+  def relationalOracles: Map[String, String] = Map(
+    "q1_agg" -> """
+      |SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT) // 100)) / 10000.0 AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim,
+    "q_join_broadcast" -> """
+      |SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_join_large" -> """
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT) // 100)) / 10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_join_semi" -> ("SELECT c_custkey FROM customer " +
+      "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1"),
+    "q_join_anti" -> ("SELECT c_custkey FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY 1"),
+    "q_window_rank" -> """
+      |SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin.trim,
+    "q_window_running" -> """
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin.trim,
+    "q_topk" -> ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+      "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10"),
+    "q_set_ops" -> """
+      |SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |) ORDER BY 1""".stripMargin.trim,
+    "q_intersect" -> """
+      |SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |) ORDER BY 1""".stripMargin.trim,
+    "q_rollup" -> """
+      |SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin.trim,
+    "q_distinct_agg" -> """
+      |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_asof_join" -> """
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_us, epoch_us(c.ts) AS click_t_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin.trim,
+    "q_range_join" -> """
+      |SELECT e.event_id, COUNT(*) AS n_clicks
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+  )
+}

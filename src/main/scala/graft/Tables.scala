@@ -21,7 +21,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div — long/long through `/` would round-trip a 1.7e18 ns
+      // value through double (53-bit mantissa) and corrupt low digits
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Events as fossil entries: `(time, topic, value:double)`. */

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the payload of the right
+  * row with the greatest `rightTime <= leftTime` within the same key group
+  * (the classic time-series "most recent observation" join — a capability
+  * extension; the reference has no joins at all, SURVEY §2.5).
+  *
+  * Scale design: implemented as union + single window pass — ONE shuffle on
+  * the key (both sides co-partitioned), sequential scan per key group, no
+  * O(n·m) pairing and no broadcast requirement. At 100 TB this is the
+  * sort-merge-shaped plan you want; skewed keys can be salted upstream.
+  */
+object AsOfJoin {
+
+  /** @param right must contain `keys`, `rightTime`, and payload columns whose
+    *              names don't collide with `left`'s (alias them beforehand).
+    * @param toleranceUs if set, matches older than `leftTime - tolerance` are
+    *                    nulled out. */
+  def lastOnOrBefore(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+
+    val leftPayloadCols = left.columns.filterNot(keys.contains)
+    val rightPayloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+
+    val keyCols = keys.map(col)
+    val lTagged = left.select(
+      keyCols :+
+        unix_micros(col(leftTime).cast("timestamp")).as("__t") :+
+        lit(1).as("__tag") :+
+        struct(leftPayloadCols.map(col): _*).as("__l") :+
+        lit(null).cast(
+          right.select(unix_micros(col(rightTime)).as("__rt"),
+            struct(rightPayloadCols.map(col): _*).as("__rp"))
+            .schema("__rp").dataType match { case dt => dt }
+        ).as("__r") :+
+        lit(null).cast("long").as("__rt"): _*)
+    val rTagged = right.select(
+      keyCols :+
+        unix_micros(col(rightTime).cast("timestamp")).as("__t") :+
+        lit(0).as("__tag") :+
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
+        struct(rightPayloadCols.map(col): _*).as("__r") :+
+        unix_micros(col(rightTime).cast("timestamp")).as("__rt"): _*)
+
+    // right rows sort before left rows at equal time (tag 0 < 1) → inclusive ≤
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match_t", last(col("__rt"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val withTol = toleranceUs match {
+      case Some(tol) =>
+        joined
+          .withColumn("__ok", col("__match_t").isNotNull && col("__match_t") >= col("__t") - lit(tol))
+          .withColumn("__match", when(col("__ok"), col("__match")))
+      case None => joined
+    }
+
+    val out = keyCols ++
+      leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__match").getField(c).as(c))
+    withTol.select(out: _*)
+  }
+}
