@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/check.py [sfdir] [outdir] [--skip-verify]
+
+Runs `sbt "runMain graft.Verify <sfdir> <outdir>"`, then executes each
+oracle_sql.json entry in DuckDB over the same parquet tables and compares
+row count / column names / value hash, like CORRECTNESS_r{N}.json.
+"""
+import json, subprocess, sys, hashlib
+from pathlib import Path
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+
+if "--skip-verify" not in sys.argv:
+    rc = subprocess.run(
+        ["sbt", f'runMain graft.Verify {sfdir} {outdir}'],
+        cwd="/root/repo").returncode
+    if rc != 0:
+        print("sbt verify failed", file=sys.stderr)
+        sys.exit(1)
+
+import duckdb
+import pandas as pd
+
+con = duckdb.connect()
+for p in Path(sfdir).glob("*.parquet"):
+    con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+
+oracle = json.loads((outdir / "oracle_sql.json").read_text())
+
+def fmt(v):
+    # 12 significant digits: catches real bugs, tolerates last-ULP libm
+    # differences (Spark Math.pow vs DuckDB pow) that the driver's own
+    # hash also tolerated in round 1.
+    if isinstance(v, float):
+        return f"{v:.12g}"
+    return str(v)
+
+def canon(df: pd.DataFrame):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(tuple(fmt(v) for v in r) for r in df.itertuples(index=False))
+    h = hashlib.md5(json.dumps(rows).encode()).hexdigest()
+    return len(df), list(df.columns), h, rows
+
+results = {}
+fails = []
+for name in sorted(set(list(oracle) + [p.name for p in outdir.iterdir() if p.is_dir()])):
+    entry = {}
+    try:
+        spark_df = pd.read_parquet(outdir / name)
+    except Exception as e:
+        entry["err"] = f"spark result missing: {e}"
+        results[name] = entry; fails.append(name); continue
+    if name not in oracle:
+        entry["rows_only"] = len(spark_df)
+        results[name] = entry
+        continue
+    try:
+        ora_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        entry["err"] = f"oracle sql error: {e}"
+        results[name] = entry; fails.append(name); continue
+    sn, sc, sh, srows = canon(spark_df)
+    on, oc, oh, orows = canon(ora_df)
+    entry.update(rows_match=sn == on, schema_match=sc == oc, hash_match=sh == oh,
+                 spark_rows=sn, oracle_rows=on)
+    if not (sn == on and sc == oc and sh == oh):
+        fails.append(name)
+        if sc != oc:
+            entry["spark_cols"], entry["oracle_cols"] = sc, oc
+        else:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            entry["first_diffs"] = diff
+    results[name] = entry
+
+print(json.dumps(results, indent=1, default=str))
+print(f"\n{len(results) - len(fails)}/{len(results)} ok; FAIL: {fails}", file=sys.stderr)
+sys.exit(1 if fails else 0)

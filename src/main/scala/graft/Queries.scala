@@ -147,7 +147,7 @@ object Queries {
       li.groupBy("l_returnflag", "l_linestatus").agg(
           (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
           (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
-          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")) / 100L)) / 10000.0)
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -167,7 +167,7 @@ object Queries {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority").agg(
           count(lit(1)).as("n_lines"),
-          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")) / 100L)) / 10000.0)
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
             .as("revenue"))
         .orderBy("o_orderpriority")
     }),
@@ -266,7 +266,7 @@ object Queries {
       |SELECT l_returnflag, l_linestatus,
       |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
       |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
-      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT) // 100)) / 10000.0 AS sum_disc_price,
+      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim,
     "q_join_broadcast" -> """
@@ -276,7 +276,7 @@ object Queries {
       |GROUP BY 1 ORDER BY 1""".stripMargin.trim,
     "q_join_large" -> """
       |SELECT o_orderpriority, COUNT(*) AS n_lines,
-      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT) // 100)) / 10000.0 AS revenue
+      |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin.trim,
     "q_join_semi" -> ("SELECT c_custkey FROM customer " +

@@ -29,7 +29,9 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None): DataFrame = {
 
     val leftPayloadCols = left.columns.filterNot(keys.contains)
-    val rightPayloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
+    // rightTime rides along in the payload struct so callers get the
+    // matched observation's own timestamp back (e.g. click_ts).
+    val rightPayloadCols = right.columns.filterNot(keys.contains)
 
     val keyCols = keys.map(col)
     val lTagged = left.select(
