@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operator battery (dedup / similarity search /
+  * text analysis / multimodal) exposed through the driver contract, with
+  * exact DuckDB oracle twins.
+  *
+  * Reproducibility contract shared with the oracles: md5-hex is the hash
+  * primitive, all ratios/similarities surface as rounded integers
+  * (`*_e4` = ×10⁴, `*_e6` = ×10⁶), every ranking tie-breaks on id, every
+  * result has a deterministic ORDER BY.
+  */
+object PipelineQueries {
+
+  // ---- DuckDB SQL fragments mirroring graft.operators.TextOps ----
+
+  /** toks: lowercased whitespace tokens, empties dropped. */
+  private val TOKS =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
+  /** distinct 3-word shingles over toks. */
+  private def wordShingles(toksExpr: String, k: Int): String =
+    s"""list_distinct(list_transform(range(1, greatest(len($toksExpr)-${k - 1}, 0)+1),
+       | i -> array_to_string(($toksExpr)[i:i+${k - 1}], ' ')))""".stripMargin
+  /** distinct char n-grams of lower(trim(text)). */
+  private def charShingles(n: Int): String =
+    s"""list_distinct(list_transform(range(1, greatest(length(lower(trim(text)))-${n - 1}, 0)+1),
+       | i -> substr(lower(trim(text)), i, $n)))""".stripMargin
+  private def jaccardE4(a: String, b: String): String =
+    s"""CAST(round(len(list_intersect($a,$b)) * 10000.0 /
+       | (len($a)+len($b)-len(list_intersect($a,$b)))) AS BIGINT)""".stripMargin
+  /** value 0..15 of hex digit at 1-based pos `p` of hex string `h`. */
+  private def hexVal(h: String, p: String): String =
+    s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
+
+  /** cosine ×1e6 as BIGINT over two FLOAT[] columns (double accumulation). */
+  private def cosE6(a: String, b: String): String =
+    s"""CAST(round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+       |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))) * 1e6) AS BIGINT)""".stripMargin
+
+  // ======================== queries ================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => {
+      // corpus with a planted second copy of every doc (the base table has
+      // no exact dups) — checks the group-and-keep-min semantics
+      val docs = Tables.documents(s, d)
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exactGroups(doubled, "doc_id", "text").orderBy("content_hash")
+    }),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
+        .orderBy("a", "b")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+        .orderBy("a", "b")),
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 5, bucketWidth = 64, minJaccardE4 = 5000)
+        .orderBy("a", "b")),
+    "emb_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCosineE6 = 450000)
+        .orderBy("a", "b")),
+    "ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+        .orderBy("q", "rank")
+    }),
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", k = 3)
+        .orderBy("q", "rank")
+    }),
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    "text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    "mm_meta" -> ((s, d) =>
+      Multimodal.metaColumns(
+        Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes")
+        .orderBy("media_id")),
+  )
+
+  // ======================== oracles ================================
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      |WITH doubled AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+      |SELECT md5(lower(trim(text))) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
+      |FROM doubled GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin.trim,
+
+    "dedup_minhash" -> s"""
+      |WITH sh AS (
+      |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
+      |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
+      |sig AS (
+      |  SELECT doc_id, sh, list_transform(range(0, 12),
+      |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, sh, b AS band_ix,
+      |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
+      |  FROM sig, range(0, 4) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
+      |  FROM banded l JOIN banded r
+      |    ON l.band_ix = r.band_ix AND l.band_h = r.band_h AND l.doc_id < r.doc_id)
+      |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
+      |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    "dedup_simhash" -> s"""
+      |WITH th AS (
+      |  SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (${hexVal("md5(tok)", "1 + b//4")} >> (3 - b%4)) & 1 = 1
+      |             THEN 1 ELSE -1 END) AS w
+      |  FROM th, range(0, 64) r(b) GROUP BY doc_id, b),
+      |nibs AS (
+      |  SELECT doc_id, b//4 AS nib,
+      |    SUM(CASE WHEN w > 0 THEN 1 << (3 - b%4) ELSE 0 END) AS v
+      |  FROM bits GROUP BY doc_id, b//4),
+      |fp AS (
+      |  SELECT doc_id, string_agg(substr('0123456789abcdef', (v+1)::BIGINT, 1), '' ORDER BY nib) AS f
+      |  FROM nibs GROUP BY doc_id),
+      |blocked AS (
+      |  SELECT doc_id, f, q, substr(f, q*4+1, 4) AS block FROM fp, range(0, 4) r(q)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.f AS fa, r.f AS fb
+      |  FROM blocked l JOIN blocked r
+      |    ON l.q = r.q AND l.block = r.block AND l.doc_id < r.doc_id),
+      |ham AS (
+      |  SELECT a, b, list_sum(list_transform(range(1, 17), i ->
+      |    ascii(substr('0112122312232334',
+      |      1 + xor(${hexVal("fa", "i")}, ${hexVal("fb", "i")}), 1)) - 48))::BIGINT AS hamming
+      |  FROM cand)
+      |SELECT a, b, hamming FROM ham WHERE hamming <= 8 ORDER BY a, b""".stripMargin.trim,
+
+    "dedup_ngram" -> s"""
+      |WITH base AS (
+      |  SELECT doc_id, ${charShingles(5)} AS sh,
+      |    length(lower(trim(text))) // 64 AS b0
+      |  FROM documents),
+      |bucketed AS (
+      |  SELECT doc_id, sh, unnest([b0, b0 + 1]) AS bucket FROM base)
+      |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+      |  ${jaccardE4("l.sh", "r.sh")} AS j_e4
+      |FROM bucketed l JOIN bucketed r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+      |WHERE ${jaccardE4("l.sh", "r.sh")} >= 5000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    "emb_neardup" -> s"""
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  ${cosE6("a.embedding", "b.embedding")} AS sim_e6
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE ${cosE6("a.embedding", "b.embedding")} >= 450000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    "ann_topk" -> s"""
+      |WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |s AS (
+      |  SELECT q.q, e.vec_id AS id, ${cosE6("e.embedding", "q.qv")} AS sim_e6
+      |  FROM embeddings e, q WHERE e.vec_id != q.q),
+      |ranked AS (
+      |  SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM s)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin.trim,
+
+    "ann_ivf" -> s"""
+      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+      |assigned AS (
+      |  SELECT vec_id AS id, embedding AS v, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |probed AS (
+      |  SELECT vec_id AS q, embedding AS qv, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0) WHERE rn = 1),
+      |scored AS (
+      |  SELECT p.q, a.id, ${cosE6("a.v", "p.qv")} AS sim_e6
+      |  FROM assigned a JOIN probed p ON a.bucket = p.bucket AND a.id != p.q),
+      |ranked AS (
+      |  SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM scored)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
+
+    "text_langid" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter($TOKS, t -> list_contains($list, t)))::BIGINT AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val caseChain = langs.init.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""
+      |SELECT id, s_de, s_en, s_es, s_fr, s_zh,
+      |  CASE $caseChain ELSE '${langs.last}' END AS lang_pred
+      |FROM (SELECT doc_id AS id, $scores FROM documents)
+      |ORDER BY id""".stripMargin.trim
+    },
+
+    "text_quality" -> s"""
+      |WITH t AS (SELECT doc_id AS id, lower(trim(text)) AS lt, $TOKS AS toks FROM documents),
+      |m AS (SELECT id,
+      |  len(toks)::BIGINT AS n_tokens,
+      |  len(list_distinct(toks))::BIGINT AS n_types,
+      |  len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to','in','that'], t)))::BIGINT AS n_stop,
+      |  length(lt)::BIGINT AS n_chars,
+      |  length(regexp_replace(lt, '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+      |  list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_tok_len
+      | FROM t)
+      |SELECT id, n_tokens,
+      |  CASE WHEN n_tokens = 0 THEN 0 ELSE CAST(round(n_types * 10000.0 / n_tokens) AS BIGINT) END AS ttr_e4,
+      |  CASE WHEN n_tokens = 0 THEN 0 ELSE CAST(round(n_stop * 10000.0 / n_tokens) AS BIGINT) END AS stop_e4,
+      |  CASE WHEN n_tokens = 0 THEN 0 ELSE CAST(round(sum_tok_len * 10000.0 / n_tokens) AS BIGINT) END AS mean_tok_len_e4,
+      |  CASE WHEN n_chars = 0 THEN 0 ELSE CAST(round(n_alpha * 10000.0 / n_chars) AS BIGINT) END AS alpha_e4,
+      |  (n_tokens >= 10
+      |    AND (CASE WHEN n_tokens = 0 THEN 0 ELSE CAST(round(n_types * 10000.0 / n_tokens) AS BIGINT) END) >= 2000
+      |    AND (CASE WHEN n_chars = 0 THEN 0 ELSE CAST(round(n_alpha * 10000.0 / n_chars) AS BIGINT) END) >= 5000) AS keep
+      |FROM m ORDER BY id""".stripMargin.trim,
+
+    "text_tokens" -> s"""
+      |SELECT doc_id AS id,
+      |  len($TOKS)::BIGINT AS n_ws_tokens,
+      |  len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), x -> x != ''))::BIGINT AS n_word_tokens,
+      |  length(lower(trim(text)))::BIGINT AS n_chars
+      |FROM documents ORDER BY id""".stripMargin.trim,
+
+    "text_fingerprint" -> s"""
+      |SELECT doc_id AS id,
+      |  md5(lower(trim(text))) AS md5_full,
+      |  list_min(list_transform(${charShingles(8)}, s -> md5(s))) AS fp_min8
+      |FROM documents ORDER BY id""".stripMargin.trim,
+
+    "mm_meta" -> """
+      |SELECT doc_id AS media_id,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  16 * (1 + ascii(substr(text, 1, 1)) % 40) AS width_stub
+      |FROM documents ORDER BY media_id""".stripMargin.trim,
+  )
+}

@@ -14,9 +14,9 @@ object SparkEntry {
   }
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.fqlQueries ++ Queries.relationalQueries
+    Queries.fqlQueries ++ Queries.relationalQueries ++ PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.fqlOracles ++ Queries.relationalOracles
+    Queries.fqlOracles ++ Queries.relationalOracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference engine has no dedup surface; these are the capability
+  * extensions a 100 TB corpus pipeline needs (SURVEY §2.5 extension rows).
+  * Four families, each with a different cost/recall point:
+  *
+  *  - exact:    one hash shuffle on content hash — O(n)
+  *  - minhash:  MinHash+LSH banding — near-dup detection without O(n²);
+  *              shuffle on band keys, candidate verify by exact Jaccard
+  *  - simhash:  64-bit Charikar sketch + block-partitioned Hamming join
+  *  - ngram:    exact char-n-gram Jaccard with length-bucket blocking
+  *              (the "small-blocks" exact fallback)
+  *
+  * Everything is deterministic (md5-based hashing, integer outputs) so the
+  * full pipeline — including LSH's probabilistic candidate generation — is
+  * reproducible bit-for-bit in the DuckDB oracle.
+  *
+  * Scale: no driver-side collection anywhere; all joins are equi-joins on
+  * hash/band/bucket keys (AQE-skew-splittable); per-row array lambdas are
+  * codegen'd and shuffle-free.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash of the normalized text.
+    * Returns one row per duplicate group (`n > 1`): the content hash, the
+    * group size, and the kept (minimum) id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), md5s(lower(trim(col(textCol)))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n"), min("id").as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * k-word shingles → `numHashes` minhash signature → `numBands` LSH bands;
+    * documents sharing any band become candidates (one shuffle keyed by
+    * (band index, band hash) — the classic scalable formulation); candidates
+    * are verified with exact shingle Jaccard and kept at `minJaccardE4`.
+    *
+    * Output: (a, b, j_e4) with a < b, distinct, where j_e4 = round(J*10000).
+    */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      minJaccardE4: Long = 5000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
+
+    val sh = docs.select(
+      col(idCol).as("id"),
+      wordShingles(tokens(col(textCol)), shingleWords).as("sh"))
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"),
+        posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
+
+    val l = banded.select(col("band_ix"), col("band_h"), col("id").as("a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band_ix"), col("band_h"), col("id").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band_ix", "band_h"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .filter(col("j_e4") >= minJaccardE4)
+      .distinct()
+  }
+
+  /** Per-document 64-bit SimHash fingerprints (16-char hex). */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-duplicate pairs: fingerprints are blocked on each of the
+    * four 16-bit sub-blocks (a pair within Hamming distance d can disagree
+    * in at most d blocks, so any pair with an identical block is found via
+    * 4 cheap equi-joins); block-mates are verified with the exact Hamming
+    * distance. Output: (a, b, hamming) with a < b, distinct. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, textCol)
+    val blocked = fp.select(
+      col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => col("simhash").substr(q * 4 + 1, lit(4)))).as(Seq("q", "block")))
+    val l = blocked.select(col("q"), col("block"), col("id").as("a"), col("simhash").as("fa"))
+    val r = blocked.select(col("q"), col("block"), col("id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("q", "block"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hammingHex(col("fa"), col("fb"), 16).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact char-n-gram Jaccard near-dup pairs with length-bucket blocking:
+    * each doc lands in buckets floor(len/bucketWidth) and that + 1, so any
+    * pair whose lengths differ by < bucketWidth shares a bucket; pairs are
+    * compared once per shared bucket and de-duplicated. Avoids the O(n²)
+    * cross join — the blocking key is the shuffle key. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, bucketWidth: Int = 64, minJaccardE4: Long = 5000): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"),
+      charShingles(col(textCol), n).as("sh"),
+      (length(lower(trim(col(textCol)))) / bucketWidth).cast("long").as("b0"))
+    val bucketed = base.select(col("id"), col("sh"),
+      explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("a"), col("sh").as("sh_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .filter(col("j_e4") >= minJaccardE4)
+      .distinct()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths, mirroring what a 100 TB training-data pipeline needs:
+  *
+  *  - brute force: exact cosine top-k — the correctness baseline. The query
+  *    set is broadcast, the corpus streams; cost O(|corpus| · |queries| · d)
+  *    with no corpus shuffle.
+  *  - IVF: inverted-file index — corpus is assigned to its nearest centroid
+  *    (one narrow pass + broadcast of centroids), searches probe only the
+  *    nearest centroid's bucket. This is the path that survives a 1000×
+  *    corpus: the expensive part is a bucket-local top-k, not a full scan.
+  *
+  * Determinism: dot products accumulate left-to-right in doubles via
+  * `aggregate(zip_with(...))` (same order DuckDB's list functions use);
+  * similarities surface as `round(cos * 1e6)` BIGINT and every ranking
+  * tie-breaks on id, so results are exactly reproducible in the oracle.
+  * All lambda expressions are codegen'd Catalyst — no UDFs.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity scaled to exact integer micro-units (round(c*1e6)). */
+  def cosineE6(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)) * 1e6, 0).cast("long")
+
+  /** All pairs (a < b) with cosine ≥ minCosineE6 — embedding near-dup
+    * detection. The corpus is broadcast against itself: right for dimension
+    * tables up to ~a few hundred MB; beyond that, use IVF buckets as the
+    * pairing key instead (same verify step). */
+  def nearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      minCosineE6: Long): DataFrame = {
+    val l = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .select(col("a"), col("b"), cosineE6(col("va"), col("vb")).as("sim_e6"))
+      .filter(col("sim_e6") >= minCosineE6)
+  }
+
+  /** Exact brute-force top-k: for every query row, the k nearest corpus
+    * rows by (sim_e6 desc, id asc), self-matches excluded.
+    * Output: (q, rank, id, sim_e6). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scored = c.join(broadcast(q), col("id") =!= col("q"))
+      .select(col("q"), col("id"), cosineE6(col("v"), col("qv")).as("sim_e6"))
+    topKPerGroup(scored, "q", k)
+  }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * `centroids` plays the role of the trained coarse quantizer (for tests a
+    * deterministic subset of the corpus; in production the output of k-means
+    * — the operator is agnostic). Corpus rows are assigned to their nearest
+    * centroid; a query probes only its own nearest centroid's bucket.
+    * Output: (q, rank, id, sim_e6). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String, k: Int): DataFrame = {
+    val cent = centroids.select(col(centroidIdCol).as("cid"), col(vecCol).as("cv"))
+    def assign(df: DataFrame, id: String, out: String): DataFrame = {
+      val scored = df.select(col(id), col(vecCol).as("__v"))
+        .join(broadcast(cent), lit(true))
+        .select(col(id), col("__v"), col("cid"), cosineE6(col("__v"), col("cv")).as("__cs"))
+      bestPerGroup(scored, id, orderCols = Seq(col("__cs").desc, col("cid").asc))
+        .select(col(id), col("__v"), col("cid").as(out))
+    }
+    val bucketed = assign(corpus, idCol, "bucket")
+      .select(col(idCol).as("id"), col("__v").as("v"), col("bucket"))
+    val probed = assign(queries, idCol, "bucket")
+      .select(col(idCol).as("q"), col("__v").as("qv"), col("bucket"))
+    val scored = bucketed.join(probed, Seq("bucket"))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("id"), cosineE6(col("v"), col("qv")).as("sim_e6"))
+    topKPerGroup(scored, "q", k)
+  }
+
+  private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("sim_e6").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("id"), col("sim_e6"))
+  }
+
+  private def bestPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

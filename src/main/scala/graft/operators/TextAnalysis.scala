@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token statistics, and content fingerprinting.
+  *
+  * All per-row narrow transformations (no shuffle), codegen'd Catalyst
+  * lambdas, integer/rounded outputs for exact oracle reproducibility.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small — the operator shape (multiset membership
+    * scoring + argmax) is the point; swap lists for real ones in production. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Language ID: per-language stopword hit counts + argmax prediction
+    * (ties break alphabetically). Output: (id, s_<lang>..., lang_pred). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (col(idCol).as("id") +:
+        stopwords.map { case (l, ws) => stopwordHits(toks, ws).as(s"s_$l") }): _*)
+    // argmax with alphabetical tie-break: first lang (in sorted order) whose
+    // score is >= all others wins — identical CASE chain in the oracle.
+    val langs = stopwords.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { (l, els) =>
+      val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Quality signals: token count, type/token ratio, English stopword ratio,
+    * mean token length, alphabetic-character ratio — all exact integers
+    * (ratios ×10⁴) — plus a simple keep/drop flag. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(trim(col(textCol)))
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nTypes = size(array_distinct(toks)).cast("long")
+    val nStop = stopwordHits(toks, stopwords.toMap.apply("en"))
+    val nChars = length(t).cast("long")
+    val nAlpha = length(regexp_replace(t, "[^a-z]", "")).cast("long")
+    val sumTokLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    def e4(num: Column, den: Column): Column =
+      when(den === 0, lit(0L)).otherwise(round(num * lit(10000.0) / den, 0).cast("long"))
+    docs.select(
+      col(idCol).as("id"),
+      nTok.as("n_tokens"),
+      e4(nTypes, nTok).as("ttr_e4"),
+      e4(nStop, nTok).as("stop_e4"),
+      e4(sumTokLen, nTok).as("mean_tok_len_e4"),
+      e4(nAlpha, nChars).as("alpha_e4"))
+      .withColumn("keep",
+        col("n_tokens") >= 10 && col("ttr_e4") >= 2000 && col("alpha_e4") >= 5000)
+  }
+
+  /** Token statistics: counts via whitespace and via a word-regex ("BPE-ish"
+    * pre-tokenizer shape: runs of word chars OR single non-space symbols). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(trim(col(textCol)))
+    docs.select(
+      col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(filter(split(t, "[^a-z0-9]+"), x => x =!= "")).cast("long").as("n_word_tokens"),
+      length(t).cast("long").as("n_chars"))
+  }
+
+  /** Content fingerprints: full-text md5 plus a winnowing-style robust
+    * fingerprint (lexicographic min md5 over char-8-gram shingles — stable
+    * under small edits at either end of the document). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      md5s(lower(trim(col(textCol)))).as("md5_full"),
+      array_min(transform(charShingles(col(textCol), 8), s => md5s(s))).as("fp_min8"))
+}

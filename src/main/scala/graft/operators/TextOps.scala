@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column builders for the text/dedup pipeline operators.
+  *
+  * Everything here is built from codegen'd Catalyst expressions (no UDFs) and
+  * — deliberately — from primitives that exist with identical semantics in
+  * DuckDB, so every operator downstream is exactly checkable against the
+  * driver's oracle: md5 hex strings are the hash function, lexicographic
+  * min over hex strings is the "min-hash", integer arithmetic everywhere.
+  *
+  * Scale notes: all of these are per-row narrow transformations — no shuffle,
+  * fully parallel, whole-stage-codegen'd. The only shuffles in the dedup
+  * operators are the LSH band joins (hash-partitioned on band signature),
+  * which is the scalable formulation for ~100 TB corpora.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, empties dropped.
+    * DuckDB twin: `list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')` */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Distinct k-word shingles joined by a single space.
+    * DuckDB twin: `list_distinct(list_transform(range(1, greatest(len(toks)-k+1,0)+1),
+    *   i -> array_to_string(toks[i:i+k-1], ' ')))` */
+  def wordShingles(toks: Column, k: Int): Column =
+    array_distinct(
+      when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - lit(k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+
+  /** Distinct character n-grams of the lowercased text.
+    * DuckDB twin: `list_distinct(list_transform(range(1, greatest(length(t)-n+1,0)+1),
+    *   i -> t[i:i+n-1]))` */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    array_distinct(
+      when(length(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(t) - lit(n - 1)),
+          i => substring(t, i, lit(n)))))
+  }
+
+  /** md5 hex of a string column — the cross-engine hash primitive. */
+  def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** MinHash signature: `numHashes` independent hash functions simulated by
+    * salting (`h|shingle`); each signature element is the lexicographic min
+    * of the salted md5s — identical in any engine with md5.
+    * Returns `array<string>` of length `numHashes` (nulls if no shingles). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingles, s => md5s(concat(h.cast("string"), lit("|"), s)))))
+
+  /** LSH band keys for a minhash signature: `numBands` bands of `rowsPerBand`
+    * signature elements hashed together. Returns `array<string>` of band
+    * hashes; element b covers sig[b*r .. b*r+r-1]. */
+  def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => md5s(concat( // concat, NOT concat_ws: null sig (empty doc) must
+        // yield a null band like DuckDB's `||`, never a joinable value
+        (0 until rowsPerBand).flatMap(r =>
+          Seq(lit("|"), element_at(sig, b * rowsPerBand + r + 1))).tail: _*)))
+
+  /** Exact Jaccard similarity of two distinct-element arrays, scaled to an
+    * exact integer: `round(j * 10000)` as BIGINT (order-independent,
+    * cross-engine exact). */
+  def jaccardE4(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = size(a).cast("long") + size(b).cast("long") - inter
+    round(inter * lit(10000.0) / union, 0).cast("long")
+  }
+
+  /** Value 0..15 of the hex digit at 1-based position `pos` of md5-hex `h`.
+    * DuckDB twin: `strpos('0123456789abcdef', h[pos]) - 1`. */
+  def hexValAt(h: Column, pos: Column): Column =
+    call_function("position", substring2(h, pos), lit("0123456789abcdef")).cast("int") - 1
+
+  private def substring2(c: Column, pos: Column): Column =
+    c.substr(pos, lit(1))
+
+  /** 64-bit SimHash of a token multiset, as a 16-char lowercase hex string.
+    *
+    * Classic Charikar sketch: every token hashes to 64 bits (md5 prefix);
+    * each bit contributes +1/-1 to a 64-long accumulator; the sketch bit is
+    * 1 iff the accumulated weight is > 0. Hex-digit arithmetic (4 bits per
+    * md5 hex char) keeps it exactly reproducible in SQL. */
+  def simhash64(toks: Column): Column = {
+    // acc: array<long> of 64 signed bit-weights
+    val acc = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (a, t) => {
+        val h = md5s(t)
+        zip_with(a, sequence(lit(0), lit(63)), (cur, b) => {
+          val hv = hexValAt(h, (b / 4) + lit(1))
+          val bit = call_function("shiftright", hv, lit(3) - (b % lit(4))) % 2
+          cur + (bit * 2 - 1).cast("long")
+        })
+      })
+    // fold 64 weights into 16 hex chars, 4 bits per char (MSB first)
+    concat(
+      (0 until 16).map { nib =>
+        val v = (0 until 4).map { j =>
+          val w = element_at(acc, nib * 4 + j + 1)
+          when(w > 0, lit(1 << (3 - j))).otherwise(lit(0))
+        }.reduce(_ + _)
+        substring2(lit("0123456789abcdef"), v + 1)
+      }: _*)
+  }
+
+  /** Hamming distance between two equal-length hex fingerprints. */
+  def hammingHex(a: Column, b: Column, hexLen: Int): Column = {
+    // popcount of a 0..15 nibble via lookup table
+    val pop = "0112122312232334"
+    (1 to hexLen).map { i =>
+      val x = hexValAt(a, lit(i)).bitwiseXOR(hexValAt(b, lit(i)))
+      (ascii(substring2(lit(pop), x + 1)) - lit(48)).cast("long")
+    }.reduce(_ + _)
+  }
+}
