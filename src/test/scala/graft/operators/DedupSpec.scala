@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup operators on a tiny corpus with one planted near-dup pair. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+  private val nearDup = base.replace("runs", "walks") // 1 token of 16 changed
+  private val docs = Seq(
+    (1L, base),
+    (2L, nearDup),
+    (3L, "completely different content about spark query engines and data processing at scale"),
+    (4L, base) // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact dup group and keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n") == 2 && g(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhashPairs finds near + exact dup pairs, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minJaccardE4 = 5000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives any banding
+    assert(pairs.subsetOf(Set((1L, 2L), (1L, 4L), (2L, 4L))))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash fingerprint is 16 hex chars, equal texts equal, near-dups close") {
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fp.values.forall(_.matches("[0-9a-f]{16}")))
+    assert(fp(1L) == fp(4L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngramJaccardPairs: near-dups found exactly, j_e4 exact") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccardE4 = 5000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got.collectFirst { case (1L, 4L, j) => j }.contains(10000L)) // identical
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Result-level specs for Sample / AsOfJoin / RangeJoin on small frames
+  * with hand-computed expectations. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def entriesDf(rows: (Long, String, Double)*) =
+    rows.toDF("t_us", "topic", "value")
+      .select(timestamp_micros($"t_us").as("time"), $"topic", $"value")
+
+  test("greedy sample keeps first then next >= last+interval, per topic") {
+    // topic A at t=0,5,10,11,20s; interval 10s → keep 0,10,20
+    // topic B at t=1,9,12s → keep 1,12
+    val df = entriesDf(
+      (0L, "A", 1), (5000000L, "A", 2), (10000000L, "A", 3),
+      (11000000L, "A", 4), (20000000L, "A", 5),
+      (1000000L, "B", 6), (9000000L, "B", 7), (12000000L, "B", 8))
+    val kept = Sample.greedyPerTopic(df, 10L * 1000000000L)
+      .select(unix_micros($"time"), $"topic").as[(Long, String)].collect().toSet
+    assert(kept == Set((0L, "A"), (10000000L, "A"), (20000000L, "A"),
+      (1000000L, "B"), (12000000L, "B")))
+  }
+
+  test("greedy global is one carry across all topics") {
+    val df = entriesDf((0L, "A", 1), (5000000L, "B", 2), (10000000L, "B", 3))
+    val kept = Sample.greedyGlobal(df, 10L * 1000000000L)
+      .select(unix_micros($"time")).as[Long].collect().toSet
+    assert(kept == Set(0L, 10000000L))
+  }
+
+  test("bucketed sample keeps earliest per (topic, bucket)") {
+    val df = entriesDf((0L, "A", 1), (5000000L, "A", 2), (10000000L, "A", 3))
+    val kept = Sample.bucketed(df, 10L * 1000000000L)
+      .select(unix_micros($"time")).as[Long].collect().toSet
+    assert(kept == Set(0L, 10000000L))
+  }
+
+  test("as-of join attaches most recent right row at or before left time") {
+    val trades = Seq((10L, "x", 100.0), (20L, "x", 101.0), (5L, "y", 50.0))
+      .toDF("t_us", "sym", "px").select(timestamp_micros($"t_us").as("t"), $"sym", $"px")
+    val quotes = Seq((8L, "x", 99.0), (15L, "x", 100.5), (20L, "x", 101.5))
+      .toDF("q_us", "sym", "bid").select(timestamp_micros($"q_us").as("qt"), $"sym", $"bid")
+    val out = AsOfJoin.lastOnOrBefore(trades, quotes, Seq("sym"), "t", "qt")
+      .select($"sym", unix_micros($"t"), $"bid").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      ("x", 10L, Some(99.0)),   // quote@8
+      ("x", 20L, Some(101.5)),  // equal time matches (inclusive <=)
+      ("y", 5L, None)))         // no quote for y → left join semantics
+  }
+
+  test("as-of join honors tolerance") {
+    val l = Seq((100L, "k", 1.0)).toDF("t_us", "g", "v")
+      .select(timestamp_micros($"t_us").as("t"), $"g", $"v")
+    val r = Seq((10L, "k", 9.0)).toDF("q_us", "g", "p")
+      .select(timestamp_micros($"q_us").as("qt"), $"g", $"p")
+    val hit = AsOfJoin.lastOnOrBefore(l, r, Seq("g"), "t", "qt", toleranceUs = Some(100L))
+      .select($"p").as[Option[Double]].collect()
+    val miss = AsOfJoin.lastOnOrBefore(l, r, Seq("g"), "t", "qt", toleranceUs = Some(50L))
+      .select($"p").as[Option[Double]].collect()
+    assert(hit.toSeq == Seq(Some(9.0)) && miss.toSeq == Seq(None))
+  }
+
+  test("range join pairs points with containing [start,end) intervals across buckets") {
+    val points = Seq(5L, 15L, 25L, 999L).toDF("p_us")
+      .select(timestamp_micros($"p_us").as("pt"))
+    val iv = Seq((0L, 20L, "i1"), (10L, 30L, "i2")).toDF("s_us", "e_us", "id")
+      .select(timestamp_micros($"s_us").as("s"), timestamp_micros($"e_us").as("e"), $"id")
+    // bucket width 7us << interval length → intervals straddle buckets
+    val out = RangeJoin.pointInInterval(points, iv, "pt", "s", "e", bucketUs = 7L)
+      .select(unix_micros($"pt"), $"id").as[(Long, String)].collect().toSet
+    assert(out == Set((5L, "i1"), (15L, "i1"), (15L, "i2"), (25L, "i2")))
+  }
+}

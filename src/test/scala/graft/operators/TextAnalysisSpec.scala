@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The cat is on the mat and the dog is in the house"),
+    (2L, "el perro y el gato en la casa que es de un amigo"),
+    (3L, "a b"),
+    (4L, "der hund und die katze ist nicht in der wohnung mit")
+  ).toDF("doc_id", "text")
+
+  test("langId scores stopword hits and argmaxes with alphabetical ties") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(4L) == "de")
+    assert(out(3L) == "en") // "a" is an en stopword → s_en=1 wins
+  }
+
+  test("quality: exact integer ratios") {
+    val r = TextAnalysis.quality(docs, "doc_id", "text").where($"id" === 3L).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 2L)
+    assert(r.getAs[Long]("ttr_e4") == 10000L)   // both tokens unique
+    assert(r.getAs[Long]("mean_tok_len_e4") == 10000L) // mean len 1
+    assert(!r.getAs[Boolean]("keep"))           // < 10 tokens
+  }
+
+  test("tokenStats counts whitespace and word-regex tokens") {
+    val extra = Seq((9L, "  hello,world  foo--bar baz  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(extra, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_ws_tokens") == 3L)   // hello,world | foo--bar | baz
+    assert(r.getAs[Long]("n_word_tokens") == 5L) // hello world foo bar baz
+  }
+
+  test("fingerprints: identical normalized text → identical prints") {
+    val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(d, "doc_id", "text")
+      .select("id", "md5_full", "fp_min8").as[(Long, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+}
