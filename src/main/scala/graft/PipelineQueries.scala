@@ -61,7 +61,7 @@ object PipelineQueries {
         .orderBy("a", "b")),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 5, bucketWidth = 64, minJaccardE4 = 5000)
+        n = 5, maxLenDiff = 16, minJaccardE4 = 5000)
         .orderBy("a", "b")),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -156,14 +156,23 @@ object PipelineQueries {
     "dedup_ngram" -> s"""
       |WITH base AS (
       |  SELECT doc_id, ${charShingles(5)} AS sh,
-      |    length(lower(trim(text))) // 64 AS b0
+      |    length(lower(trim(text))) AS len
       |  FROM documents),
-      |bucketed AS (
-      |  SELECT doc_id, sh, unnest([b0, b0 + 1]) AS bucket FROM base)
-      |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-      |  ${jaccardE4("l.sh", "r.sh")} AS j_e4
-      |FROM bucketed l JOIN bucketed r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
-      |WHERE ${jaccardE4("l.sh", "r.sh")} >= 5000
+      |sig AS (
+      |  SELECT doc_id, sh, len, list_transform(range(0, 8),
+      |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+      |  FROM base),
+      |banded AS (
+      |  SELECT doc_id, sh, len, b AS band_ix,
+      |    md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_h
+      |  FROM sig, range(0, 4) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
+      |  FROM banded l JOIN banded r
+      |    ON l.band_ix = r.band_ix AND l.band_h = r.band_h AND l.doc_id < r.doc_id
+      |   AND abs(l.len - r.len) < 16)
+      |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
+      |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000
       |ORDER BY a, b""".stripMargin.trim,
 
     "emb_neardup" -> s"""

@@ -21,17 +21,22 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
+      // keep the raw nanos column: predicates on it push down to Parquet
+      // row-group stats, predicates on the converted timestamp cannot
+      .withColumn("__t_ns", col("ts"))
       // integer div — long/long through `/` would round-trip a 1.7e18 ns
       // value through double (53-bit mantissa) and corrupt low digits
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Events as fossil entries: `(time, topic, value:double)`. */
+  /** Events as fossil entries: `(time, topic, value:double)` + pushdown
+    * column `__t_ns` (dropped by the compiler after filtering). */
   def eventEntries(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       col("ts").as("time"),
       concat(lit("/events/"), col("event_type")).as("topic"),
-      col("value").as("value"))
+      col("value").as("value"),
+      col("__t_ns"))
 
   /** Events as int64-valued entries (`value = user_id`) — exact-integer
     * arithmetic for deterministic reduce/avg oracle checks. */
@@ -39,7 +44,8 @@ object Tables {
     events(spark, dir).select(
       col("ts").as("time"),
       concat(lit("/events/"), col("event_type")).as("topic"),
-      col("user_id").as("value"))
+      col("user_id").as("value"),
+      col("__t_ns"))
 
   def eventsCatalog: Catalog = {
     val c = new Catalog

@@ -31,6 +31,14 @@ object Compiler {
   final val TopicCol = "topic"
   final val ValueCol = "value"
 
+  /** Optional raw source-time column (epoch NANOS, as read from the file
+    * before any conversion). When present, time predicates are ALSO applied
+    * to it: `time` is a computed column (µs truncation of the raw nanos), so
+    * a predicate on `time` alone cannot reach the Parquet scan — the
+    * equivalent raw-column predicate is what turns a 100 TB full scan into
+    * row-group-pruned reads. Dropped from the result after filtering. */
+  final val RawNsCol = "__t_ns"
+
   /** Epoch nanos clock, injectable for deterministic `~now`. */
   type Clock = () => Long
 
@@ -49,17 +57,27 @@ object Compiler {
     // --- time predicate (F4): since [t,now], before (-inf,t], between [a,b]
     q.timePred.foreach { tp =>
       val nowNs = clock()
-      def ts(ns: Long): Column = timestamp_micros(lit(Math.floorDiv(ns, 1000L)))
+      val hasRaw = df.columns.contains(RawNsCol)
+      // time = micros-truncated raw nanos, so: time >= U ⟺ raw >= U*1000,
+      // and time <= U ⟺ raw <= U*1000 + 999 — exact, and pushable.
+      def geq(ns: Long): Column = {
+        val us = Math.floorDiv(ns, 1000L)
+        val p = col(TimeCol) >= timestamp_micros(lit(us))
+        if (hasRaw) p && col(RawNsCol) >= us * 1000L else p
+      }
+      def leq(ns: Long): Column = {
+        val us = Math.floorDiv(ns, 1000L)
+        val p = col(TimeCol) <= timestamp_micros(lit(us))
+        if (hasRaw) p && col(RawNsCol) <= us * 1000L + 999L else p
+      }
       tp match {
-        case Since(t) =>
-          df = df.filter(col(TimeCol) >= ts(t.resolve(nowNs)) && col(TimeCol) <= ts(nowNs))
-        case Before(t) =>
-          df = df.filter(col(TimeCol) <= ts(t.resolve(nowNs)))
+        case Since(t) => df = df.filter(geq(t.resolve(nowNs)) && leq(nowNs))
+        case Before(t) => df = df.filter(leq(t.resolve(nowNs)))
         case Between(a, b) =>
-          df = df.filter(col(TimeCol) >= ts(a.resolve(nowNs)) &&
-            col(TimeCol) <= ts(b.resolve(nowNs)))
+          df = df.filter(geq(a.resolve(nowNs)) && leq(b.resolve(nowNs)))
       }
     }
+    if (df.columns.contains(RawNsCol)) df = df.drop(RawNsCol)
 
     // --- quantifier (F2): greedy downsample applied after selection --------
     q.quantifier match {

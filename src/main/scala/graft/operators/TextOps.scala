@@ -98,11 +98,14 @@ object TextOps {
       array_repeat(lit(0L), 64),
       (a, t) => {
         val h = md5s(t)
-        zip_with(a, sequence(lit(0), lit(63)), (cur, b) => {
-          val hv = hexValAt(h, (b / 4) + lit(1))
-          val bit = call_function("shiftright", hv, lit(3) - (b % lit(4))) % 2
-          cur + (bit * 2 - 1).cast("long")
-        })
+        // one hex lookup per nibble (16), expanded to 4 bit-weights each —
+        // not one lookup per bit (64): same values, quarter the string work
+        val weights = flatten(transform(sequence(lit(0), lit(15)), n => {
+          val hv = hexValAt(h, n + 1)
+          array((3 to 0 by -1).map(sh =>
+            ((shiftright(hv, sh) % 2) * 2 - 1).cast("long")): _*)
+        }))
+        zip_with(a, weights, (cur, w) => cur + w)
       })
     // fold 64 weights into 16 hex chars, 4 bits per char (MSB first)
     concat(

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for headline queries and greps them for
+  * the scale properties we require (pushdown, broadcast, partial agg).
+  * Drive with: sbt "runMain graft.tools.Plans [sfDir]" */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Seq[(String, Seq[String])] = Seq(
+      "fql_since" -> Seq("PushedFilters"),          // time filter reaches parquet
+      "q1_agg" -> Seq("partial_", "HashAggregate"), // map-side partial agg
+      "q_join_broadcast" -> Seq("BroadcastHashJoin"),
+      "q_join_large" -> Seq("Join"),
+      "ann_topk" -> Seq("BroadcastNestedLoopJoin"),
+      "dedup_minhash" -> Seq("HashAggregate", "Join"),
+      "fql_filter" -> Seq("PushedFilters"),
+    )
+    checks.foreach { case (name, wants) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n######## $name")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      wants.foreach { w =>
+        println(s"[check] $name contains '$w': ${plan.contains(w)}")
+      }
+    }
+    spark.stop()
+  }
+}
