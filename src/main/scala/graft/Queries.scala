@@ -85,6 +85,14 @@ object Queries {
       "all in /events | reduce a, b -> max(a, b)"))),
     "fql_avg" -> ((s, d) => valueOut(engineLong(s, d).query(
       "all in /events | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] | map c, s -> s / c"))),
+    "fql_neq" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | filter v -> v != 100"))),
+    "fql_string_eq" -> ((s, d) => entryOut(engineDocs(s, d).query(
+      "all in /docs | filter t -> t == \"x\" | map t -> len(t)"))),
+    "fql_builtin_abs" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> abs(x - 100)"))),
+    "fql_builtin_floor" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> floor(x / 7)"))),
     "fql_sample_greedy" -> ((s, d) => entryOut(engine(s, d).query(
       "sample(@hour) in /events"))),
     "fql_sample_bucketed" -> ((s, d) =>
@@ -112,6 +120,12 @@ object Queries {
         "CAST(length(text) AS BIGINT) AS value FROM documents ORDER BY t_us, topic"),
       "fql_pow" -> ev("pow(value, 2)"),
       "fql_composite" -> ev("value * 2"),
+      "fql_neq" -> ev("value", "value != 100"),
+      "fql_string_eq" -> ("SELECT doc_id AS t_us, '/docs/' || source AS topic, " +
+        "CAST(length(text) AS BIGINT) AS value FROM documents WHERE text = 'x' " +
+        "ORDER BY t_us, topic"),
+      "fql_builtin_abs" -> ev("abs(value - 100)"),
+      "fql_builtin_floor" -> ev("floor(value / 7)"),
       "fql_reduce_count" -> "SELECT CAST(COUNT(*) AS BIGINT) AS value FROM events",
       "fql_reduce_min" -> "SELECT MIN(value) AS value FROM events",
       "fql_reduce_max" -> "SELECT MAX(value) AS value FROM events",

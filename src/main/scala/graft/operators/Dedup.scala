@@ -66,10 +66,16 @@ object Dedup {
     base.join(mins, Seq("id"))
   }
 
-  /** (id, sh, sig) → exploded (id, payload..., band_ix, band_h). */
+  /** (id, sh, sig) → exploded (id, payload..., band_ix, band_h).
+    * Cached: the frame feeds BOTH sides of the candidate self-join, and
+    * without materialization the whole signature computation runs twice
+    * (the two join inputs are different projections, so Spark's exchange
+    * reuse does not apply). On a cluster this is the same
+    * cache-before-self-join idiom. */
   private def banded(withSig: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
     withSig.select(col("*"),
       posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
+      .cache()
 
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -92,9 +98,45 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-document 64-bit SimHash fingerprints (16-char hex). */
-  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("simhash"))
+  /** Element-wise sum of 64-long weight vectors — a typed Aggregator so the
+    * simhash accumulation gets map-side partial aggregation (null inputs,
+    * i.e. token-less docs, contribute nothing). */
+  private object VecSum64
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.fill(64)(0L)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      if (a != null) { var i = 0; while (i < 64) { b(i) += a(i); i += 1 } }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < 64) { x(i) += y(i); i += 1 }; x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Per-document 64-bit SimHash fingerprints (16-char hex).
+    *
+    * Dictionary-encoded: each DISTINCT token's ±1 bit-weight vector is
+    * computed once, docs sum their tokens' vectors via a partial-aggregating
+    * vector-sum Aggregator, and the summed weights fold to hex. Long sums
+    * are exactly commutative, so the fingerprint is identical to the
+    * straight per-occurrence fold ([[TextOps.simhash64]], kept for the
+    * streaming path) and to the SQL oracle. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val vecSum = udaf(VecSum64,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val ex = docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+    val dict = ex.filter(col("t").isNotNull).select("t").distinct()
+      .withColumn("w", tokenBitWeights(col("t")))
+    ex.join(broadcast(dict), Seq("t"), "left")
+      .groupBy("id")
+      .agg(vecSum(col("w")).as("acc"))
+      .select(col("id"), simhashHex(col("acc")).as("simhash"))
+  }
 
   /** SimHash near-duplicate pairs: fingerprints are blocked on each of the
     * four 16-bit sub-blocks (a pair within Hamming distance d can disagree
@@ -104,7 +146,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val fp = simhashFingerprints(docs, idCol, textCol)
+    val fp = simhashFingerprints(docs, idCol, textCol).cache()
     val blocked = fp.select(
       col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),

@@ -91,23 +91,20 @@ object TextOps {
     * each bit contributes +1/-1 to a 64-long accumulator; the sketch bit is
     * 1 iff the accumulated weight is > 0. Hex-digit arithmetic (4 bits per
     * md5 hex char) keeps it exactly reproducible in SQL. */
-  def simhash64(toks: Column): Column = {
-    // acc: array<long> of 64 signed bit-weights
-    val acc = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (a, t) => {
-        val h = md5s(t)
-        // one hex lookup per nibble (16), expanded to 4 bit-weights each —
-        // not one lookup per bit (64): same values, quarter the string work
-        val weights = flatten(transform(sequence(lit(0), lit(15)), n => {
-          val hv = hexValAt(h, n + 1)
-          array((3 to 0 by -1).map(sh =>
-            ((shiftright(hv, sh) % 2) * 2 - 1).cast("long")): _*)
-        }))
-        zip_with(a, weights, (cur, w) => cur + w)
-      })
-    // fold 64 weights into 16 hex chars, 4 bits per char (MSB first)
+  /** ±1 bit-weight vector (64 longs) of one token's md5: one hex lookup per
+    * nibble (16), expanded to 4 bit-weights each — not one lookup per bit. */
+  def tokenBitWeights(tok: Column): Column = {
+    val h = md5s(tok)
+    flatten(transform(sequence(lit(0), lit(15)), n => {
+      val hv = hexValAt(h, n + 1)
+      array((3 to 0 by -1).map(sh =>
+        ((shiftright(hv, sh) % 2) * 2 - 1).cast("long")): _*)
+    }))
+  }
+
+  /** Fold a 64-long signed-weight accumulator into the 16-hex-char
+    * fingerprint (bit = 1 iff weight > 0, MSB-first nibbles). */
+  def simhashHex(acc: Column): Column =
     concat(
       (0 until 16).map { nib =>
         val v = (0 until 4).map { j =>
@@ -116,7 +113,12 @@ object TextOps {
         }.reduce(_ + _)
         substring2(lit("0123456789abcdef"), v + 1)
       }: _*)
-  }
+
+  def simhash64(toks: Column): Column =
+    simhashHex(aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (a, t) => zip_with(a, tokenBitWeights(t), (cur, w) => cur + w)))
 
   /** Hamming distance between two equal-length hex fingerprints. */
   def hammingHex(a: Column, b: Column, hexLen: Int): Column = {
