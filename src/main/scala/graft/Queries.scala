@@ -250,6 +250,27 @@ object Queries {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM graft_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+    "q_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
+          lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -333,6 +354,23 @@ object Queries {
       |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
       |  COUNT(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_cube" -> """
+      |SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin.trim,
+    "q_grouping_sets" -> """
+      |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin.trim,
+    "q_lead_lag" -> """
+      |SELECT o_custkey, o_orderkey,
+      |  lag(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER w AS prev_cents,
+      |  lead(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER w AS next_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin.trim,
     "q_asof_join" -> """
       |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_us, epoch_us(c.ts) AS click_t_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -80,10 +80,21 @@ object Compiler {
     if (df.columns.contains(RawNsCol)) df = df.drop(RawNsCol)
 
     // --- quantifier (F2): greedy downsample applied after selection --------
+    // On a streaming frame the greedy carry becomes per-topic
+    // flatMapGroupsWithState; on batch it is the sorted per-topic pass.
     q.quantifier match {
       case All =>
-      case Sample(ns) => df = graft.operators.Sample.greedyPerTopic(df, ns)
+      case Sample(ns) =>
+        df =
+          if (df.isStreaming) graft.streaming.StreamingAdapter.greedySample(df, ns)
+          else graft.operators.Sample.greedyPerTopic(df, ns)
     }
+
+    // Global reduce on an unbounded stream is unbounded state — reject like
+    // any sane streaming engine; windowed aggregation is the streaming twin.
+    if (df.isStreaming && q.pipeline.exists(_.isInstanceOf[ReduceStage]))
+      throw new FqlException(
+        "reduce is not supported on unbounded streams; use a windowed aggregation")
 
     // --- data pipeline -----------------------------------------------------
     // The fold threads the logical tuple arity alongside the frame: Spark's

@@ -47,6 +47,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous FQL: filter/map compile onto a stream, state carries for sample") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Entry]
+    val entries = in.toDF().select(
+      timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
+    val out = StreamingFql.query(
+      "all in /s | filter v -> v > 10 | map v -> v * 2", entries,
+      clock = () => 4102444800L * 1000000000L) // far-future fixed "now"
+    val q = out.writeStream.format("memory").queryName("cfql_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Entry(1, "/s/a", 5.0), Entry(2, "/s/a", 20.0), Entry(3, "/t/x", 99.0))
+      q.processAllAvailable()
+      val vals = spark.table("cfql_out").select("value").as[Double].collect().toSet
+      assert(vals == Set(40.0)) // 5 filtered out, /t/x not under /s, 20*2 kept
+    } finally q.stop()
+  }
+
+  test("continuous FQL: sample quantifier is stateful, reduce rejected") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Entry]
+    val entries = in.toDF().select(
+      timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
+    // @second = 1e9 ns → 1e6 µs interval
+    val out = StreamingFql.query("sample(@second) in /s", entries)
+    val q = out.writeStream.format("memory").queryName("cfql_s")
+      .outputMode("append").start()
+    try {
+      in.addData(Entry(0, "/s/a", 1.0), Entry(500000, "/s/a", 2.0))
+      q.processAllAvailable()
+      in.addData(Entry(900000, "/s/a", 3.0), Entry(1000000, "/s/a", 4.0))
+      q.processAllAvailable()
+      val ts = spark.table("cfql_s").select(unix_micros(col("time"))).as[Long].collect().toSet
+      assert(ts == Set(0L, 1000000L)) // greedy carry across batches
+    } finally q.stop()
+
+    assertThrows[graft.fql.FqlException] {
+      StreamingFql.query("all in /s | reduce a, b -> a + b", entries)
+    }
+  }
+
   test("file sink writes topic_root-partitioned parquet exactly once") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Entry]
