@@ -250,6 +250,14 @@ object Queries {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
+    "q_join_outer" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val perNation = c.groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      n.join(perNation, n("n_nationkey") === perNation("c_nationkey"), "full_outer")
+        .select(col("n_name"), coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy(col("n_name").asc_nulls_first)
+    }),
     "q_cube" -> ((s, d) =>
       Tables.lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
@@ -354,6 +362,12 @@ object Queries {
       |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
       |  COUNT(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_join_outer" -> """
+      |SELECT n_name, COALESCE(n_cust, 0) AS n_cust
+      |FROM nation FULL OUTER JOIN
+      |  (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) pc
+      |  ON n_nationkey = pc.c_nationkey
+      |ORDER BY n_name NULLS FIRST""".stripMargin.trim,
     "q_cube" -> """
       |SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty

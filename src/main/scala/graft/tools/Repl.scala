@@ -1,0 +1,75 @@
+package graft.tools
+
+import scala.io.StdIn
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.LocalClient
+
+/** Interactive REPL over the embedded store — the CLI analog of the
+  * reference's client loop (`cmd/fossil/client/client.go:208-356`,
+  * `pkg/repl/parser.go:21-118`). Commands:
+  *
+  *   query <fql>            run an FQL query, print a table
+  *   append <topic> <data>  append one datum (string topics; numerics parsed)
+  *   create topic <path> <schema-ddl>
+  *   list topics | list schemas
+  *   stats
+  *   format table|csv|json  set output format (S8 writers)
+  *   quit
+  *
+  * Usage: sbt "runMain graft.tools.Repl /path/to/store"
+  */
+object Repl {
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0) else "/tmp/graft_repl_store"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val client = new LocalClient(spark, root)
+    var format = "table"
+    println(s"graft repl over $root — 'quit' to exit")
+
+    var line = StdIn.readLine("> ")
+    while (line != null && line.trim != "quit") {
+      try {
+        val t = line.trim
+        if (t.nonEmpty) t.split("\\s+", 2).toList match {
+          case "query" :: rest :: Nil =>
+            val df = client.query(rest)
+            format match {
+              case "csv" =>
+                df.collect().foreach(r => println(r.toSeq.mkString(",")))
+              case "json" => df.toJSON.collect().foreach(println)
+              case _ => df.show(50, truncate = false)
+            }
+          case "append" :: rest :: Nil =>
+            val Array(topic, data) = rest.split("\\s+", 2)
+            val value: Any = data.toDoubleOption.getOrElse(data)
+            client.append(topic, value)
+            println("ok")
+          case "create" :: rest :: Nil if rest.startsWith("topic ") =>
+            val parts = rest.stripPrefix("topic ").split("\\s+", 2)
+            client.createTopic(parts(0), if (parts.length > 1) parts(1) else "string")
+            println("ok")
+          case "list" :: "topics" :: Nil =>
+            client.listTopics.foreach { case (t2, s) => println(s"$t2\t$s") }
+          case "list" :: "schemas" :: Nil =>
+            client.listSchemas.foreach(println)
+          case "stats" :: Nil => client.stats.show(100, truncate = false)
+          case "format" :: f :: Nil if Set("table", "csv", "json")(f) =>
+            format = f; println(s"format=$f")
+          case other =>
+            println(s"unrecognized: ${other.mkString(" ")}")
+        }
+      } catch {
+        case e: Exception => println(s"error: ${e.getMessage}")
+      }
+      line = StdIn.readLine("> ")
+    }
+    spark.stop()
+  }
+}
