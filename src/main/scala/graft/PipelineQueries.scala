@@ -159,13 +159,13 @@ object PipelineQueries {
       |    length(lower(trim(text))) AS len
       |  FROM documents),
       |sig AS (
-      |  SELECT doc_id, sh, len, list_transform(range(0, 8),
+      |  SELECT doc_id, sh, len, list_transform(range(0, 12),
       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
       |  FROM base),
       |banded AS (
       |  SELECT doc_id, sh, len, b AS band_ix,
-      |    md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_h
-      |  FROM sig, range(0, 4) r(b)),
+      |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS band_h
+      |  FROM sig, range(0, 3) r(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
       |  FROM banded l JOIN banded r

@@ -28,6 +28,15 @@ import TextOps._
   */
 object Dedup {
 
+  /** Hash-repartition `(id, text)` before per-row heavy lifting: a small
+    * corpus often arrives as ONE parquet split, which would otherwise run
+    * every shingle/hash single-threaded no matter how many cores exist. The
+    * shuffle moves only raw text, and the id partitioning is reused by the
+    * downstream per-id aggregation. */
+  private def spread(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+
   /** Exact dedup: group by content hash of the normalized text.
     * Returns one row per duplicate group (`n > 1`): the content hash, the
     * group size, and the kept (minimum) id. */
@@ -84,9 +93,9 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
 
-    val sh = docs.select(
-      col(idCol).as("id"),
-      wordShingles(tokens(col(textCol)), shingleWords).as("sh"))
+    val sh = spread(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__text")).as("__toks"))
+      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh"))
     val b = banded(withMinhashSig(sh, numHashes), numBands, rowsPerBand)
 
     val l = b.select(col("band_ix"), col("band_h"), col("id").as("a"), col("sh").as("sh_a"))
@@ -129,7 +138,8 @@ object Dedup {
     import org.apache.spark.sql.functions.udaf
     val vecSum = udaf(VecSum64,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    val ex = docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+    val ex = spread(docs, idCol, textCol)
+      .select(col("id"), explode_outer(tokens(col("__text"))).as("t"))
     val dict = ex.filter(col("t").isNotNull).select("t").distinct()
       .withColumn("w", tokenBitWeights(col("t")))
     ex.join(broadcast(dict), Seq("t"), "left")
@@ -174,11 +184,15 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, maxLenDiff: Int = 16, minJaccardE4: Long = 5000): DataFrame = {
-    val numHashes = 8; val numBands = 4; val rowsPerBand = 2
-    val base = docs.select(
-      col(idCol).as("id"),
-      charShingles(col(textCol), n).as("sh"),
-      length(lower(trim(col(textCol)))).cast("long").as("len"))
+    // r=4 rows per band: char-n-gram background similarity is much higher
+    // than word-shingle background (small shared vocabulary), so r=2 floods
+    // the verify stage with ~0.5% of all pairs; s^4 banding cuts candidates
+    // ~12x while keeping recall ≈0.99 at J=0.95
+    val numHashes = 12; val numBands = 3; val rowsPerBand = 4
+    val base = spread(docs, idCol, textCol)
+      .select(col("id"), normText(col("__text")).as("__lt"))
+      .select(col("id"), charShingles(col("__lt"), n).as("sh"),
+        length(col("__lt")).cast("long").as("len"))
     val b = banded(withMinhashSig(base, numHashes), numBands, rowsPerBand)
 
     val l = b.select(col("band_ix"), col("band_h"), col("id").as("a"),

@@ -44,8 +44,11 @@ object Similarity {
       vecs: DataFrame, idCol: String, vecCol: String,
       minCosineE6: Long): DataFrame = {
     // norms computed and floats widened to double once per row, NOT once per
-    // pair — at n² pairs the difference is the whole game
+    // pair — at n² pairs the difference is the whole game. The streamed
+    // (non-broadcast) side is repartitioned: a single-split source file would
+    // otherwise run the whole n² probe on one core.
     val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .repartition(col(idCol))
     val l = vd.select(col(idCol).as("a"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
     val r = vd.select(col(idCol).as("b"), col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
     l.join(broadcast(r), col("a") < col("b"))
@@ -63,6 +66,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val qd = queries.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
     val cd = corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .repartition(col(idCol)) // corpus streams against broadcast queries
     val q = qd.select(col(idCol).as("q"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
     val c = cd.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     val scored = c.join(broadcast(q), col("id") =!= col("q"))

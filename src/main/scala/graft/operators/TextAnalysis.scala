@@ -83,8 +83,10 @@ object TextAnalysis {
     * fingerprint (lexicographic min md5 over char-8-gram shingles — stable
     * under small edits at either end of the document). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("id"),
-      md5s(lower(trim(col(textCol)))).as("md5_full"),
-      array_min(transform(charShingles(col(textCol), 8), s => md5s(s))).as("fp_min8"))
+    docs
+      .select(col(idCol).as("id"), normText(col(textCol)).as("__lt"))
+      .select(
+        col("id"),
+        md5s(col("__lt")).as("md5_full"),
+        array_min(transform(charShingles(col("__lt"), 8), s => md5s(s))).as("fp_min8"))
 }

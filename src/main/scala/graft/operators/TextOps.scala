@@ -24,6 +24,12 @@ object TextOps {
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Distinct k-word shingles joined by a single space.
+    *
+    * PERFORMANCE: pass `toks` as a pre-projected ATTRIBUTE (`.select(
+    * tokens(c).as("toks"))` first), never an inline `tokens(...)` tree —
+    * lambda bodies re-evaluate their subtrees per element (no CSE inside
+    * higher-order functions), which turns one tokenize per row into one per
+    * shingle.
     * DuckDB twin: `list_distinct(list_transform(range(1, greatest(len(toks)-k+1,0)+1),
     *   i -> array_to_string(toks[i:i+k-1], ' ')))` */
   def wordShingles(toks: Column, k: Int): Column =
@@ -33,17 +39,21 @@ object TextOps {
           sequence(lit(1), size(toks) - lit(k - 1)),
           i => concat_ws(" ", slice(toks, i, lit(k))))))
 
-  /** Distinct character n-grams of the lowercased text.
+  /** Lowercased trimmed text — project this ONCE and feed the attribute to
+    * [[charShingles]] (see the CSE note on [[wordShingles]]). */
+  def normText(text: Column): Column = lower(trim(text))
+
+  /** Distinct character n-grams of pre-normalized text `lt` (an attribute
+    * produced by [[normText]] — inlining the normalization here re-runs it
+    * per shingle).
     * DuckDB twin: `list_distinct(list_transform(range(1, greatest(length(t)-n+1,0)+1),
     *   i -> t[i:i+n-1]))` */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(trim(text))
+  def charShingles(lt: Column, n: Int): Column =
     array_distinct(
-      when(length(t) < n, array().cast("array<string>"))
+      when(length(lt) < n, array().cast("array<string>"))
         .otherwise(transform(
-          sequence(lit(1), length(t) - lit(n - 1)),
-          i => substring(t, i, lit(n)))))
-  }
+          sequence(lit(1), length(lt) - lit(n - 1)),
+          i => substring(lt, i, lit(n)))))
 
   /** md5 hex of a string column — the cross-engine hash primitive. */
   def md5s(c: Column): Column = md5(c.cast("binary"))

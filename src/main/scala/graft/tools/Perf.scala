@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** Operator-level timings for the dedup/similarity hot paths. */
+object Perf {
+  def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.functions.col
+
+    time("minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text").count())
+    time("ngramJaccardPairs")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
+    time("emb_neardup")(Similarity.nearDupPairs(emb, "vec_id", "embedding", 450000).count())
+    time("ann_topk")(Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5).count())
+    spark.stop()
+  }
+}
