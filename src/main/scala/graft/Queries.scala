@@ -250,6 +250,36 @@ object Queries {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
+    // trailing-time-window aggregate: RANGE frame over event time — the
+    // moving-average building block fossil lacks; exact via cents sums
+    "q_moving_sum" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li")
+      s.sql("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS t_us,
+          SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate
+            RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS qty7d_cents
+        FROM graft_li
+        ORDER BY l_suppkey, t_us, l_orderkey, l_linenumber""")
+    }),
+    // gap-fill: dense day spine with zero-fill counts + carry-forward sums —
+    // the resample/interpolate shape of TS pipelines
+    "q_gap_fill" -> ((s, d) => {
+      Tables.events(s, d).drop("__t_ns").createOrReplaceTempView("graft_ev")
+      s.sql("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+                 SUM(CAST(round(value*100) AS BIGINT)) AS s_cents
+          FROM graft_ev WHERE event_type = 'purchase' GROUP BY 1),
+        spine AS (
+          SELECT explode(sequence(MIN(d), MAX(d), INTERVAL 1 DAY)) AS d FROM daily)
+        SELECT CAST(spine.d AS STRING) AS day, COALESCE(daily.n, 0) AS n,
+          last_value(daily.s_cents, true) OVER (
+            ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        ORDER BY day""")
+    }),
     "q_join_outer" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val c = Tables.customer(s, d)
@@ -362,6 +392,27 @@ object Queries {
       |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
       |  COUNT(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_moving_sum" -> """
+      |SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS t_us,
+      |  SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate
+      |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS qty7d_cents
+      |FROM lineitem
+      |ORDER BY l_suppkey, t_us, l_orderkey, l_linenumber""".stripMargin.trim,
+    "q_gap_fill" -> """
+      |WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+      |         SUM(CAST(round(value*100) AS BIGINT)) AS s_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+      |                                (SELECT MAX(d) FROM daily),
+      |                                INTERVAL 1 DAY))::DATE AS d)
+      |SELECT CAST(spine.d AS VARCHAR) AS day, COALESCE(daily.n, 0) AS n,
+      |  last_value(daily.s_cents IGNORE NULLS) OVER (
+      |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d
+      |ORDER BY day""".stripMargin.trim,
     "q_join_outer" -> """
       |SELECT n_name, COALESCE(n_cust, 0) AS n_cust
       |FROM nation FULL OUTER JOIN

@@ -68,6 +68,18 @@ object StreamingIngest {
       .select(col("window.start").as("w_start"), col("topic"),
         col("n"), col("sum_value"), col("first_us"), col("last_us"))
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen
+    * within the watermark horizon — the streaming twin of
+    * `Dedup.exactGroups` (state is bounded by the watermark, the way a
+    * 100 TB/day ingest pipeline has to bound it; content hash as the key
+    * makes it content-dedup). */
+  def dedupWithinWatermark(
+      entries: DataFrame, timeCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    entries
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming greedy downsample — the stateful twin of the batch
     * `Sample.greedy` operator (fossil F2, `pkg/query/plan/metadata.go:46-64`):
     * per topic, keep an entry iff it is at least `intervalUs` after the last

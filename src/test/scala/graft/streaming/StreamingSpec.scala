@@ -47,6 +47,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Entry]
+    val entries = in.toDF()
+      .withColumn("time", timestamp_micros(col("t_us")))
+      .withColumn("content_hash", md5(concat(col("topic"), lit("|"), col("value"))))
+    val q = dedupWithinWatermark(entries, "time", "10 minutes", Seq("content_hash"))
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      val s = 1000000L
+      in.addData(Entry(1 * s, "/a", 1.0), Entry(2 * s, "/a", 1.0), Entry(3 * s, "/a", 2.0))
+      q.processAllAvailable()
+      in.addData(Entry(4 * s, "/a", 1.0)) // still duplicate within watermark
+      q.processAllAvailable()
+      assert(spark.table("dd_out").count() == 2) // (a,1.0) once + (a,2.0)
+    } finally q.stop()
+  }
+
   test("continuous FQL: filter/map compile onto a stream, state carries for sample") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
