@@ -88,6 +88,21 @@ object PipelineQueries {
       TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    // sketch aggregates: HLL distinct + quantile sketch. Deliberately NO
+    // oracle entries — sketch internals differ engine to engine, so the
+    // driver records a rows-only check; exactness is covered by the
+    // error-bound spec (SketchSpec) against exact answers.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"))
+        .orderBy("l_returnflag")),
+    "q_approx_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy("l_returnflag")),
     "mm_meta" -> ((s, d) =>
       Multimodal.metaColumns(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("bytes")),
