@@ -107,45 +107,65 @@ object Dedup {
       .distinct()
   }
 
-  /** Element-wise sum of 64-long weight vectors — a typed Aggregator so the
-    * simhash accumulation gets map-side partial aggregation (null inputs,
-    * i.e. token-less docs, contribute nothing). */
-  private object VecSum64
-      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  /** Whole-simhash typed Aggregator: input is each token occurrence's md5
+    * hex (joined from the distinct-token dictionary), the buffer is the 64
+    * signed bit-weights, finish folds weights to the 16-hex fingerprint —
+    * all tight JVM loops, no per-row array columns to encode/exchange.
+    * Long sums are exactly commutative, so the result is identical to the
+    * per-occurrence lambda fold ([[TextOps.simhash64]]) and the SQL oracle. */
+  private object SimhashAgg
+      extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], String] {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private val hex = "0123456789abcdef"
     def zero: Array[Long] = Array.fill(64)(0L)
-    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
-      if (a != null) { var i = 0; while (i < 64) { b(i) += a(i); i += 1 } }
+    def reduce(b: Array[Long], h: String): Array[Long] = {
+      if (h != null) {
+        var n = 0
+        while (n < 16) {
+          val v = hex.indexOf(h.charAt(n))
+          var j = 0
+          while (j < 4) {
+            b(n * 4 + j) += (if (((v >> (3 - j)) & 1) == 1) 1L else -1L)
+            j += 1
+          }
+          n += 1
+        }
+      }
       b
     }
     def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       var i = 0; while (i < 64) { x(i) += y(i); i += 1 }; x
     }
-    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def finish(b: Array[Long]): String = {
+      val sb = new java.lang.StringBuilder(16)
+      var n = 0
+      while (n < 16) {
+        var v = 0
+        var j = 0
+        while (j < 4) { if (b(n * 4 + j) > 0) v |= 1 << (3 - j); j += 1 }
+        sb.append(hex.charAt(v))
+        n += 1
+      }
+      sb.toString
+    }
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] = ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] = ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[String] = ExpressionEncoder()
   }
 
-  /** Per-document 64-bit SimHash fingerprints (16-char hex).
-    *
-    * Dictionary-encoded: each DISTINCT token's ±1 bit-weight vector is
-    * computed once, docs sum their tokens' vectors via a partial-aggregating
-    * vector-sum Aggregator, and the summed weights fold to hex. Long sums
-    * are exactly commutative, so the fingerprint is identical to the
-    * straight per-occurrence fold ([[TextOps.simhash64]], kept for the
-    * streaming path) and to the SQL oracle. */
+  /** Per-document 64-bit SimHash fingerprints (16-char hex), dictionary
+    * encoded: each DISTINCT token is md5-hashed once, occurrences stream
+    * through the partial-aggregating [[SimhashAgg]]. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.functions.udaf
-    val vecSum = udaf(VecSum64,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val sim = udaf(SimhashAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
     val ex = spread(docs, idCol, textCol)
       .select(col("id"), explode_outer(tokens(col("__text"))).as("t"))
     val dict = ex.filter(col("t").isNotNull).select("t").distinct()
-      .withColumn("w", tokenBitWeights(col("t")))
+      .withColumn("h", md5s(col("t")))
     ex.join(broadcast(dict), Seq("t"), "left")
       .groupBy("id")
-      .agg(vecSum(col("w")).as("acc"))
-      .select(col("id"), simhashHex(col("acc")).as("simhash"))
+      .agg(sim(col("h")).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: fingerprints are blocked on each of the
@@ -165,7 +185,8 @@ object Dedup {
     val r = blocked.select(col("q"), col("block"), col("id").as("b"), col("simhash").as("fb"))
     l.join(r, Seq("q", "block"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), hammingHex(col("fa"), col("fb"), 16).as("hamming"))
+      .select(col("a"), col("b"),
+        graft.functions.HammingHexCol(col("fa"), col("fb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
