@@ -27,12 +27,16 @@ object Bench {
     }
 
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators cache self-join inputs; drop them so later queries aren't
-      // taxed by accumulated cache memory/GC
-      spark.catalog.clearCache()
+      // min of two timed runs: first-run codegen/JIT noise on a query's
+      // unique plan shape otherwise dominates sub-second entries
+      val dt = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // operators cache self-join inputs; drop them so later queries
+        // aren't taxed by accumulated cache memory/GC
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

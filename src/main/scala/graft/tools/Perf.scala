@@ -23,9 +23,18 @@ object Perf {
     import graft.operators.{Dedup, Similarity}
     import org.apache.spark.sql.functions.col
 
+    // JIT warm-up pass at the smallest SF so the numbers isolate the operator
+    val warm = Tables.documents(spark, "/root/testdata/sf0.001")
+    Seq(Dedup.minhashPairs(warm, "doc_id", "text").count(),
+      Dedup.ngramJaccardPairs(warm, "doc_id", "text").count(),
+      Dedup.simhashPairs(warm, "doc_id", "text").count())
+    spark.catalog.clearCache()
     time("minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text").count())
+    spark.catalog.clearCache()
     time("ngramJaccardPairs")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    spark.catalog.clearCache()
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
+    spark.catalog.clearCache()
     time("emb_neardup")(Similarity.nearDupPairs(emb, "vec_id", "embedding", 450000).count())
     time("ann_topk")(Similarity.bruteForceTopK(emb,
       emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5).count())
