@@ -13,10 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `call_function("graft_dot", ...)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injected.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RawTimePushdown)
+  }
 }
 
 object GraftExtensions {

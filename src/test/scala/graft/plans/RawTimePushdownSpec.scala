@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The optimizer rule mirrors time predicates onto the raw nanos column so
+  * plain DataFrame filters prune Parquet row groups like the FQL path. */
+class RawTimePushdownSpec extends SparkSpec {
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RawTimePushdown
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RawTimePushdown)
+  }
+
+  test("plain DataFrame time filter reaches the parquet scan") {
+    val entries = Tables.eventEntries(spark, "/root/testdata/sf0.001")
+    val q = entries.filter(col("time") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    val before = q.queryExecution.executedPlan.toString
+    assert(!before.contains("GreaterThanOrEqual(ts,"))
+    withRule {
+      val q2 = entries.filter(col("time") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      val plan = q2.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts,"))
+      // identical results with and without the rule
+      assert(q2.count() == q.count())
+    }
+  }
+
+  test("strict bounds translate exactly at the micros boundary") {
+    import spark.implicits._
+    // raw nanos 1000..1999 all truncate to time = 1µs
+    val df = Seq(999L, 1000L, 1999L, 2000L).toDF("__t_ns")
+      .withColumn("time", timestamp_micros(expr("__t_ns div 1000")))
+    withRule {
+      def cnt(c: org.apache.spark.sql.Column): Long = df.filter(c).count()
+      val oneUs = timestamp_micros(lit(1L))
+      assert(cnt(col("time") >= oneUs) == 3)
+      assert(cnt(col("time") > oneUs) == 1)  // only 2000 (2µs)
+      assert(cnt(col("time") <= oneUs) == 3) // 999 (0µs) + 1000 + 1999
+      assert(cnt(col("time") < oneUs) == 1)  // only 999
+    }
+  }
+}
