@@ -1,0 +1,72 @@
+package graft.fql
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.{Catalog, FossilEngine}
+
+/** Result-level FQL semantics on controlled data: the reference's documented
+  * behaviors (truthiness, float division, tuple/composite flow) with exact
+  * expected values. */
+class FqlSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eng(values: Double*): FossilEngine = {
+    val df = values.zipWithIndex.map { case (v, i) =>
+      (Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), "/t", v)
+    }.toDF("time", "topic", "value")
+    val c = new Catalog; c.createDdl("/t", "float64")
+    FossilEngine.over(df, c, () => 1735689600L * 1000000000L)
+  }
+
+  private def vals(q: String, e: FossilEngine): Seq[Double] =
+    e.query(q).orderBy("time").select(col("value").cast("double"))
+      .as[Double].collect().toSeq
+
+  test("filter truthiness: numeric != 0 is true (value.go:326-337)") {
+    assert(vals("all | map x -> x - 2 | filter v -> v", eng(1, 2, 3)) == Seq(-1.0, 1.0))
+  }
+
+  test("/ always yields float, even int/int (value.go:436)") {
+    assert(vals("all | map x -> 7 / 2 + x - x", eng(5)) == Seq(3.5))
+  }
+
+  test("int arithmetic stays exact until a float appears") {
+    assert(vals("all | map x -> 3 * 4 + 1 + x - x", eng(0)) == Seq(13.0))
+  }
+
+  test("unary minus and grouping precedence") {
+    assert(vals("all | map x -> -(x + 1) * 2", eng(3)) == Seq(-8.0))
+  }
+
+  test("tuple flows: construct, multi-arg bind, subscript") {
+    assert(vals("all | map x -> 1, x * 2 | map a, b -> a + b", eng(10)) == Seq(21.0))
+    assert(vals("all | map x -> 1, x * 2 | map t -> t[1]", eng(10)) == Seq(20.0))
+  }
+
+  test("composite construct and key access") {
+    assert(vals("all | map x -> \"a\": x, \"b\": x * 2 | map c -> c[\"a\"] + c[b]",
+      eng(7)) == Seq(21.0))
+  }
+
+  test("!= works (reference bug E7 fixed: evaluator panicked)") {
+    assert(vals("all | filter v -> v != 2", eng(1, 2, 3)) == Seq(1.0, 3.0))
+  }
+
+  test("max/min over scalars; len/pow exist (reference bug E15 fixed)") {
+    assert(vals("all | map x -> max(x, 2)", eng(1, 5)) == Seq(2.0, 5.0))
+    assert(vals("all | map x -> pow(x, 2)", eng(3)) == Seq(9.0))
+  }
+
+  test("reduce is a global fold with assoc+comm contract") {
+    assert(vals("all | reduce a, b -> a + b", eng(1, 2, 3, 4)) == Seq(10.0))
+  }
+
+  test("sample greedy: first kept, next >= last + interval") {
+    // entries at seconds 0..5; sample(@second * 2) keeps 0, 2, 4
+    val kept = vals("sample(@second * 2)", eng(10, 11, 12, 13, 14, 15))
+    assert(kept == Seq(10.0, 12.0, 14.0))
+  }
+}
