@@ -36,6 +36,24 @@ object PipelineQueries {
   private def hexVal(h: String, p: String): String =
     s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
 
+  /** Shared CTE chain producing the minhash LSH candidate set `cand`
+    * (mirrors Dedup.minhashPairs with 3-word shingles, 12 hashes, 4 bands). */
+  private def minhashPairsCtes: String = s"""sh AS (
+       |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
+       |sig AS (
+       |  SELECT doc_id, sh, list_transform(range(0, 12),
+       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sh, b AS band_ix,
+       |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
+       |  FROM sig, range(0, 4) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band_ix = r.band_ix AND l.band_h = r.band_h AND l.doc_id < r.doc_id)""".stripMargin
+
   /** cosine ×1e6 as BIGINT over two FLOAT[] columns (double accumulation). */
   private def cosE6(a: String, b: String): String =
     s"""CAST(round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
@@ -56,6 +74,13 @@ object PipelineQueries {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
         .orderBy("a", "b")),
+    // keep-one dedup: cluster the verified near-dup pairs (connected
+    // components) and elect the min id per cluster as survivor
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+        .orderBy("id")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -121,24 +146,24 @@ object PipelineQueries {
       |FROM doubled GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin.trim,
 
     "dedup_minhash" -> s"""
-      |WITH sh AS (
-      |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
-      |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
-      |sig AS (
-      |  SELECT doc_id, sh, list_transform(range(0, 12),
-      |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, sh, b AS band_ix,
-      |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
-      |  FROM sig, range(0, 4) r(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
-      |  FROM banded l JOIN banded r
-      |    ON l.band_ix = r.band_ix AND l.band_h = r.band_h AND l.doc_id < r.doc_id)
+      |WITH $minhashPairsCtes
       |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
       |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000
       |ORDER BY a, b""".stripMargin.trim,
+
+    "dedup_clusters" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges)
+      |SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |FROM nodes n JOIN reach r ON r.x = n.id
+      |GROUP BY n.id ORDER BY n.id""".stripMargin.trim,
 
     "dedup_simhash" -> s"""
       |WITH th AS (

@@ -191,6 +191,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a duplicate-pair edge list: every node gets
+    * the minimum id reachable from it (the canonical "survivor"), computed
+    * by iterative min-label propagation — each round is one
+    * join + min-aggregate, and labels converge in O(log diameter) rounds
+    * (near-dup clusters are shallow: pairs and small cliques, so 2-3 rounds
+    * in practice; `maxIters` bounds the worst case; throws if not converged
+    * rather than returning silently-wrong clusters).
+    *
+    * Output: (id, survivor) for every node appearing in `pairs`, including
+    * survivors themselves. The keep-one dedup result is then
+    * `filter(id != survivor)`. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // next label = min(own, min over neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("survivor"))
+  }
+
   /** Char-n-gram Jaccard near-dup pairs: LSH candidate generation over a
     * char-n-gram minhash (8 hashes, 4 bands of 2) plus a length proximity
     * predicate, then EXACT n-gram Jaccard verification on the candidates.

@@ -41,6 +41,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("connectedComponents: min-label survivors across chains") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3 (transitive), separate pair 5-6
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // keep-one result
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("survivor")).count()
+    assert(dropped == 3)
+  }
+
   test("ngramJaccardPairs: near-dups found exactly, j_e4 exact") {
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccardE4 = 5000)
       .as[(Long, Long, Long)].collect().toSet
