@@ -97,6 +97,11 @@ object Queries {
       "sample(@hour) in /events"))),
     "fql_sample_bucketed" -> ((s, d) =>
       entryOut(Sample.bucketed(Tables.eventEntries(s, d), 3600L * 1000000000L))),
+    // fossil-exact semantics: ONE greedy carry over the merged time-ordered
+    // stream of all selected topics (parallelism 1 by definition)
+    "fql_sample_global" -> ((s, d) =>
+      entryOut(Sample.greedyGlobal(
+        Tables.eventEntries(s, d).drop("__t_ns"), 3600L * 1000000000L))),
   )
 
   def fqlOracles: Map[String, String] = {
@@ -149,6 +154,17 @@ object Queries {
       "fql_sample_bucketed" -> ("SELECT epoch_us(ts) AS t_us, '/events/' || event_type AS topic, value " +
         "FROM events QUALIFY row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000 " +
         "ORDER BY ts) = 1 ORDER BY t_us, topic"),
+      "fql_sample_global" -> """
+        |WITH RECURSIVE kept(t) AS (
+        |  SELECT MIN(ts) FROM events
+        |  UNION ALL
+        |  SELECT (SELECT MIN(e.ts) FROM events e WHERE e.ts >= k.t + INTERVAL 1 HOUR)
+        |  FROM kept k
+        |  WHERE (SELECT MIN(e.ts) FROM events e WHERE e.ts >= k.t + INTERVAL 1 HOUR) IS NOT NULL
+        |)
+        |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic, e.value
+        |FROM events e JOIN kept k ON e.ts = k.t
+        |ORDER BY t_us, topic""".stripMargin.trim,
     )
   }
 

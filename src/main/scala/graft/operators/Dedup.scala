@@ -203,12 +203,16 @@ object Dedup {
     * survivors themselves. The keep-one dedup result is then
     * `filter(id != survivor)`. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // duplicate graphs are tiny relative to the corpus — collapse to a few
+    // partitions so each propagation round doesn't pay full-width shuffles
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .coalesce(4)
       .cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .coalesce(4)
       .cache()
     var converged = false
     var i = 0

@@ -68,6 +68,28 @@ object StreamingIngest {
       .select(col("window.start").as("w_start"), col("topic"),
         col("n"), col("sum_value"), col("first_us"), col("last_us"))
 
+  /** Sliding-window stats: overlapping windows of `windowDur` advancing by
+    * `slideDur` — each row lands in windowDur/slideDur windows. */
+  def slidingStats(entries: DataFrame, windowDur: String, slideDur: String,
+      watermarkDelay: String): DataFrame =
+    entries
+      .withColumn("time", timestamp_micros(col("t_us")))
+      .withWatermark("time", watermarkDelay)
+      .groupBy(window(col("time"), windowDur, slideDur), col("topic"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("topic"), col("n"), col("sum_value"))
+
+  /** Session-window stats: windows close after `gapDur` of per-topic
+    * inactivity — the variable-length session shape. */
+  def sessionStats(entries: DataFrame, gapDur: String, watermarkDelay: String): DataFrame =
+    entries
+      .withColumn("time", timestamp_micros(col("t_us")))
+      .withWatermark("time", watermarkDelay)
+      .groupBy(session_window(col("time"), gapDur), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("topic"), col("n"))
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon — the streaming twin of
     * `Dedup.exactGroups` (state is bounded by the watermark, the way a

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows overlap; session windows close on inactivity gaps") {
+    implicit val ctx = spark.sqlContext
+    val s = 1000000L
+    val in1 = MemoryStream[Entry]
+    val q1 = slidingStats(in1.toDF(), "10 seconds", "5 seconds", "1 minute")
+      .writeStream.format("memory").queryName("sw_out").outputMode("complete").start()
+    try {
+      in1.addData(Entry(7 * s, "A", 1.0))
+      q1.processAllAvailable()
+      // one event at t=7s lands in windows [0,10) and [5,15)
+      assert(spark.table("sw_out").count() == 2)
+    } finally q1.stop()
+
+    val in2 = MemoryStream[Entry]
+    val q2 = sessionStats(in2.toDF(), "5 seconds", "1 minute")
+      .writeStream.format("memory").queryName("ssw_out").outputMode("complete").start()
+    try {
+      // two bursts separated by > 5s gap → two sessions of 2 and 1 events
+      in2.addData(Entry(1 * s, "A", 1.0), Entry(3 * s, "A", 1.0), Entry(20 * s, "A", 1.0))
+      q2.processAllAvailable()
+      val ns = spark.table("ssw_out").select("n").as[Long].collect().sorted.toSeq
+      assert(ns == Seq(1L, 2L))
+    } finally q2.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
