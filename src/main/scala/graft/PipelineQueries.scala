@@ -128,6 +128,30 @@ object PipelineQueries {
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
         .orderBy("l_returnflag")),
+    // end-to-end curation: quality gate ∧ not a non-survivor duplicate —
+    // the composed keep-set a training-data job would materialize
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .filter(col("keep")).select(col("id"))
+      val drops = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+        .filter(col("id") =!= col("survivor")).select(col("id"))
+      q.join(drops, Seq("id"), "left_anti").orderBy("id")
+    }),
+    "mm_frames" -> ((s, d) => {
+      val b = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      val nf = floor(length(col("bytes")) / 64).cast("int")
+      b.select(col("media_id"),
+          posexplode(when(nf < 1, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), nf - 1),
+              i => md5(substring(col("bytes"), i * 64 + 1, lit(16)).cast("binary")))))
+            .as(Seq("frame_ix", "frame_md5")))
+        .orderBy("media_id", "frame_ix")
+    }),
     "mm_meta" -> ((s, d) =>
       Multimodal.metaColumns(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("bytes")),
@@ -305,6 +329,45 @@ object PipelineQueries {
       |  md5(lower(trim(text))) AS md5_full,
       |  list_min(list_transform(${charShingles(8)}, s -> md5(s))) AS fp_min8
       |FROM documents ORDER BY id""".stripMargin.trim,
+
+    "pipeline_curate" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |drops AS (
+      |  SELECT id FROM (
+      |    SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |    FROM (SELECT DISTINCT a AS id FROM edges) n JOIN reach r ON r.x = n.id
+      |    GROUP BY n.id) WHERE id != survivor),
+      |q AS (
+      |  SELECT doc_id AS id,
+      |    len($TOKS) AS n_tokens,
+      |    CASE WHEN len($TOKS) = 0 THEN 0
+      |         ELSE CAST(round(len(list_distinct($TOKS)) * 10000.0 / len($TOKS)) AS BIGINT) END AS ttr_e4,
+      |    CASE WHEN length(lower(trim(text))) = 0 THEN 0
+      |         ELSE CAST(round(length(regexp_replace(lower(trim(text)), '[^a-z]', '', 'g')) * 10000.0
+      |                    / length(lower(trim(text)))) AS BIGINT) END AS alpha_e4
+      |  FROM documents)
+      |SELECT id FROM q
+      |WHERE n_tokens >= 10 AND ttr_e4 >= 2000 AND alpha_e4 >= 5000
+      |  AND id NOT IN (SELECT id FROM drops)
+      |ORDER BY id""".stripMargin.trim,
+
+    // documents are pure ASCII (checked: octet_length == length for all
+    // rows), so VARCHAR substring here is byte-exact vs Spark's binary slice
+    "mm_frames" -> """
+      |SELECT doc_id AS media_id, frame_ix, frame_md5 FROM (
+      |  SELECT doc_id,
+      |    unnest(range(0, length(text) // 64)) AS frame_ix,
+      |    unnest(list_transform(range(0, length(text) // 64),
+      |      i -> md5(substring(text, (i*64+1)::BIGINT, 16)))) AS frame_md5
+      |  FROM documents)
+      |ORDER BY media_id, frame_ix""".stripMargin.trim,
 
     "mm_meta" -> """
       |SELECT doc_id AS media_id,
