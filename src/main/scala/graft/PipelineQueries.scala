@@ -92,6 +92,9 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCosineE6 = 450000)
         .orderBy("a", "b")),
+    "emb_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("id", "i")),
     "ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 50 === 0),
@@ -246,6 +249,21 @@ object PipelineQueries {
       |WHERE ${cosE6("a.embedding", "b.embedding")} >= 450000
       |ORDER BY a, b""".stripMargin.trim,
 
+    "emb_quantize" -> """
+      |WITH v AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT id, v,
+      |    CASE WHEN ma > 0 THEN CAST(floor(1e6 * 127 / ma + 0.5) AS BIGINT) ELSE 0 END AS scale_e6
+      |  FROM v)
+      |SELECT id, scale_e6, i, q FROM (
+      |  SELECT id, scale_e6,
+      |    unnest(range(0, len(v))) AS i,
+      |    unnest(list_transform(v, x -> CAST(floor(x * scale_e6 / 1e6 + 0.5) AS INTEGER))) AS q
+      |  FROM s)
+      |ORDER BY id, i""".stripMargin.trim,
     "ann_topk" -> s"""
       |WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
       |s AS (

@@ -112,6 +112,22 @@ object Similarity {
     topKPerGroup(scored, "q", k)
   }
 
+  /** Symmetric int8 scalar quantization of a float vector column: per-vector
+    * scale = 127/max|x| (carried as an exact ×1e6 long), elements mapped via
+    * floor(x·scale + 0.5) — floor, not round: engines disagree on rounding
+    * decimal representations but floor of the same double is identical
+    * everywhere. Output is exploded to scalars: (id, i, q, scale_e6). */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val maxAbs = array_max(transform(col("v"), x => abs(x)))
+    val scaleE6 = when(maxAbs > 0, floor(lit(1e6) * 127 / maxAbs + 0.5).cast("long"))
+      .otherwise(lit(0L))
+    vd.withColumn("scale_e6", scaleE6)
+      .select(col("id"), col("scale_e6"),
+        posexplode(transform(col("v"),
+          x => floor(x * col("scale_e6") / 1e6 + 0.5).cast("int"))).as(Seq("i", "q")))
+  }
+
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("sim_e6").desc, col("id").asc)

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).head == 1L) // nearest in own bucket
   }
 
+  test("quantizeInt8: range bounded, dequantization error within half a step") {
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(out.forall { case (_, _, _, q) => q >= -127 && q <= 127 })
+    val orig = vecs.as[(Long, Array[Float])].collect().toMap
+    out.foreach { case (id, scaleE6, i, q) =>
+      val x = orig(id)(i).toDouble
+      val dequant = q * 1e6 / scaleE6
+      assert(math.abs(dequant - x) <= 0.5 * 1e6 / scaleE6 + 1e-9)
+    }
+  }
+
   test("cosineE6 is exact integer micro-units") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
     val v = df.select(Similarity.cosineE6($"a", $"b")).as[Long].head()
