@@ -51,6 +51,44 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("AST golden shapes (reference expectation-dump analog)") {
+    import Ast._
+    assert(Parser.parse("all") == Query(All, None, None, Nil))
+    assert(Parser.parse("sample(@minute)") ==
+      Query(Sample(60L * NanosPerSecond), None, None, Nil))
+    assert(Parser.parse("all in /foo/bar") ==
+      Query(All, Some("/foo/bar"), None, Nil))
+
+    val sinceWeek = Parser.parse("all since ~now - @day * 7")
+    assert(sinceWeek.timePred ==
+      Some(Since(TimeExpr(WhenceNow, -7L * 86400L * NanosPerSecond))))
+
+    val filt = Parser.parse("all | filter x -> x > 100")
+    assert(filt.pipeline ==
+      List(FilterStage(List("x"), Binary(">", Ident("x"), IntLit(100)))))
+
+    val mapTuple = Parser.parse("all | map x -> 1, x * 2")
+    assert(mapTuple.pipeline ==
+      List(MapStage(List("x"),
+        OutTuple(List(IntLit(1), Binary("*", Ident("x"), IntLit(2)))))))
+
+    val comp = Parser.parse("all | map x -> \"a\" : x / 2, \"b\" : x")
+    assert(comp.pipeline ==
+      List(MapStage(List("x"), OutComposite(List(
+        "a" -> Binary("/", Ident("x"), IntLit(2)), "b" -> Ident("x"))))))
+
+    val red = Parser.parse("all | reduce a, b -> a[0] + b[0], a[0] + b[0]")
+    assert(red.pipeline == List(ReduceStage(List("a", "b"), OutTuple(List(
+      Binary("+", IndexSub(Ident("a"), 0), IndexSub(Ident("b"), 0)),
+      Binary("+", IndexSub(Ident("a"), 0), IndexSub(Ident("b"), 0)))))))
+
+    // precedence: x + 2 * 3 > 7 parses as ((x + (2*3)) > 7)
+    val prec = Parser.parse("all | filter x -> x + 2 * 3 > 7")
+    assert(prec.pipeline == List(FilterStage(List("x"),
+      Binary(">", Binary("+", Ident("x"), Binary("*", IntLit(2), IntLit(3))),
+        IntLit(7)))))
+  }
+
   test("time folding: quantities fold to exact nanoseconds") {
     val q = Parser.parse("all since ~(2024/01/10) + @day * 2")
     assert(q.timePred.isDefined)
