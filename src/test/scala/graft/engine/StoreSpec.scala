@@ -42,6 +42,23 @@ class StoreSpec extends SparkSpec {
     assert(st("/sensors/temp/garage") == 2L && st("/logs") == 1L)
   }
 
+  test("prefix scan prunes topic partitions at the file index") {
+    val root = Files.createTempDirectory("graft_store_pp").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/a", "int64")
+    c.createTopic("/b", "int64")
+    Seq("/a/x", "/a/y", "/b").foreach { t =>
+      c.appendBatch(Seq(org.apache.spark.sql.Row(
+        Timestamp.valueOf("2024-01-01 00:00:00"), t, 1L)), "int64")
+    }
+    val plan = c.query("all in /a/x").queryExecution.executedPlan.toString
+    // topic is the physical partition column → prefix predicate becomes a
+    // PartitionFilter (no data files of other topics are read)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("startsWith") || plan.contains("topic"), plan)
+    assert(c.query("all in /a/x").count() == 1)
+  }
+
   test("conflicting append schema is rejected") {
     val root = Files.createTempDirectory("graft_store2").toString
     val c = new LocalClient(spark, root, fixedClock)
