@@ -62,6 +62,11 @@ final class Catalog extends Serializable {
 
   def createDdl(path: String, ddl: String): SType = create(path, FossilSchema.parse(ddl))
 
+  /** Restore a persisted entry verbatim — no inheritance walk, no conflict
+    * checks (they already ran when the entry was first created; replaying
+    * them against a sorted snapshot can produce different results). */
+  def restore(path: String, schema: SType): Unit = topics.put(normalize(path), schema)
+
   /** Implicit create on append: inherit or default (`db.go:452-483`). */
   def ensure(path: String): SType = {
     val p = normalize(path)

@@ -54,22 +54,33 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
   }
 
   /** Batch append: rows `(time TIMESTAMP, topic STRING, value T)` sharing one
-    * schema. Auto-creates topics (inheritance rules apply). */
+    * append-side schema. Auto-creates topics (inheritance rules apply).
+    *
+    * Data ALWAYS lands under each topic's CATALOG schema group (values cast
+    * to the topic schema) — never the append-call schema's group: `entries`
+    * resolves directories from the catalog, so writing a compatible-but-
+    * different width (e.g. int32 rows into an int64 topic) under its own
+    * group would make the rows silently invisible to every query. */
   def append(rows: DataFrame, schema: SType): Unit = {
     val topics = rows.select("topic").distinct().collect().map(_.getString(0))
-    topics.foreach { t =>
+    val topicSchema = topics.map { t =>
       val existing = catalog.ensure(t)
       val combined = FossilSchema.combine(existing, schema)
       if (combined == SAmbiguous)
         throw new IllegalArgumentException(
           s"append schema ${schema.ddl} conflicts with topic $t schema ${existing.ddl}")
-    }
+      t -> existing
+    }.toMap
     persistCatalog()
-    rows.select(col("time"), col("topic"), col("value").cast(schema.sparkType).as("value"))
-      .sortWithinPartitions("topic", "time")
-      .write.mode(SaveMode.Append)
-      .partitionBy("topic")
-      .parquet(groupDir(schema))
+    topicSchema.values.toSeq.distinct.foreach { target =>
+      val forGroup = topicSchema.collect { case (t, s) if s == target => t }.toSeq
+      rows.filter(col("topic").isInCollection(forGroup))
+        .select(col("time"), col("topic"), col("value").cast(target.sparkType).as("value"))
+        .sortWithinPartitions("topic", "time")
+        .write.mode(SaveMode.Append)
+        .partitionBy("topic")
+        .parquet(groupDir(target))
+    }
   }
 
   def entries(prefix: String): DataFrame = {
@@ -136,7 +147,10 @@ object ParquetStore {
       val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       entry.findAllMatchIn(json).foreach { m =>
         def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-        c.create(un(m.group(1)), FossilSchema.parse(un(m.group(2))))
+        // restore verbatim — replaying create() would re-run inheritance/
+        // conflict logic in sorted order, which can reject or silently
+        // rewrite schemas that were legal in their original creation order
+        c.restore(un(m.group(1)), FossilSchema.parse(un(m.group(2))))
       }
     }
     c

@@ -58,17 +58,19 @@ object Compiler {
     q.timePred.foreach { tp =>
       val nowNs = clock()
       val hasRaw = df.columns.contains(RawNsCol)
-      // time = micros-truncated raw nanos, so: time >= U ⟺ raw >= U*1000,
-      // and time <= U ⟺ raw <= U*1000 + 999 — exact, and pushable.
+      // With the raw nanos column the bound is applied at FULL nanosecond
+      // precision (reference compares ns-exact, `pkg/database/segment.go`);
+      // the derived-time predicate (µs truncation) rides along for pushdown
+      // and is implied by the raw one. Without it, µs truncation applies.
       def geq(ns: Long): Column = {
         val us = Math.floorDiv(ns, 1000L)
         val p = col(TimeCol) >= timestamp_micros(lit(us))
-        if (hasRaw) p && col(RawNsCol) >= us * 1000L else p
+        if (hasRaw) p && col(RawNsCol) >= ns else p
       }
       def leq(ns: Long): Column = {
         val us = Math.floorDiv(ns, 1000L)
         val p = col(TimeCol) <= timestamp_micros(lit(us))
-        if (hasRaw) p && col(RawNsCol) <= us * 1000L + 999L else p
+        if (hasRaw) p && col(RawNsCol) <= ns else p
       }
       tp match {
         case Since(t) => df = df.filter(geq(t.resolve(nowNs)) && leq(nowNs))
@@ -403,18 +405,27 @@ object Compiler {
           lit("N/A").as(TopicCol),
           col(ValueCol))
     } else {
-      // General associative fold: distributed treeReduce with the FQL
-      // interpreter. Same contract as the reference (arrival-order fold,
-      // `reduce.go:47-79`): only assoc+comm bodies are well-defined.
+      // General associative fold: a LAZY distributed plan — per-partition
+      // fold with the FQL interpreter, then a single final fold. Same
+      // contract as the reference (arrival-order fold, `reduce.go:47-79`):
+      // only assoc+comm bodies are well-defined. No job runs at compile
+      // time, and an empty selection yields an empty frame instead of the
+      // empty-collection crash RDD.treeReduce throws.
       val spark = df.sparkSession
-      val combined = Eval.treeReduceValues(df.select(col(ValueCol)), a, b, out)
       val vDt = vt // reduce output type must equal input type (types.go:228-231)
       val schema = StructType(Seq(
         StructField(TimeCol, TimestampType), StructField(TopicCol, StringType),
         StructField(ValueCol, vDt)))
-      val row = Row(null, "N/A", Eval.toRowValue(combined, vDt))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(Seq(row), 1), schema)
+      def fold(it: Iterator[Any]): Iterator[Any] =
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(it.reduce((x, y) => Eval.evalOut(out, Map(a -> x, b -> y))))
+      val rows = df.select(col(ValueCol)).rdd
+        .map(r => Eval.fromRowValue(r.get(0))).filter(_ != null)
+        .mapPartitions(fold)
+        .coalesce(1)
+        .mapPartitions(fold)
+        .map(v => Row(null, "N/A", Eval.toRowValue(v, vDt)))
+      spark.createDataFrame(rows, schema)
     }
   }
 }

@@ -160,11 +160,4 @@ object Eval {
     case (other, _) => other
   }
 
-  /** Distributed associative fold of the `value` column with a reduce body.
-    * `treeAggregate`-style: combine within partitions, then across — no
-    * single-node collect of the data. */
-  def treeReduceValues(valueDf: DataFrame, a: String, b: String, out: StageOut): Any = {
-    val rdd = valueDf.rdd.map(r => fromRowValue(r.get(0))).filter(_ != null)
-    rdd.treeReduce({ (x, y) => evalOut(out, Map(a -> x, b -> y)) }, depth = 2)
-  }
 }

@@ -34,8 +34,14 @@ object Parser {
       DateTimeFormatter.ofPattern("yyyy/MM/dd"),
       DateTimeFormatter.ofPattern("dd/MM/yyyy"),
       DateTimeFormatter.ofPattern("MMM dd, yyyy", Locale.US))
+    // Go time.Stamp ("Jan _2 15:04:05") has no year: default 0, like Go's
+    // zero-value parse (`pkg/query/parser/times.go` letterFormats)
+    val stamp = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("MMM ppd HH:mm:ss")
+      .parseDefaulting(java.time.temporal.ChronoField.YEAR, 0)
+      .toFormatter(Locale.US)
     val locals: List[DateTimeFormatter] = List(
-      DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      DateTimeFormatter.ISO_LOCAL_DATE_TIME, stamp)
     val candidates =
       zoned.view.flatMap(f => ok(toNanos(ZonedDateTime.parse(s, f).toInstant))) ++
         dates.view.flatMap(f => ok(toNanos(LocalDate.parse(s, f).atStartOfDay(ZoneOffset.UTC).toInstant))) ++

@@ -80,7 +80,9 @@ object Dedup {
     * without materialization the whole signature computation runs twice
     * (the two join inputs are different projections, so Spark's exchange
     * reuse does not apply). On a cluster this is the same
-    * cache-before-self-join idiom. */
+    * cache-before-self-join idiom. Lifecycle note: the cache lives until
+    * the session drops it — batch drivers that run many dedup calls should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do). */
   private def banded(withSig: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
     withSig.select(col("*"),
       posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
@@ -169,10 +171,13 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: fingerprints are blocked on each of the
-    * four 16-bit sub-blocks (a pair within Hamming distance d can disagree
-    * in at most d blocks, so any pair with an identical block is found via
-    * 4 cheap equi-joins); block-mates are verified with the exact Hamming
-    * distance. Output: (a, b, hamming) with a < b, distinct. */
+    * four 16-bit sub-blocks; block-mates are verified with the exact Hamming
+    * distance. Recall: pigeonhole GUARANTEES pairs with distance ≤ 3 share
+    * a block; distances 4..maxHamming are found iff the differing bits
+    * leave some block untouched (near-certain for clustered differences,
+    * probabilistic in general — the standard blocking trade-off, and
+    * deterministic either way, so the oracle reproduces it exactly).
+    * Output: (a, b, hamming) with a < b, distinct. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {

@@ -27,6 +27,11 @@ object StreamingAdapter {
     * the typed state operator needs a concrete encoder). */
   def greedySample(entries: DataFrame, intervalNs: Long): DataFrame = {
     import entries.sparkSession.implicits._
+    entries.schema(Compiler.ValueCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+      case other => throw new graft.fql.FqlException(
+        s"streaming sample() requires a numeric value column, got ${other.simpleString}")
+    }
     val typed = entries.select(
       unix_micros(col(Compiler.TimeCol)).as("t_us"),
       col(Compiler.TopicCol).as("topic"),

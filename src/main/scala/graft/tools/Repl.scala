@@ -48,7 +48,15 @@ object Repl {
             }
           case "append" :: rest :: Nil =>
             val Array(topic, data) = rest.split("\\s+", 2)
-            val value: Any = data.toDoubleOption.getOrElse(data)
+            // parse per the topic's (possibly inherited) schema — numeric
+            // parsing on a string topic would build an ill-typed row
+            val ddl = client.engine.catalog.schemaOf(topic)
+              .map(_.ddl).getOrElse("string")
+            val value: Any =
+              if (ddl.startsWith("int") || ddl.startsWith("uint")) data.trim.toLong
+              else if (ddl.startsWith("float")) data.trim.toDouble
+              else if (ddl == "boolean") data.trim.toBoolean
+              else data
             client.append(topic, value)
             println("ok")
           case "create" :: rest :: Nil if rest.startsWith("topic ") =>

@@ -69,6 +69,43 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("compatible-width append lands under the topic's schema group (visible to queries)") {
+    val root = Files.createTempDirectory("graft_store4").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/w", "int64")
+    // int32 rows into an int64 topic: combine(int64,int32)=int64 → legal,
+    // and the data must be readable back through the catalog's group
+    c.appendBatch(Seq(org.apache.spark.sql.Row(
+      Timestamp.valueOf("2024-01-01 00:00:00"), "/w", 41)), "int32")
+    assert(c.query("all in /w").count() == 1)
+    assert(c.query("all in /w").select("value").collect()(0).getLong(0) == 41L)
+  }
+
+  test("catalog reload preserves creation-order-legal schemas verbatim") {
+    val root = Files.createTempDirectory("graft_store5").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    // legal at runtime: child created before parent acquires a schema
+    c.createTopic("/p/child", "int64")
+    c.createTopic("/p", "float64")
+    // reload must not replay inheritance in sorted order (which would
+    // reject int64 under float64) nor rewrite either entry
+    val c2 = new LocalClient(spark, root, fixedClock)
+    assert(c2.listTopics.toMap.apply("/p/child") == "int64")
+    assert(c2.listTopics.toMap.apply("/p") == "float64")
+  }
+
+  test("reduce over an empty selection yields an empty frame, lazily") {
+    val root = Files.createTempDirectory("graft_store6").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/r", "float64")
+    c.append("/r", 5.0, Timestamp.valueOf("2024-01-01 00:00:00"))
+    // a * b doesn't match the native agg shapes → general fold path
+    val df = c.query("all in /r | filter v -> v > 999 | reduce a, b -> a * b")
+    assert(df.count() == 0)
+    val nonEmpty = c.query("all in /r | reduce a, b -> a * b")
+    assert(nonEmpty.select("value").collect()(0).getDouble(0) == 5.0)
+  }
+
   test("mixed-schema prefix scan widens numerics like schema.Combine") {
     val root = Files.createTempDirectory("graft_store3").toString
     val c = new LocalClient(spark, root, fixedClock)
