@@ -68,6 +68,28 @@ object StreamingIngest {
       .select(col("window.start").as("w_start"), col("topic"),
         col("n"), col("sum_value"), col("first_us"), col("last_us"))
 
+  /** Append sink into a [[graft.engine.ParquetStore]] layout: streamed
+    * entries land under the store's schema-group/topic partitioning and are
+    * immediately visible to `LocalClient.query` / FQL — the full
+    * ingest-to-query path. Topics must be pre-created (or inherit) the
+    * declared schema; the stream's value column is cast to it. */
+  def writeToStore(entries: DataFrame, storeRoot: String, schemaDdl: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val st = graft.engine.FossilSchema.parse(schemaDdl)
+    val dir = s"$storeRoot/data/sgroup=${graft.engine.ParquetStore.schemaKey(st)}"
+    entries
+      .select(timestamp_micros(col("t_us")).as("time"), col("topic"),
+        col("value").cast(st.sparkType).as("value"))
+      .writeStream
+      .partitionBy("topic")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", dir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Sliding-window stats: overlapping windows of `windowDur` advancing by
     * `slideDur` — each row lands in windowDur/slideDur windows. */
   def slidingStats(entries: DataFrame, windowDur: String, slideDur: String,

@@ -134,6 +134,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed entries land in the store and are FQL-queryable") {
+    implicit val ctx = spark.sqlContext
+    val root = tmp("graft_store_stream")
+    val client = new graft.api.LocalClient(spark, root,
+      () => 1735689600L * 1000000000L)
+    client.createTopic("/live", "float64")
+    client.createTopic("/live/a", "float64")
+
+    val in = MemoryStream[Entry]
+    val q = writeToStore(in.toDF(), root, "float64", tmp("graft_store_ckpt"))
+    in.addData(
+      Entry(1704067200000000L, "/live/a", 1.5), // 2024-01-01
+      Entry(1704067260000000L, "/live/a", 2.5))
+    q.awaitTermination(60000)
+
+    val out = client.query("all in /live | filter v -> v > 2")
+    assert(out.count() == 1)
+    assert(out.select("value").collect()(0).getDouble(0) == 2.5)
+  }
+
   test("file sink writes topic_root-partitioned parquet exactly once") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Entry]
