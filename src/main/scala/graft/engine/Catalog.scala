@@ -48,7 +48,9 @@ final class Catalog extends Serializable {
         throw new IllegalArgumentException(
           s"schema ${schema.ddl} on $p conflicts with inherited ${inherited.ddl}")
       case Some(inherited) if schema == FossilSchema.default =>
-        topics.put(p, inherited); inherited
+        // an EXISTING topic keeps its schema — overwriting with the parent's
+        // would orphan data already written under the old schema group
+        topics.getOrElseUpdate(p, inherited)
       case _ =>
         topics.get(p) match {
           case Some(existing) if existing != schema && schema != FossilSchema.default =>

@@ -89,7 +89,13 @@ object Codec {
     case sc: Scalar => bytes.length == scalarWidth(sc)
     case SArray(len, elem) => bytes.length == len * scalarWidth(elem)
     case c: SComposite =>
-      try { decode(c, bytes); true } catch { case _: Exception => false }
+      // length-exact like the reference: decode must consume EVERY byte —
+      // re-encoding the decoded value reproduces the consumed length
+      // (fixed-width + length-prefixed members), so trailing garbage fails
+      try {
+        val v = decode(c, bytes)
+        encode(c, v).length == bytes.length
+      } catch { case _: Exception => false }
   }
 
   private def scalarWidth(s: Scalar): Int = s match {

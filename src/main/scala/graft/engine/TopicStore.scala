@@ -65,10 +65,13 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     val topics = rows.select("topic").distinct().collect().map(_.getString(0))
     val topicSchema = topics.map { t =>
       val existing = catalog.ensure(t)
-      val combined = FossilSchema.combine(existing, schema)
-      if (combined == SAmbiguous)
+      // appends must FIT the topic schema (combine == topic schema, i.e.
+      // same or narrower). A wider append (int64 into int32) would survive
+      // the ambiguity check but silently wrap on the cast — the reference
+      // rejects bytes that don't validate against the topic schema.
+      if (FossilSchema.combine(existing, schema) != existing)
         throw new IllegalArgumentException(
-          s"append schema ${schema.ddl} conflicts with topic $t schema ${existing.ddl}")
+          s"append schema ${schema.ddl} does not fit topic $t schema ${existing.ddl}")
       t -> existing
     }.toMap
     persistCatalog()
@@ -113,6 +116,10 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
       }
       df.select(col("time"), col("topic").cast(StringType).as("topic"), v)
     }.reduce(_ unionByName _)
+      // a schema group can host topics OUTSIDE the prefix — enforce the
+      // trait contract here (an IN-list on the partition column, so it
+      // prunes at the file index rather than filtering rows)
+      .filter(col("topic").isInCollection(wanted))
   }
 
   private def persistCatalog(): Unit = ParquetStore.saveCatalog(root, catalog)

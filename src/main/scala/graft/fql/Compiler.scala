@@ -174,7 +174,13 @@ object Compiler {
       case OutExpr(e) => compileExpr(e, env)
       case OutTuple(es) =>
         val compiled = es.map(e => compileExpr(e, env))
-        // homogeneous-numeric tuples; floats win (`analysis/types.go:203-225`)
+        // homogeneous-NUMERIC tuples; floats win (`analysis/types.go:203-225`).
+        // Non-numeric elements are a type error like the reference
+        // (`value.go:216`) — casting them would silently null strings.
+        compiled.map(_._2).find(!numeric(_)).foreach { bad =>
+          throw new FqlException(
+            s"tuple elements must be numeric, got ${bad.simpleString}")
+        }
         val anyFloat = compiled.exists(c => isFloat(c._2))
         val et: DataType = if (anyFloat) DoubleType else LongType
         (array(compiled.map(_._1.cast(et)): _*), ArrayType(et, containsNull = false))
@@ -372,7 +378,11 @@ object Compiler {
     val pats = slots.zipWithIndex.map { case (e, i) => matchSlot(e, a, b, i, n) }
 
     val vt = valueType(df)
-    if (pats.forall(_.isDefined)) {
+    // struct-valued input (composite map output) has no getItem(int)/sum
+    // path — the general fold handles it; only array/scalar inputs take
+    // the native aggregate fast path
+    val aggShaped = pats.forall(_.isDefined) && !vt.isInstanceOf[StructType]
+    if (aggShaped) {
       // Sum/min/max shapes → native partial+final aggregate (map-side combine,
       // single shuffle of one row per partition — the 100 TB path).
       def slotCol(i: Int): Column = vt match {
@@ -397,7 +407,11 @@ object Compiler {
           val et: DataType = if (anyFloat) DoubleType else LongType
           array(aggs.map(_.cast(et)): _*)
         }
-      df.agg(vc.as(ValueCol))
+      // empty selection → NO output row (matching the general-fold path and
+      // the reference's collector, which receives nothing) — the row count
+      // marker drops Spark's always-one-row global aggregate
+      df.agg(count(lit(1)).as("__n"), vc.as(ValueCol))
+        .filter(col("__n") > 0)
         .select(
           lit(null).cast(TimestampType).as(TimeCol),
           // the reduce output entry is synthetic — topic "N/A"

@@ -68,10 +68,12 @@ object Eval {
     case "-" => if (bothLong(l, r)) l.asInstanceOf[Long] - r.asInstanceOf[Long] else toD(l) - toD(r)
     case "*" => if (bothLong(l, r)) l.asInstanceOf[Long] * r.asInstanceOf[Long] else toD(l) * toD(r)
     case "/" => toD(l) / toD(r) // always float (`value.go:436`)
-    case "<" => toD(l) < toD(r)
-    case "<=" => toD(l) <= toD(r)
-    case ">" => toD(l) > toD(r)
-    case ">=" => toD(l) >= toD(r)
+    // comparisons stay exact for long/long — routing through double would
+    // collapse values above 2^53 (e.g. nanosecond timestamps)
+    case "<" => if (bothLong(l, r)) l.asInstanceOf[Long] < r.asInstanceOf[Long] else toD(l) < toD(r)
+    case "<=" => if (bothLong(l, r)) l.asInstanceOf[Long] <= r.asInstanceOf[Long] else toD(l) <= toD(r)
+    case ">" => if (bothLong(l, r)) l.asInstanceOf[Long] > r.asInstanceOf[Long] else toD(l) > toD(r)
+    case ">=" => if (bothLong(l, r)) l.asInstanceOf[Long] >= r.asInstanceOf[Long] else toD(l) >= toD(r)
     case "==" => eq(l, r)
     case "!=" => !eq(l, r) // works here, unlike the reference (bug E7)
     case other => throw new FqlException(s"unknown operator '$other'")
@@ -80,6 +82,7 @@ object Eval {
   private def eq(l: Any, r: Any): Boolean = (l, r) match {
     case (a: String, b: String) => a == b
     case (a: Boolean, b: Boolean) => a == b
+    case (a: Long, b: Long) => a == b
     case _ => toD(l) == toD(r)
   }
 

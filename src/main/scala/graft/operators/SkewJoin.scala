@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * the join key becomes `(key, salt)` — hot keys fan out over `buckets`
   * tasks instead of one.
   *
-  * Salt is derived deterministically (hash of the whole probe row modulo
-  * buckets), not from rand(): results must be reproducible re-run to re-run.
+  * The salt spreads rows by their position in the partition
+  * (`monotonically_increasing_id`), not by row content — a hot key whose
+  * rows are IDENTICAL (the common skew case) would otherwise hash to one
+  * salt and not fan out at all. The salt value only affects placement; the
+  * join RESULT is identical for any salt assignment, so output stays
+  * deterministic.
   */
 object SkewJoin {
 
@@ -25,7 +29,7 @@ object SkewJoin {
       probe: DataFrame, build: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val salted = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

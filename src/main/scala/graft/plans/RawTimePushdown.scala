@@ -12,11 +12,14 @@ import org.apache.spark.sql.types.TimestampType
   * A filter on the derived timestamp alone never pushes down.
   *
   * Runs after projection collapse, so it matches the inlined form the main
-  * optimizer produces. Exact translations (truncation-aware, raw side
-  * inclusive):
-  *   time >= T ⟺ x >= T*1000          time > T ⟺ x >= (T+1)*1000
-  *   time <= T ⟺ x <= T*1000 + 999    time < T ⟺ x <= T*1000 - 1
-  *   time = T  ⟺ T*1000 <= x <= T*1000 + 999
+  * optimizer produces. `div` truncates toward ZERO, so for negative raw
+  * values trunc(x/1000) can round UP — the mirrored bounds are widened by
+  * 999ns on the open side to stay implied by the original predicate for
+  * either sign (the original filter still applies exactly; the mirror only
+  * needs to never exclude a row the original keeps):
+  *   time >= T ⟹ x >= T*1000 - 999    time > T ⟹ x >= (T+1)*1000 - 999
+  *   time <= T ⟹ x <= T*1000 + 999    time < T ⟹ x <= (T-1)*1000 + 999
+  *   time = T  ⟹ T*1000 - 999 <= x <= T*1000 + 999
   *
   * Installed by [[graft.functions.GraftExtensions]] (injectOptimizerRule) or
   * `spark.experimental.extraOptimizations`. The FQL compiler adds raw
@@ -61,25 +64,25 @@ object RawTimePushdown extends Rule[LogicalPlan] {
     def us(l: Literal): Long = l.value.asInstanceOf[Long] // TimestampType = micros
     p match {
       case GreaterThanOrEqual(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(GreaterThanOrEqual(x, Literal(us(l) * 1000L)))
+        Some(GreaterThanOrEqual(x, Literal(us(l) * 1000L - 999L)))
       case GreaterThan(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(GreaterThanOrEqual(x, Literal((us(l) + 1L) * 1000L)))
+        Some(GreaterThanOrEqual(x, Literal((us(l) + 1L) * 1000L - 999L)))
       case LessThanOrEqual(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
         Some(LessThanOrEqual(x, Literal(us(l) * 1000L + 999L)))
       case LessThan(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(LessThanOrEqual(x, Literal(us(l) * 1000L - 1L)))
+        Some(LessThanOrEqual(x, Literal((us(l) - 1L) * 1000L + 999L)))
       case EqualTo(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(And(GreaterThanOrEqual(x, Literal(us(l) * 1000L)),
+        Some(And(GreaterThanOrEqual(x, Literal(us(l) * 1000L - 999L)),
           LessThanOrEqual(x, Literal(us(l) * 1000L + 999L))))
       // literal-on-the-left flips
       case GreaterThanOrEqual(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
         Some(LessThanOrEqual(x, Literal(us(l) * 1000L + 999L)))
       case LessThanOrEqual(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(GreaterThanOrEqual(x, Literal(us(l) * 1000L)))
+        Some(GreaterThanOrEqual(x, Literal(us(l) * 1000L - 999L)))
       case GreaterThan(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(LessThanOrEqual(x, Literal(us(l) * 1000L - 1L)))
+        Some(LessThanOrEqual(x, Literal((us(l) - 1L) * 1000L + 999L)))
       case LessThan(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(GreaterThanOrEqual(x, Literal((us(l) + 1L) * 1000L)))
+        Some(GreaterThanOrEqual(x, Literal((us(l) + 1L) * 1000L - 999L)))
       case _ => None
     }
   }

@@ -81,6 +81,27 @@ class StoreSpec extends SparkSpec {
     assert(c.query("all in /w").select("value").collect()(0).getLong(0) == 41L)
   }
 
+  test("wider append into a narrower topic is rejected (no silent wrap)") {
+    val root = Files.createTempDirectory("graft_store7").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/narrow", "int32")
+    assertThrows[IllegalArgumentException] {
+      c.appendBatch(Seq(org.apache.spark.sql.Row(
+        Timestamp.valueOf("2024-01-01 00:00:00"), "/narrow", 5000000000L)), "int64")
+    }
+  }
+
+  test("entries honors the prefix even when topics share a schema group") {
+    val root = Files.createTempDirectory("graft_store8").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/g1", "int64")
+    c.createTopic("/g2", "int64") // same schema group directory
+    c.append("/g1", 1L, Timestamp.valueOf("2024-01-01 00:00:00"))
+    c.append("/g2", 2L, Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(c.query("all in /g1").count() == 1)
+    assert(c.query("all in /g1").select("topic").collect()(0).getString(0) == "/g1")
+  }
+
   test("catalog reload preserves creation-order-legal schemas verbatim") {
     val root = Files.createTempDirectory("graft_store5").toString
     val c = new LocalClient(spark, root, fixedClock)

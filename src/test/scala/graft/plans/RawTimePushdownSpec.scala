@@ -30,6 +30,19 @@ class RawTimePushdownSpec extends SparkSpec {
     }
   }
 
+  test("pre-1970 raw values survive (div truncates toward zero, not floor)") {
+    import spark.implicits._
+    // -500ns truncates to 0µs: time >= epoch must keep it
+    val df = Seq(-1500L, -500L, 0L, 500L).toDF("__t_ns")
+      .withColumn("time", timestamp_micros(expr("__t_ns div 1000")))
+    withRule {
+      val zero = timestamp_micros(lit(0L))
+      assert(df.filter(col("time") >= zero).count() == 3) // -500, 0, 500
+      assert(df.filter(col("time") <= zero).count() == 4) // all truncate to <= 0
+      assert(df.filter(col("time") < zero).count() == 1)  // only -1500 (-1µs)
+    }
+  }
+
   test("strict bounds translate exactly at the micros boundary") {
     import spark.implicits._
     // raw nanos 1000..1999 all truncate to time = 1µs
