@@ -114,6 +114,10 @@ object PipelineQueries {
       TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    "text_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d), "doc_id", "text")),
+    "text_ngram_freq" -> ((s, d) =>
+      TextAnalysis.ngramDocFreq(Tables.documents(s, d), "doc_id", "text", k = 2, topK = 20)),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     // sketch aggregates: HLL distinct + quantile sketch. Deliberately NO
@@ -341,6 +345,19 @@ object PipelineQueries {
       |  len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), x -> x != ''))::BIGINT AS n_word_tokens,
       |  length(lower(trim(text)))::BIGINT AS n_chars
       |FROM documents ORDER BY id""".stripMargin.trim,
+
+    "text_corpus_stats" -> s"""
+      |WITH ex AS (SELECT doc_id AS id, unnest($TOKS) AS t FROM documents)
+      |SELECT COUNT(DISTINCT id) AS n_docs, COUNT(t) AS total_tokens,
+      |  COUNT(DISTINCT t) AS vocab,
+      |  CAST(round(COUNT(t) * 100.0 / COUNT(DISTINCT id)) AS BIGINT) AS avg_tokens_e2
+      |FROM ex""".stripMargin.trim,
+
+    "text_ngram_freq" -> s"""
+      |SELECT shingle, COUNT(*) AS df FROM (
+      |  SELECT doc_id, unnest(${wordShingles("toks", 2)}) AS shingle
+      |  FROM (SELECT doc_id, $TOKS AS toks FROM documents))
+      |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin.trim,
 
     "text_fingerprint" -> s"""
       |SELECT doc_id AS id,

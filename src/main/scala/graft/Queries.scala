@@ -93,6 +93,8 @@ object Queries {
       "all in /events | map x -> abs(x - 100)"))),
     "fql_builtin_floor" -> ((s, d) => entryOut(engine(s, d).query(
       "all in /events | map x -> floor(x / 7)"))),
+    "fql_builtin_sqrt" -> ((s, d) => entryOut(engine(s, d).query(
+      "all in /events | map x -> sqrt(x)"))),
     "fql_sample_greedy" -> ((s, d) => entryOut(engine(s, d).query(
       "sample(@hour) in /events"))),
     "fql_sample_bucketed" -> ((s, d) =>
@@ -131,6 +133,8 @@ object Queries {
         "ORDER BY t_us, topic"),
       "fql_builtin_abs" -> ev("abs(value - 100)"),
       "fql_builtin_floor" -> ev("floor(value / 7)"),
+      // sqrt is IEEE correctly-rounded in both engines (unlike exp/ln/pow ULPs)
+      "fql_builtin_sqrt" -> ev("sqrt(value)"),
       "fql_reduce_count" -> "SELECT CAST(COUNT(*) AS BIGINT) AS value FROM events",
       "fql_reduce_min" -> "SELECT MIN(value) AS value FROM events",
       "fql_reduce_max" -> "SELECT MAX(value) AS value FROM events",

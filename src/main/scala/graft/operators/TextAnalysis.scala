@@ -79,6 +79,32 @@ object TextAnalysis {
       length(t).cast("long").as("n_chars"))
   }
 
+  /** Corpus-level statistics: one exact-integer row — document count, token
+    * totals, vocabulary size, and ×100-scaled mean tokens/doc. The global
+    * aggregate is partial+final (map-side combine); distinct is a hash
+    * shuffle on the token. */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+    ex.agg(
+      countDistinct(col("id")).as("n_docs"),
+      count(col("t")).as("total_tokens"),
+      countDistinct(col("t")).as("vocab"),
+      round(count(col("t")) * lit(100.0) / countDistinct(col("id")), 0).cast("long")
+        .as("avg_tokens_e2"))
+  }
+
+  /** Document frequency of word n-gram shingles: in how many documents each
+    * shingle appears, top-k by (df desc, shingle asc). The distinct-per-doc
+    * shingle set means one count per containing document. */
+  def ngramDocFreq(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, topK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(wordShingles(col("__toks"), k)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(topK)
+
   /** Content fingerprints: full-text md5 plus a winnowing-style robust
     * fingerprint (lexicographic min md5 over char-8-gram shingles — stable
     * under small edits at either end of the document). */
