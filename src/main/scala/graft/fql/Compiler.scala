@@ -221,8 +221,23 @@ object Compiler {
         case "+" => lc + rc
         case "-" => lc - rc
         case "*" => lc * rc
-        // `/` always yields float, even int/int (`value.go:436`)
-        case "/" => lc.cast(DoubleType) / rc.cast(DoubleType)
+        // `/` always yields float, even int/int (`value.go:436`), with IEEE
+        // zero-divisor semantics like Go float64 (±Inf, 0/0 = NaN) — Spark's
+        // ANSI mode would otherwise throw DIVIDE_BY_ZERO. The when() branch
+        // is evaluated lazily per row, so the guarded divide never runs with
+        // a zero divisor. (Deviation: a literal -0.0 divisor compares equal
+        // to 0.0 in SQL and yields the +0.0-divisor result.)
+        case "/" =>
+          val l = lc.cast(DoubleType)
+          val r = rc.cast(DoubleType)
+          when(r =!= 0.0, l / r)
+            .otherwise(
+              // isnan FIRST: Spark comparisons use total order where
+              // NaN > 0 is true, which would turn NaN/0 into +Inf
+              when(isnan(l), lit(Double.NaN))
+                .when(l > 0.0, lit(Double.PositiveInfinity))
+                .when(l < 0.0, lit(Double.NegativeInfinity))
+                .otherwise(lit(Double.NaN)))
         case "<" => lc < rc
         case "<=" => lc <= rc
         case ">" => lc > rc
@@ -270,8 +285,20 @@ object Compiler {
           case IntLit(v) => v.toInt
           case _ => throw new FqlException("round scale must be an integer literal")
         }) else round(one)
-      case "floor" => floor(one)
-      case "ceil" => ceil(one)
+      case "floor" | "ceil" =>
+        val f: Column => Column = if (name == "floor") floor else ceil
+        inferType(args.head, env) match {
+          case dt if isFloat(dt) =>
+            // Spark's floor/ceil return LONG: ±Inf/NaN would collapse to
+            // Long.Min/Max and huge finite doubles would overflow. Those
+            // are already integral (or not finite) — pass them through,
+            // floor only the safely-convertible range. Keeps double
+            // semantics like Go's math.Floor (and the fold interpreter).
+            val big = lit(9.0e18)
+            when(isnan(one) || one >= big || one <= -big, one)
+              .otherwise(f(one).cast(DoubleType))
+          case _ => f(one) // integral input: identity-shaped, stays long
+        }
       case "sqrt" => sqrt(one)
       case "exp" => exp(one)
       case "ln" => log(one)

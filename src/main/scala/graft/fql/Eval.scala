@@ -67,23 +67,36 @@ object Eval {
     case "+" => if (bothLong(l, r)) l.asInstanceOf[Long] + r.asInstanceOf[Long] else toD(l) + toD(r)
     case "-" => if (bothLong(l, r)) l.asInstanceOf[Long] - r.asInstanceOf[Long] else toD(l) - toD(r)
     case "*" => if (bothLong(l, r)) l.asInstanceOf[Long] * r.asInstanceOf[Long] else toD(l) * toD(r)
-    case "/" => toD(l) / toD(r) // always float (`value.go:436`)
-    // comparisons stay exact for long/long — routing through double would
-    // collapse values above 2^53 (e.g. nanosecond timestamps)
-    case "<" => if (bothLong(l, r)) l.asInstanceOf[Long] < r.asInstanceOf[Long] else toD(l) < toD(r)
-    case "<=" => if (bothLong(l, r)) l.asInstanceOf[Long] <= r.asInstanceOf[Long] else toD(l) <= toD(r)
-    case ">" => if (bothLong(l, r)) l.asInstanceOf[Long] > r.asInstanceOf[Long] else toD(l) > toD(r)
-    case ">=" => if (bothLong(l, r)) l.asInstanceOf[Long] >= r.asInstanceOf[Long] else toD(l) >= toD(r)
+    case "/" =>
+      // always float (`value.go:436`); -0.0 divisor normalizes to +0.0 like
+      // the compiled path (SQL treats them equal), so -x/0 = -Inf either way
+      val rd = toD(r)
+      toD(l) / (if (rd == 0.0) 0.0 else rd)
+    case "<" => cmp(l, r) < 0
+    case "<=" => cmp(l, r) <= 0
+    case ">" => cmp(l, r) > 0
+    case ">=" => cmp(l, r) >= 0
     case "==" => eq(l, r)
     case "!=" => !eq(l, r) // works here, unlike the reference (bug E7)
     case other => throw new FqlException(s"unknown operator '$other'")
   }
 
+  /** Comparison semantics match the Spark-compiled path: long/long stays
+    * exact (no double round-trip above 2^53); doubles use SQL total order
+    * (NaN greater than everything, NaN == NaN, -0.0 == 0.0) — a documented
+    * deviation from Go's IEEE comparisons, chosen so both execution paths
+    * and Spark's own sort/join semantics agree. */
+  private def cmp(l: Any, r: Any): Int = (l, r) match {
+    case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+    case _ =>
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      java.lang.Double.compare(norm(toD(l)), norm(toD(r)))
+  }
+
   private def eq(l: Any, r: Any): Boolean = (l, r) match {
     case (a: String, b: String) => a == b
     case (a: Boolean, b: Boolean) => a == b
-    case (a: Long, b: Long) => a == b
-    case _ => toD(l) == toD(r)
+    case _ => cmp(l, r) == 0
   }
 
   def truthy(v: Any): Boolean = v match {
