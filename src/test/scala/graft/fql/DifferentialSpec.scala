@@ -95,6 +95,25 @@ class DifferentialSpec extends SparkSpec {
     assert(checked >= 140) // nearly all generated exprs must be evaluable
   }
 
+  test("compiled and interpreted filter predicates agree on 60 random comparisons") {
+    var checked = 0
+    (1 to 60).foreach { _ =>
+      val cmp = Seq("<", "<=", ">", ">=", "==", "!=")(rnd.nextInt(6))
+      val pred = Binary(cmp, genExpr(2), genExpr(2))
+      val fql = s"all in /x | filter x -> ${renderExpr(pred)}"
+      val expected =
+        try Some(inputs.filter(v => Eval.eval(pred, Map("x" -> v)) == true))
+        catch { case _: Exception => None }
+      expected.foreach { exp =>
+        val got = engine.query(fql).orderBy("time")
+          .select(col("value")).as[Double].collect().toSeq
+        assert(got == exp, s"filter mismatch for: $fql  got=$got expected=$exp")
+        checked += 1
+      }
+    }
+    assert(checked >= 55)
+  }
+
   test("compiled and interpreted reduce folds agree") {
     (1 to 20).foreach { _ =>
       val body = Binary(Seq("+", "*")(rnd.nextInt(2)),
