@@ -206,8 +206,50 @@ object Dedup {
     *
     * Output: (id, survivor) for every node appearing in `pairs`, including
     * survivors themselves. The keep-one dedup result is then
-    * `filter(id != survivor)`. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * `filter(id != survivor)`.
+    *
+    * Duplicate graphs are usually MUCH smaller than the corpus (edges only
+    * between verified near-dups), so below `localThreshold` edges the
+    * components are solved with driver-side union-find in one collect —
+    * the iterative join loop exists for the rare corpus whose duplicate
+    * graph itself is big. Same output either way. */
+  def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 20, localThreshold: Long = 2000000): DataFrame = {
+    val cached = pairs.select(col("a").cast("long"), col("b").cast("long")).cache()
+    val nEdges = cached.count()
+    val out =
+      if (nEdges <= localThreshold) localComponents(cached)
+      else distributedComponents(cached, maxIters)
+    cached.unpersist()
+    out
+  }
+
+  /** Driver-side union-find over a collected edge list. */
+  private def localComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    import spark.implicits._
+    rows.toDF("id", "survivor")
+  }
+
+  /** Iterative min-label propagation — the big-graph path. */
+  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
     // duplicate graphs are tiny relative to the corpus — collapse to a few
     // partitions so each propagation round doesn't pay full-width shuffles
     val edges = pairs.select(col("a"), col("b"))

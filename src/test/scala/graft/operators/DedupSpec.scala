@@ -41,14 +41,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
-  test("connectedComponents: min-label survivors across chains") {
+  test("connectedComponents: min-label survivors across chains (both paths)") {
     import org.apache.spark.sql.functions.col
     // chain 1-2-3 (transitive), separate pair 5-6
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
-    val comp = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
-    // keep-one result
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    // local union-find fast path
+    assert(Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap == expect)
+    // distributed label-propagation path (force with threshold 0)
+    assert(Dedup.connectedComponents(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap == expect)
     val dropped = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("survivor")).count()
     assert(dropped == 3)
