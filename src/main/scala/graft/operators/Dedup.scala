@@ -62,7 +62,10 @@ object Dedup {
     * shingle dictionary is broadcast here (word-soup vocabularies are small);
     * at open-vocabulary corpus scale drop the hint and it becomes a plain
     * shuffle join on the shingle — still one pass. */
-  private def withMinhashSig(base: DataFrame, numHashes: Int): DataFrame = {
+  private def withMinhashSig(rawBase: DataFrame, numHashes: Int): DataFrame = {
+    // base feeds both the shingle explode and the signature join-back —
+    // cache it or the (expensive) shingle arrays are computed twice
+    val base = rawBase.cache()
     val ex = base.select(col("id"), explode_outer(col("sh")).as("s"))
     val dict = ex.filter(col("s").isNotNull).select("s").distinct()
       .withColumn("hv", transform(sequence(lit(0), lit(numHashes - 1)),
