@@ -114,6 +114,45 @@ class DifferentialSpec extends SparkSpec {
     assert(checked >= 55)
   }
 
+  test("compiled and interpreted two-stage tuple pipelines agree on 40 random cases") {
+    var checked = 0
+    (1 to 40).foreach { _ =>
+      val e1 = genExpr(2)
+      val e2 = genExpr(2)
+      // second stage over bound tuple elements a, b
+      def genStage2(depth: Int): Expr =
+        if (depth == 0) Seq(Ident("a"), Ident("b"))(rnd.nextInt(2))
+        else rnd.nextInt(4) match {
+          case 0 | 1 => Binary(Seq("+", "-", "*", "/")(rnd.nextInt(4)),
+            genStage2(depth - 1), genStage2(depth - 1))
+          case 2 => Call("abs", List(genStage2(depth - 1)))
+          case 3 => IntLit(rnd.between(1L, 9L))
+        }
+      val e3 = genStage2(2)
+      val fql = s"all in /x | map x -> ${renderExpr(e1)}, ${renderExpr(e2)}" +
+        s" | map a, b -> ${renderExpr(e3)}"
+      val expected = try Some(inputs.map { v =>
+        val t = Eval.evalOut(OutTuple(List(e1, e2)), Map("x" -> v)).asInstanceOf[Seq[Any]]
+        Eval.eval(e3, Map("a" -> t(0), "b" -> t(1)))
+      }) catch { case _: Exception => None }
+      expected.foreach { exp =>
+        val got = engine.query(fql).orderBy("time")
+          .select(col("value")).collect().map(_.get(0)).toSeq
+        def norm(x: Any): Any = x match { case l: Long => l.toDouble; case o => o }
+        got.map(norm).zip(exp.map(norm)).foreach { case (g, e) =>
+          (g, e) match {
+            case (gd: Double, ed: Double) =>
+              assert((gd.isNaN && ed.isNaN) || gd == ed,
+                s"pipeline mismatch for: $fql  got=$gd expected=$ed")
+            case _ => assert(g == e, s"pipeline mismatch for: $fql  got=$g expected=$e")
+          }
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 35)
+  }
+
   test("compiled and interpreted reduce folds agree") {
     (1 to 20).foreach { _ =>
       val body = Binary(Seq("+", "*")(rnd.nextInt(2)),
