@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property tests: distributed operators vs naive single-threaded reference
+  * implementations on seeded random data — guards the partitioning and
+  * carry logic, not just hand-picked cases. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(77)
+
+  test("greedyPerTopic matches a sequential per-topic fold on random streams") {
+    (1 to 6).foreach { _ =>
+      val topics = Seq("A", "B", "C")
+      val rows = (1 to 300).map { _ =>
+        (rnd.between(0L, 500L) * 1000000L, topics(rnd.nextInt(3)), rnd.nextDouble())
+      }.distinct
+      val intervalUs = rnd.between(5L, 60L) * 1000000L
+
+      val df = rows.toDF("t_us", "topic", "value")
+        .select(timestamp_micros($"t_us").as("time"), $"topic", $"value")
+      val got = Sample.greedyPerTopic(df, intervalUs * 1000L)
+        .select(unix_micros($"time"), $"topic").as[(Long, String)].collect().toSet
+
+      // naive reference: per topic, sort by time and carry.
+      // (.toSeq matters: Map.flatMap over pair results builds a Map and
+      // collapses equal timestamps across topics)
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (topic, rs) =>
+        var last = Long.MinValue
+        rs.sortBy(_._1).flatMap { case (t, _, _) =>
+          if (last == Long.MinValue || t >= last + intervalUs) { last = t; Some((t, topic)) }
+          else None
+        }
+      }.toSet
+      // ties within a topic at the same t_us: both keep exactly one — compare
+      // kept timestamps per topic (values may differ on ties)
+      assert(got == expected, s"interval=$intervalUs")
+    }
+  }
+
+  test("AsOfJoin matches a naive most-recent-match scan on random data") {
+    (1 to 6).foreach { _ =>
+      val keys = Seq("k1", "k2")
+      val left = (1 to 80).map(i =>
+        (i.toLong, keys(rnd.nextInt(2)), rnd.between(0L, 1000L) * 1000000L))
+      val right = (1 to 60).map(i =>
+        (keys(rnd.nextInt(2)), rnd.between(0L, 1000L) * 1000000L, i.toDouble))
+        // unique (key, time) so the expected "latest" row is unambiguous
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+
+      val l = left.toDF("id", "k", "t_us")
+        .select($"id", $"k", timestamp_micros($"t_us").as("t"))
+      val r = right.toDF("k", "q_us", "payload")
+        .select($"k", timestamp_micros($"q_us").as("qt"), $"payload")
+
+      val got = AsOfJoin.lastOnOrBefore(l, r, Seq("k"), "t", "qt")
+        .select($"id", $"payload").as[(Long, Option[Double])].collect().toMap
+
+      val expected = left.map { case (id, k, t) =>
+        val candidates = right.filter(x => x._1 == k && x._2 <= t)
+        id -> (if (candidates.isEmpty) None
+               else Some(candidates.maxBy(_._2)._3))
+      }.toMap
+      assert(got == expected)
+    }
+  }
+}
