@@ -41,6 +41,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin matches a naive interval scan on random data") {
+    (1 to 5).foreach { _ =>
+      val points = (1 to 60).map(_ => rnd.between(0L, 400L) * 1000000L).distinct
+      val intervals = (1 to 25).map { i =>
+        val s = rnd.between(0L, 380L) * 1000000L
+        (i.toLong, s, s + rnd.between(1L, 50L) * 1000000L)
+      }
+      val bucketUs = rnd.between(2L, 40L) * 1000000L
+
+      val p = points.toDF("p_us").select(timestamp_micros($"p_us").as("pt"))
+      val iv = intervals.toDF("id", "s_us", "e_us")
+        .select($"id", timestamp_micros($"s_us").as("s"), timestamp_micros($"e_us").as("e"))
+      val got = RangeJoin.pointInInterval(p, iv, "pt", "s", "e", bucketUs)
+        .select(unix_micros($"pt"), $"id").as[(Long, Long)].collect().toSet
+
+      val expected = (for {
+        t <- points
+        (id, s, e) <- intervals
+        if t >= s && t < e
+      } yield (t, id)).toSet
+      assert(got == expected, s"bucket=$bucketUs")
+    }
+  }
+
   test("AsOfJoin matches a naive most-recent-match scan on random data") {
     (1 to 6).foreach { _ =>
       val keys = Seq("k1", "k2")
