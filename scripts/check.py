@@ -31,11 +31,13 @@ for p in Path(sfdir).glob("*.parquet"):
 oracle = json.loads((outdir / "oracle_sql.json").read_text())
 
 def fmt(v):
-    # 12 significant digits: catches real bugs, tolerates last-ULP libm
-    # differences (Spark Math.pow vs DuckDB pow) that the driver's own
-    # hash also tolerated in round 1.
+    # Round floats to 12 significant digits (tolerates last-ULP libm
+    # differences: Spark Math.pow vs DuckDB pow) but keep float formatting
+    # (str(123.0) == "123.0"): the driver's hash distinguishes int64 123
+    # from float64 123.0 (r2: q_gap_fill/q_moving_sum failed on exactly
+    # this), so dtype skew must fail locally too.
     if isinstance(v, float):
-        return f"{v:.12g}"
+        return str(float(f"{v:.12g}"))
     return str(v)
 
 def canon(df: pd.DataFrame):

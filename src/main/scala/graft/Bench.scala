@@ -32,10 +32,12 @@ object Bench {
       val dt = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // operators cache self-join inputs; drop them so later queries
-        // aren't taxed by accumulated cache memory/GC
+        // aren't taxed by accumulated cache memory/GC — but OUTSIDE the
+        // timed window: teardown cost isn't part of the query
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        elapsed
       }.min
       name -> dt
     }

@@ -277,9 +277,9 @@ object Queries {
       s.sql("""
         SELECT l_suppkey, l_orderkey, l_linenumber,
           unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS t_us,
-          SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+          CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
             PARTITION BY l_suppkey ORDER BY l_shipdate
-            RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS qty7d_cents
+            RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty7d_cents
         FROM graft_li
         ORDER BY l_suppkey, t_us, l_orderkey, l_linenumber""")
     }),
@@ -295,8 +295,8 @@ object Queries {
         spine AS (
           SELECT explode(sequence(MIN(d), MAX(d), INTERVAL 1 DAY)) AS d FROM daily)
         SELECT CAST(spine.d AS STRING) AS day, COALESCE(daily.n, 0) AS n,
-          last_value(daily.s_cents, true) OVER (
-            ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents
+          CAST(last_value(daily.s_cents, true) OVER (
+            ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carry_cents
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         ORDER BY day""")
     }),
@@ -414,9 +414,9 @@ object Queries {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
     "q_moving_sum" -> """
       |SELECT l_suppkey, l_orderkey, l_linenumber, epoch_us(l_shipdate) AS t_us,
-      |  SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
       |    PARTITION BY l_suppkey ORDER BY l_shipdate
-      |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS qty7d_cents
+      |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty7d_cents
       |FROM lineitem
       |ORDER BY l_suppkey, t_us, l_orderkey, l_linenumber""".stripMargin.trim,
     "q_gap_fill" -> """
@@ -429,8 +429,8 @@ object Queries {
       |                                (SELECT MAX(d) FROM daily),
       |                                INTERVAL 1 DAY))::DATE AS d)
       |SELECT CAST(spine.d AS VARCHAR) AS day, COALESCE(daily.n, 0) AS n,
-      |  last_value(daily.s_cents IGNORE NULLS) OVER (
-      |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents
+      |  CAST(last_value(daily.s_cents IGNORE NULLS) OVER (
+      |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carry_cents
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY day""".stripMargin.trim,
     "q_join_outer" -> """

@@ -62,13 +62,18 @@ object Compiler {
       // precision (reference compares ns-exact, `pkg/database/segment.go`);
       // the derived-time predicate (µs truncation) rides along for pushdown
       // and is implied by the raw one. Without it, µs truncation applies.
+      // ns→µs with the SAME trunc-toward-zero division the entry views use
+      // (SQL `div`): floorDiv would disagree for pre-epoch bounds — e.g.
+      // leq(ns = -500) must give µs bound 0 (an entry at raw -500ns has
+      // time = 0µs), not -1µs, or the ANDed µs+raw predicates would drop a
+      // row the ns-exact predicate keeps.
       def geq(ns: Long): Column = {
-        val us = Math.floorDiv(ns, 1000L)
+        val us = ns / 1000L
         val p = col(TimeCol) >= timestamp_micros(lit(us))
         if (hasRaw) p && col(RawNsCol) >= ns else p
       }
       def leq(ns: Long): Column = {
-        val us = Math.floorDiv(ns, 1000L)
+        val us = ns / 1000L
         val p = col(TimeCol) <= timestamp_micros(lit(us))
         if (hasRaw) p && col(RawNsCol) <= ns else p
       }
@@ -230,7 +235,11 @@ object Compiler {
         case "/" =>
           val l = lc.cast(DoubleType)
           val r = rc.cast(DoubleType)
-          when(r =!= 0.0, l / r)
+          // NULL operands propagate NULL (the fold interpreter throws on
+          // null; Column semantics are three-valued — without this branch
+          // `x / NULL` would fall into the otherwise-arm and fabricate ±Inf)
+          when(l.isNull || r.isNull, lit(null).cast(DoubleType))
+            .when(r =!= 0.0, l / r)
             .otherwise(
               // isnan FIRST: Spark comparisons use total order where
               // NaN > 0 is true, which would turn NaN/0 into +Inf

@@ -50,7 +50,11 @@ object Parser {
       throw new FqlException(s"Specified time '$s' did not match a known timestamp"))
   }
 
-  private def toNanos(i: Instant): Long = i.getEpochSecond * NanosPerSecond + i.getNano
+  /** Exact epoch-nanos: instants outside Long-nanos range (±292 years of
+    * 1970, e.g. Go Stamp's year-0 default) throw, so ok() rejects the
+    * candidate instead of returning a silently-wrapped garbage value. */
+  private def toNanos(i: Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, NanosPerSecond), i.getNano.toLong)
 
   private val spanNs: Map[String, Long] = Map(
     "@second" -> NanosPerSecond,

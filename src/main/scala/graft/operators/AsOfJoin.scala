@@ -18,6 +18,10 @@ object AsOfJoin {
 
   /** @param right must contain `keys`, `rightTime`, and payload columns whose
     *              names don't collide with `left`'s (alias them beforehand).
+    *              `rightTime` itself is part of the right payload — it comes
+    *              back in the output (the matched observation's timestamp),
+    *              so its NAME must also not collide with any left column;
+    *              alias it (e.g. `click_ts`) if both sides call it `ts`.
     * @param toleranceUs if set, matches older than `leftTime - tolerance` are
     *                    nulled out. */
   def lastOnOrBefore(
