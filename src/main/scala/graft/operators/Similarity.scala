@@ -37,22 +37,90 @@ object Similarity {
     round(dot(a, b) / (norm(a) * norm(b)) * 1e6, 0).cast("long")
 
   /** All pairs (a < b) with cosine ≥ minCosineE6 — embedding near-dup
-    * detection. The corpus is broadcast against itself: right for dimension
-    * tables up to ~a few hundred MB; beyond that, use IVF buckets as the
-    * pairing key instead (same verify step). */
+    * detection, EXACT semantics (no candidate filter — at a loose threshold
+    * like 0.45 the cosine distribution is continuous through the cutoff, so
+    * any LSH/IVF blocking either floods candidates or silently drops pairs;
+    * see [[nearDupPairsLsh]] for the approximate tight-threshold path).
+    *
+    * Scale design: the inherent n² pair-space is executed as a BLOCKED
+    * EQUI-JOIN, not a broadcast nested loop. Ids hash into B blocks; pair
+    * (a,b) is examined exactly once, in cell (block(a), block(b)); each side
+    * is replicated B ways keyed by cell. That gives B² independent
+    * hash-join tasks of (n/B)² pairs each — no full-corpus broadcast, no
+    * O(n) per-executor memory, and AQE picks the join strategy per cell
+    * sizes. Replication factor B per side = sqrt(tasks), the minimum for a
+    * distributed exact self-comparison.
+    *
+    * @param numBlocks B; 0 (default) derives it from
+    *                  spark.sql.shuffle.partitions (B² ≈ 2× partitions). */
   def nearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      minCosineE6: Long): DataFrame = {
+      minCosineE6: Long, numBlocks: Int = 0): DataFrame = {
+    val b =
+      if (numBlocks > 0) numBlocks
+      else {
+        val p = vecs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        math.max(4, math.ceil(math.sqrt(2.0 * p)).toInt)
+      }
     // norms computed and floats widened to double once per row, NOT once per
-    // pair — at n² pairs the difference is the whole game. The streamed
-    // (non-broadcast) side is repartitioned: a single-split source file would
-    // otherwise run the whole n² probe on one core.
-    val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .repartition(col(idCol))
-    val l = vd.select(col(idCol).as("a"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
-    val r = vd.select(col(idCol).as("b"), col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
-    l.join(broadcast(r), col("a") < col("b"))
+    // pair — at n² pairs the difference is the whole game
+    val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__blk", pmod(hash(col(idCol)), lit(b)))
+    val l = vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na"),
+        col("__blk").as("__ba"))
+      .withColumn("__bb", explode(sequence(lit(0), lit(b - 1))))
+    val r = vd.select(col(idCol).as("b"), col("__v").as("vb"), col("__n").as("nb"),
+        col("__blk").as("__rb"))
+      .withColumn("__ra", explode(sequence(lit(0), lit(b - 1))))
+    l.join(r, l("__ba") === r("__ra") && l("__bb") === r("__rb"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= minCosineE6)
+  }
+
+  /** Approximate near-dup pairs via sign-bit LSH: band i's key packs the
+    * sign bits of `bitsPerBand` consecutive dimensions; candidates share at
+    * least one band key and are then EXACTLY verified (cosine ≥ threshold),
+    * so false positives are impossible — only recall is approximate.
+    *
+    * This is the 100 TB path for the regime LSH is actually good at: tight
+    * thresholds (cosine ≳ 0.9, i.e. true near-duplicates), where per-bit
+    * collision probability ≈ 1 − θ/π ≈ 0.9 makes recall ≈ 1 with a few
+    * bands while random pairs collide at 2^-bitsPerBand per band. At loose
+    * thresholds use [[nearDupPairs]] — the candidate/verify trade-off
+    * inverts (SimilaritySpec measures this).
+    *
+    * One shuffle for the banded self-join (cached: the band frame feeds
+    * both sides), one for dedup — same shape as Dedup.minhashPairs. */
+  def nearDupPairsLsh(
+      vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
+      bitsPerBand: Int = 8, numBands: Int = 8): DataFrame = {
+    val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    // band key: fold acc*2 + signbit over dims [i*r, i*r+r), wrapping modulo
+    // the vector length when bands × bits exceed it
+    val banded = vd.select(col(idCol).as("id"), col("__v"), col("__n"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), bandIx =>
+          aggregate(
+            sequence(lit(0L), lit(bitsPerBand - 1L)), lit(0L),
+            (acc, j) => acc * 2 + when(
+              element_at(col("__v"),
+                (pmod(bandIx.cast("long") * bitsPerBand + j, size(col("__v")))
+                  + 1).cast("int")) >= 0d, lit(1L)).otherwise(lit(0L)))))
+          .as(Seq("band_ix", "band_key")))
+      .cache() // feeds both sides of the self-join; don't recompute upstream
+    val cand = banded.select(col("id").as("a"), col("__v").as("va"),
+        col("__n").as("na"), col("band_ix"), col("band_key"))
+      .join(banded.select(col("id").as("b"), col("__v").as("vb"),
+        col("__n").as("nb"), col("band_ix"), col("band_key")),
+        Seq("band_ix", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "va", "vb", "na", "nb")
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
           .cast("long").as("sim_e6"))
       .filter(col("sim_e6") >= minCosineE6)
@@ -81,15 +149,20 @@ object Similarity {
     * `centroids` plays the role of the trained coarse quantizer (for tests a
     * deterministic subset of the corpus; in production the output of k-means
     * — the operator is agnostic). Corpus rows are assigned to their nearest
-    * centroid; a query probes only its own nearest centroid's bucket.
+    * centroid; a query probes its `nprobe` nearest centroids' buckets (the
+    * recall/cost knob every IVF deployment turns first: recall rises with
+    * nprobe, probe cost scales linearly with it; SimilaritySpec measures
+    * recall@k against [[bruteForceTopK]]).
     * Output: (q, rank, id, sim_e6). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, centroidIdCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, centroidIdCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cent = centroids
       .select(col(centroidIdCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-    def assign(df: DataFrame, id: String, out: String): DataFrame = {
+    def assign(df: DataFrame, id: String, out: String, n: Int): DataFrame = {
       val scored = df
         .select(col(id), col(vecCol).cast("array<double>").as("__v"))
         .withColumn("__n", norm(col("__v")))
@@ -97,12 +170,12 @@ object Similarity {
         .select(col(id), col("__v"), col("__n"), col("cid"),
           round(dot(col("__v"), col("cv")) / (col("__n") * col("cn")) * 1e6, 0)
             .cast("long").as("__cs"))
-      bestPerGroup(scored, id, orderCols = Seq(col("__cs").desc, col("cid").asc))
+      topNPerGroup(scored, id, n, orderCols = Seq(col("__cs").desc, col("cid").asc))
         .select(col(id), col("__v"), col("__n"), col("cid").as(out))
     }
-    val bucketed = assign(corpus, idCol, "bucket")
+    val bucketed = assign(corpus, idCol, "bucket", n = 1)
       .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
-    val probed = assign(queries, idCol, "bucket")
+    val probed = assign(queries, idCol, "bucket", n = nprobe)
       .select(col(idCol).as("q"), col("__v").as("qv"), col("__n").as("qn"), col("bucket"))
     val scored = bucketed.join(probed, Seq("bucket"))
       .filter(col("id") =!= col("q"))
@@ -136,9 +209,10 @@ object Similarity {
       .select(col(groupCol), col("rank"), col("id"), col("sim_e6"))
   }
 
-  private def bestPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column]): DataFrame = {
+  private def topNPerGroup(
+      df: DataFrame, groupCol: String, n: Int, orderCols: Seq[Column]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 }

@@ -15,15 +15,20 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // "!" prefix = plan must NOT contain the fragment
     val checks: Seq[(String, Seq[String])] = Seq(
       "fql_since" -> Seq("PushedFilters"),          // time filter reaches parquet
       "q1_agg" -> Seq("partial_", "HashAggregate"), // map-side partial agg
       "q_join_broadcast" -> Seq("BroadcastHashJoin"),
       "q_join_large" -> Seq("Join"),
-      "ann_topk" -> Seq("BroadcastNestedLoopJoin"),
+      "ann_topk" -> Seq("BroadcastNestedLoopJoin"), // its contract: small query set broadcast
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       "fql_filter" -> Seq("PushedFilters"),
+      // exact all-pairs must run as the blocked equi-join, never a
+      // corpus-vs-self broadcast nested loop
+      "emb_neardup" -> Seq("!BroadcastNestedLoopJoin", "!CartesianProduct"),
     )
+    var failed = 0
     checks.foreach { case (name, wants) =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -31,9 +36,14 @@ object Plans {
       println(s"\n######## $name")
       println(plan.linesIterator.take(40).mkString("\n"))
       wants.foreach { w =>
-        println(s"[check] $name contains '$w': ${plan.contains(w)}")
+        val (frag, want) = if (w.startsWith("!")) (w.tail, false) else (w, true)
+        val ok = plan.contains(frag) == want
+        if (!ok) failed += 1
+        val label = if (want) "contains" else "lacks"
+        println(s"[check] $name $label '$frag': $ok")
       }
     }
     spark.stop()
+    if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }
   }
 }

@@ -53,4 +53,77 @@ class SimilaritySpec extends SparkSpec {
     val v = df.select(Similarity.cosineE6($"a", $"b")).as[Long].head()
     assert(v == 1000000L)
   }
+
+  // ---- randomized corpus with planted near-dups --------------------------
+
+  private def plantedCorpus(n: Int, dim: Int, planted: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(42)
+    def randVec() = Array.fill(dim)((rnd.nextGaussian() / math.sqrt(dim)).toFloat)
+    val base = (0 until n).map(i => (i.toLong, randVec()))
+    // planted pair (i, n+i): tiny perturbation → cosine ≈ 0.995+
+    val dups = (0 until planted).map { i =>
+      val v = base(i)._2.map(x => x + (rnd.nextGaussian() * 0.02 / math.sqrt(dim)).toFloat)
+      ((n + i).toLong, v)
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  private def naivePairs(df: org.apache.spark.sql.DataFrame, minE6: Long): Set[(Long, Long, Long)] = {
+    val rows = df.as[(Long, Array[Float])].collect()
+    (for {
+      (a, va) <- rows; (b, vb) <- rows; if a < b
+      d = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      s = math.round(d / (na * nb) * 1e6)
+      if s >= minE6
+    } yield (a, b, s)).toSet
+  }
+
+  test("blocked nearDupPairs matches naive all-pairs exactly (all block counts)") {
+    val corpus = plantedCorpus(n = 120, dim = 16, planted = 10)
+    val expect = naivePairs(corpus, 450000)
+    assert(expect.nonEmpty)
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        minCosineE6 = 450000, numBlocks = blocks)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expect, s"numBlocks=$blocks")
+    }
+  }
+
+  test("nearDupPairsLsh: full recall on tight-threshold planted dups, no false positives") {
+    val corpus = plantedCorpus(n = 200, dim = 64, planted = 20)
+    val exact = naivePairs(corpus, 950000)
+    assert(exact.size >= 15, s"planting produced only ${exact.size} tight pairs")
+    val lsh = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding",
+      minCosineE6 = 950000, bitsPerBand = 8, numBands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // exact verify ⇒ no false positives
+    assert(lsh.subsetOf(exact))
+    // near-identical vectors agree on ~all sign bits ⇒ recall ≈ 1 here
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("ivfTopK recall@k rises with nprobe and hits 1.0 at nprobe = #centroids") {
+    val corpus = plantedCorpus(n = 300, dim = 16, planted = 0)
+    val queries = corpus.filter($"vec_id" % 29 === 0)
+    val centroids = corpus.filter($"vec_id" % 60 === 0) // 5 centroids
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("q", "id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 2, 5).map { np =>
+      val got = Similarity.ivfTopK(corpus, queries, centroids,
+        "vec_id", "embedding", "vec_id", k = 5, nprobe = np)
+        .select("q", "id").as[(Long, Long)].collect().toSet
+      np -> got.intersect(exact).size.toDouble / exact.size
+    }
+    // candidate set grows with nprobe and exact members always outrank
+    // non-members ⇒ recall is non-decreasing
+    recalls.sliding(2).foreach { case Seq((_, r1), (_, r2)) =>
+      assert(r1 <= r2 + 1e-9, s"recall not non-decreasing: $recalls")
+    }
+    // probing every bucket = exhaustive search = exact top-k
+    assert(math.abs(recalls.last._2 - 1.0) < 1e-9, s"nprobe=all recall: $recalls")
+  }
 }
