@@ -27,9 +27,13 @@ object Bench {
     }
 
     val results = queries.map { case (name, fn) =>
-      // min of two timed runs: first-run codegen/JIT noise on a query's
-      // unique plan shape otherwise dominates sub-second entries
-      val dt = (0 until 2).map { _ =>
+      // median of three timed runs, per-run times kept in the output: a
+      // shared-sandbox contention spike on one run (r3: dedup_minhash 8.7 s
+      // reported vs 1.6 s reproduced) is then visible as an outlier instead
+      // of poisoning the headline total; the first run also carries
+      // codegen/JIT for the query's unique plan shape, which the median
+      // discards
+      val runs = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -38,13 +42,18 @@ object Bench {
         // timed window: teardown cost isn't part of the query
         spark.catalog.clearCache()
         elapsed
-      }.min
-      name -> dt
+      }
+      val median = runs.sorted.apply(runs.size / 2)
+      (name, median, runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = results.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = f(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -222,7 +222,7 @@ object Dedup {
     val nEdges = cached.count()
     val out =
       if (nEdges <= localThreshold) localComponents(cached)
-      else distributedComponents(cached, maxIters)
+      else distributedComponents(cached, maxIters, nEdges)
     cached.unpersist()
     out
   }
@@ -251,19 +251,39 @@ object Dedup {
     rows.toDF("id", "survivor")
   }
 
-  /** Iterative min-label propagation — the big-graph path. */
-  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
-    // duplicate graphs are tiny relative to the corpus — collapse to a few
-    // partitions so each propagation round doesn't pay full-width shuffles
+  /** Iterative min-label propagation — the big-graph path.
+    *
+    * Parallelism scales with the graph: ~1M (directed) edges per partition,
+    * floored at 4 and capped at the session's shuffle parallelism — this
+    * branch only runs when the graph EXCEEDS the local-union-find threshold,
+    * so a fixed tiny partition count is exactly wrong here.
+    *
+    * Convergence is detected by the exact DECIMAL sum of all labels: labels
+    * are monotonically non-increasing under min-propagation, so an unchanged
+    * sum ⇔ a fixpoint — one cheap scan per round, no join-against-previous
+    * just to test convergence.
+    *
+    * Each round is `localCheckpoint`ed, not merely cached: `labels` feeds
+    * BOTH sides of the propagation join, so without truncating the lineage
+    * the logical plan doubles every round (2^rounds nodes — deep graphs OOM
+    * just *rendering* the plan description for the query listener).
+    * Checkpointing makes round k's plan O(1) regardless of k. */
+  private def distributedComponents(
+      pairs: DataFrame, maxIters: Int, nEdges: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    val shufflePar = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val nParts = math.max(4L, math.min(shufflePar.toLong, 1L + 2L * nEdges / 1000000L)).toInt
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .coalesce(4)
+      .repartition(nParts, col("b")) // the propagation join below keys on b
       .cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .coalesce(4)
-      .cache()
+      .localCheckpoint() // eager: materializes and truncates lineage
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -273,11 +293,11 @@ object Dedup {
         .groupBy(col("a").as("id")).agg(min("nl").as("nl"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next // superseded checkpoint RDDs are GC'd by ContextCleaner
       i += 1
     }
     if (!converged)

@@ -56,6 +56,21 @@ class DedupSpec extends SparkSpec {
     assert(dropped == 3)
   }
 
+  test("distributedComponents converges on a deep path graph (>3 rounds)") {
+    // path 0-1-2-...-11: min-label needs 11 propagation rounds to reach the
+    // far end — exercises the multi-round loop, per-round re-caching, and
+    // the sum-based convergence detection well past the shallow-clique case
+    val n = 12
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, maxIters = 20, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0 until n).map(i => i.toLong -> 0L).toMap)
+    // too-low round budget must throw, never return partial labels
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIters = 3, localThreshold = 0).collect()
+    }
+  }
+
   test("ngramJaccardPairs: near-dups found exactly, j_e4 exact") {
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccardE4 = 5000)
       .as[(Long, Long, Long)].collect().toSet
