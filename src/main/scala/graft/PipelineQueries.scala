@@ -92,6 +92,23 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCosineE6 = 450000)
         .orderBy("a", "b")),
+    // tight-threshold near-dup via the sign-bit LSH path: candidates are
+    // pairs sharing ≥1 band key, then EXACT cosine verification — both
+    // stages deterministic, so the DuckDB twin mirrors candidate
+    // generation band-for-band. The corpus plants deterministic near-dups
+    // (a second copy of every vector with its upper half zeroed → cosine
+    // ≈ ‖first half‖/‖v‖ ≈ 0.7) because the synthetic embeddings have no
+    // tight pairs of their own (max background cosine ≈ 0.51 at sf0.01);
+    // planted pairs collide in the first 4 bands by construction.
+    "emb_neardup_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val masked = e.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < 32, x, CAST(0.0 AS FLOAT)))")
+          .as("embedding"))
+      Similarity.nearDupPairsLsh(e.unionByName(masked), "vec_id", "embedding",
+        minCosineE6 = 600000, bitsPerBand = 8, numBands = 8)
+        .orderBy("a", "b")
+    }),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy("id", "i")),
@@ -251,6 +268,32 @@ object PipelineQueries {
       |  ${cosE6("a.embedding", "b.embedding")} AS sim_e6
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE ${cosE6("a.embedding", "b.embedding")} >= 450000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    // mirrors nearDupPairsLsh exactly: 1-based DuckDB indexing over the
+    // same masked-double corpus; band key = Σ signbit(v[b*8+j]) << (7-j)
+    // (the fold acc*2+bit in band-local order), then ≥1-band candidates
+    // verified with the shared cosE6
+    "emb_neardup_lsh" -> s"""
+      |WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CASE WHEN i <= 32 THEN embedding[i]::DOUBLE ELSE 0 END)
+      |  FROM embeddings),
+      |banded AS (
+      |  SELECT vec_id AS id, v, r.b AS band_ix,
+      |    CAST(list_sum(list_transform(range(0, 8),
+      |      j -> CASE WHEN v[CAST(r.b * 8 + j + 1 AS INT)] >= 0
+      |           THEN (CAST(1 AS BIGINT) << (7 - j)) ELSE 0 END)) AS BIGINT) AS band_key
+      |  FROM corpus, range(0, 8) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.id AS a, r.id AS b, l.v AS va, r.v AS vb
+      |  FROM banded l JOIN banded r
+      |    ON l.band_ix = r.band_ix AND l.band_key = r.band_key AND l.id < r.id)
+      |SELECT a, b, ${cosE6("va", "vb")} AS sim_e6
+      |FROM cand WHERE ${cosE6("va", "vb")} >= 600000
       |ORDER BY a, b""".stripMargin.trim,
 
     "emb_quantize" -> """

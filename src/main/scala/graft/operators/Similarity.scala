@@ -63,10 +63,15 @@ object Similarity {
         math.max(4, math.ceil(math.sqrt(2.0 * p)).toInt)
       }
     // norms computed and floats widened to double once per row, NOT once per
-    // pair — at n² pairs the difference is the whole game
+    // pair — at n² pairs the difference is the whole game. The repartition
+    // does double duty: a single-file corpus otherwise computes every norm
+    // on ONE input partition, and because l/r are projections over the SAME
+    // exchange subtree, Spark's ReusedExchange evaluates the scan+norm once
+    // for both sides of the self-join.
     val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", norm(col("__v")))
       .withColumn("__blk", pmod(hash(col(idCol)), lit(b)))
+      .repartition(col(idCol))
     val l = vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na"),
         col("__blk").as("__ba"))
       .withColumn("__bb", explode(sequence(lit(0), lit(b - 1))))
@@ -94,16 +99,31 @@ object Similarity {
     * inverts (SimilaritySpec measures this).
     *
     * One shuffle for the banded self-join (cached: the band frame feeds
-    * both sides), one for dedup — same shape as Dedup.minhashPairs. */
+    * both sides), one for dedup — same shape as Dedup.minhashPairs.
+    *
+    * Effective bands are capped at floor(dim / bitsPerBand): beyond that the
+    * sign-bit windows would wrap around the vector and duplicate earlier
+    * bands bit-for-bit, silently shrinking the REAL band count (and so
+    * recall) below the configured one. With the cap, asking for more bands
+    * than the dimensionality supports degrades recall visibly (fewer
+    * collision chances) instead of silently.
+    *
+    * Cache lifecycle: the banded frame stays cached for the life of the
+    * returned (lazy) plan — callers that run many LSH passes in one session
+    * should `spark.catalog.clearCache()` between them, the same contract as
+    * [[Dedup]]'s banded self-joins (Bench/Verify do). */
   def nearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
       bitsPerBand: Int = 8, numBands: Int = 8): DataFrame = {
     val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", norm(col("__v")))
-    // band key: fold acc*2 + signbit over dims [i*r, i*r+r), wrapping modulo
-    // the vector length when bands × bits exceed it
+      .repartition(col(idCol)) // parallelize per-row prep; ReusedExchange
+    // band key: fold acc*2 + signbit over dims [i*r, i*r+r); bands that
+    // would overrun the vector (i >= dim/r) are dropped, not wrapped
+    val effBands = least(lit(numBands),
+      greatest(floor(size(col("__v")) / bitsPerBand).cast("int"), lit(1)))
     val banded = vd.select(col(idCol).as("id"), col("__v"), col("__n"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)), bandIx =>
+        posexplode(transform(sequence(lit(0), effBands - 1), bandIx =>
           aggregate(
             sequence(lit(0L), lit(bitsPerBand - 1L)), lit(0L),
             (acc, j) => acc * 2 + when(
