@@ -104,6 +104,20 @@ object Queries {
     "fql_sample_global" -> ((s, d) =>
       entryOut(Sample.greedyGlobal(
         Tables.eventEntries(s, d).drop("__t_ns"), 3600L * 1000000000L))),
+    // the ENGINE'S OWN storage path end-to-end (reference lifecycle
+    // `pkg/database/db.go:554-649`): events ingested through
+    // ParquetStore.append — schema-group/topic-partition layout,
+    // catalog.json persistence — then queried back through a FRESH client
+    // (catalog restore from disk) with a topic prefix (partition pruning)
+    // and a time predicate (row-group pruning on the time-sorted files)
+    "store_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_store_rt").toString
+      val c = new graft.api.LocalClient(s, root, fixedClock)
+      c.createTopic("/events", "float64")
+      c.appendFrame(Tables.eventEntries(s, d).drop("__t_ns"), "float64")
+      val reopened = new graft.api.LocalClient(s, root, fixedClock)
+      entryOut(reopened.query("all in /events/purchase since ~(2024/01/15)"))
+    }),
   )
 
   def fqlOracles: Map[String, String] = {
@@ -169,6 +183,12 @@ object Queries {
         |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic, e.value
         |FROM events e JOIN kept k ON e.ts = k.t
         |ORDER BY t_us, topic""".stripMargin.trim,
+      // the store is lossless for (time µs, topic, value): the oracle is
+      // the same scan+predicate straight off the source table
+      "store_roundtrip" -> (
+        s"SELECT $entryCols, value FROM events WHERE event_type = 'purchase' " +
+          "AND ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2025-01-01' " +
+          "ORDER BY t_us, topic"),
     )
   }
 
@@ -271,7 +291,11 @@ object Queries {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
     // trailing-time-window aggregate: RANGE frame over event time — the
-    // moving-average building block fossil lacks; exact via cents sums
+    // moving-average building block fossil lacks; exact via cents sums.
+    // qty7d_cents (and q_gap_fill's carry_cents) surface as DOUBLE only for
+    // driver dtype parity with DuckDB's window-SUM result type; the values
+    // are integer cents far below 2^53 (a 7-day window of ~50-qty lines is
+    // <1e7 cents even at sf100), so the cast is exact, not a rounding trap.
     "q_moving_sum" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("graft_li")
       s.sql("""

@@ -5,8 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.engine.{FossilEngine, FossilSchema, ParquetStore}
+import graft.engine.{Codec, FossilEngine, FossilSchema, ParquetStore, SchemaViolationException}
 import graft.fql.Compiler
+import graft.functions.FossilDecode
 
 /** Embedded local client — the analog of the reference's server-less mode
   * (`api/local.go:17-91`, connection string `file://path`), exposing the
@@ -47,6 +48,37 @@ final class LocalClient(
         StructField("time", TimestampType), StructField("topic", StringType),
         StructField("value", st.sparkType))))
     store.append(df, st)
+  }
+
+  /** Bulk APPEND of an entries DataFrame `(time, topic, value)` sharing one
+    * schema DDL — the distributed ingest path (no rows through the driver);
+    * topics auto-create with inheritance like [[append]]. */
+  def appendFrame(rows: DataFrame, ddl: String): Unit =
+    store.append(rows.select("time", "topic", "value"), FossilSchema.parse(ddl))
+
+  /** Raw-bytes APPEND: the reference's schema-on-append gate
+    * (`pkg/database/db.go:489-495` → `pkg/schema/objects.go:101-134`).
+    * `bytes` must validate against the topic's catalog schema — rejected
+    * with a typed [[SchemaViolationException]] otherwise — and good bytes
+    * are decoded through the [[FossilDecode]] wire codec into the typed
+    * store, so a later query returns the same value the bytes encoded. */
+  def appendRaw(topic: String, bytes: Array[Byte], time: Timestamp = null): Unit = {
+    val schema = store.catalog.ensure(topic)
+    if (!Codec.validates(schema, bytes))
+      throw new SchemaViolationException(
+        s"append of ${bytes.length} bytes does not conform to topic $topic " +
+          s"schema ${schema.ddl}")
+    val at = if (time != null) time
+      else new Timestamp(Math.floorDiv(clock(), 1000000L))
+    import org.apache.spark.sql.functions.col
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(at, topic, bytes)), 1),
+      StructType(Seq(
+        StructField("time", TimestampType), StructField("topic", StringType),
+        StructField("value", BinaryType))))
+    val typed = raw.select(col("time"), col("topic"),
+      FossilDecode(schema.ddl, col("value")).as("value"))
+    store.append(typed, schema)
   }
 
   def createTopic(path: String, ddl: String = "string"): Unit =

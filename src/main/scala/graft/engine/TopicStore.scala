@@ -21,6 +21,12 @@ trait TopicStore {
   def entries(prefix: String): DataFrame
 }
 
+/** Typed append-time rejection: the payload (bytes or schema) does not
+  * conform to the topic's catalog schema — the analog of the reference's
+  * schema-on-append error (`pkg/database/db.go:489-495`). */
+final class SchemaViolationException(message: String)
+    extends IllegalArgumentException(message)
+
 /** In-memory view over an existing DataFrame — the embedded "local client"
   * path (`api/local.go:17-91` analog) and the adapter for querying arbitrary
   * tables (e.g. the events table) through FQL. */
@@ -62,14 +68,29 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * different width (e.g. int32 rows into an int64 topic) under its own
     * group would make the rows silently invisible to every query. */
   def append(rows: DataFrame, schema: SType): Unit = {
-    val topics = rows.select("topic").distinct().collect().map(_.getString(0))
+    // the distinct-topic list is a driver collect bounded ONLY by topic
+    // cardinality — safe for the store's design envelope (topics are a
+    // catalog-sized namespace, not a data-sized one) but guarded so a
+    // mis-keyed append (e.g. a per-row unique "topic") fails loudly
+    // instead of OOMing the driver. limit(max+1) keeps the job itself
+    // bounded: Spark stops scanning once max+1 distinct values are found.
+    val maxTopics = ParquetStore.maxTopicsPerAppend
+    val topics = rows.select("topic").distinct().limit(maxTopics + 1)
+      .collect().map(_.getString(0))
+    if (topics.length > maxTopics)
+      throw new IllegalArgumentException(
+        s"append spans more than $maxTopics distinct topics — topic looks " +
+          "data-keyed, not namespace-keyed (cap: graft.store.maxTopicsPerAppend)")
     val topicSchema = topics.map { t =>
       val existing = catalog.ensure(t)
-      // appends must FIT the topic schema (combine == topic schema, i.e.
-      // same or narrower). A wider append (int64 into int32) would survive
-      // the ambiguity check but silently wrap on the cast — the reference
-      // rejects bytes that don't validate against the topic schema.
-      if (FossilSchema.combine(existing, schema) != existing)
+      // appends must FIT the topic schema (equal, or combine == topic
+      // schema, i.e. narrower). Equality is checked first: Combine maps
+      // ANY composite pair to ambiguous — correct for prefix-scan merging,
+      // but an identical composite trivially fits. A wider append (int64
+      // into int32) would survive the ambiguity check but silently wrap on
+      // the cast — the reference rejects bytes that don't validate against
+      // the topic schema.
+      if (schema != existing && FossilSchema.combine(existing, schema) != existing)
         throw new IllegalArgumentException(
           s"append schema ${schema.ddl} does not fit topic $t schema ${existing.ddl}")
       t -> existing
@@ -126,6 +147,11 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
 }
 
 object ParquetStore {
+  /** Cap on distinct topics per append call (see [[ParquetStore.append]]);
+    * JVM-wide, overridable for tests via the system property. */
+  def maxTopicsPerAppend: Int =
+    sys.props.get("graft.store.maxTopicsPerAppend").map(_.toInt).getOrElse(100000)
+
   def schemaKey(s: SType): String = {
     val ddl = s.ddl
     // filesystem-safe stable key

@@ -27,6 +27,12 @@ object Plans {
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop
       "emb_neardup" -> Seq("!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // LSH candidate generation must stay a banded equi-join (SortMergeJoin
+      // or shuffled hash on (band_ix, band_key)) — same contract
+      "emb_neardup_lsh" -> Seq("Join", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // store path: the time predicate must prune at the parquet scan of
+      // the store's own files, and topic must be a partition filter
+      "store_roundtrip" -> Seq("PushedFilters", "PartitionFilters"),
     )
     var failed = 0
     checks.foreach { case (name, wants) =>

@@ -1,0 +1,100 @@
+package graft.api
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Base64
+
+import graft.SparkSpec
+import graft.engine.{Codec, FossilSchema}
+import graft.fql.Compiler
+
+/** Socket smoke test for the S7 wire front-end: frames a real TCP
+  * round-trip of VERSION / CREATE / APPEND / QUERY / LIST / USE in the
+  * reference's message shape (`pkg/proto/message.go:80-113`). */
+class WireServerSpec extends SparkSpec {
+
+  private val fixedClock: Compiler.Clock = () => 1735689600L * 1000000000L
+
+  private def send(out: DataOutputStream, cmd: String, payload: Array[Byte]): Unit =
+    WireServer.writeMessage(out, cmd, payload)
+
+  private def recv(in: DataInputStream): (String, Array[Byte]) =
+    WireServer.readMessage(in)
+
+  private def codeOf(payload: Array[Byte]): Int = ByteBuffer.wrap(payload).getInt
+
+  private def withTopic(topic: String, rest: Array[Byte]): Array[Byte] = {
+    val t = topic.getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(4 + t.length + rest.length)
+    b.putInt(t.length).put(t).put(rest)
+    b.array()
+  }
+
+  test("wire round-trip: VERSION, CREATE, APPEND, QUERY, LIST, USE") {
+    val rootA = Files.createTempDirectory("graft_wire_a").toString
+    val rootB = Files.createTempDirectory("graft_wire_b").toString
+    val server = new WireServer(spark, Map("a" -> rootA, "b" -> rootB), "a", fixedClock)
+    try {
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+
+      send(out, "VERSION", Array.emptyByteArray)
+      val (vc, vp) = recv(in)
+      assert(vc == "OK" && codeOf(vp) == 200)
+      assert(new String(vp.drop(4), StandardCharsets.UTF_8) == WireServer.Version)
+
+      send(out, "CREATE", withTopic("/wire/t", "float64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+
+      // schema-on-append gate over the wire: 3 bytes into float64 → ERR
+      send(out, "APPEND", withTopic("/wire/t", Array[Byte](1, 2, 3)))
+      val (ec, ep) = recv(in)
+      assert(ec == "ERR" && codeOf(ep) == 500)
+
+      val bytes = Codec.encode(FossilSchema.SFloat64, 42.5)
+      send(out, "APPEND", withTopic("/wire/t", bytes))
+      assert(codeOf(recv(in)._2) == 200)
+
+      send(out, "QUERY", "all in /wire/t".getBytes(StandardCharsets.UTF_8))
+      val (qc, qp) = recv(in)
+      assert(qc == "OK")
+      val buf = ByteBuffer.wrap(qp)
+      assert(buf.getInt == 1) // one entry
+      val line = new Array[Byte](buf.getInt)
+      buf.get(line)
+      val parts = new String(line, StandardCharsets.UTF_8).split("\t")
+      assert(parts.length == 4)
+      assert(parts(1) == "/wire/t" && parts(3) == "float64")
+      // entry data is the fossil wire encoding of the stored value
+      assert(Base64.getDecoder.decode(parts(2)).sameElements(bytes))
+
+      send(out, "LIST", Array.emptyByteArray)
+      val (_, lp) = recv(in)
+      val lbuf = ByteBuffer.wrap(lp)
+      val n = lbuf.getInt
+      val items = (0 until n).map { _ =>
+        val s = new Array[Byte](lbuf.getInt); lbuf.get(s)
+        new String(s, StandardCharsets.UTF_8)
+      }
+      assert(items.exists(_.startsWith("/wire/t ")))
+
+      // USE switches the per-connection store: /wire/t is invisible in b
+      send(out, "USE", "b".getBytes(StandardCharsets.UTF_8))
+      val (uc, up) = recv(in)
+      assert(uc == "OK" && codeOf(up) == 201) // "database changed"
+      send(out, "QUERY", "all in /wire/t".getBytes(StandardCharsets.UTF_8))
+      val (qc2, qp2) = recv(in)
+      assert(qc2 == "OK" && ByteBuffer.wrap(qp2).getInt == 0)
+
+      send(out, "FROB", Array.emptyByteArray)
+      val (xc, xp) = recv(in)
+      assert(xc == "ERR" && codeOf(xp) == 501) // command not found
+
+      sock.close()
+    } finally server.close()
+  }
+}

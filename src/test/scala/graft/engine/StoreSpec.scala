@@ -140,4 +140,86 @@ class StoreSpec extends SparkSpec {
     assert(df.schema("value").dataType == org.apache.spark.sql.types.LongType)
     assert(df.count() == 2)
   }
+
+  test("appendRaw: non-conforming bytes rejected with a typed error") {
+    val root = Files.createTempDirectory("graft_store_raw1").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/raw/f", "float64")
+    // 3 bytes into an 8-byte float64 → schema-on-append gate fires
+    assertThrows[SchemaViolationException] {
+      c.appendRaw("/raw/f", Array[Byte](1, 2, 3))
+    }
+    // composite with trailing garbage must fail length-exactness too
+    c.createTopic("/raw/c", """{"a": int32, "s": string}""")
+    val good = Codec.encode(
+      FossilSchema.parse("""{"a": int32, "s": string}"""), Map("a" -> 7, "s" -> "hi"))
+    assertThrows[SchemaViolationException] {
+      c.appendRaw("/raw/c", good ++ Array[Byte](0))
+    }
+    assert(c.query("all in /raw").count() == 0) // nothing landed
+  }
+
+  test("appendRaw: good bytes round-trip byte-exact through the codec") {
+    val root = Files.createTempDirectory("graft_store_raw2").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    val at = Timestamp.valueOf("2024-06-01 10:00:00")
+
+    c.createTopic("/raw/f", "float64")
+    val fBytes = Codec.encode(FossilSchema.SFloat64, 21.5)
+    c.appendRaw("/raw/f", fBytes, at)
+    val fRow = c.query("all in /raw/f").collect()(0)
+    val fBack = fRow.getDouble(fRow.fieldIndex("value"))
+    assert(fBack == 21.5)
+    // re-encoding what the store returns reproduces the ingested bytes
+    assert(Codec.encode(FossilSchema.SFloat64, fBack).sameElements(fBytes))
+
+    val ddl = """{"a": int32, "s": string}"""
+    c.createTopic("/raw/c", ddl)
+    val cBytes = Codec.encode(FossilSchema.parse(ddl), Map("a" -> 7, "s" -> "hi"))
+    c.appendRaw("/raw/c", cBytes, at)
+    val cRow = c.query("all in /raw/c").collect()(0)
+    val struct = cRow.getStruct(cRow.fieldIndex("value"))
+    val back = struct.schema.fieldNames.zip(struct.toSeq).toMap
+    assert(back == Map("a" -> 7, "s" -> "hi"))
+    // re-encoding what the store returns reproduces the ingested bytes
+    assert(Codec.encode(FossilSchema.parse(ddl), back).sameElements(cBytes))
+  }
+
+  test("append caps the distinct-topic collect (data-keyed topic fails loudly)") {
+    val root = Files.createTempDirectory("graft_store_cap").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/cap", "int64") // children inherit int64
+    sys.props("graft.store.maxTopicsPerAppend") = "2"
+    try {
+      val rows = (1 to 3).map(i => org.apache.spark.sql.Row(
+        Timestamp.valueOf("2024-01-01 00:00:00"), s"/cap/t$i", i.toLong))
+      val e = intercept[IllegalArgumentException] { c.appendBatch(rows, "int64") }
+      assert(e.getMessage.contains("distinct topics"))
+      // under the cap ingest is unchanged
+      c.appendBatch(rows.take(2), "int64")
+      assert(c.query("all in /cap").count() == 2)
+    } finally sys.props -= "graft.store.maxTopicsPerAppend"
+  }
+
+  test("session: USE switches between named stores") {
+    val rootA = Files.createTempDirectory("graft_sess_a").toString
+    val rootB = Files.createTempDirectory("graft_sess_b").toString
+    val sess = new graft.api.Session(spark, fixedClock)
+    sess.attach("a", s"file://$rootA") // file:// connection-string shape
+    sess.attach("b", rootB)            // bare-path shape
+
+    sess.use("a")
+    sess.client.createTopic("/only/a", "int64")
+    sess.client.append("/only/a", 1L, Timestamp.valueOf("2024-01-01 00:00:00"))
+    sess.use("b")
+    sess.client.createTopic("/only/b", "string")
+    sess.client.append("/only/b", "x", Timestamp.valueOf("2024-01-01 00:00:00"))
+
+    assert(sess.use("a").listTopics.toMap.contains("/only/a"))
+    assert(!sess.use("a").listTopics.toMap.contains("/only/b"))
+    assert(sess.query("all in /only/a").count() == 1) // routes to active store
+    assert(sess.use("b").listTopics.toMap.contains("/only/b"))
+    assert(sess.query("all in /only/b").count() == 1)
+    assertThrows[IllegalArgumentException] { sess.use("nope") }
+  }
 }
