@@ -82,6 +82,16 @@ class WireServerSpec extends SparkSpec {
       }
       assert(items.exists(_.startsWith("/wire/t ")))
 
+      send(out, "STATS", Array.emptyByteArray)
+      val (_, sp) = recv(in)
+      val sbuf = ByteBuffer.wrap(sp)
+      val sn = sbuf.getInt
+      val statLines = (0 until sn).map { _ =>
+        val s = new Array[Byte](sbuf.getInt); sbuf.get(s)
+        new String(s, StandardCharsets.UTF_8)
+      }
+      assert(statLines.exists(l => l.startsWith("/wire/t ") && l.contains("n=1")))
+
       // USE switches the per-connection store: /wire/t is invisible in b
       send(out, "USE", "b".getBytes(StandardCharsets.UTF_8))
       val (uc, up) = recv(in)
