@@ -98,8 +98,15 @@ object Similarity {
     * thresholds use [[nearDupPairs]] — the candidate/verify trade-off
     * inverts (SimilaritySpec measures this).
     *
-    * One shuffle for the banded self-join (cached: the band frame feeds
-    * both sides), one for dedup — same shape as Dedup.minhashPairs.
+    * Execution shape: the banded self-join is SLIM — ids and band keys
+    * only, never the vectors. With b-bit bands random pairs collide at
+    * ~2^-b per band, so the candidate stream can be orders of magnitude
+    * larger than the corpus; carrying the embeddings through that join's
+    * shuffle (and the pair-dedup shuffle after it) multiplies shuffle
+    * bytes by the vector width. Instead candidates are deduped as bare
+    * (a,b) pairs and the vectors join back in two hash joins against the
+    * prepped corpus frame — the join-back is keyed on id, so AQE picks
+    * broadcast vs shuffle per actual corpus size.
     *
     * Effective bands are capped at floor(dim / bitsPerBand): beyond that the
     * sign-bit windows would wrap around the vector and duplicate earlier
@@ -118,11 +125,13 @@ object Similarity {
     val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", norm(col("__v")))
       .repartition(col(idCol)) // parallelize per-row prep; ReusedExchange
+      .cache() // feeds banding AND both sides of the verify join-back
     // band key: fold acc*2 + signbit over dims [i*r, i*r+r); bands that
     // would overrun the vector (i >= dim/r) are dropped, not wrapped
     val effBands = least(lit(numBands),
       greatest(floor(size(col("__v")) / bitsPerBand).cast("int"), lit(1)))
-    val banded = vd.select(col(idCol).as("id"), col("__v"), col("__n"),
+    // ids + band keys ONLY — the candidate join must stay narrow
+    val banded = vd.select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(0), effBands - 1), bandIx =>
           aggregate(
             sequence(lit(0L), lit(bitsPerBand - 1L)), lit(0L),
@@ -132,15 +141,16 @@ object Similarity {
                   + 1).cast("int")) >= 0d, lit(1L)).otherwise(lit(0L)))))
           .as(Seq("band_ix", "band_key")))
       .cache() // feeds both sides of the self-join; don't recompute upstream
-    val cand = banded.select(col("id").as("a"), col("__v").as("va"),
-        col("__n").as("na"), col("band_ix"), col("band_key"))
-      .join(banded.select(col("id").as("b"), col("__v").as("vb"),
-        col("__n").as("nb"), col("band_ix"), col("band_key")),
+    val cand = banded.select(col("id").as("a"), col("band_ix"), col("band_key"))
+      .join(banded.select(col("id").as("b"), col("band_ix"), col("band_key")),
         Seq("band_ix", "band_key"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "va", "vb", "na", "nb")
+      .select("a", "b")
       .dropDuplicates("a", "b")
-    cand.select(col("a"), col("b"),
+    cand
+      .join(vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na")), Seq("a"))
+      .join(vd.select(col(idCol).as("b"), col("__v").as("vb"), col("__n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
           .cast("long").as("sim_e6"))
       .filter(col("sim_e6") >= minCosineE6)

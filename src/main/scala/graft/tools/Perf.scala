@@ -36,6 +36,18 @@ object Perf {
     time("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
     spark.catalog.clearCache()
     time("emb_neardup")(Similarity.nearDupPairs(emb, "vec_id", "embedding", 450000).count())
+    spark.catalog.clearCache()
+    // same doubled corpus as the emb_neardup_lsh driver query
+    time("emb_neardup_lsh") {
+      val e = emb.select(col("vec_id"), col("embedding"))
+      val masked = e.select((col("vec_id") + 100000).as("vec_id"),
+        org.apache.spark.sql.functions
+          .expr("transform(embedding, (x, i) -> IF(i < 32, x, CAST(0.0 AS FLOAT)))")
+          .as("embedding"))
+      Similarity.nearDupPairsLsh(e.unionByName(masked), "vec_id", "embedding",
+        600000, 8, 8).count()
+    }
+    spark.catalog.clearCache()
     time("ann_topk")(Similarity.bruteForceTopK(emb,
       emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5).count())
     spark.stop()
