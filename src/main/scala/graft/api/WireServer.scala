@@ -116,13 +116,13 @@ final class WireServer(
         val fql = new String(payload, StandardCharsets.UTF_8)
         val df = session.query(fql)
         val schemaDdl = sparkValueDdl(df)
-        // entry lines stream one partition at a time; the u32-count header
-        // requires the count first, so count() runs ahead of the stream
-        // (two passes — the wire contract's shape, not the analytic path's)
-        val n = df.count()
+        // entry lines pull one partition at a time (toLocalIterator); the
+        // u32-count header is counted during that same single execution and
+        // patched into the buffered body before it hits the socket
         val body = new java.io.ByteArrayOutputStream()
         val bo = new DataOutputStream(body)
-        bo.writeInt(n.toInt)
+        bo.writeInt(0) // count placeholder
+        var n = 0
         val rows = df.toLocalIterator()
         while (rows.hasNext) {
           val r = rows.next()
@@ -130,8 +130,11 @@ final class WireServer(
           val bytes = line.getBytes(StandardCharsets.UTF_8)
           bo.writeInt(bytes.length)
           bo.write(bytes)
+          n += 1
         }
-        writeMessage(out, "OK", body.toByteArray)
+        val resp = body.toByteArray
+        java.nio.ByteBuffer.wrap(resp).putInt(n)
+        writeMessage(out, "OK", resp)
       case other =>
         writeMessage(out, "ERR", errPayload(501, s"command not found: $other"))
     }
