@@ -46,7 +46,9 @@ object Bench {
       val median = runs.sorted.apply(runs.size / 2)
       (name, median, runs)
     }
-    def f(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would corrupt the one JSON line the driver parses
+    def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, runs) =>

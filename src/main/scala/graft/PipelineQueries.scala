@@ -102,7 +102,12 @@ object PipelineQueries {
     // planted pairs collide in the first 4 bands by construction.
     "emb_neardup_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val masked = e.select((col("vec_id") + 100000).as("vec_id"),
+      // masked-copy ids offset past max(vec_id) so they can never collide
+      // with real ids at any scale factor (the oracle mirrors the same
+      // scalar subquery); the tiny max() scan is part of the test fixture,
+      // not the operator
+      val off = e.agg(max("vec_id")).first().getLong(0) + 1
+      val masked = e.select((col("vec_id") + off).as("vec_id"),
         expr("transform(embedding, (x, i) -> IF(i < 32, x, CAST(0.0 AS FLOAT)))")
           .as("embedding"))
       Similarity.nearDupPairsLsh(e.unionByName(masked), "vec_id", "embedding",
@@ -278,7 +283,7 @@ object PipelineQueries {
       |WITH corpus AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000,
+      |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
       |    list_transform(range(1, len(embedding) + 1),
       |      i -> CASE WHEN i <= 32 THEN embedding[i]::DOUBLE ELSE 0 END)
       |  FROM embeddings),

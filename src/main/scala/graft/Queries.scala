@@ -52,6 +52,16 @@ object Queries {
   /** Exact integer-cents: round(x*100) as BIGINT. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Recursive delete at JVM exit — for store fixtures under tmpdir whose
+    * lazily-read frames keep the files live for the process lifetime. */
+  private def deleteOnExit(root: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }))
+
   // ======================== FQL parity set ================================
 
   def fqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -112,6 +122,10 @@ object Queries {
     // and a time predicate (row-group pruning on the time-sorted files)
     "store_roundtrip" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_store_rt").toString
+      // the returned frame lazily reads from root, so deletion must wait
+      // for JVM exit — without this, repeated bench/verify invocations
+      // accumulate an events-table copy per run in the temp dir
+      deleteOnExit(root)
       val c = new graft.api.LocalClient(s, root, fixedClock)
       c.createTopic("/events", "float64")
       c.appendFrame(Tables.eventEntries(s, d).drop("__t_ns"), "float64")

@@ -20,7 +20,7 @@ import graft.functions.FossilDecode
   * (VERSION/USE are wire-protocol session concerns — out of engine scope.)
   */
 final class LocalClient(
-    val spark: SparkSession, root: String,
+    val spark: SparkSession, val root: String,
     clock: Compiler.Clock = Compiler.systemClock) {
 
   private val store = new ParquetStore(spark, root)

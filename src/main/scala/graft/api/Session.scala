@@ -24,26 +24,32 @@ final class Session(val spark: SparkSession, clock: Compiler.Clock = Compiler.sy
 
   /** Resolve a connection string to a filesystem store root.
     * Accepted shapes (serverless subset of
-    * `pkg/proto/connectionstring.go:34-74`): `file:///abs/path`,
-    * `file://rel/path`, or a bare path. */
+    * `pkg/proto/connectionstring.go:34-74`): `file:///abs/path` or a bare
+    * path — both reduce to stripping the scheme prefix. */
   def resolveRoot(connectionString: String): String =
-    if (connectionString.startsWith("file://")) {
-      val rest = connectionString.stripPrefix("file://")
-      if (rest.startsWith("/")) rest else rest // file:///abs keeps leading /
-    } else connectionString
+    connectionString.stripPrefix("file://")
 
   /** ATTACH a named store (idempotent for the same root; re-attaching a
-    * name to a different root is an error, mirroring the reference's
+    * name to a DIFFERENT root is an error, mirroring the reference's
     * one-database-per-name registry). Auto-activates the first store. */
-  def attach(name: String, connectionString: String): LocalClient = {
-    val root = resolveRoot(connectionString)
+  def attach(name: String, connectionString: String): LocalClient =
+    attach(name, new LocalClient(spark, resolveRoot(connectionString), clock))
+
+  /** ATTACH an existing client under a name — lets several sessions share
+    * ONE client (and thus one live catalog) per store root, the multi-
+    * connection shape [[WireServer]] needs: per-connection store instances
+    * would each snapshot catalog.json at connect time and clobber each
+    * other's topics on persist. */
+  def attach(name: String, client: LocalClient): LocalClient = {
     stores.get(name) match {
-      case Some(c) => c
+      case Some(c) if c.root == client.root => c
+      case Some(c) =>
+        throw new IllegalArgumentException(
+          s"store '$name' is already attached to ${c.root}; refusing to rebind to ${client.root}")
       case None =>
-        val c = new LocalClient(spark, root, clock)
-        stores(name) = c
+        stores(name) = client
         if (active.isEmpty) active = Some(name)
-        c
+        client
     }
   }
 

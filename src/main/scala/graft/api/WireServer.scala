@@ -44,6 +44,14 @@ final class WireServer(
 
   import WireServer._
 
+  // ONE client (→ one ParquetStore, one live catalog) per root, shared by
+  // every connection: per-connection store instances would each snapshot
+  // catalog.json at connect time and clobber each other's topic registry
+  // on persist (lost-update). Mutating store ops serialize inside
+  // ParquetStore; the catalog itself is a concurrent map.
+  private val clients: Map[String, LocalClient] =
+    storeRoots.map { case (name, root) => name -> new LocalClient(spark, root, clock) }
+
   private val server = new ServerSocket(0) // ephemeral port
   def port: Int = server.getLocalPort
   @volatile private var running = true
@@ -69,7 +77,7 @@ final class WireServer(
     // per-connection session state, like the reference's conn.db
     // (`pkg/server/mux.go:96-118`)
     val session = new Session(spark, clock)
-    storeRoots.foreach { case (name, root) => session.attach(name, root) }
+    clients.foreach { case (name, client) => session.attach(name, client) }
     session.use(defaultStore)
     try {
       while (true) {
@@ -115,47 +123,66 @@ final class WireServer(
       case "QUERY" =>
         val fql = new String(payload, StandardCharsets.UTF_8)
         val df = session.query(fql)
-        val schemaDdl = sparkValueDdl(df)
+        val schema = FossilSchema.parse(sparkValueDdl(df)) // parsed ONCE per query
         // entry lines pull one partition at a time (toLocalIterator); the
         // u32-count header is counted during that same single execution and
-        // patched into the buffered body before it hits the socket
+        // patched into the buffered body before it hits the socket. The
+        // frame's length prefix makes buffering inherent (the reference
+        // marshals QueryResponse fully in memory too) — so responses are
+        // capped like inbound messages; past the cap the client gets a
+        // typed error instead of a server OOM or a >u32 frame.
         val body = new java.io.ByteArrayOutputStream()
         val bo = new DataOutputStream(body)
         bo.writeInt(0) // count placeholder
         var n = 0
         val rows = df.toLocalIterator()
-        while (rows.hasNext) {
+        var overflow = false
+        while (rows.hasNext && !overflow) {
           val r = rows.next()
-          val line = entryLine(r, schemaDdl)
-          val bytes = line.getBytes(StandardCharsets.UTF_8)
+          val bytes = entryLine(r, schema).getBytes(StandardCharsets.UTF_8)
           bo.writeInt(bytes.length)
           bo.write(bytes)
           n += 1
+          overflow = body.size() > MaxMessageBytes
         }
-        val resp = body.toByteArray
-        java.nio.ByteBuffer.wrap(resp).putInt(n)
-        writeMessage(out, "OK", resp)
+        if (overflow)
+          writeMessage(out, "ERR", errPayload(507,
+            s"query response exceeds the $MaxMessageBytes-byte wire cap; " +
+              "narrow the query or use the DataFrame API"))
+        else {
+          val resp = body.toByteArray
+          java.nio.ByteBuffer.wrap(resp).putInt(n)
+          writeMessage(out, "OK", resp)
+        }
       case other =>
         writeMessage(out, "ERR", errPayload(501, s"command not found: $other"))
     }
 
   /** `time \t topic \t base64(wire bytes) \t schema` like Entry.ToString
-    * (`pkg/database/result.go:31-33`). */
-  private def entryLine(r: org.apache.spark.sql.Row, ddl: String): String = {
+    * (`pkg/database/result.go:31-33`). Array schemas arrive with length 0
+    * (Spark's ArrayType has no fixed length) and are resolved to the
+    * actual per-row length here; null values (ambiguous-schema prefix
+    * scans surface opaque nulls) encode as empty data. */
+  private def entryLine(r: org.apache.spark.sql.Row, schema: FossilSchema.SType): String = {
+    import FossilSchema.SArray
     val t = r.getAs[Timestamp]("time").toInstant
     val topic = r.getAs[String]("topic")
     val v = r.get(r.fieldIndex("value"))
-    val schema = FossilSchema.parse(ddl)
-    val data = Codec.encode(schema, v match {
-      case row: org.apache.spark.sql.Row =>
-        // composite: struct row → map keyed by field names
-        row.schema.fieldNames.zip(row.toSeq).toMap
-      case seq: scala.collection.Seq[_] => seq
-      case x => x
-    })
-    val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-      .withZone(ZoneOffset.UTC).format(t)
-    s"$ts\t$topic\t${Base64.getEncoder.encodeToString(data)}\t$ddl"
+    val rowSchema = (schema, v) match {
+      case (SArray(_, e), s: scala.collection.Seq[_]) => SArray(s.length, e)
+      case _ => schema
+    }
+    val data =
+      if (v == null) Array.emptyByteArray
+      else Codec.encode(rowSchema, v match {
+        case row: org.apache.spark.sql.Row =>
+          // composite: struct row → map keyed by field names
+          row.schema.fieldNames.zip(row.toSeq).toMap
+        case seq: scala.collection.Seq[_] => seq
+        case x => x
+      })
+    val ts = WireServer.EntryTimeFormat.format(t)
+    s"$ts\t$topic\t${Base64.getEncoder.encodeToString(data)}\t${rowSchema.ddl}"
   }
 
   /** DDL for the query result's value column (entries are uniformly typed
@@ -183,10 +210,16 @@ final class WireServer(
 
 object WireServer {
   val Version = "v1.0.0" // protocol version answered to VERSION
+  /** 100 MiB, both directions (reference cap `pkg/proto/message.go:96-98`). */
+  val MaxMessageBytes: Int = 100 * 1024 * 1024
+
+  private[api] val EntryTimeFormat =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .withZone(ZoneOffset.UTC)
 
   private[api] def readMessage(in: DataInputStream): (String, Array[Byte]) = {
     val length = in.readInt()
-    if (length < 8 || length > 100 * 1024 * 1024)
+    if (length < 8 || length > MaxMessageBytes)
       throw new IOException(s"bad message length $length")
     val buf = new Array[Byte](length)
     in.readFully(buf)

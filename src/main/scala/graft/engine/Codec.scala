@@ -28,7 +28,9 @@ object Codec {
     case SArray(len, elem) =>
       val xs = value match {
         case a: Array[_] => a.toSeq
-        case s: Seq[_] => s
+        // collection.Seq, not just immutable.Seq — Spark rows carry
+        // mutable.ArraySeq for array columns
+        case s: scala.collection.Seq[_] => s
         case other => throw new IllegalArgumentException(s"expected array, got $other")
       }
       require(xs.length == len, s"array length ${xs.length} != declared $len")

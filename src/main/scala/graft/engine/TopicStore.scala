@@ -54,7 +54,13 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
   private def groupDir(s: SType): String =
     s"$root/data/sgroup=${ParquetStore.schemaKey(s)}"
 
-  def createTopic(path: String, ddl: String): Unit = {
+  // Mutating ops are synchronized on the store: the catalog map itself is
+  // concurrent, but createTopic/append both mutate-then-persist, and two
+  // interleaved persists could write catalog.json from half-updated views.
+  // Queries (entries) stay lock-free. Multi-connection front-ends must
+  // share ONE ParquetStore per root (see WireServer) — two instances over
+  // the same root would still clobber each other's sidecar.
+  def createTopic(path: String, ddl: String): Unit = synchronized {
     catalog.createDdl(path, ddl)
     persistCatalog()
   }
@@ -67,7 +73,7 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * resolves directories from the catalog, so writing a compatible-but-
     * different width (e.g. int32 rows into an int64 topic) under its own
     * group would make the rows silently invisible to every query. */
-  def append(rows: DataFrame, schema: SType): Unit = {
+  def append(rows: DataFrame, schema: SType): Unit = synchronized {
     // the distinct-topic list is a driver collect bounded ONLY by topic
     // cardinality — safe for the store's design envelope (topics are a
     // catalog-sized namespace, not a data-sized one) but guarded so a
@@ -133,6 +139,12 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
       val df = spark.read.parquet(dir)
       val v = combined match {
         case SAmbiguous => lit(null).cast(BinaryType).as("value") // opaque
+        // sameType = equal modulo nullability: parquet reads arrays back
+        // with nullable elements, and ANSI cast refuses array<double> →
+        // array<double> across that nullability gap — don't cast what
+        // already matches
+        case _ if ParquetStore.sameModuloNullability(df.schema("value").dataType, target) =>
+          col("value").as("value")
         case _ => col("value").cast(target).as("value")
       }
       df.select(col("time"), col("topic").cast(StringType).as("topic"), v)
@@ -151,6 +163,17 @@ object ParquetStore {
     * JVM-wide, overridable for tests via the system property. */
   def maxTopicsPerAppend: Int =
     sys.props.get("graft.store.maxTopicsPerAppend").map(_.toInt).getOrElse(100000)
+
+  /** Type equality ignoring nullability flags (Spark's own sameType is
+    * private[sql]). */
+  private[engine] def sameModuloNullability(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(e1, _), ArrayType(e2, _)) => sameModuloNullability(e1, e2)
+    case (StructType(f1), StructType(f2)) =>
+      f1.length == f2.length && f1.zip(f2).forall { case (x, y) =>
+        x.name == y.name && sameModuloNullability(x.dataType, y.dataType)
+      }
+    case _ => a == b
+  }
 
   def schemaKey(s: SType): String = {
     val ddl = s.ddl

@@ -40,7 +40,8 @@ object Perf {
     // same doubled corpus as the emb_neardup_lsh driver query
     time("emb_neardup_lsh") {
       val e = emb.select(col("vec_id"), col("embedding"))
-      val masked = e.select((col("vec_id") + 100000).as("vec_id"),
+      val off = e.agg(org.apache.spark.sql.functions.max("vec_id")).first().getLong(0) + 1
+      val masked = e.select((col("vec_id") + off).as("vec_id"),
         org.apache.spark.sql.functions
           .expr("transform(embedding, (x, i) -> IF(i < 32, x, CAST(0.0 AS FLOAT)))")
           .as("embedding"))

@@ -107,4 +107,56 @@ class WireServerSpec extends SparkSpec {
       sock.close()
     } finally server.close()
   }
+
+  test("array values round-trip over the wire with per-row resolved length") {
+    val root = Files.createTempDirectory("graft_wire_arr").toString
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
+    try {
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      send(out, "CREATE", withTopic("/vec", "[4]float64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+      val arr = Seq(1.5, -2.0, 0.0, 3.25)
+      val bytes = Codec.encode(FossilSchema.parse("[4]float64"), arr)
+      send(out, "APPEND", withTopic("/vec", bytes))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "QUERY", "all in /vec".getBytes(StandardCharsets.UTF_8))
+      val (qc, qp) = recv(in)
+      assert(qc == "OK", s"got $qc: ${new String(qp.drop(4), StandardCharsets.UTF_8)}")
+      val buf = ByteBuffer.wrap(qp)
+      assert(buf.getInt == 1)
+      val line = new Array[Byte](buf.getInt); buf.get(line)
+      val parts = new String(line, StandardCharsets.UTF_8).split("\t")
+      assert(parts(3) == "[4]float64") // Spark's ArrayType length resolved per row
+      assert(Base64.getDecoder.decode(parts(2)).sameElements(bytes))
+      sock.close()
+    } finally server.close()
+  }
+
+  test("connections share one catalog per store (no lost updates)") {
+    val root = Files.createTempDirectory("graft_wire_shared").toString
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
+    try {
+      // conn2 connects FIRST — with per-connection stores its stale
+      // catalog snapshot would erase conn1's topic on the next persist
+      val s1 = new Socket("127.0.0.1", server.port)
+      val s2 = new Socket("127.0.0.1", server.port)
+      val (o1, i1) = (new DataOutputStream(s1.getOutputStream), new DataInputStream(s1.getInputStream))
+      val (o2, i2) = (new DataOutputStream(s2.getOutputStream), new DataInputStream(s2.getInputStream))
+      send(o1, "CREATE", withTopic("/from1", "int64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(i1)._2) == 200)
+      send(o2, "CREATE", withTopic("/from2", "int64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(i2)._2) == 200)
+      send(o1, "LIST", Array.emptyByteArray)
+      val (_, lp) = recv(i1)
+      val lbuf = ByteBuffer.wrap(lp)
+      val items = (0 until lbuf.getInt).map { _ =>
+        val s = new Array[Byte](lbuf.getInt); lbuf.get(s)
+        new String(s, StandardCharsets.UTF_8)
+      }
+      assert(items.exists(_.startsWith("/from1 ")) && items.exists(_.startsWith("/from2 ")))
+      s1.close(); s2.close()
+    } finally server.close()
+  }
 }

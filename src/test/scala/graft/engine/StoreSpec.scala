@@ -221,5 +221,8 @@ class StoreSpec extends SparkSpec {
     assert(sess.use("b").listTopics.toMap.contains("/only/b"))
     assert(sess.query("all in /only/b").count() == 1)
     assertThrows[IllegalArgumentException] { sess.use("nope") }
+    // re-attaching a name to a different root is an error, not a silent no-op
+    assertThrows[IllegalArgumentException] { sess.attach("a", rootB) }
+    sess.attach("a", s"file://$rootA") // same root: idempotent
   }
 }
