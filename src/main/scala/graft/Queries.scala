@@ -209,6 +209,48 @@ object Queries {
   // ===================== relational extension set =========================
 
   def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // explicit salted skew join: the salt only affects task placement, so
+    // the RESULT equals a plain inner join — which is exactly what the
+    // oracle runs; the aggregate keeps the compared result small
+    "q_join_skew" -> ((s, d) => {
+      val probe = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val build = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.SkewJoin.saltedInner(probe, build, "suppkey", buckets = 8)
+        .groupBy("s_name").agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+        .orderBy("s_name")
+    }),
+    // streaming windowed aggregation, oracle-checked against batch SQL:
+    // the events table replays through a file-source stream and a
+    // Complete-mode tumbling-day aggregation — proving the streaming
+    // semantics match the equivalent batch GROUP BY. Values aggregate as
+    // integer cents (exact under any accumulation order); Complete mode
+    // makes the memory-sink contents independent of micro-batch boundaries.
+    "stream_windowed" -> ((s, d) => {
+      import graft.streaming.StreamingIngest
+      val in = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+      deleteOnExit(in); deleteOnExit(ck)
+      Tables.eventEntries(s, d).drop("__t_ns")
+        .select(unix_micros(col("time")).as("t_us"), col("topic"),
+          cents(col("value")).cast("double").as("value"))
+        .coalesce(4).write.mode("overwrite").json(in)
+      val agg = StreamingIngest.windowedStats(
+        StreamingIngest.fileSource(s, in), "1 day", "1 hour")
+      val sink = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select(
+          unix_micros(col("w_start")).as("w_us"), col("topic"), col("n"),
+          col("sum_value").cast("long").as("sum_cents"),
+          col("first_us"), col("last_us"))
+        .orderBy("w_us", "topic")
+    }),
     // TPC-H Q1-shaped pricing summary; exact cents arithmetic
     "q1_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -393,6 +435,21 @@ object Queries {
   )
 
   def relationalOracles: Map[String, String] = Map(
+    // salted skew join ≡ plain inner join on the result level
+    // outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas
+    // renders as float64 and the dtype-sensitive hash rejects
+    "q_join_skew" -> """
+      |SELECT s_name, CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    // streaming tumbling-day windows ≡ batch GROUP BY date_trunc (UTC,
+    // epoch-aligned); sums are integer cents so order cannot matter
+    "stream_windowed" -> """
+      |SELECT epoch_us(date_trunc('day', ts)) AS w_us,
+      |  '/events/' || event_type AS topic, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim,
     "q1_agg" -> """
       |SELECT l_returnflag, l_linestatus,
       |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,

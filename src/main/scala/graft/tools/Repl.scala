@@ -21,6 +21,17 @@ import graft.api.LocalClient
   * Usage: sbt "runMain graft.tools.Repl /path/to/store"
   */
 object Repl {
+  /** S8 output writers (`pkg/repl/writer.go:34-66` analog): one rendered
+    * line per row. `table` renders via Spark's own formatter (showString
+    * is private — the REPL calls show() directly); csv joins the row
+    * values; json delegates to the engine-native `toJSON`. */
+  def render(df: org.apache.spark.sql.DataFrame, format: String): Seq[String] =
+    format match {
+      case "csv" => df.collect().toSeq.map(_.toSeq.mkString(","))
+      case "json" => df.toJSON.collect().toSeq
+      case other => throw new IllegalArgumentException(s"unknown format '$other'")
+    }
+
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/tmp/graft_repl_store"
     val spark = SparkSession.builder().master("local[4]")
@@ -41,9 +52,7 @@ object Repl {
           case "query" :: rest :: Nil =>
             val df = client.query(rest)
             format match {
-              case "csv" =>
-                df.collect().foreach(r => println(r.toSeq.mkString(",")))
-              case "json" => df.toJSON.collect().foreach(println)
+              case "csv" | "json" => render(df, format).foreach(println)
               case _ => df.show(50, truncate = false)
             }
           case "append" :: rest :: Nil =>

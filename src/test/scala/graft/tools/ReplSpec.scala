@@ -1,0 +1,33 @@
+package graft.tools
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.api.LocalClient
+import graft.fql.Compiler
+
+/** S8 output formats: the REPL's csv/json writers over a real store query. */
+class ReplSpec extends SparkSpec {
+
+  private val fixedClock: Compiler.Clock = () => 1735689600L * 1000000000L
+
+  test("csv and json writers render query results line-per-row") {
+    val root = Files.createTempDirectory("graft_repl").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/t", "float64")
+    c.append("/t", 1.5, Timestamp.valueOf("2024-01-01 00:00:00"))
+    c.append("/t", -2.0, Timestamp.valueOf("2024-01-02 00:00:00"))
+    val df = c.query("all in /t").orderBy("time")
+
+    val csv = Repl.render(df, "csv")
+    assert(csv.size == 2)
+    assert(csv.head.endsWith(",/t,1.5") && csv(1).endsWith(",/t,-2.0"))
+
+    val json = Repl.render(df, "json")
+    assert(json.size == 2)
+    assert(json.head.contains("\"topic\":\"/t\"") && json.head.contains("\"value\":1.5"))
+
+    assertThrows[IllegalArgumentException] { Repl.render(df, "xml") }
+  }
+}
