@@ -40,7 +40,8 @@ import graft.fql.Compiler
   */
 final class WireServer(
     spark: SparkSession, storeRoots: Map[String, String], defaultStore: String,
-    clock: Compiler.Clock = Compiler.systemClock) {
+    clock: Compiler.Clock = Compiler.systemClock,
+    maxResponseBytes: Int = WireServer.MaxMessageBytes) {
 
   import WireServer._
 
@@ -143,11 +144,11 @@ final class WireServer(
           bo.writeInt(bytes.length)
           bo.write(bytes)
           n += 1
-          overflow = body.size() > MaxMessageBytes
+          overflow = body.size() > maxResponseBytes
         }
         if (overflow)
           writeMessage(out, "ERR", errPayload(507,
-            s"query response exceeds the $MaxMessageBytes-byte wire cap; " +
+            s"query response exceeds the $maxResponseBytes-byte wire cap; " +
               "narrow the query or use the DataFrame API"))
         else {
           val resp = body.toByteArray

@@ -134,6 +134,31 @@ class WireServerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("oversized query responses fail with a typed cap error, not an OOM") {
+    val root = Files.createTempDirectory("graft_wire_cap").toString
+    // 64-byte cap: even two entries overflow it
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock,
+      maxResponseBytes = 64)
+    try {
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      send(out, "CREATE", withTopic("/big", "float64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+      (1 to 5).foreach { i =>
+        send(out, "APPEND", withTopic("/big", Codec.encode(FossilSchema.SFloat64, i.toDouble)))
+        assert(codeOf(recv(in)._2) == 200)
+      }
+      send(out, "QUERY", "all in /big".getBytes(StandardCharsets.UTF_8))
+      val (c, p) = recv(in)
+      assert(c == "ERR" && codeOf(p) == 507)
+      // the connection survives an overflowed query
+      send(out, "VERSION", Array.emptyByteArray)
+      assert(codeOf(recv(in)._2) == 200)
+      sock.close()
+    } finally server.close()
+  }
+
   test("connections share one catalog per store (no lost updates)") {
     val root = Files.createTempDirectory("graft_wire_shared").toString
     val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
