@@ -215,6 +215,58 @@ object Similarity {
     topKPerGroup(scored, "q", k)
   }
 
+  /** Spherical k-means trainer for the IVF coarse quantizer ([[ivfTopK]]'s
+    * `centroids` input) — Lloyd iterations with cosine assignment, all
+    * distributed DataFrame ops:
+    *
+    *  - init: the k lowest-id corpus vectors (deterministic, no RNG);
+    *  - assign: corpus × broadcast(centroids), top-1 by (cosine desc, cid
+    *    asc) — the same assignment [[ivfTopK]] uses at query time, so the
+    *    trainer optimizes exactly the probe geometry;
+    *  - update: element-wise mean per bucket via posexplode → (cid, dim)
+    *    partial+final avg → array rebuilt in dim order. Empty buckets keep
+    *    their previous centroid (k never shrinks).
+    *
+    * Per iteration: one broadcast join over the corpus and one exploded
+    * aggregation (k·d rows out) — no corpus shuffle, centroids never leave
+    * the driver at more than k·d doubles. Scale path: k and d bounded (the
+    * usual IVF regime: k ≈ sqrt(corpus)), corpus streams.
+    * Output: (cid, centroid: array<double>). */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val vd = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+      .repartition(col("id"))
+      .cache()
+    var cent = vd.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val c = cent.withColumn("cn", norm(col("cv")))
+      val scored = vd.join(broadcast(c), lit(true))
+        .select(col("id"), col("v"), col("cid"),
+          (dot(col("v"), col("cv")) / (col("n") * col("cn"))).as("cs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
+      val assigned = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      // empty buckets: fall back to the previous centroid
+      cent = cent.select(col("cid"), col("cv").as("prev"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("prev")).as("cv"))
+        .localCheckpoint() // k·d rows; truncates the per-iteration lineage
+    }
+    vd.unpersist()
+    cent.select(col("cid"), col("cv").as("centroid"))
+  }
+
   /** Symmetric int8 scalar quantization of a float vector column: per-vector
     * scale = 127/max|x| (carried as an exact ×1e6 long), elements mapped via
     * floor(x·scale + 0.5) — floor, not round: engines disagree on rounding

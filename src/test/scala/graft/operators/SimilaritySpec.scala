@@ -36,6 +36,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).head == 1L) // nearest in own bucket
   }
 
+  test("kmeansCentroids: k kept, dims kept, assignment quality not worse than init") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def meanBestCos(cent: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions._
+      val vd = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+        .withColumn("n", Similarity.norm($"v"))
+      val c = cent.select($"cid", $"centroid".as("cv"))
+        .withColumn("cn", Similarity.norm($"cv"))
+      vd.join(broadcast(c), lit(true))
+        .select($"id", (Similarity.dot($"v", $"cv") / ($"n" * $"cn")).as("cs"))
+        .groupBy("id").agg(max("cs").as("best"))
+        .agg(avg("best")).first().getDouble(0)
+    }
+    val init = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 4)
+    assert(init.count() == 8 && trained.count() == 8)
+    val dims = trained.select(org.apache.spark.sql.functions.size($"centroid"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64))
+    val (q0, q1) = (meanBestCos(init), meanBestCos(trained))
+    assert(q1 >= q0 - 1e-9, s"trained $q1 worse than init $q0")
+    // trained centroids drive ivfTopK directly (vector column renamed to
+    // the corpus's vecCol, as ivfTopK reads both through one name)
+    val out = Similarity.ivfTopK(emb, emb.limit(3),
+      trained.select($"cid", $"centroid".as("embedding")),
+      "vec_id", "embedding", "cid", k = 2)
+    assert(out.count() > 0)
+  }
+
   test("quantizeInt8: range bounded, dequantization error within half a step") {
     val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
       .as[(Long, Long, Int, Int)].collect()
