@@ -61,7 +61,7 @@ final class WireServer(
     while (running) {
       try {
         val sock = server.accept()
-        val t = new Thread(() => handle(sock), s"graft-wire-conn")
+        val t = new Thread(() => handle(sock), "graft-wire-conn")
         t.setDaemon(true)
         t.start()
       } catch { case _: IOException => () /* closed */ }
@@ -124,7 +124,7 @@ final class WireServer(
       case "QUERY" =>
         val fql = new String(payload, StandardCharsets.UTF_8)
         val df = session.query(fql)
-        val schema = FossilSchema.parse(sparkValueDdl(df)) // parsed ONCE per query
+        val schema = FossilSchema.fromSpark(df.schema("value").dataType)
         // entry lines pull one partition at a time (toLocalIterator); the
         // u32-count header is counted during that same single execution and
         // patched into the buffered body before it hits the socket. The
@@ -186,27 +186,6 @@ final class WireServer(
     s"$ts\t$topic\t${Base64.getEncoder.encodeToString(data)}\t${rowSchema.ddl}"
   }
 
-  /** DDL for the query result's value column (entries are uniformly typed
-    * per result — the compiler already combined the topic schemas). */
-  private def sparkValueDdl(df: org.apache.spark.sql.DataFrame): String = {
-    import org.apache.spark.sql.types._
-    def ddlOf(dt: DataType): String = dt match {
-      case StringType => "string"
-      case BinaryType => "binary"
-      case BooleanType => "boolean"
-      case ByteType => "int8"
-      case ShortType => "int16"
-      case IntegerType => "int32"
-      case LongType => "int64"
-      case FloatType => "float32"
-      case DoubleType => "float64"
-      case ArrayType(e, _) => s"[0]${ddlOf(e)}" // length resolved per row
-      case StructType(fs) =>
-        fs.map(f => s""""${f.name}": ${ddlOf(f.dataType)}""").mkString("{", ", ", "}")
-      case other => throw new IllegalArgumentException(s"unsupported value type $other")
-    }
-    ddlOf(df.schema("value").dataType)
-  }
 }
 
 object WireServer {

@@ -119,6 +119,32 @@ object FossilSchema {
     } else scalars.getOrElse(s, throw new IllegalArgumentException(s"unknown type '$s'"))
   }
 
+  /** Inverse of [[SType.sparkType]]: the fossil schema a Spark value type
+    * maps back to. Spark carries no fixed array length, so arrays come
+    * back as `SArray(0, elem)` — a placeholder consumers must resolve
+    * against an actual value (the wire writer does this per row).
+    * Unsigned fossil types are unrecoverable (they widen into signed
+    * Spark types by design), so the signed reading is returned. */
+  def fromSpark(dt: DataType): SType = dt match {
+    case StringType => SString
+    case BinaryType => SBinary
+    case BooleanType => SBool
+    case ByteType => SInt8
+    case ShortType => SInt16
+    case IntegerType => SInt32
+    case LongType => SInt64
+    case FloatType => SFloat32
+    case DoubleType => SFloat64
+    case ArrayType(e, _) => fromSpark(e) match {
+      case sc: Scalar if sc != SString && sc != SBinary => SArray(0, sc)
+      case other => throw new IllegalArgumentException(
+        s"array element ${other.ddl} has no fossil array form")
+    }
+    case StructType(fs) =>
+      SComposite(fs.toList.map(f => f.name -> fromSpark(f.dataType))).sorted
+    case other => throw new IllegalArgumentException(s"unsupported value type $other")
+  }
+
   // --- Combine (prefix-scan schema merging) ------------------------------
 
   private def numericRank(s: Scalar): Int = s match {
