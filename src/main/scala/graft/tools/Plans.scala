@@ -33,6 +33,8 @@ object Plans {
       // store path: the time predicate must prune at the parquet scan of
       // the store's own files, and topic must be a partition filter
       "store_roundtrip" -> Seq("PushedFilters", "PartitionFilters"),
+      // salted skew join must stay an equi-join on (key, salt)
+      "q_join_skew" -> Seq("Join", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
     )
     var failed = 0
     checks.foreach { case (name, wants) =>
