@@ -304,8 +304,12 @@ object Queries {
     }),
     "q_window_running" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // l_quantity as the final tie-break: the synthetic lineitem carries
+      // duplicate (suppkey, shipdate, orderkey, linenumber) rows at sf0.1+,
+      // and a ROWS frame over a non-total order sums ties in engine-chosen
+      // order; with quantity in the key, tied rows are interchangeable
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li.withColumn("running_qty", sum("l_quantity").over(w))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
@@ -479,7 +483,7 @@ object Queries {
     "q_window_running" -> """
       |SELECT l_suppkey, l_orderkey, l_linenumber,
       |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin.trim,
     "q_topk" -> ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
