@@ -185,7 +185,7 @@ object Queries {
         |ORDER BY t_us, topic""".stripMargin.trim,
       "fql_sample_bucketed" -> ("SELECT epoch_us(ts) AS t_us, '/events/' || event_type AS topic, value " +
         "FROM events QUALIFY row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000 " +
-        "ORDER BY ts) = 1 ORDER BY t_us, topic"),
+        "ORDER BY ts, value) = 1 ORDER BY t_us, topic"),
       "fql_sample_global" -> """
         |WITH RECURSIVE kept(t) AS (
         |  SELECT MIN(ts) FROM events

@@ -69,11 +69,16 @@ object Sample {
 
   /** Tumbling-bucket approximation: keep the earliest entry per
     * (topic, epoch-aligned bucket). Embarrassingly parallel; documented
-    * deviation from the greedy carry semantics. */
+    * deviation from the greedy carry semantics.
+    *
+    * `value` is the final ordering key: entries sharing (topic, time) are
+    * otherwise picked in engine-chosen order — timestamps are unique in
+    * the test data, but at real scale same-µs entries per topic are
+    * routine and the kept row must not depend on partition layout. */
   def bucketed(df: DataFrame, intervalNs: Long): DataFrame = {
     val intervalUs = math.max(1L, Math.floorDiv(intervalNs, 1000L))
     val bucket = (unix_micros(col("time")) / lit(intervalUs)).cast(LongType)
-    val w = Window.partitionBy(col("topic"), bucket).orderBy(col("time"))
+    val w = Window.partitionBy(col("topic"), bucket).orderBy(col("time"), col("value"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
