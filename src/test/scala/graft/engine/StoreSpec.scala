@@ -201,6 +201,28 @@ class StoreSpec extends SparkSpec {
     } finally sys.props -= "graft.store.maxTopicsPerAppend"
   }
 
+  test("concurrent appends through one shared store all land (serialized persist)") {
+    val root = Files.createTempDirectory("graft_store_conc").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/conc", "float64")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try (0 until 3).foreach { i =>
+          c.appendRaw(s"/conc/t$t", Codec.encode(FossilSchema.SFloat64, t + i / 10.0),
+            Timestamp.valueOf(f"2024-01-01 00:0$t:0$i"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    assert(c.query("all in /conc").count() == 12)
+    // the persisted catalog survived the interleaving: a fresh client
+    // still sees every topic
+    val c2 = new LocalClient(spark, root, fixedClock)
+    (0 until 4).foreach(t => assert(c2.listTopics.toMap.contains(s"/conc/t$t")))
+  }
+
   test("session: USE switches between named stores") {
     val rootA = Files.createTempDirectory("graft_sess_a").toString
     val rootB = Files.createTempDirectory("graft_sess_b").toString

@@ -41,6 +41,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed components match driver union-find on random graphs") {
+    // same edge list through both paths (localThreshold gates which runs);
+    // any divergence in the propagation loop, convergence detection, or
+    // partitioning shows up as a survivor mismatch
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+      }.filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val local = Dedup.connectedComponents(df, localThreshold = Long.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(df, maxIters = 40, localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"trial $trial: $local vs $dist")
+    }
+  }
+
   test("RangeJoin matches a naive interval scan on random data") {
     (1 to 5).foreach { _ =>
       val points = (1 to 60).map(_ => rnd.between(0L, 400L) * 1000000L).distinct
