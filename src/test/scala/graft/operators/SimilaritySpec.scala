@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("kmeansCentroids: empty buckets keep their previous centroid") {
+    // ids 1 and 2 carry IDENTICAL vectors, so both init centroids are the
+    // same point; in the first iteration every row assigns to the lower
+    // cid (tie-break cid asc) and centroid 2's bucket is EMPTY — the
+    // fallback must keep it rather than dropping to k-1 or nulling the
+    // vector. (Later iterations legitimately repopulate it once the
+    // centroids diverge.)
+    val dup = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val after1 = Similarity.kmeansCentroids(dup, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(after1.keySet == Set(1L, 2L))
+    assert(after1(2L) == Seq(1.0, 0.0)) // untouched init centroid
+    // and a longer run still keeps k centroids with real vectors
+    val after3 = Similarity.kmeansCentroids(dup, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(after3.keySet == Set(1L, 2L))
+    assert(after3.values.forall(v => v != null && v.length == 2))
+  }
+
   test("quantizeInt8: range bounded, dequantization error within half a step") {
     val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
       .as[(Long, Long, Int, Int)].collect()
