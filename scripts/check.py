@@ -13,6 +13,17 @@ from pathlib import Path
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 
+if "--skip-plans" not in sys.argv and "--skip-verify" not in sys.argv:
+    # Plan-shape assertions (pushdown, broadcast, no-BNLJ, narrow band joins)
+    # gate the same as a hash mismatch: a lost pushdown is a regression even
+    # when the numbers still match. Runs at sf0.001 — plan shape, not data.
+    rc = subprocess.run(
+        ["sbt", "runMain graft.tools.Plans"],
+        cwd="/root/repo").returncode
+    if rc != 0:
+        print("plan checks failed", file=sys.stderr)
+        sys.exit(1)
+
 if "--skip-verify" not in sys.argv:
     rc = subprocess.run(
         ["sbt", f'runMain graft.Verify {sfdir} {outdir}'],

@@ -51,11 +51,19 @@ object Bench {
     def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // Per-run arrays (outlier visibility) go to a SIDECAR file, not the
+    // headline line: in r4 they tripled the stdout line and it outgrew the
+    // driver's tail capture, so the driver recorded no bench number at all.
+    // The headline line must stay compact, final, and standalone.
     val rs = results.map { case (k, _, runs) =>
       "\"" + k + "\":" + runs.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val sidecar = java.nio.file.Paths.get("target", "bench_runs.json")
+    java.nio.file.Files.createDirectories(sidecar.getParent)
+    java.nio.file.Files.write(sidecar,
+      s"""{"runs":$rs,"sf":"$sfDir"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val total = f(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

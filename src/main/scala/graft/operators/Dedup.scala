@@ -55,40 +55,46 @@ object Dedup {
     *
     * Output: (a, b, j_e4) with a < b, distinct, where j_e4 = round(J*10000).
     */
-  /** Dictionary-encoded minhash signatures for a `(id, sh)` frame: every
-    * DISTINCT shingle is salted-md5-hashed once, then per-doc signature
-    * elements are partial-aggregated mins — the same value as hashing every
-    * occurrence (min over a set), at a fraction of the hash work. The
-    * shingle dictionary is broadcast here (word-soup vocabularies are small);
-    * at open-vocabulary corpus scale drop the hint and it becomes a plain
-    * shuffle join on the shingle — still one pass. */
-  private def withMinhashSig(rawBase: DataFrame, numHashes: Int): DataFrame = {
-    // base feeds both the shingle explode and the signature join-back —
-    // cache it or the (expensive) shingle arrays are computed twice
-    val base = rawBase.cache()
-    val ex = base.select(col("id"), explode_outer(col("sh")).as("s"))
+  /** Dictionary-encoded minhash signatures for a caller-CACHED `(id, sh,
+    * carry...)` frame: every DISTINCT shingle is salted-md5-hashed once,
+    * then per-doc signature elements are partial-aggregated mins — the same
+    * value as hashing every occurrence (min over a set), at a fraction of
+    * the hash work. The shingle dictionary is broadcast here (word-soup
+    * vocabularies are small); at open-vocabulary corpus scale drop the hint
+    * and it becomes a plain shuffle join on the shingle — still one pass.
+    * Returns `(id, carry..., sig)` ONLY — shingle arrays stay behind in the
+    * caller's cached base frame and join back by id after candidate dedup.
+    * `carry` columns must be constant per id (aggregated via min). */
+  private def withMinhashSig(
+      base: DataFrame, numHashes: Int, carry: Seq[String] = Nil): DataFrame = {
+    val ex = base.select(col("id") +: carry.map(col) :+ explode_outer(col("sh")).as("s"): _*)
     val dict = ex.filter(col("s").isNotNull).select("s").distinct()
       .withColumn("hv", transform(sequence(lit(0), lit(numHashes - 1)),
         h => md5s(concat(h.cast("string"), lit("|"), col("s")))))
     val minCols = (0 until numHashes).map(h => min(element_at(col("hv"), h + 1)).as(s"__m$h"))
-    val mins = ex.join(broadcast(dict), Seq("s"), "left")
+    val aggs = minCols ++ carry.map(c => min(col(c)).as(c))
+    ex.join(broadcast(dict), Seq("s"), "left")
       .groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(h => col(s"__m$h")): _*).as("sig"))
-    base.join(mins, Seq("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id") +: carry.map(col) :+
+        array((0 until numHashes).map(h => col(s"__m$h")): _*).as("sig"): _*)
   }
 
-  /** (id, sh, sig) → exploded (id, payload..., band_ix, band_h).
-    * Cached: the frame feeds BOTH sides of the candidate self-join, and
-    * without materialization the whole signature computation runs twice
-    * (the two join inputs are different projections, so Spark's exchange
-    * reuse does not apply). On a cluster this is the same
-    * cache-before-self-join idiom. Lifecycle note: the cache lives until
-    * the session drops it — batch drivers that run many dedup calls should
-    * `spark.catalog.clearCache()` between them (Bench/Verify do). */
+  /** (id, carry..., sig) → exploded (id, carry..., band_ix, band_h) with the
+    * signature DROPPED: the output feeds BOTH sides of the candidate
+    * self-join, which must stay narrow — at corpus scale candidate volume ×
+    * payload width is the dominant shuffle cost, so only ids, band keys and
+    * scalar carry columns may cross that shuffle (Plans.scala asserts no
+    * array column survives into any band join). Cached because the two join
+    * inputs are different projections, so Spark's exchange reuse does not
+    * apply and the whole signature computation would otherwise run twice.
+    * Lifecycle note: the cache lives until the session drops it — batch
+    * drivers that run many dedup calls should `spark.catalog.clearCache()`
+    * between them (Bench/Verify do). */
   private def banded(withSig: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
     withSig.select(col("*"),
       posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
+      .drop("sig")
       .cache()
 
   def minhashPairs(
@@ -98,18 +104,28 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
 
+    // cached: feeds the signature explode AND both sides of the verify
+    // join-back (same lifecycle contract as `banded`)
     val sh = spread(docs, idCol, textCol)
       .select(col("id"), tokens(col("__text")).as("__toks"))
       .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh"))
+      .cache()
     val b = banded(withMinhashSig(sh, numHashes), numBands, rowsPerBand)
 
-    val l = b.select(col("band_ix"), col("band_h"), col("id").as("a"), col("sh").as("sh_a"))
-    val r = b.select(col("band_ix"), col("band_h"), col("id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band_ix", "band_h"))
+    // slim candidate join (ids + band keys), dedup bare pairs, THEN join the
+    // shingle arrays back by id for the exact-Jaccard verify — the arrays
+    // never ride the candidate or pair-dedup shuffles
+    val cand = b.select(col("id").as("a"), col("band_ix"), col("band_h"))
+      .join(b.select(col("id").as("b"), col("band_ix"), col("band_h")),
+        Seq("band_ix", "band_h"))
       .filter(col("a") < col("b"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
-      .distinct()
   }
 
   /** Whole-simhash typed Aggregator: input is each token occurrence's md5
@@ -325,20 +341,30 @@ object Dedup {
     // the verify stage with ~0.5% of all pairs; s^4 banding cuts candidates
     // ~12x while keeping recall ≈0.99 at J=0.95
     val numHashes = 12; val numBands = 3; val rowsPerBand = 4
+    // cached: feeds the signature explode AND both sides of the verify
+    // join-back (same lifecycle contract as `banded`)
     val base = spread(docs, idCol, textCol)
       .select(col("id"), normText(col("__text")).as("__lt"))
       .select(col("id"), charShingles(col("__lt"), n).as("sh"),
         length(col("__lt")).cast("long").as("len"))
-    val b = banded(withMinhashSig(base, numHashes), numBands, rowsPerBand)
+      .cache()
+    // `len` (one scalar) rides the band join so the length-proximity gate
+    // prunes candidates BEFORE the pair-dedup shuffle; the shingle arrays
+    // join back by id only for the surviving pairs
+    val b = banded(withMinhashSig(base, numHashes, carry = Seq("len")),
+      numBands, rowsPerBand)
 
-    val l = b.select(col("band_ix"), col("band_h"), col("id").as("a"),
-      col("sh").as("sh_a"), col("len").as("len_a"))
-    val r = b.select(col("band_ix"), col("band_h"), col("id").as("b"),
-      col("sh").as("sh_b"), col("len").as("len_b"))
-    l.join(r, Seq("band_ix", "band_h"))
+    val cand = b.select(col("id").as("a"), col("len").as("len_a"),
+        col("band_ix"), col("band_h"))
+      .join(b.select(col("id").as("b"), col("len").as("len_b"),
+        col("band_ix"), col("band_h")), Seq("band_ix", "band_h"))
       .filter(col("a") < col("b") && abs(col("len_a") - col("len_b")) < maxLenDiff)
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    cand
+      .join(base.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
-      .distinct()
   }
 }

@@ -247,10 +247,16 @@ object Similarity {
       val scored = vd.join(broadcast(c), lit(true))
         .select(col("id"), col("v"), col("cid"),
           (dot(col("v"), col("cv")) / (col("n") * col("cn"))).as("cs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
-      val assigned = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // top-1 by (cs desc, cid asc) as a partial+final max_by aggregation —
+      // a row_number window here would SORT n·k rows every iteration; the
+      // agg keeps one candidate per id per partition instead. Struct
+      // comparison is lexicographic, so (cs, -cid) max = best cosine with
+      // ties to the LOWEST cid — the same order ivfTopK's probe uses (and
+      // the same NaN-greatest total order the window had).
+      val assigned = scored.groupBy("id")
+        .agg(max_by(struct(col("cid"), col("v")),
+          struct(col("cs"), negate(col("cid")))).as("__best"))
+        .select(col("__best.cid").as("cid"), col("__best.v").as("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(avg("x").as("m"))

@@ -51,6 +51,25 @@ object Plans {
         println(s"[check] $name $label '$frag': $ok")
       }
     }
+    // Programmatic check: every join keyed on band columns must output NO
+    // array columns — the slim-candidate-join contract (ids + scalar keys
+    // only through the candidate shuffle; payload arrays join back by id
+    // after pair dedup). Text grep can't tell the band join's exchange from
+    // the join-back's, so this walks the physical plan instead.
+    val narrowBandJoins = Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh")
+    narrowBandJoins.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val joins = df.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name.startsWith("band_"))) => j
+      }
+      val wide = joins.filter(_.output.exists(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      val ok = joins.nonEmpty && wide.isEmpty
+      if (!ok) failed += 1
+      println(s"[check] $name band joins narrow (no array cols): $ok " +
+        s"(${joins.size} band join(s), ${wide.size} wide)")
+    }
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }
   }
