@@ -15,6 +15,8 @@ run / fork := true
 // the driver json-parses Bench's single output line and an "[info] " prefix
 // breaks it (BENCH_r01.json parsed:null).
 run / outputStrategy := Some(StdoutOutput)
+// Forward sbt's stdin to the forked run — the REPL reads from it.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,204 @@
+package graft.api
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.{Instant, OffsetDateTime}
+import java.util.Base64
+import java.util.concurrent.LinkedBlockingQueue
+
+import graft.engine.{Codec, FossilSchema}
+
+/** One parsed wire entry — the client-side analog of the reference's
+  * `Entry` + `ParseEntry` (`pkg/database/result.go:24-50`): an RFC3339Nano
+  * time, topic, raw wire bytes and schema DDL, split from the TAB line. */
+final case class WireEntry(time: Instant, topic: String, data: Array[Byte], schema: String) {
+  /** The JVM value the wire bytes encode, via the schema codec
+    * (string/long/double/boolean/Seq/Map per [[graft.engine.Codec]]);
+    * null for empty data (ambiguous-schema scans surface opaque nulls). */
+  def decoded: Any =
+    if (data.isEmpty) null else Codec.decode(FossilSchema.parse(schema), data)
+}
+
+object WireEntry {
+  /** `time \t topic \t base64 \t schema` → entry (ParseEntry analog). */
+  def parse(line: String): WireEntry = {
+    val parts = line.split("\t", -1)
+    require(parts.length >= 4, s"malformed entry, expected 4 parts got ${parts.length}")
+    WireEntry(OffsetDateTime.parse(parts(0)).toInstant, parts(1),
+      Base64.getDecoder.decode(parts(2)), parts(3))
+  }
+}
+
+/** Server-reported error (non-OK response), carrying the wire code. */
+final class WireException(val code: Int, message: String)
+  extends RuntimeException(s"[$code] $message")
+
+/** Wire client for a [[WireServer]] — the analog of the reference's
+  * `RemoteClient` (`api/remote.go`): a pool of `poolSize` TCP connections
+  * (`Open`, `api/remote.go:88-106`), each handshaking VERSION + USE on
+  * connect (`connect`, `api/remote.go:27-61`), with reconnect + exponential
+  * backoff and a bounded resend on connection loss (`Send`,
+  * `api/remote.go:118-162`; backoff 2^i · base, `reconnectWithBackoff`
+  * `api/remote.go:63-86`). Commands mirror SURVEY §2.6:
+  * [[version]] / [[use]] / [[query]] / [[append]] / [[create]] /
+  * [[list]] / [[stats]].
+  *
+  * Thread safety: connections are borrowed from the pool per send, so
+  * concurrent callers are safe up to `poolSize` in flight (the reference's
+  * channel pool semantics). This is a client transport — query results
+  * materialize on the caller like the reference's `database.Entries`; bulk
+  * analytics belong on the DataFrame API.
+  */
+final class RemoteClient(
+    host: String, port: Int, db: String = ConnectionString.DefaultDb,
+    poolSize: Int = 2, maxReconnects: Int = 3, backoffBaseMs: Long = 1000) {
+
+  def this(target: ConnectionString.Remote) = this(target.host, target.port, target.db)
+
+  import WireServer.{readMessage, writeMessage}
+
+  @volatile private var currentDb = db
+  @volatile private var handshakeVersion: String = ""
+  private val pool = new LinkedBlockingQueue[Socket]()
+  (0 until math.max(1, poolSize)).foreach(_ => pool.put(connect()))
+
+  /** Dial + VERSION/USE handshake (reference `connect`). */
+  private def connect(): Socket = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      writeMessage(out, "VERSION", Array.emptyByteArray)
+      val (vc, vp) = readMessage(in)
+      val (vcode, vmsg) = okFields(vp)
+      if (vc != "OK" || vcode != 200)
+        throw new IOException(s"server rejected client version: [$vcode] $vmsg")
+      handshakeVersion = vmsg
+      writeMessage(out, "USE", currentDb.getBytes(UTF_8))
+      val (uc, up) = readMessage(in)
+      if (uc != "OK") { val (c, m) = okFields(up); throw new WireException(c, m) }
+      sock
+    } catch { case e: Throwable => sock.close(); throw e }
+  }
+
+  private def reconnectWithBackoff(): Socket = {
+    var last: Throwable = null
+    var i = 0
+    while (i < maxReconnects) {
+      Thread.sleep(backoffBaseMs << i) // 2^i · base, like the reference's 2^i s
+      try return connect()
+      catch { case e: Exception => last = e }
+      i += 1
+    }
+    throw new IOException(s"reconnect failed after $maxReconnects attempts", last)
+  }
+
+  /** Borrow a pooled connection, send, read the reply; on connection loss
+    * reconnect with backoff and resend (bounded — a request is retried at
+    * most `maxReconnects` times, each on a fresh connection). */
+  private def send(cmd: String, payload: Array[Byte]): (String, Array[Byte]) = {
+    var sock = pool.take()
+    try {
+      var attempt = 0
+      while (true) {
+        try {
+          writeMessage(new DataOutputStream(sock.getOutputStream), cmd, payload)
+          return readMessage(new DataInputStream(sock.getInputStream))
+        } catch {
+          case e: IOException =>
+            attempt += 1
+            if (attempt > maxReconnects) throw e
+            try sock.close() catch { case _: IOException => () }
+            sock = reconnectWithBackoff()
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally pool.put(sock)
+  }
+
+  private def okFields(payload: Array[Byte]): (Int, String) = {
+    val buf = ByteBuffer.wrap(payload)
+    val code = buf.getInt
+    (code, new String(payload, 4, payload.length - 4, UTF_8))
+  }
+
+  /** Send and unwrap: OK → payload; ERR → [[WireException]]. */
+  private def expectOk(cmd: String, payload: Array[Byte]): Array[Byte] = {
+    val (respCmd, resp) = send(cmd, payload)
+    if (respCmd == "OK") resp
+    else { val (code, msg) = okFields(resp); throw new WireException(code, msg) }
+  }
+
+  private def countPrefixedLines(payload: Array[Byte]): Seq[String] = {
+    val buf = ByteBuffer.wrap(payload)
+    val n = buf.getInt
+    (0 until n).map { _ =>
+      val len = buf.getInt
+      val b = new Array[Byte](len)
+      buf.get(b)
+      new String(b, UTF_8)
+    }
+  }
+
+  /** Server version string from the VERSION handshake. */
+  def version: String = handshakeVersion
+
+  /** USE: switch the session database on every pooled connection (and for
+    * future reconnects). */
+  def use(name: String): Unit = {
+    currentDb = name
+    val held = Seq.fill(pool.size())(pool.take())
+    try held.foreach { sock =>
+      writeMessage(new DataOutputStream(sock.getOutputStream), "USE", name.getBytes(UTF_8))
+      val (c, p) = readMessage(new DataInputStream(sock.getInputStream))
+      if (c != "OK") { val (code, msg) = okFields(p); throw new WireException(code, msg) }
+    } finally held.foreach(pool.put)
+  }
+
+  /** QUERY: FQL in, parsed entries out (reference `Query`,
+    * `api/remote.go:186-210`). */
+  def query(fql: String): Seq[WireEntry] =
+    countPrefixedLines(expectOk("QUERY", fql.getBytes(UTF_8))).map(WireEntry.parse)
+
+  /** APPEND raw wire bytes to a topic (reference `Append`,
+    * `api/remote.go:164-184`); payload `[u32 topic-len][topic][bytes]`
+    * (`pkg/proto/message.go:382-405`). Bytes must validate against the
+    * topic schema — the server's schema-on-append gate rejects otherwise. */
+  def append(topic: String, data: Array[Byte]): Unit = {
+    val t = topic.getBytes(UTF_8)
+    val buf = ByteBuffer.allocate(4 + t.length + data.length)
+    buf.putInt(t.length).put(t).put(data)
+    expectOk("APPEND", buf.array())
+    ()
+  }
+
+  /** CREATE a topic with a schema DDL. */
+  def create(topic: String, ddl: String = "string"): Unit = {
+    val t = topic.getBytes(UTF_8)
+    val d = ddl.getBytes(UTF_8)
+    val buf = ByteBuffer.allocate(4 + t.length + d.length)
+    buf.putInt(t.length).put(t).put(d)
+    expectOk("CREATE", buf.array())
+    ()
+  }
+
+  /** LIST topics as `(topic, schema ddl)`. */
+  def listTopics: Seq[(String, String)] =
+    countPrefixedLines(expectOk("LIST", Array.emptyByteArray)).map { line =>
+      line.split(" ", 2) match {
+        case Array(t, ddl) => (t, ddl)
+        case Array(t) => (t, "string")
+      }
+    }
+
+  /** STATS lines (`topic n=... first=... last=...`). */
+  def stats(): Seq[String] =
+    countPrefixedLines(expectOk("STATS", Array.emptyByteArray))
+
+  def close(): Unit = {
+    val held = Seq.fill(pool.size())(pool.take())
+    held.foreach(s => try s.close() catch { case _: IOException => () })
+  }
+}

@@ -4,21 +4,29 @@ import scala.io.StdIn
 
 import org.apache.spark.sql.SparkSession
 
-import graft.api.LocalClient
+import graft.api.{ConnectionString, LocalClient, RemoteClient}
+import graft.engine.{Codec, FossilSchema}
 
-/** Interactive REPL over the embedded store — the CLI analog of the
-  * reference's client loop (`cmd/fossil/client/client.go:208-356`,
-  * `pkg/repl/parser.go:21-118`). Commands:
+/** Interactive REPL — the CLI analog of the reference's client loop
+  * (`cmd/fossil/client/client.go:208-356`, `pkg/repl/parser.go:21-118`).
+  * The target is a connection string (`pkg/proto/connectionstring.go`
+  * shapes): a bare path or `file://path` opens the embedded store
+  * ([[LocalClient]]); `fossil://host[:port][/db]` speaks the wire protocol
+  * ([[RemoteClient]]) — no SparkSession on the client side at all.
+  * Commands:
   *
   *   query <fql>            run an FQL query, print a table
-  *   append <topic> <data>  append one datum (string topics; numerics parsed)
+  *   append <topic> <data>  append one datum (parsed per the topic schema)
   *   create topic <path> <schema-ddl>
   *   list topics | list schemas
   *   stats
+  *   version                (remote) server version
+  *   use <db>               (remote) switch database
   *   format table|csv|json  set output format (S8 writers)
   *   quit
   *
   * Usage: sbt "runMain graft.tools.Repl /path/to/store"
+  *        sbt "runMain graft.tools.Repl fossil://localhost:8001/default"
   */
 object Repl {
   /** S8 output writers (`pkg/repl/writer.go:34-66` analog): one rendered
@@ -32,8 +40,76 @@ object Repl {
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
 
+  /** Parse a REPL datum per a schema DDL (the reference REPL encodes via
+    * the topic schema client-side, `pkg/repl/parser.go:42-66`). */
+  private[tools] def parseDatum(ddl: String, data: String): Any =
+    if (ddl.startsWith("int") || ddl.startsWith("uint")) data.trim.toLong
+    else if (ddl.startsWith("float")) data.trim.toDouble
+    else if (ddl == "boolean") data.trim.toBoolean
+    else data
+
+  /** The schema a topic would get on append: its own entry, else the
+    * nearest ancestor's (hierarchy inheritance), else the string default. */
+  private def effectiveDdl(topics: Seq[(String, String)], topic: String): String = {
+    val byTopic = topics.toMap
+    byTopic.get(topic).orElse {
+      Iterator.iterate(topic)(t => t.substring(0, math.max(0, t.lastIndexOf('/'))))
+        .takeWhile(_.nonEmpty).drop(1)
+        .collectFirst { case t if byTopic.contains(t) => byTopic(t) }
+    }.getOrElse("string")
+  }
+
   def main(args: Array[String]): Unit = {
-    val root = if (args.nonEmpty) args(0) else "/tmp/graft_repl_store"
+    val target = if (args.nonEmpty) args(0) else "/tmp/graft_repl_store"
+    ConnectionString.parse(target) match {
+      case r: ConnectionString.Remote => remoteLoop(r)
+      case ConnectionString.Local(path) => localLoop(path)
+    }
+  }
+
+  /** Wire-client loop — plain sockets, no Spark on this side. */
+  private def remoteLoop(target: ConnectionString.Remote): Unit = {
+    val client = new RemoteClient(target)
+    println(s"graft repl over fossil://${target.host}:${target.port}/${target.db} " +
+      s"(server ${client.version}) — 'quit' to exit")
+    var line = StdIn.readLine("> ")
+    while (line != null && line.trim != "quit") {
+      try {
+        val t = line.trim
+        if (t.nonEmpty) t.split("\\s+", 2).toList match {
+          case "query" :: rest :: Nil =>
+            client.query(rest).foreach { e =>
+              println(s"${e.time}\t${e.topic}\t${e.decoded}\t${e.schema}")
+            }
+          case "append" :: rest :: Nil =>
+            val Array(topic, data) = rest.split("\\s+", 2)
+            val ddl = effectiveDdl(client.listTopics, topic)
+            client.append(topic,
+              Codec.encode(FossilSchema.parse(ddl), parseDatum(ddl, data)))
+            println("ok")
+          case "create" :: rest :: Nil if rest.startsWith("topic ") =>
+            val parts = rest.stripPrefix("topic ").split("\\s+", 2)
+            client.create(parts(0), if (parts.length > 1) parts(1) else "string")
+            println("ok")
+          case "list" :: "topics" :: Nil =>
+            client.listTopics.foreach { case (t2, s) => println(s"$t2\t$s") }
+          case "list" :: "schemas" :: Nil =>
+            client.listTopics.map(_._2).distinct.sorted.foreach(println)
+          case "stats" :: Nil => client.stats().foreach(println)
+          case "version" :: Nil => println(client.version)
+          case "use" :: db :: Nil => client.use(db.trim); println(s"database changed")
+          case other => println(s"unrecognized: ${other.mkString(" ")}")
+        }
+      } catch {
+        case e: Exception => println(s"error: ${e.getMessage}")
+      }
+      line = StdIn.readLine("> ")
+    }
+    client.close()
+  }
+
+  /** Embedded-store loop (serverless `file://` / bare-path shape). */
+  private def localLoop(root: String): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
@@ -61,12 +137,7 @@ object Repl {
             // parsing on a string topic would build an ill-typed row
             val ddl = client.engine.catalog.schemaOf(topic)
               .map(_.ddl).getOrElse("string")
-            val value: Any =
-              if (ddl.startsWith("int") || ddl.startsWith("uint")) data.trim.toLong
-              else if (ddl.startsWith("float")) data.trim.toDouble
-              else if (ddl == "boolean") data.trim.toBoolean
-              else data
-            client.append(topic, value)
+            client.append(topic, parseDatum(ddl, data))
             println("ok")
           case "create" :: rest :: Nil if rest.startsWith("topic ") =>
             val parts = rest.stripPrefix("topic ").split("\\s+", 2)

@@ -1,0 +1,109 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.engine.{Codec, FossilSchema}
+import graft.fql.Compiler
+
+/** Connection-string dispatch (`pkg/proto/connectionstring.go:34-74`
+  * shapes) — pure parsing, no Spark. */
+class ConnectionStringSpec extends AnyFunSuite {
+  import ConnectionString._
+
+  test("bare paths and file:// are local") {
+    assert(parse("./path/to/db") == Local("./path/to/db"))
+    assert(parse("/abs/path") == Local("/abs/path"))
+    assert(parse("file:///abs/path") == Local("/abs/path"))
+    assert(parse("") == Local("./")) // reference: empty string → "./"
+  }
+
+  test("fossil:// parses host, port, database with defaults") {
+    assert(parse("fossil://h:9/db") == Remote("h", 9, "db"))
+    assert(parse("fossil://h/db") == Remote("h", DefaultPort, "db"))
+    assert(parse("fossil://h:9") == Remote("h", 9, DefaultDb))
+    assert(parse("fossil://h:9/") == Remote("h", 9, DefaultDb))
+  }
+
+  test("nested database paths and unknown schemes are rejected") {
+    // reference: `invalid database /a/b`
+    intercept[IllegalArgumentException](parse("fossil://h:9/a/b"))
+    intercept[IllegalArgumentException](parse("http://h:9/db"))
+  }
+}
+
+/** [[RemoteClient]] ↔ [[WireServer]] round-trip — the reference-client
+  * parity surface (`api/remote.go`) driven through the client class
+  * instead of hand-rolled socket frames. */
+class RemoteClientSpec extends SparkSpec {
+
+  private val fixedClock: Compiler.Clock = () => 1735689600L * 1000000000L
+
+  test("client round-trip: VERSION, CREATE, APPEND, QUERY, LIST, STATS, USE") {
+    val rootA = Files.createTempDirectory("graft_rc_a").toString
+    val rootB = Files.createTempDirectory("graft_rc_b").toString
+    val server = new WireServer(spark, Map("a" -> rootA, "b" -> rootB), "a", fixedClock)
+    val client = new RemoteClient("127.0.0.1", server.port, db = "a", poolSize = 2)
+    try {
+      assert(client.version == WireServer.Version)
+
+      client.create("/rc/t", "float64")
+      // schema-on-append gate surfaces as a typed wire error
+      val err = intercept[WireException](client.append("/rc/t", Array[Byte](1, 2)))
+      assert(err.code == 500)
+
+      client.append("/rc/t", Codec.encode(FossilSchema.SFloat64, 42.5))
+      val entries = client.query("all in /rc/t")
+      assert(entries.length == 1)
+      val e = entries.head
+      assert(e.topic == "/rc/t" && e.schema == "float64" && e.decoded == 42.5)
+      // fixed clock: append stamps 2025-01-01T00:00:00Z
+      assert(e.time == java.time.Instant.parse("2025-01-01T00:00:00Z"))
+
+      assert(client.listTopics.contains("/rc/t" -> "float64"))
+      assert(client.stats().exists(l => l.startsWith("/rc/t ") && l.contains("n=1")))
+
+      // USE switches every pooled connection: the topic is invisible in b
+      client.use("b")
+      assert(client.query("all in /rc/t").isEmpty)
+      assert(client.listTopics.isEmpty)
+      client.use("a")
+      assert(client.query("all in /rc/t").length == 1)
+
+      // server-side FQL errors arrive as typed wire errors, conn survives
+      val qerr = intercept[WireException](client.query("frobnicate"))
+      assert(qerr.code == 500)
+      assert(client.query("all in /rc/t").length == 1)
+    } finally { client.close(); server.close() }
+  }
+
+  test("array values decode through the client codec path") {
+    val root = Files.createTempDirectory("graft_rc_arr").toString
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
+    val client = new RemoteClient("127.0.0.1", server.port, db = "a", poolSize = 1)
+    try {
+      client.create("/vec", "[4]float64")
+      val arr = Seq(1.5, -2.0, 0.0, 3.25)
+      client.append("/vec", Codec.encode(FossilSchema.parse("[4]float64"), arr))
+      val e = client.query("all in /vec").head
+      assert(e.schema == "[4]float64")
+      assert(e.decoded.asInstanceOf[Seq[Any]] == arr)
+    } finally { client.close(); server.close() }
+  }
+
+  test("connecting to a dead port fails, and unknown USE is a typed error") {
+    // a freshly closed server's port is no longer accepting
+    val root = Files.createTempDirectory("graft_rc_dead").toString
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
+    val deadPort = server.port
+    val client = new RemoteClient("127.0.0.1", deadPort, db = "a", poolSize = 1)
+    val uerr = intercept[WireException](client.use("nosuchdb"))
+    assert(uerr.code == 500)
+    client.close()
+    server.close()
+    intercept[java.io.IOException](
+      new RemoteClient("127.0.0.1", deadPort, db = "a", poolSize = 1))
+  }
+}
