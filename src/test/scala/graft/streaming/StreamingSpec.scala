@@ -72,6 +72,54 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("append mode: watermark closes windows, late data admitted before it and dropped after") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // pin the no-data micro-batch contract: after a batch advances the
+    // watermark, an extra batch emits the windows it closed (default on)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val s = 1000000L
+    val in = MemoryStream[Entry]
+    val q = windowedStats(in.toDF(), "1 minute", "30 seconds")
+      .writeStream.format("memory").queryName("aw_out").outputMode("append").start()
+    def emitted(): Set[(Long, String, Long, Double)] = spark.table("aw_out")
+      .select((unix_micros(col("w_start")) / (60 * s)).cast("long"), col("topic"),
+        col("n"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    try {
+      in.addData(Entry(10 * s, "A", 1.0), Entry(70 * s, "A", 2.0))
+      q.processAllAvailable() // watermark 70-30 = 40 s: nothing closed yet
+      assert(emitted().isEmpty)
+      // t=50 s is OUT OF ORDER (after t=70) but NEWER than the 40 s
+      // watermark → admitted into the still-open [0,60) window
+      in.addData(Entry(50 * s, "A", 8.0), Entry(150 * s, "A", 4.0))
+      q.processAllAvailable() // watermark 120 s: closes [0,60) and [60,120)
+      assert(emitted() == Set((0L, "A", 2L, 9.0), (1L, "A", 1L, 2.0)))
+      // t=55 s is OLDER than the 120 s watermark → dropped, NOT re-opened;
+      // emitted [0,60) row stays final (no retraction in append mode)
+      in.addData(Entry(55 * s, "A", 99.0), Entry(230 * s, "A", 16.0))
+      q.processAllAvailable() // watermark 200 s: closes [120,180)
+      assert(emitted() == Set((0L, "A", 2L, 9.0), (1L, "A", 1L, 2.0), (2L, "A", 1L, 4.0)))
+      in.addData(Entry(310 * s, "A", 32.0))
+      q.processAllAvailable() // watermark 280 s: closes [180,240); [300,360) open
+      val rows = emitted()
+      assert(rows == Set((0L, "A", 2L, 9.0), (1L, "A", 1L, 2.0),
+        (2L, "A", 1L, 4.0), (3L, "A", 1L, 16.0)))
+      // equivalence contract: closed-window output == batch GROUP BY over the
+      // ADMITTED rows (everything ingested minus the dropped late row),
+      // restricted to windows the final 280 s watermark closed
+      val admitted = Seq((10, 1.0), (70, 2.0), (50, 8.0), (150, 4.0), (230, 16.0), (310, 32.0))
+      val batch = admitted.toDF("t_s", "value")
+        .groupBy(window(timestamp_seconds(col("t_s")), "1 minute"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .filter(unix_seconds(col("window.end")) <= 280)
+        .select((unix_seconds(col("window.start")) / 60).cast("long"),
+          lit("A"), col("n"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
