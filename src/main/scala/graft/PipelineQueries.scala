@@ -81,6 +81,17 @@ object PipelineQueries {
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
           shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
         .orderBy("id")),
+    // the SAME clustering forced down the distributed label-propagation
+    // path (localThreshold = 0): at bench scale the duplicate graph sits
+    // far below the union-find cap, so without this entry the big-graph
+    // path would never run (or be timed) outside synthetic specs. Same
+    // oracle as dedup_clusters — the two paths must agree exactly.
+    "dedup_clusters_dist" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000),
+        localThreshold = 0)
+        .orderBy("id")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -205,6 +216,21 @@ object PipelineQueries {
       |ORDER BY a, b""".stripMargin.trim,
 
     "dedup_clusters" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges)
+      |SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |FROM nodes n JOIN reach r ON r.x = n.id
+      |GROUP BY n.id ORDER BY n.id""".stripMargin.trim,
+
+    // the distributed path must produce the identical clustering
+    "dedup_clusters_dist" -> s"""
       |WITH RECURSIVE $minhashPairsCtes,
       |pairs AS (
       |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
