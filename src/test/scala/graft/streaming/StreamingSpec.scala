@@ -202,6 +202,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("value").collect()(0).getDouble(0) == 2.5)
   }
 
+  test("checkpointed ingest recovers exactly-once across restarts (the S4 WAL substitution)") {
+    // The design claim behind skipping a byte-replay WAL (SURVEY §2.1): the
+    // streaming checkpoint + Parquet commit protocol already give
+    // crash-recovery with exactly-once file commits. Simulate a crash by
+    // abandoning the first query object, then restart from the SAME
+    // checkpoint: committed input files must not re-emit, new ones must.
+    val in = tmp("graft_rec_in"); val out = tmp("graft_rec_out"); val ck = tmp("graft_rec_ck")
+    Seq(Entry(1000000L, "/a/x", 1.0), Entry(2000000L, "/a/y", 2.0)).toDF()
+      .write.mode("append").json(in)
+    val q1 = writeEntries(fileSource(spark, in), out, ck, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+    Seq(Entry(3000000L, "/a/x", 3.0)).toDF().write.mode("append").json(in)
+    val q2 = writeEntries(fileSource(spark, in), out, ck, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3) // batch-1 rows exactly once, new row appended
+    assert(back.agg(org.apache.spark.sql.functions.sum("value")).first().getDouble(0) == 6.0)
+  }
+
   test("file sink writes topic_root-partitioned parquet exactly once") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Entry]
