@@ -41,7 +41,8 @@ import graft.fql.Compiler
 final class WireServer(
     spark: SparkSession, storeRoots: Map[String, String], defaultStore: String,
     clock: Compiler.Clock = Compiler.systemClock,
-    maxResponseBytes: Int = WireServer.MaxMessageBytes) {
+    maxResponseBytes: Int = WireServer.MaxMessageBytes,
+    bindPort: Int = 0) {
 
   import WireServer._
 
@@ -53,14 +54,18 @@ final class WireServer(
   private val clients: Map[String, LocalClient] =
     storeRoots.map { case (name, root) => name -> new LocalClient(spark, root, clock) }
 
-  private val server = new ServerSocket(0) // ephemeral port
+  private val server = new ServerSocket(bindPort) // 0 = ephemeral port
   def port: Int = server.getLocalPort
   @volatile private var running = true
+  // live accepted sockets, so close() actually severs clients (otherwise
+  // handler threads would keep their conns alive past server shutdown)
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
+        conns.add(sock)
         val t = new Thread(() => handle(sock), "graft-wire-conn")
         t.setDaemon(true)
         t.start()
@@ -70,7 +75,12 @@ final class WireServer(
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def close(): Unit = { running = false; server.close() }
+  def close(): Unit = {
+    running = false
+    server.close()
+    conns.forEach(s => try s.close() catch { case _: IOException => () })
+    conns.clear()
+  }
 
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
@@ -90,7 +100,7 @@ final class WireServer(
         }
       }
     } catch { case _: EOFException | _: IOException => () } // client gone
-    finally sock.close()
+    finally { conns.remove(sock); sock.close() }
   }
 
   private def serve(

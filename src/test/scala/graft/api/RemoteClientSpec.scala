@@ -93,6 +93,31 @@ class RemoteClientSpec extends SparkSpec {
     } finally { client.close(); server.close() }
   }
 
+  test("client reconnects with backoff and resends after a server restart") {
+    val root = Files.createTempDirectory("graft_rc_rec").toString
+    val server1 = new WireServer(spark, Map("a" -> root), "a", fixedClock)
+    val port = server1.port
+    val client = new RemoteClient("127.0.0.1", port, db = "a",
+      poolSize = 1, maxReconnects = 5, backoffBaseMs = 50)
+    try {
+      client.create("/rec/t", "float64")
+      client.append("/rec/t", Codec.encode(FossilSchema.SFloat64, 1.0))
+      assert(client.query("all in /rec/t").length == 1)
+      // kill the server (severing the client's pooled connection), bring a
+      // replacement up on the SAME port over the SAME store root — the
+      // reference's reconnectWithBackoff scenario (api/remote.go:63-86):
+      // the client must notice the dead socket, re-handshake VERSION+USE,
+      // and resend the request transparently
+      server1.close()
+      val server2 = new WireServer(spark, Map("a" -> root), "a", fixedClock,
+        bindPort = port)
+      try {
+        val entries = client.query("all in /rec/t")
+        assert(entries.length == 1 && entries.head.decoded == 1.0)
+      } finally server2.close()
+    } finally { client.close(); server1.close() }
+  }
+
   test("connecting to a dead port fails, and unknown USE is a typed error") {
     // a freshly closed server's port is no longer accepting
     val root = Files.createTempDirectory("graft_rc_dead").toString
