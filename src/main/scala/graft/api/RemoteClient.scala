@@ -47,9 +47,22 @@ final class WireException(val code: Int, message: String)
   *
   * Thread safety: connections are borrowed from the pool per send, so
   * concurrent callers are safe up to `poolSize` in flight (the reference's
-  * channel pool semantics). This is a client transport — query results
-  * materialize on the caller like the reference's `database.Entries`; bulk
-  * analytics belong on the DataFrame API.
+  * channel pool semantics); [[use]] and [[close]] drain the FULL pool
+  * (blocking until in-flight requests return their connections) so no
+  * connection can keep a stale database binding or survive shutdown.
+  *
+  * Delivery semantics (same as the reference): the resend-after-reconnect
+  * path makes every command AT-LEAST-ONCE — an APPEND/CREATE whose
+  * connection died after the server applied it but before the OK arrived
+  * is applied again on resend. Callers needing exactly-once ingest should
+  * use the DataFrame path ([[LocalClient.appendFrame]] / streaming sink),
+  * whose commit protocol deduplicates. A request that exhausts its
+  * reconnect budget returns its (dead) socket to the pool as a sentinel:
+  * the next request on that slot fails the first write instantly and
+  * enters the same reconnect path, so the pool self-heals once the server
+  * is back. This is a client transport — query results materialize on the
+  * caller like the reference's `database.Entries`; bulk analytics belong
+  * on the DataFrame API.
   */
 final class RemoteClient(
     host: String, port: Int, db: String = ConnectionString.DefaultDb,
@@ -61,8 +74,20 @@ final class RemoteClient(
 
   @volatile private var currentDb = db
   @volatile private var handshakeVersion: String = ""
+  private val poolCount = math.max(1, poolSize)
   private val pool = new LinkedBlockingQueue[Socket]()
-  (0 until math.max(1, poolSize)).foreach(_ => pool.put(connect()))
+  locally {
+    // if connection N fails, close 1..N-1 instead of leaking them (and
+    // their server-side sessions) from an abandoned half-built pool
+    val made = scala.collection.mutable.ArrayBuffer.empty[Socket]
+    try (0 until poolCount).foreach(_ => made += connect())
+    catch {
+      case e: Throwable =>
+        made.foreach(s => try s.close() catch { case _: IOException => () })
+        throw e
+    }
+    made.foreach(pool.put)
+  }
 
   /** Dial + VERSION/USE handshake (reference `connect`). */
   private def connect(): Socket = {
@@ -145,15 +170,31 @@ final class RemoteClient(
   /** Server version string from the VERSION handshake. */
   def version: String = handshakeVersion
 
-  /** USE: switch the session database on every pooled connection (and for
-    * future reconnects). */
+  private def sendUseOn(sock: Socket, name: String): Unit = {
+    writeMessage(new DataOutputStream(sock.getOutputStream), "USE", name.getBytes(UTF_8))
+    val (c, p) = readMessage(new DataInputStream(sock.getInputStream))
+    if (c != "OK") { val (code, msg) = okFields(p); throw new WireException(code, msg) }
+  }
+
+  /** USE: switch the session database on EVERY pooled connection (and for
+    * future reconnects). Drains the full pool — blocking until in-flight
+    * requests return — so no connection can keep the old binding. On
+    * failure (e.g. unknown db) the already-switched connections are rolled
+    * back and `currentDb` is left unchanged, so reconnect handshakes keep
+    * working against the last database that was successfully in use. */
   def use(name: String): Unit = {
-    currentDb = name
-    val held = Seq.fill(pool.size())(pool.take())
-    try held.foreach { sock =>
-      writeMessage(new DataOutputStream(sock.getOutputStream), "USE", name.getBytes(UTF_8))
-      val (c, p) = readMessage(new DataInputStream(sock.getInputStream))
-      if (c != "OK") { val (code, msg) = okFields(p); throw new WireException(code, msg) }
+    val old = currentDb
+    val held = Seq.fill(poolCount)(pool.take())
+    try {
+      val switched = scala.collection.mutable.ArrayBuffer.empty[Socket]
+      try {
+        held.foreach { s => sendUseOn(s, name); switched += s }
+        currentDb = name
+      } catch {
+        case e: Throwable =>
+          switched.foreach(s => try sendUseOn(s, old) catch { case _: Exception => () })
+          throw e
+      }
     } finally held.foreach(pool.put)
   }
 
@@ -197,8 +238,10 @@ final class RemoteClient(
   def stats(): Seq[String] =
     countPrefixedLines(expectOk("STATS", Array.emptyByteArray))
 
+  /** Close every pooled connection; blocks until in-flight requests return
+    * theirs. The client is unusable afterwards. */
   def close(): Unit = {
-    val held = Seq.fill(pool.size())(pool.take())
+    val held = Seq.fill(poolCount)(pool.take())
     held.foreach(s => try s.close() catch { case _: IOException => () })
   }
 }

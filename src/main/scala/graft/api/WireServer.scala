@@ -66,9 +66,15 @@ final class WireServer(
       try {
         val sock = server.accept()
         conns.add(sock)
-        val t = new Thread(() => handle(sock), "graft-wire-conn")
-        t.setDaemon(true)
-        t.start()
+        // close() may have iterated `conns` between accept() and add():
+        // re-check so a connection accepted in that window can't outlive
+        // the server shutdown
+        if (!running) { conns.remove(sock); sock.close() }
+        else {
+          val t = new Thread(() => handle(sock), "graft-wire-conn")
+          t.setDaemon(true)
+          t.start()
+        }
       } catch { case _: IOException => () /* closed */ }
     }
   }, "graft-wire-accept")

@@ -126,6 +126,11 @@ object Dedup {
       .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
+      // a duplicate doc id would multiply pairs through the join-backs;
+      // this final distinct is over the NARROW output (a, b, j_e4), unlike
+      // the wide pre-slim shape it replaced, so it preserves the documented
+      // distinct contract at the cost of one small-result shuffle
+      .distinct()
   }
 
   /** Whole-simhash typed Aggregator: input is each token occurrence's md5
@@ -366,5 +371,6 @@ object Dedup {
       .join(base.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
+      .distinct() // duplicate-id inputs: same narrow-output contract as minhashPairs
   }
 }

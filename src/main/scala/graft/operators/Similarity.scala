@@ -247,15 +247,16 @@ object Similarity {
       val scored = vd.join(broadcast(c), lit(true))
         .select(col("id"), col("v"), col("cid"),
           (dot(col("v"), col("cv")) / (col("n") * col("cn"))).as("cs"))
-      // top-1 by (cs desc, cid asc) as a partial+final max_by aggregation —
+      // top-1 by (cs desc, cid asc) as a partial+final min_by aggregation —
       // a row_number window here would SORT n·k rows every iteration; the
       // agg keeps one candidate per id per partition instead. Struct
-      // comparison is lexicographic, so (cs, -cid) max = best cosine with
-      // ties to the LOWEST cid — the same order ivfTopK's probe uses (and
-      // the same NaN-greatest total order the window had).
+      // comparison is lexicographic, so min of (-cs, cid) = best cosine
+      // with ties to the LOWEST cid — the same order ivfTopK's probe uses.
+      // Negating cs (always double) rather than cid keeps the tie-break
+      // working for ANY orderable id type, not just numeric ones.
       val assigned = scored.groupBy("id")
-        .agg(max_by(struct(col("cid"), col("v")),
-          struct(col("cs"), negate(col("cid")))).as("__best"))
+        .agg(min_by(struct(col("cid"), col("v")),
+          struct(negate(col("cs")), col("cid"))).as("__best"))
         .select(col("__best.cid").as("cid"), col("__best.v").as("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))

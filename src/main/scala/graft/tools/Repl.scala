@@ -49,14 +49,22 @@ object Repl {
     else data
 
   /** The schema a topic would get on append: its own entry, else the
-    * nearest ancestor's (hierarchy inheritance), else the string default. */
-  private def effectiveDdl(topics: Seq[(String, String)], topic: String): String = {
+    * nearest ancestor's NON-default schema, else the string default —
+    * mirroring the server's inheritance walk exactly
+    * ([[graft.engine.Catalog]] `parentSchema`: default-`string` ancestors
+    * are skipped and the root `/` participates), so the bytes the REPL
+    * encodes always validate against the schema the server will enforce. */
+  private[tools] def effectiveDdl(topics: Seq[(String, String)], topic: String): String = {
     val byTopic = topics.toMap
-    byTopic.get(topic).orElse {
-      Iterator.iterate(topic)(t => t.substring(0, math.max(0, t.lastIndexOf('/'))))
-        .takeWhile(_.nonEmpty).drop(1)
-        .collectFirst { case t if byTopic.contains(t) => byTopic(t) }
-    }.getOrElse("string")
+    byTopic.get(topic).getOrElse {
+      var p = topic
+      var found: Option[String] = None
+      while (found.isEmpty && p.contains('/') && p != "/") {
+        p = p.substring(0, p.lastIndexOf('/')) match { case "" => "/"; case x => x }
+        found = byTopic.get(p).filter(_ != "string")
+      }
+      found.getOrElse("string")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -118,16 +118,21 @@ class RemoteClientSpec extends SparkSpec {
     } finally { client.close(); server1.close() }
   }
 
-  test("connecting to a dead port fails, and unknown USE is a typed error") {
-    // a freshly closed server's port is no longer accepting
+  test("connecting to a dead port fails, and a failed USE leaves the session intact") {
     val root = Files.createTempDirectory("graft_rc_dead").toString
     val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
     val deadPort = server.port
     val client = new RemoteClient("127.0.0.1", deadPort, db = "a", poolSize = 1)
     val uerr = intercept[WireException](client.use("nosuchdb"))
     assert(uerr.code == 500)
+    // the failed switch must not poison the client: currentDb stays "a",
+    // so commands (and any reconnect handshake) keep working against it
+    client.create("/alive", "float64")
+    client.append("/alive", Codec.encode(FossilSchema.SFloat64, 1.0))
+    assert(client.query("all in /alive").length == 1)
     client.close()
     server.close()
+    // a freshly closed server's port is no longer accepting
     intercept[java.io.IOException](
       new RemoteClient("127.0.0.1", deadPort, db = "a", poolSize = 1))
   }

@@ -31,6 +31,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicate doc ids do not multiply pairs through the verify join-back") {
+    // raw corpora carry repeated ids; the slim candidate join fetches
+    // payloads back BY ID, which would fan out without the final distinct
+    val dup = docs.unionByName(docs.filter(col("doc_id") === 1L))
+    Seq(
+      Dedup.minhashPairs(dup, "doc_id", "text", minJaccardE4 = 5000),
+      Dedup.ngramJaccardPairs(dup, "doc_id", "text", minJaccardE4 = 5000)
+    ).foreach { pairs =>
+      val rows = pairs.select("a", "b").as[(Long, Long)].collect()
+      assert(rows.length == rows.toSet.size, s"duplicate output pairs: ${rows.toSeq}")
+    }
+  }
+
   test("simhash fingerprint is 16 hex chars, equal texts equal, near-dups close") {
     val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

@@ -87,6 +87,18 @@ class SimilaritySpec extends SparkSpec {
     assert(after3.values.forall(v => v != null && v.length == 2))
   }
 
+  test("kmeansCentroids works with non-numeric id columns") {
+    // the assignment tie-break orders (negated cosine, cid) so cid itself
+    // is never negated — string ids must keep working
+    val named = Seq(
+      ("a", Array(1.0f, 0.0f)), ("b", Array(0.9f, 0.1f)), ("c", Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(named, "vec_id", "embedding", k = 2, iters = 2)
+      .collect()
+    assert(cent.length == 2)
+    assert(cent.forall(_.getSeq[Double](1).length == 2))
+  }
+
   test("quantizeInt8: range bounded, dequantization error within half a step") {
     val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
       .as[(Long, Long, Int, Int)].collect()

@@ -30,4 +30,18 @@ class ReplSpec extends SparkSpec {
 
     assertThrows[IllegalArgumentException] { Repl.render(df, "xml") }
   }
+
+  test("effectiveDdl mirrors the server's inheritance walk") {
+    val topics = Seq("/a" -> "float64", "/a/b" -> "string", "/x" -> "string",
+      "/" -> "int64")
+    // exact topic wins, even when default
+    assert(Repl.effectiveDdl(topics, "/a/b") == "string")
+    // default-'string' ancestors are SKIPPED (like Catalog.parentSchema):
+    // /a/b/c inherits float64 from /a, not string from /a/b
+    assert(Repl.effectiveDdl(topics, "/a/b/c") == "float64")
+    // the root '/' participates in the walk
+    assert(Repl.effectiveDdl(topics, "/x/y") == "int64")
+    // nothing applicable → default
+    assert(Repl.effectiveDdl(Seq("/q" -> "string"), "/q/r") == "string")
+  }
 }
