@@ -310,7 +310,17 @@ object Compiler {
         }
       case "sqrt" => sqrt(one)
       case "exp" => exp(one)
-      case "ln" => log(one)
+      case "ln" =>
+        // Spark's log returns NULL for input <= 0; fossil semantics are
+        // Go's math.Log (pkg/query/types would call through float64):
+        // ln(neg) = NaN, ln(0) = -Inf, ln(NaN) = NaN — same as the fold
+        // interpreter's math.log. Branches are lazy, so log only ever
+        // evaluates on the in-domain side. (Found by differential fuzzing:
+        // the NULL silently dropped rows from compiled filters.)
+        val d = one.cast(DoubleType)
+        when(d > 0d, log(d))
+          .when(d === 0d, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN))
       case other => throw new FqlException(s"Unknown builtin function '$other'")
     }
   }

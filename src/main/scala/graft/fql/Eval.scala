@@ -125,22 +125,32 @@ object Eval {
       case b: Array[Byte] => b.length.toLong
       case other => throw new FqlException(s"len: unsupported $other")
     }
-    case "pow" => math.pow(toD(args(0)), toD(args(1)))
+    // StrictMath, not Math: Spark's Pow/Exp/Log expressions evaluate via
+    // StrictMath, and the intrinsic Math variants differ in the last ULP on
+    // some inputs — the differential fuzzer caught the divergence on
+    // ln(ln(3.0)). sqrt is exactly rounded by IEEE, either class works.
+    case "pow" => StrictMath.pow(toD(args(0)), toD(args(1)))
     case "abs" => args.head match {
       case l: Long => math.abs(l)
       case d: Double => math.abs(d)
       case o => throw new FqlException(s"abs: not numeric $o")
     }
     case "sqrt" => math.sqrt(toD(args.head))
-    case "exp" => math.exp(toD(args.head))
-    case "ln" => math.log(toD(args.head))
+    case "exp" => StrictMath.exp(toD(args.head))
+    case "ln" => StrictMath.log(toD(args.head))
     case "floor" => args.head match { case l: Long => l; case d: Double => math.floor(d) }
     case "ceil" => args.head match { case l: Long => l; case d: Double => math.ceil(d) }
     case "round" => args match {
       case List(l: Long) => l
-      case List(d: Double) => math.round(d).toDouble
+      // HALF_UP on the shortest decimal representation, NaN/±Inf passed
+      // through — exactly Spark's Round. (Math.round is floor(x+0.5):
+      // wrong sign on negative halves, and it maps NaN to 0.)
+      case List(d: Double) =>
+        if (d.isNaN || d.isInfinite) d
+        else BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
       case List(d: Double, s: Long) =>
-        BigDecimal(d).setScale(s.toInt, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (d.isNaN || d.isInfinite) d
+        else BigDecimal(d).setScale(s.toInt, BigDecimal.RoundingMode.HALF_UP).toDouble
       case _ => throw new FqlException("round: bad args")
     }
     case other => throw new FqlException(s"Unknown builtin function '$other'")

@@ -25,15 +25,23 @@ class DifferentialSpec extends SparkSpec {
       () => IntLit(rnd.between(-20L, 20L)),
       () => FloatLit(math.rint(rnd.between(-20.0, 20.0) * 4) / 4))
     if (depth == 0) leafChoices(rnd.nextInt(leafChoices.size))()
-    else rnd.nextInt(8) match {
-      case 0 | 1 | 2 =>
+    else rnd.nextInt(15) match {
+      case 0 | 1 | 2 | 3 =>
         val op = Seq("+", "-", "*", "/")(rnd.nextInt(4))
         Binary(op, genExpr(depth - 1), genExpr(depth - 1))
-      case 3 => Unary("-", genExpr(depth - 1))
-      case 4 => Call("abs", List(genExpr(depth - 1)))
-      case 5 => Call("max", List(genExpr(depth - 1), genExpr(depth - 1)))
-      case 6 => Call("min", List(genExpr(depth - 1), genExpr(depth - 1)))
-      case 7 => Call("floor", List(genExpr(depth - 1)))
+      case 4 => Unary("-", genExpr(depth - 1))
+      case 5 => Call("abs", List(genExpr(depth - 1)))
+      case 6 => Call("max", List(genExpr(depth - 1), genExpr(depth - 1)))
+      case 7 => Call("min", List(genExpr(depth - 1), genExpr(depth - 1)))
+      case 8 => Call("floor", List(genExpr(depth - 1)))
+      case 9 => Call("ceil", List(genExpr(depth - 1)))
+      case 10 => Call("round", List(genExpr(depth - 1)))
+      // sqrt/ln of negatives and exp overflow exercise the NaN/±Inf paths
+      // where ANSI-mode divergences between the two engines would hide
+      case 11 => Call("sqrt", List(genExpr(depth - 1)))
+      case 12 => Call("ln", List(genExpr(depth - 1)))
+      case 13 => Call("exp", List(genExpr(depth - 1)))
+      case 14 => Call("pow", List(genExpr(depth - 1), IntLit(rnd.between(0L, 4L))))
     }
   }
 
