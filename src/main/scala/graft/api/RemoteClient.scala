@@ -208,20 +208,13 @@ final class RemoteClient(
     * (`pkg/proto/message.go:382-405`). Bytes must validate against the
     * topic schema — the server's schema-on-append gate rejects otherwise. */
   def append(topic: String, data: Array[Byte]): Unit = {
-    val t = topic.getBytes(UTF_8)
-    val buf = ByteBuffer.allocate(4 + t.length + data.length)
-    buf.putInt(t.length).put(t).put(data)
-    expectOk("APPEND", buf.array())
+    expectOk("APPEND", WireServer.lengthPrefixed(topic, data))
     ()
   }
 
   /** CREATE a topic with a schema DDL. */
   def create(topic: String, ddl: String = "string"): Unit = {
-    val t = topic.getBytes(UTF_8)
-    val d = ddl.getBytes(UTF_8)
-    val buf = ByteBuffer.allocate(4 + t.length + d.length)
-    buf.putInt(t.length).put(t).put(d)
-    expectOk("CREATE", buf.array())
+    expectOk("CREATE", WireServer.lengthPrefixed(topic, ddl.getBytes(UTF_8)))
     ()
   }
 

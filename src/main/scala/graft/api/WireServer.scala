@@ -256,6 +256,16 @@ object WireServer {
     b.toByteArray
   }
 
+  /** (string, rest) → `[u32 len][string][rest]` — the AppendRequest /
+    * CreateTopicRequest payload shape (`pkg/proto/message.go:382-405`);
+    * inverse of [[lengthPrefixedString]]. */
+  private[api] def lengthPrefixed(s: String, rest: Array[Byte]): Array[Byte] = {
+    val t = s.getBytes(StandardCharsets.UTF_8)
+    val buf = java.nio.ByteBuffer.allocate(4 + t.length + rest.length)
+    buf.putInt(t.length).put(t).put(rest)
+    buf.array()
+  }
+
   /** `[u32 len][string][rest]` → (string, rest) — the AppendRequest /
     * CreateTopicRequest payload shape (`pkg/proto/message.go:382-405`). */
   private[api] def lengthPrefixedString(payload: Array[Byte]): (String, Array[Byte]) = {
