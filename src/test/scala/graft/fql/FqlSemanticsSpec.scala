@@ -60,6 +60,25 @@ class FqlSemanticsSpec extends SparkSpec {
     assert(vals("all | map x -> pow(x, 2)", eng(3)) == Seq(9.0))
   }
 
+  test("ln follows Go math.Log: NaN below zero, -Inf at zero, defined above") {
+    // Spark's log would return NULL for x <= 0, silently dropping rows from
+    // compiled filters — the compiler branches around it (found by fuzzing)
+    val got = vals("all | map x -> ln(x)", eng(-1, 0, 1))
+    assert(got(0).isNaN)
+    assert(got(1).isNegInfinity)
+    assert(got(2) == 0.0)
+    // and NaN comparisons behave identically through filters on both paths:
+    // total order puts NaN greatest, so ln(-1) > 100 holds
+    assert(vals("all | filter x -> ln(x) > 100", eng(-1.0, 5.0)) == Seq(-1.0))
+  }
+
+  test("round is HALF_UP away from zero; NaN and infinities pass through") {
+    assert(vals("all | map x -> round(x)", eng(-2.5, -0.5, 0.5, 2.5))
+      == Seq(-3.0, -1.0, 1.0, 3.0))
+    val edge = vals("all | map x -> round(ln(x))", eng(-1, 0))
+    assert(edge(0).isNaN && edge(1).isNegInfinity)
+  }
+
   test("reduce is a global fold with assoc+comm contract") {
     assert(vals("all | reduce a, b -> a + b", eng(1, 2, 3, 4)) == Seq(10.0))
   }
