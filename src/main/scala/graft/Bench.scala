@@ -26,14 +26,17 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    val results = queries.map { case (name, fn) =>
-      // median of three timed runs, per-run times kept in the output: a
-      // shared-sandbox contention spike on one run (r3: dedup_minhash 8.7 s
-      // reported vs 1.6 s reproduced) is then visible as an outlier instead
-      // of poisoning the headline total; the first run also carries
-      // codegen/JIT for the query's unique plan shape, which the median
-      // discards
-      val runs = (0 until 3).map { _ =>
+    // median of three timed runs per query, taken PASS-MAJOR: the battery
+    // runs end-to-end three times and each query's samples come from
+    // different passes. Back-to-back runs of one query share any transient
+    // shared-sandbox contention (r3: dedup_minhash 8.7 s reported vs 1.6 s
+    // reproduced; r5: per-run arrays spread 1.3-3.7 s on one query), so
+    // interleaving decorrelates the samples — a spike now inflates one pass
+    // of many queries slightly instead of all three samples of one query,
+    // and the per-query median discards it. The warm-up pass above already
+    // carries codegen/JIT for every plan shape.
+    val passes = (0 until 3).map { _ =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -41,10 +44,12 @@ object Bench {
         // aren't taxed by accumulated cache memory/GC — but OUTSIDE the
         // timed window: teardown cost isn't part of the query
         spark.catalog.clearCache()
-        elapsed
-      }
-      val median = runs.sorted.apply(runs.size / 2)
-      (name, median, runs)
+        name -> elapsed
+      }.toMap
+    }
+    val results = queries.map { case (name, _) =>
+      val runs = passes.map(_(name))
+      (name, runs.sorted.apply(runs.size / 2), runs)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would corrupt the one JSON line the driver parses

@@ -141,6 +141,16 @@ object PipelineQueries {
         "vec_id", "embedding", "vec_id", k = 3)
         .orderBy("q", "rank")
     }),
+    // the int8-probe scale path: quantized bucket scoring + exact re-rank
+    // of k*refine candidates — deterministic end to end (integer scores,
+    // id tie-breaks), so the oracle reproduces the refine cut exactly
+    "ann_ivf_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKInt8(
+        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", k = 3, refine = 4)
+        .orderBy("q", "rank")
+    }),
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_quality" -> ((s, d) =>
@@ -374,6 +384,56 @@ object PipelineQueries {
       |  SELECT q, id, sim_e6,
       |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
       |  FROM scored)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
+
+    // int8 probe + exact re-rank: same assignment CTEs as ann_ivf, then
+    // symmetric quantization (emb_quantize's scheme), integer candidate
+    // scoring with an id tie-break at the k*refine cut, exact cosine on the
+    // survivors
+    "ann_ivf_int8" -> s"""
+      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+      |assigned AS (
+      |  SELECT vec_id AS id, embedding AS v, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |probed AS (
+      |  SELECT vec_id AS q, embedding AS qv, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0) WHERE rn = 1),
+      |aq AS (
+      |  SELECT id, bucket, v,
+      |    list_transform(v::DOUBLE[], x -> CAST(floor(x * scale / 1e6 + 0.5) AS BIGINT)) AS qarr
+      |  FROM (
+      |    SELECT id, bucket, v,
+      |      CASE WHEN ma > 0 THEN CAST(floor(1e6 * 127 / ma + 0.5) AS BIGINT) ELSE 0 END AS scale
+      |    FROM (SELECT id, bucket, v,
+      |            list_max(list_transform(v::DOUBLE[], x -> abs(x))) AS ma FROM assigned))),
+      |pq AS (
+      |  SELECT q, bucket, qv,
+      |    list_transform(qv::DOUBLE[], x -> CAST(floor(x * scale / 1e6 + 0.5) AS BIGINT)) AS qarr
+      |  FROM (
+      |    SELECT q, bucket, qv,
+      |      CASE WHEN ma > 0 THEN CAST(floor(1e6 * 127 / ma + 0.5) AS BIGINT) ELSE 0 END AS scale
+      |    FROM (SELECT q, bucket, qv,
+      |            list_max(list_transform(qv::DOUBLE[], x -> abs(x))) AS ma FROM probed))),
+      |iscored AS (
+      |  SELECT p.q, a.id, a.v, p.qv,
+      |    CAST(list_dot_product(a.qarr::DOUBLE[], p.qarr::DOUBLE[]) AS BIGINT) AS iscore
+      |  FROM aq a JOIN pq p ON a.bucket = p.bucket AND a.id != p.q),
+      |cand AS (
+      |  SELECT q, id, v, qv FROM (
+      |    SELECT q, id, v, qv,
+      |      row_number() OVER (PARTITION BY q ORDER BY iscore DESC, id) AS rn
+      |    FROM iscored) WHERE rn <= 12),
+      |rescored AS (SELECT q, id, ${cosE6("v", "qv")} AS sim_e6 FROM cand),
+      |ranked AS (
+      |  SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM rescored)
       |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
 
     "text_langid" -> {

@@ -184,28 +184,38 @@ object Similarity {
     * nprobe, probe cost scales linearly with it; SimilaritySpec measures
     * recall@k against [[bruteForceTopK]]).
     * Output: (q, rank, id, sim_e6). */
+  /** Prep centroids: (cid, cv, cn) with double vectors and norms. */
+  private def centFrame(centroids: DataFrame, centroidIdCol: String, vecCol: String): DataFrame =
+    centroids
+      .select(col(centroidIdCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+
+  /** Assign each row to its `n` nearest centroids by (cosine desc, cid asc);
+    * output (id, __v, __n, out). One broadcast join over the frame — no
+    * shuffle of the vectors themselves. */
+  private def assignBuckets(
+      df: DataFrame, cent: DataFrame, vecCol: String,
+      id: String, out: String, n: Int): DataFrame = {
+    val scored = df
+      .select(col(id), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .join(broadcast(cent), lit(true))
+      .select(col(id), col("__v"), col("__n"), col("cid"),
+        round(dot(col("__v"), col("cv")) / (col("__n") * col("cn")) * 1e6, 0)
+          .cast("long").as("__cs"))
+    topNPerGroup(scored, id, n, orderCols = Seq(col("__cs").desc, col("cid").asc))
+      .select(col(id), col("__v"), col("__n"), col("cid").as(out))
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, centroidIdCol: String, k: Int,
       nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cent = centroids
-      .select(col(centroidIdCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    def assign(df: DataFrame, id: String, out: String, n: Int): DataFrame = {
-      val scored = df
-        .select(col(id), col(vecCol).cast("array<double>").as("__v"))
-        .withColumn("__n", norm(col("__v")))
-        .join(broadcast(cent), lit(true))
-        .select(col(id), col("__v"), col("__n"), col("cid"),
-          round(dot(col("__v"), col("cv")) / (col("__n") * col("cn")) * 1e6, 0)
-            .cast("long").as("__cs"))
-      topNPerGroup(scored, id, n, orderCols = Seq(col("__cs").desc, col("cid").asc))
-        .select(col(id), col("__v"), col("__n"), col("cid").as(out))
-    }
-    val bucketed = assign(corpus, idCol, "bucket", n = 1)
+    val cent = centFrame(centroids, centroidIdCol, vecCol)
+    val bucketed = assignBuckets(corpus, cent, vecCol, idCol, "bucket", n = 1)
       .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
-    val probed = assign(queries, idCol, "bucket", n = nprobe)
+    val probed = assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
       .select(col(idCol).as("q"), col("__v").as("qv"), col("__n").as("qn"), col("bucket"))
     val scored = bucketed.join(probed, Seq("bucket"))
       .filter(col("id") =!= col("q"))
@@ -213,6 +223,64 @@ object Similarity {
         round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
           .cast("long").as("sim_e6"))
     topKPerGroup(scored, "q", k)
+  }
+
+  /** IVF probe over int8-quantized vectors with exact re-ranking — the
+    * memory-bandwidth scale path for vector search at corpus scale:
+    *
+    *  1. bucket assignment as in [[ivfTopK]] (full precision, broadcast);
+    *  2. the PROBE scores bucket-mates on int8-quantized vectors only
+    *     ([[quantizeInt8]]'s symmetric per-vector scheme kept as an
+    *     `array<int>` column — Parquet bit-packs it to ~1 byte/element, so
+    *     probe I/O shrinks ~4-8× vs float/double arrays);
+    *  3. per query, the top `k·refine` candidates by (integer score desc,
+    *     id asc) are re-ranked EXACTLY: the full-precision vectors join
+    *     back by id (slim-candidate pattern) and the final top-k uses the
+    *     same `sim_e6` contract as [[ivfTopK]].
+    *
+    * The integer scores are exact in doubles (|q| ≤ 127, so any realistic
+    * dimensionality stays far below 2^53) and every cut tie-breaks on id,
+    * so the whole pipeline — including the refine boundary — is
+    * deterministic and reproducible in the oracle. Per-vector scales make
+    * the raw int ranking approximate across vectors (standard symmetric
+    * int8 trade-off); `refine` buys the recall back, and SimilaritySpec
+    * measures it against [[ivfTopK]].
+    * Output: (q, rank, id, sim_e6). */
+  def ivfTopKInt8(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String, k: Int,
+      nprobe: Int = 1, refine: Int = 4): DataFrame = {
+    require(nprobe >= 1 && refine >= 1, s"need nprobe/refine >= 1, got $nprobe/$refine")
+    val cent = centFrame(centroids, centroidIdCol, vecCol)
+    val bucketed = assignBuckets(corpus, cent, vecCol, idCol, "bucket", n = 1)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
+      .withColumn("scale", scaleE6(col("v")))
+      .withColumn("qv", quantize(col("v"), col("scale")))
+      .cache() // feeds the int8 probe AND the exact-rescore join-back
+    val probed = assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
+      .select(col(idCol).as("q"), col("__v").as("qvec"), col("__n").as("qn"), col("bucket"))
+      .withColumn("qscale", scaleE6(col("qvec")))
+      .withColumn("qq", quantize(col("qvec"), col("qscale")))
+      .cache()
+    // probe path: quantized arrays only — the int products are exact in the
+    // codegen double dot (values ≤ 127)
+    val iscored = bucketed.select(col("id"), col("bucket"), col("qv"))
+      .join(probed.select(col("q"), col("bucket"), col("qq")), Seq("bucket"))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("id"),
+        dot(col("qv").cast("array<double>"), col("qq").cast("array<double>"))
+          .cast("long").as("iscore"))
+    val cand = topNPerGroup(iscored, "q", k * refine,
+      orderCols = Seq(col("iscore").desc, col("id").asc))
+      .select("q", "id")
+    // exact re-rank of the surviving candidates only
+    val rescored = cand
+      .join(bucketed.select(col("id"), col("v"), col("n")), Seq("id"))
+      .join(probed.select(col("q"), col("qvec"), col("qn")).dropDuplicates("q"), Seq("q"))
+      .select(col("q"), col("id"),
+        round(dot(col("v"), col("qvec")) / (col("n") * col("qn")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+    topKPerGroup(rescored, "q", k)
   }
 
   /** Spherical k-means trainer for the IVF coarse quantizer ([[ivfTopK]]'s
@@ -274,20 +342,28 @@ object Similarity {
     cent.select(col("cid"), col("cv").as("centroid"))
   }
 
-  /** Symmetric int8 scalar quantization of a float vector column: per-vector
-    * scale = 127/max|x| (carried as an exact ×1e6 long), elements mapped via
-    * floor(x·scale + 0.5) — floor, not round: engines disagree on rounding
-    * decimal representations but floor of the same double is identical
-    * everywhere. Output is exploded to scalars: (id, i, q, scale_e6). */
+  /** Per-vector symmetric int8 scale = 127/max|x|, carried as an exact ×1e6
+    * long; 0 for all-zero vectors. */
+  private def scaleE6(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    when(maxAbs > 0, floor(lit(1e6) * 127 / maxAbs + 0.5).cast("long")).otherwise(lit(0L))
+  }
+
+  /** Elements mapped via floor(x·scale + 0.5) — floor, not round: engines
+    * disagree on rounding decimal representations but floor of the same
+    * double is identical everywhere. */
+  private def quantize(v: Column, scale: Column): Column =
+    transform(v, x => floor(x * scale / 1e6 + 0.5).cast("int"))
+
+  /** Symmetric int8 scalar quantization of a float vector column (see
+    * [[scaleE6]]/[[quantize]] for the scheme — shared with the
+    * [[ivfTopKInt8]] probe path). Output exploded to scalars:
+    * (id, i, q, scale_e6). */
   def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val vd = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val maxAbs = array_max(transform(col("v"), x => abs(x)))
-    val scaleE6 = when(maxAbs > 0, floor(lit(1e6) * 127 / maxAbs + 0.5).cast("long"))
-      .otherwise(lit(0L))
-    vd.withColumn("scale_e6", scaleE6)
+    vd.withColumn("scale_e6", scaleE6(col("v")))
       .select(col("id"), col("scale_e6"),
-        posexplode(transform(col("v"),
-          x => floor(x * col("scale_e6") / 1e6 + 0.5).cast("int"))).as(Seq("i", "q")))
+        posexplode(quantize(col("v"), col("scale_e6"))).as(Seq("i", "q")))
   }
 
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {

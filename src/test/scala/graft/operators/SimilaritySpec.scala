@@ -36,6 +36,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).head == 1L) // nearest in own bucket
   }
 
+  test("ivfTopKInt8: exact re-rank matches ivfTopK on the recalled set; recall rises with refine") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val cents = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.ivfTopK(emb, queries, cents,
+      "vec_id", "embedding", "vec_id", k = 3)
+      .select("q", "rank", "id", "sim_e6").as[(Long, Int, Long, Long)].collect().toSet
+    def int8At(refine: Int) = Similarity.ivfTopKInt8(emb, queries, cents,
+      "vec_id", "embedding", "vec_id", k = 3, refine = refine)
+      .select("q", "rank", "id", "sim_e6").as[(Long, Int, Long, Long)].collect().toSet
+    val r1 = int8At(1)
+    val r8 = int8At(8)
+    // recall@3 against the full-precision probe, same buckets: a generous
+    // refine must recover (nearly) everything, and more refine never hurts
+    def recall(s: Set[(Long, Int, Long, Long)]) =
+      s.map(t => (t._1, t._3)).intersect(exact.map(t => (t._1, t._3))).size.toDouble /
+        exact.size
+    assert(recall(r8) >= recall(r1))
+    assert(recall(r8) >= 0.95, s"recall@refine=8 = ${recall(r8)}")
+    // whatever the int8 pre-rank recalled, the surfaced sim_e6 is EXACT —
+    // every (q,id) surviving in r8 carries the same score ivfTopK computed
+    val exactScores = exact.map(t => (t._1, t._3) -> t._4).toMap
+    r8.foreach { case (q, _, id, s) =>
+      exactScores.get((q, id)).foreach(es => assert(es == s, s"score drift for ($q,$id)"))
+    }
+  }
+
   test("kmeansCentroids: k kept, dims kept, assignment quality not worse than init") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def meanBestCos(cent: org.apache.spark.sql.DataFrame): Double = {
