@@ -90,6 +90,11 @@ final class LocalClient(
   /** LIST schemas in use. */
   def listSchemas: Seq[String] = store.catalog.list.map(_._2.ddl).distinct.sorted
 
+  /** Maintenance: compact the store's accumulated small append files into
+    * one time-sorted file per topic ([[graft.engine.ParquetStore.compact]]
+    * — run during a quiesced period). */
+  def compact(): Seq[(String, Long, Long)] = store.compact()
+
   /** STATS: per-topic entry counts + time bounds (reference
     * `pkg/database/stats.go` analog, computed from data not heap). */
   def stats: DataFrame = {

@@ -155,6 +155,54 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
       .filter(col("topic").isInCollection(wanted))
   }
 
+  /** Maintenance: rewrite every schema group's accumulated small append
+    * files (each [[append]] / streaming micro-batch lands at least one file
+    * per topic — the classic small-files problem of an append-only store)
+    * into one time-sorted file per topic.
+    *
+    * Besides the file-count win, compaction RESTORES the scan properties
+    * the store's pruning relies on: fully time-sorted files mean Parquet
+    * row-group min/max stats partition the time axis cleanly again, where
+    * interleaved appends leave overlapping ranges that defeat row-group
+    * pruning.
+    *
+    * Swap protocol: the compacted tree is written to a dot-prefixed temp
+    * dir (invisible to Spark scans), then two atomic directory renames swap
+    * it in (old tree → trash, temp → live) and the trash is deleted only
+    * after the swap completes — a crash mid-compact leaves either the old
+    * tree live or a recoverable trash dir, never data loss. The brief
+    * window between the renames can make a CONCURRENT reader of this store
+    * see the group as empty, so compact during a quiesced period (mutating
+    * ops are excluded by the store lock; readers are not).
+    * Returns (group, files before, files after) per schema group. */
+  def compact(): Seq[(String, Long, Long)] = synchronized {
+    import scala.jdk.CollectionConverters._
+    val dataDir = Paths.get(root, "data")
+    if (!Files.exists(dataDir)) return Seq.empty
+    val groups = Files.list(dataDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sgroup="))
+      .toSeq.sortBy(_.toString)
+    groups.map { g =>
+      def countFiles(p: java.nio.file.Path): Long =
+        Files.walk(p).iterator().asScala
+          .count(f => f.getFileName.toString.endsWith(".parquet")).toLong
+      val before = countFiles(g)
+      val tmp = Paths.get(root, "data", s".compact_tmp_${g.getFileName}")
+      spark.read.parquet(g.toString)
+        .repartition(col("topic")) // one task (→ one file) per topic
+        .sortWithinPartitions("topic", "time")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("topic")
+        .parquet(tmp.toString)
+      val trash = Paths.get(root, s".trash_compact_${g.getFileName}_${System.nanoTime()}")
+      Files.move(g, trash, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, g, StandardCopyOption.ATOMIC_MOVE)
+      Files.walk(trash).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      (g.getFileName.toString, before, countFiles(g))
+    }
+  }
+
   private def persistCatalog(): Unit = ParquetStore.saveCatalog(root, catalog)
 }
 

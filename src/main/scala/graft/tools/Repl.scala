@@ -156,6 +156,8 @@ object Repl {
           case "list" :: "schemas" :: Nil =>
             client.listSchemas.foreach(println)
           case "stats" :: Nil => client.stats.show(100, truncate = false)
+          case "compact" :: Nil =>
+            client.compact().foreach { case (g, b, a) => println(s"$g: $b -> $a files") }
           case "format" :: f :: Nil if Set("table", "csv", "json")(f) =>
             format = f; println(s"format=$f")
           case other =>

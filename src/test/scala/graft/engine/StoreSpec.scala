@@ -223,6 +223,37 @@ class StoreSpec extends SparkSpec {
     (0 until 4).foreach(t => assert(c2.listTopics.toMap.contains(s"/conc/t$t")))
   }
 
+  test("compact: many small append files become one sorted file per topic, results identical") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/cmp/a", "float64")
+    c.createTopic("/cmp/b", "float64")
+    // 6 separate appends = at least 6 files per touched topic partition,
+    // with deliberately interleaved (unsorted-across-files) times
+    (0 until 6).foreach { i =>
+      c.append("/cmp/a", i * 1.5, Timestamp.valueOf(f"2024-01-01 00:00:${(7 * i) % 60}%02d"))
+      c.append("/cmp/b", i * -2.0, Timestamp.valueOf(f"2024-01-02 00:00:${(11 * i) % 60}%02d"))
+    }
+    val before = c.query("all in /cmp").orderBy("time", "topic")
+      .collect().map(_.toSeq).toSeq
+    val stats = c.compact()
+    assert(stats.nonEmpty)
+    stats.foreach { case (g, b, a) =>
+      assert(b >= 12, s"$g expected many small files, had $b")
+      assert(a == 2, s"$g expected one file per topic, got $a") // 2 topics
+    }
+    // identical results through the same query path, and the store still
+    // round-trips through a fresh client (catalog untouched by compaction)
+    val after = new LocalClient(spark, root, fixedClock)
+      .query("all in /cmp").orderBy("time", "topic")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // time-range pruning still reaches the compacted parquet
+    val plan = c.query("all in /cmp since ~(2024/01/02)").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("PartitionFilters"))
+  }
+
   test("session: USE switches between named stores") {
     val rootA = Files.createTempDirectory("graft_sess_a").toString
     val rootB = Files.createTempDirectory("graft_sess_b").toString
