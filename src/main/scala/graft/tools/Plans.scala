@@ -70,6 +70,27 @@ object Plans {
       println(s"[check] $name band joins narrow (no array cols): $ok " +
         s"(${joins.size} band join(s), ${wide.size} wide)")
     }
+    // ann_ivf_int8's probe contract: joins keyed on the IVF bucket must
+    // carry only the int8-quantized arrays — a full-precision double array
+    // in a bucket join's output means the probe lost its bandwidth win.
+    // (The exact vectors are allowed to appear in the id-keyed rescore
+    // join-back, which is not bucket-keyed.)
+    locally {
+      val df = graft.SparkEntry.queries("ann_ivf_int8")(spark, sfDir)
+      val bucketJoins = df.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+      }
+      val wide = bucketJoins.filter(_.output.exists(a => a.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      }))
+      val ok = bucketJoins.nonEmpty && wide.isEmpty
+      if (!ok) failed += 1
+      println(s"[check] ann_ivf_int8 bucket joins int8-only (no double arrays): $ok " +
+        s"(${bucketJoins.size} bucket join(s), ${wide.size} wide)")
+    }
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }
   }
