@@ -75,6 +75,15 @@ final class Catalog extends Serializable {
     topics.getOrElseUpdate(p, parentSchema(p).getOrElse(FossilSchema.default))
   }
 
+  /** The schema [[ensure]] WOULD assign, WITHOUT mutating the registry —
+    * lets append validate every topic first and only register them all
+    * once the whole batch is known-good (a rejected append must not leave
+    * phantom auto-created topics behind). */
+  def effective(path: String): SType = {
+    val p = normalize(path)
+    topics.getOrElse(p, parentSchema(p).getOrElse(FossilSchema.default))
+  }
+
   def schemaOf(path: String): Option[SType] = topics.get(normalize(path))
 
   def list: Seq[(String, SType)] = topics.toSeq.sortBy(_._1)

@@ -91,12 +91,29 @@ object Codec {
     case sc: Scalar => bytes.length == scalarWidth(sc)
     case SArray(len, elem) => bytes.length == len * scalarWidth(elem)
     case c: SComposite =>
-      // length-exact like the reference: decode must consume EVERY byte —
-      // re-encoding the decoded value reproduces the consumed length
-      // (fixed-width + length-prefixed members), so trailing garbage fails
+      // length-exact like the reference's width walk: every member consumes
+      // its declared bytes and nothing is left over. Walked WITHOUT decoding
+      // — a decode/re-encode round-trip through String would false-reject
+      // members whose bytes aren't valid UTF-8 (replacement chars change
+      // the re-encoded length, but the reference validates structure only).
       try {
-        val v = decode(c, bytes)
-        encode(c, v).length == bytes.length
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        c.sorted.fields.forall { case (_, t) =>
+          t match {
+            case SString | SBinary =>
+              buf.remaining() >= 4 && {
+                val n = buf.getInt
+                n >= 0 && buf.remaining() >= n && { buf.position(buf.position() + n); true }
+              }
+            case sc: Scalar =>
+              val w = scalarWidth(sc)
+              buf.remaining() >= w && { buf.position(buf.position() + w); true }
+            case SArray(len, elem) =>
+              val w = scalarWidth(elem) * len
+              buf.remaining() >= w && { buf.position(buf.position() + w); true }
+            case _ => false
+          }
+        } && buf.remaining() == 0
       } catch { case _: Exception => false }
   }
 

@@ -21,26 +21,29 @@ object FossilSchema {
     def sparkType: DataType
   }
 
-  sealed abstract class Scalar(val name: String, val width: Int, val spark: DataType)
+  // NOTE: wire widths live in ONE place — Codec.scalarWidth. A width field
+  // here held the WIDENED Spark-side size for unsigned types and was never
+  // read; it was removed rather than left looking like the wire width.
+  sealed abstract class Scalar(val name: String, val spark: DataType)
       extends SType {
     def ddl: String = name
     def sparkType: DataType = spark
     def isNumeric: Boolean = this != SString && this != SBinary && this != SBool
     def isFloat: Boolean = this == SFloat32 || this == SFloat64
   }
-  case object SString extends Scalar("string", 0, StringType)
-  case object SBinary extends Scalar("binary", 0, BinaryType)
-  case object SBool extends Scalar("boolean", 1, BooleanType)
-  case object SInt8 extends Scalar("int8", 1, ByteType)
-  case object SInt16 extends Scalar("int16", 2, ShortType)
-  case object SInt32 extends Scalar("int32", 4, IntegerType)
-  case object SInt64 extends Scalar("int64", 8, LongType)
-  case object SUInt8 extends Scalar("uint8", 2, ShortType)
-  case object SUInt16 extends Scalar("uint16", 4, IntegerType)
-  case object SUInt32 extends Scalar("uint32", 8, LongType)
-  case object SUInt64 extends Scalar("uint64", 8, LongType)
-  case object SFloat32 extends Scalar("float32", 4, FloatType)
-  case object SFloat64 extends Scalar("float64", 8, DoubleType)
+  case object SString extends Scalar("string", StringType)
+  case object SBinary extends Scalar("binary", BinaryType)
+  case object SBool extends Scalar("boolean", BooleanType)
+  case object SInt8 extends Scalar("int8", ByteType)
+  case object SInt16 extends Scalar("int16", ShortType)
+  case object SInt32 extends Scalar("int32", IntegerType)
+  case object SInt64 extends Scalar("int64", LongType)
+  case object SUInt8 extends Scalar("uint8", ShortType)
+  case object SUInt16 extends Scalar("uint16", IntegerType)
+  case object SUInt32 extends Scalar("uint32", LongType)
+  case object SUInt64 extends Scalar("uint64", LongType)
+  case object SFloat32 extends Scalar("float32", FloatType)
+  case object SFloat64 extends Scalar("float64", DoubleType)
 
   /** `[N]T`, fixed length, element must be a fixed-width scalar
     * (`docs/schema.md:32-34`). */
@@ -181,4 +184,43 @@ object FossilSchema {
 
   def combineAll(ss: Seq[SType]): SType =
     if (ss.isEmpty) SUnknown else ss.reduce(combine)
+
+  /** Lossless append-fit: every value of `from` is representable in `to`
+    * without changing value or sign. [[combine]] is the wrong relation for
+    * the append gate — it ranks same-width signed/unsigned pairs equal, so
+    * uint8→int8 would pass and then throw (ANSI) or wrap (non-ANSI) on the
+    * cast, and it would admit int64→float64, which is lossy above 2^53.
+    *
+    * Rules: exact match always fits; signed ints widen within the signed
+    * chain; unsigned within the unsigned chain; uintN fits any STRICTLY
+    * wider signed int; float32 ⊂ float64; ints fit a float only when the
+    * mantissa holds every value (≤16-bit ints in float32, ≤32-bit in
+    * float64). Arrays fit element-wise at equal length; composites and
+    * string/binary/boolean only fit themselves. */
+  def fits(from: SType, to: SType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (a: Scalar, b: Scalar) => scalarFits(a, b)
+    case (SArray(n1, e1), SArray(n2, e2)) => n1 == n2 && scalarFits(e1, e2)
+    case _ => false
+  }
+
+  private def intBytes(s: Scalar): Option[(Int, Boolean)] = s match { // (bytes, signed)
+    case SInt8 => Some((1, true)); case SInt16 => Some((2, true))
+    case SInt32 => Some((4, true)); case SInt64 => Some((8, true))
+    case SUInt8 => Some((1, false)); case SUInt16 => Some((2, false))
+    case SUInt32 => Some((4, false)); case SUInt64 => Some((8, false))
+    case _ => None
+  }
+
+  private def scalarFits(a: Scalar, b: Scalar): Boolean =
+    a == b || ((intBytes(a), intBytes(b)) match {
+      case (Some((wa, sa)), Some((wb, sb))) =>
+        if (sa == sb) wa <= wb           // same-sign widening
+        else if (!sa && sb) wa < wb      // unsigned into STRICTLY wider signed
+        else false                       // signed never fits unsigned
+      case (Some((wa, _)), None) if b == SFloat32 => wa <= 2 // 24-bit mantissa
+      case (Some((wa, _)), None) if b == SFloat64 => wa <= 4 // 53-bit mantissa
+      case (None, None) => a == SFloat32 && b == SFloat64
+      case _ => false
+    })
 }

@@ -81,36 +81,44 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     // instead of OOMing the driver. limit(max+1) keeps the job itself
     // bounded: Spark stops scanning once max+1 distinct values are found.
     val maxTopics = ParquetStore.maxTopicsPerAppend
-    val topics = rows.select("topic").distinct().limit(maxTopics + 1)
-      .collect().map(_.getString(0))
-    if (topics.length > maxTopics)
-      throw new IllegalArgumentException(
-        s"append spans more than $maxTopics distinct topics — topic looks " +
-          "data-keyed, not namespace-keyed (cap: graft.store.maxTopicsPerAppend)")
-    val topicSchema = topics.map { t =>
-      val existing = catalog.ensure(t)
-      // appends must FIT the topic schema (equal, or combine == topic
-      // schema, i.e. narrower). Equality is checked first: Combine maps
-      // ANY composite pair to ambiguous — correct for prefix-scan merging,
-      // but an identical composite trivially fits. A wider append (int64
-      // into int32) would survive the ambiguity check but silently wrap on
-      // the cast — the reference rejects bytes that don't validate against
-      // the topic schema.
-      if (schema != existing && FossilSchema.combine(existing, schema) != existing)
+    // cached: the source feeds the distinct-topic collect AND one filtered
+    // write per target schema group — without it a distributed ingest frame
+    // is fully recomputed per consumer
+    val cached = rows.select(col("time"), col("topic"), col("value")).cache()
+    try {
+      val topics = cached.select("topic").distinct().limit(maxTopics + 1)
+        .collect().map(_.getString(0))
+      if (topics.length > maxTopics)
         throw new IllegalArgumentException(
-          s"append schema ${schema.ddl} does not fit topic $t schema ${existing.ddl}")
-      t -> existing
-    }.toMap
-    persistCatalog()
-    topicSchema.values.toSeq.distinct.foreach { target =>
-      val forGroup = topicSchema.collect { case (t, s) if s == target => t }.toSeq
-      rows.filter(col("topic").isInCollection(forGroup))
-        .select(col("time"), col("topic"), col("value").cast(target.sparkType).as("value"))
-        .sortWithinPartitions("topic", "time")
-        .write.mode(SaveMode.Append)
-        .partitionBy("topic")
-        .parquet(groupDir(target))
-    }
+          s"append spans more than $maxTopics distinct topics — topic looks " +
+            "data-keyed, not namespace-keyed (cap: graft.store.maxTopicsPerAppend)")
+      // validate EVERY topic against its would-be schema BEFORE registering
+      // any: a rejected append must not leave phantom auto-created topics
+      // in the catalog (they would persist on the next successful write and
+      // permanently block creating the intended schema).
+      val topicSchema = topics.map { t =>
+        val target = catalog.effective(t)
+        // appends must fit LOSSLESSLY (FossilSchema.fits): `combine` ranks
+        // same-width signed/unsigned equal and would admit casts that throw
+        // under ANSI or change values — the reference rejects bytes that
+        // don't validate against the topic schema.
+        if (!FossilSchema.fits(schema, target))
+          throw new IllegalArgumentException(
+            s"append schema ${schema.ddl} does not fit topic $t schema ${target.ddl}")
+        t -> target
+      }.toMap
+      topics.foreach(catalog.ensure)
+      persistCatalog()
+      topicSchema.values.toSeq.distinct.foreach { target =>
+        val forGroup = topicSchema.collect { case (t, s) if s == target => t }.toSeq
+        cached.filter(col("topic").isInCollection(forGroup))
+          .select(col("time"), col("topic"), col("value").cast(target.sparkType).as("value"))
+          .sortWithinPartitions("topic", "time")
+          .write.mode(SaveMode.Append)
+          .partitionBy("topic")
+          .parquet(groupDir(target))
+      }
+    } finally cached.unpersist()
   }
 
   def entries(prefix: String): DataFrame = {
@@ -177,15 +185,21 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * Returns (group, files before, files after) per schema group. */
   def compact(): Seq[(String, Long, Long)] = synchronized {
     import scala.jdk.CollectionConverters._
+    import scala.util.Using
     val dataDir = Paths.get(root, "data")
     if (!Files.exists(dataDir)) return Seq.empty
-    val groups = Files.list(dataDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sgroup="))
-      .toSeq.sortBy(_.toString)
+    // Files.list/walk hold a directory handle until closed — leak-free via
+    // Using.resource (a periodic compactor would otherwise exhaust fds)
+    val groups = Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sgroup="))
+        .toSeq.sortBy(_.toString)
+    }
     groups.map { g =>
       def countFiles(p: java.nio.file.Path): Long =
-        Files.walk(p).iterator().asScala
-          .count(f => f.getFileName.toString.endsWith(".parquet")).toLong
+        Using.resource(Files.walk(p)) { s =>
+          s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+        }
       val before = countFiles(g)
       val tmp = Paths.get(root, "data", s".compact_tmp_${g.getFileName}")
       spark.read.parquet(g.toString)
@@ -197,8 +211,10 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
       val trash = Paths.get(root, s".trash_compact_${g.getFileName}_${System.nanoTime()}")
       Files.move(g, trash, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, g, StandardCopyOption.ATOMIC_MOVE)
-      Files.walk(trash).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      Using.resource(Files.walk(trash)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
       (g.getFileName.toString, before, countFiles(g))
     }
   }

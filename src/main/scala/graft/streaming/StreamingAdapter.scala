@@ -23,24 +23,34 @@ object StreamingAdapter {
 
   /** Streaming greedy sample over a canonical `(time, topic, value)` frame:
     * converts to the typed entry stream, runs the stateful operator, and
-    * restores the canonical shape. Value must be numeric (cast to double —
-    * the typed state operator needs a concrete encoder). */
+    * restores the canonical shape WITH the input's value dtype. Integral
+    * values ride through as exact longs (a forced double corrupts int64
+    * above 2^53 and changes the output dtype vs the batch path); other
+    * numerics use the double shape. */
   def greedySample(entries: DataFrame, intervalNs: Long): DataFrame = {
     import entries.sparkSession.implicits._
-    entries.schema(Compiler.ValueCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
+    import org.apache.spark.sql.types._
+    val vt = entries.schema(Compiler.ValueCol).dataType
+    val intervalUs = Math.floorDiv(intervalNs, 1000L)
+    val base = entries.select(
+      unix_micros(col(Compiler.TimeCol)).as("t_us"),
+      col(Compiler.TopicCol).as("topic"),
+      col(Compiler.ValueCol).as("value"))
+    val sampled = vt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        StreamingIngest.greedySampleTyped(
+          base.withColumn("value", col("value").cast("long"))
+            .as[StreamingIngest.EntryOf[Long]], intervalUs).toDF()
+      case _: NumericType =>
+        StreamingIngest.greedySampleTyped(
+          base.withColumn("value", col("value").cast("double"))
+            .as[StreamingIngest.EntryOf[Double]], intervalUs).toDF()
       case other => throw new graft.fql.FqlException(
         s"streaming sample() requires a numeric value column, got ${other.simpleString}")
     }
-    val typed = entries.select(
-      unix_micros(col(Compiler.TimeCol)).as("t_us"),
-      col(Compiler.TopicCol).as("topic"),
-      col(Compiler.ValueCol).cast("double").as("value"))
-      .as[StreamingIngest.Entry]
-    StreamingIngest.greedySample(typed, Math.floorDiv(intervalNs, 1000L))
-      .select(
-        timestamp_micros(col("t_us")).as(Compiler.TimeCol),
-        col("topic").as(Compiler.TopicCol),
-        col("value").as(Compiler.ValueCol))
+    sampled.select(
+      timestamp_micros(col("t_us")).as(Compiler.TimeCol),
+      col("topic").as(Compiler.TopicCol),
+      col("value").cast(vt).as(Compiler.ValueCol))
   }
 }

@@ -68,27 +68,38 @@ object StreamingIngest {
       .select(col("window.start").as("w_start"), col("topic"),
         col("n"), col("sum_value"), col("first_us"), col("last_us"))
 
-  /** Append sink into a [[graft.engine.ParquetStore]] layout: streamed
-    * entries land under the store's schema-group/topic partitioning and are
-    * immediately visible to `LocalClient.query` / FQL — the full
-    * ingest-to-query path. Topics must be pre-created (or inherit) the
-    * declared schema; the stream's value column is cast to it. */
-  def writeToStore(entries: DataFrame, storeRoot: String, schemaDdl: String,
-      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val st = graft.engine.FossilSchema.parse(schemaDdl)
-    val dir = s"$storeRoot/data/sgroup=${graft.engine.ParquetStore.schemaKey(st)}"
+  /** Append sink into a store: each micro-batch goes through the client's
+    * BATCH append path (`foreachBatch` → `appendFrame` → `ParquetStore
+    * .append`), so streamed entries get the full store contract — topics
+    * auto-create with schema inheritance, the schema-on-append gate
+    * applies, and the write serializes with other mutating store ops
+    * (including [[graft.engine.ParquetStore.compact]]) on the store lock.
+    *
+    * Why not a direct `writeStream.format("parquet")` into the group dir:
+    * a FileStreamSink plants `_spark_metadata` at its output root, after
+    * which ANY read of that directory lists only stream-committed files —
+    * batch-appended rows in the same schema group become invisible, and
+    * compaction would drop them entirely. A shared layout needs exactly
+    * one committer, and the store's own append is it.
+    *
+    * Delivery: exactly-once under normal operation (the checkpoint skips
+    * committed batches); a crash BETWEEN the batch write and the
+    * checkpoint commit replays that batch on restart → at-least-once
+    * across crashes. Upstream [[dedupWithinWatermark]] (content-keyed) or
+    * a post-hoc exact dedup restores effective exactly-once where it
+    * matters. */
+  def writeToStore(entries: DataFrame, client: graft.api.LocalClient, schemaDdl: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     entries
-      .select(timestamp_micros(col("t_us")).as("time"), col("topic"),
-        col("value").cast(st.sparkType).as("value"))
+      .select(timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
       .writeStream
-      .partitionBy("topic")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .format("parquet")
-      .option("path", dir)
       .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        client.appendFrame(batch, schemaDdl)
+      }
       .start()
-  }
 
   /** Sliding-window stats: overlapping windows of `windowDur` advancing by
     * `slideDur` — each row lands in windowDur/slideDur windows. */
@@ -124,6 +135,12 @@ object StreamingIngest {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Generic canonical streaming entry: the value keeps its NATIVE type
+    * through the stateful ops — a forced double would silently corrupt
+    * int64 values above 2^53 and change the output dtype vs the batch path
+    * for the identical FQL query. */
+  case class EntryOf[T](t_us: Long, topic: String, value: T)
+
   /** Streaming greedy downsample — the stateful twin of the batch
     * `Sample.greedy` operator (fossil F2, `pkg/query/plan/metadata.go:46-64`):
     * per topic, keep an entry iff it is at least `intervalUs` after the last
@@ -132,13 +149,15 @@ object StreamingIngest {
     * hold when event time is non-decreasing across batches (fossil's
     * append-order guarantee); out-of-order arrivals within a batch are
     * sorted, across batches they are best-effort — documented deviation. */
-  def greedySample(entries: Dataset[Entry], intervalUs: Long): Dataset[Entry] = {
+  def greedySampleTyped[T](entries: Dataset[EntryOf[T]], intervalUs: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[EntryOf[T]],
+      ord: Ordering[T]): Dataset[EntryOf[T]] = {
     import entries.sparkSession.implicits._
     entries
       .groupByKey(_.topic)
-      .flatMapGroupsWithState[Long, Entry](
+      .flatMapGroupsWithState[Long, EntryOf[T]](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, batch: Iterator[Entry], state: GroupState[Long]) =>
+        (_: String, batch: Iterator[EntryOf[T]], state: GroupState[Long]) =>
           var lastKept = state.getOption.getOrElse(Long.MinValue)
           val kept = batch.toSeq.sortBy(e => (e.t_us, e.value)).filter { e =>
             val keep = lastKept == Long.MinValue || e.t_us >= lastKept + intervalUs
@@ -148,5 +167,12 @@ object StreamingIngest {
           if (kept.nonEmpty) state.update(lastKept)
           kept.iterator
       }
+  }
+
+  /** Double-valued convenience shape (see [[greedySampleTyped]]). */
+  def greedySample(entries: Dataset[Entry], intervalUs: Long): Dataset[Entry] = {
+    import entries.sparkSession.implicits._
+    greedySampleTyped(entries.map(e => EntryOf(e.t_us, e.topic, e.value)), intervalUs)
+      .map(e => Entry(e.t_us, e.topic, e.value))
   }
 }

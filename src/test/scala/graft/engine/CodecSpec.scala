@@ -44,4 +44,17 @@ class CodecSpec extends AnyFunSuite {
   test("little-endian layout for int32") {
     assert(Codec.encode(SInt32, 0x01020304).toSeq == Seq[Byte](4, 3, 2, 1))
   }
+
+  test("validates walks composite structure without decoding member bytes") {
+    val sch = SComposite(List("s" -> SString, "n" -> SInt16))
+    // member bytes are NOT valid UTF-8 (0xFF): a decode/re-encode check
+    // would see a replacement char change the length and false-reject;
+    // the reference validates structure (widths + prefixes) only
+    val nonUtf8 = Array[Byte](5, 0, /* n: int16 LE */
+      1, 0, 0, 0, /* len(s) = 1 */ 0xFF.toByte)
+    assert(Codec.validates(sch, nonUtf8))
+    // truncated member and trailing garbage still fail
+    assert(!Codec.validates(sch, nonUtf8.dropRight(1)))
+    assert(!Codec.validates(sch, nonUtf8 :+ 0.toByte))
+  }
 }

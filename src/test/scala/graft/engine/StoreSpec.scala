@@ -254,6 +254,45 @@ class StoreSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("PartitionFilters"))
   }
 
+  test("rejected append leaves no phantom auto-created topics behind") {
+    val root = Files.createTempDirectory("graft_phantom").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    // /ph/x does not exist; the append declares float64 rows into what
+    // would auto-create as a string topic → rejected, and /ph/x must NOT
+    // be registered (it would persist and block createTopic forever)
+    assertThrows[IllegalArgumentException] {
+      c.appendBatch(Seq(org.apache.spark.sql.Row(
+        Timestamp.valueOf("2024-01-01 00:00:00"), "/ph/x", 1.5)), "float64")
+    }
+    assert(!c.listTopics.toMap.contains("/ph/x"))
+    // the intended schema can still be created afterwards
+    c.createTopic("/ph/x", "float64")
+    c.append("/ph/x", 1.5, Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(c.query("all in /ph/x").count() == 1)
+  }
+
+  test("append fit is lossless: same-width sign flips and lossy casts rejected") {
+    val root = Files.createTempDirectory("graft_fits").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/f/i8", "int8")
+    c.createTopic("/f/u8", "uint8")
+    c.createTopic("/f/i64", "int64")
+    c.createTopic("/f/f64", "float64")
+    def rows(topic: String, v: Any) =
+      Seq(org.apache.spark.sql.Row(Timestamp.valueOf("2024-01-01 00:00:00"), topic, v))
+    // uint8 declared rows into an int8 topic: combine ranks them equal but
+    // the cast would throw (ANSI) or wrap — must be rejected up front
+    assertThrows[IllegalArgumentException] { c.appendBatch(rows("/f/i8", 200.toShort), "uint8") }
+    // signed into unsigned: rejected
+    assertThrows[IllegalArgumentException] { c.appendBatch(rows("/f/u8", (-1).toByte), "int8") }
+    // int64 into float64: lossy above 2^53 — rejected
+    assertThrows[IllegalArgumentException] { c.appendBatch(rows("/f/f64", 1L), "int64") }
+    // legal widenings still work: int32→int64, uint8→int16-family, f32→f64
+    c.appendBatch(rows("/f/i64", 42), "int32")
+    c.appendBatch(rows("/f/f64", 1.5f), "float32")
+    assert(c.query("all in /f").count() == 2)
+  }
+
   test("session: USE switches between named stores") {
     val rootA = Files.createTempDirectory("graft_sess_a").toString
     val rootB = Files.createTempDirectory("graft_sess_b").toString

@@ -188,18 +188,47 @@ class StreamingSpec extends SparkSpec {
     val client = new graft.api.LocalClient(spark, root,
       () => 1735689600L * 1000000000L)
     client.createTopic("/live", "float64")
-    client.createTopic("/live/a", "float64")
 
     val in = MemoryStream[Entry]
-    val q = writeToStore(in.toDF(), root, "float64", tmp("graft_store_ckpt"))
+    val q = writeToStore(in.toDF(), client, "float64", tmp("graft_store_ckpt"))
     in.addData(
-      Entry(1704067200000000L, "/live/a", 1.5), // 2024-01-01
-      Entry(1704067260000000L, "/live/a", 2.5))
+      Entry(1704067200000000L, "/live/a", 1.5), // 2024-01-01; auto-creates
+      Entry(1704067260000000L, "/live/a", 2.5)) // /live/a with inheritance
     q.awaitTermination(60000)
 
+    // streamed topics register in the catalog (inheriting /live's float64)
+    assert(client.listTopics.toMap.get("/live/a").contains("float64"))
     val out = client.query("all in /live | filter v -> v > 2")
     assert(out.count() == 1)
     assert(out.select("value").collect()(0).getDouble(0) == 2.5)
+
+    // batch appends to the SAME schema group stay visible alongside the
+    // streamed files (a FileStreamSink here would plant _spark_metadata and
+    // hide them), and compaction keeps both
+    client.append("/live/a", 9.0, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"))
+    assert(client.query("all in /live").count() == 3)
+    client.compact()
+    assert(client.query("all in /live").count() == 3)
+    assert(client.query("all in /live | filter v -> v > 8").count() == 1)
+  }
+
+  test("streaming FQL sample keeps integral values exact (no double widening)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val big = 9007199254740993L // 2^53 + 1: not representable as a double
+    val in = MemoryStream[(Long, String, Long)]
+    val entries = in.toDF().toDF("t_us", "topic", "value")
+      .select(timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
+    val out = StreamingFql.query("sample(@second) in /s", entries)
+    assert(out.schema("value").dataType == org.apache.spark.sql.types.LongType)
+    val q = out.writeStream.format("memory").queryName("ints_s")
+      .outputMode("append").start()
+    try {
+      in.addData((0L, "/s/a", big))
+      q.processAllAvailable()
+      val got = spark.table("ints_s").select("value").as[Long].collect().toSeq
+      assert(got == Seq(big)) // a double round-trip would return 2^53
+    } finally q.stop()
   }
 
   test("checkpointed ingest recovers exactly-once across restarts (the S4 WAL substitution)") {
