@@ -316,9 +316,13 @@ object Compiler {
         // ln(neg) = NaN, ln(0) = -Inf, ln(NaN) = NaN — same as the fold
         // interpreter's math.log. Branches are lazy, so log only ever
         // evaluates on the in-domain side. (Found by differential fuzzing:
-        // the NULL silently dropped rows from compiled filters.)
+        // the NULL silently dropped rows from compiled filters.) NULL input
+        // stays NULL — without the isNull arm it would fall into the
+        // otherwise-branch and fabricate a NaN from missing data, the same
+        // three-valued-logic rule the '/' branch guards.
         val d = one.cast(DoubleType)
-        when(d > 0d, log(d))
+        when(d.isNull, lit(null).cast(DoubleType))
+          .when(d > 0d, log(d))
           .when(d === 0d, lit(Double.NegativeInfinity))
           .otherwise(lit(Double.NaN))
       case other => throw new FqlException(s"Unknown builtin function '$other'")
@@ -388,29 +392,33 @@ object Compiler {
   private case object AggMin extends AggPat
   private case object AggMax extends AggPat
 
-  private def slotRef(e: Expr, a: String, b: String, slot: Int, nSlots: Int): Option[String] =
+  /** A reduce-arg reference: the bound name plus whether it subscripts the
+    * tuple (`a[i]`) or takes the whole value (`a`, single-slot only). */
+  private def slotRef(
+      e: Expr, a: String, b: String, slot: Int, nSlots: Int): Option[(String, Boolean)] =
     e match {
-      case Ident(n) if (n == a || n == b) && nSlots == 1 => Some(n)
-      case IndexSub(Ident(n), i) if (n == a || n == b) && i == slot => Some(n)
+      case Ident(n) if (n == a || n == b) && nSlots == 1 => Some((n, false))
+      case IndexSub(Ident(n), i) if (n == a || n == b) && i == slot => Some((n, true))
       case _ => None
     }
 
-  private def matchSlot(e: Expr, a: String, b: String, slot: Int, n: Int): Option[AggPat] =
+  /** Both sides must reference DIFFERENT args in the SAME form — mixed
+    * `a + b[0]` is ill-typed (whole value ⊕ element) and must not match. */
+  private def matchSlot(
+      e: Expr, a: String, b: String, slot: Int, n: Int): Option[(AggPat, Boolean)] = {
+    def both(l: Expr, r: Expr, pat: AggPat): Option[(AggPat, Boolean)] =
+      for {
+        (ln, li) <- slotRef(l, a, b, slot, n)
+        (rn, ri) <- slotRef(r, a, b, slot, n)
+        if ln != rn && li == ri
+      } yield (pat, li)
     e match {
-      case Binary("+", l, r) =>
-        for {
-          ln <- slotRef(l, a, b, slot, n)
-          rn <- slotRef(r, a, b, slot, n)
-          if ln != rn
-        } yield AggSum
-      case Call("max", List(l, r)) =>
-        for { ln <- slotRef(l, a, b, slot, n); rn <- slotRef(r, a, b, slot, n); if ln != rn }
-          yield AggMax
-      case Call("min", List(l, r)) =>
-        for { ln <- slotRef(l, a, b, slot, n); rn <- slotRef(r, a, b, slot, n); if ln != rn }
-          yield AggMin
+      case Binary("+", l, r) => both(l, r, AggSum)
+      case Call("max", List(l, r)) => both(l, r, AggMax)
+      case Call("min", List(l, r)) => both(l, r, AggMin)
       case _ => None
     }
+  }
 
   private def compileReduce(args: List[String], out: StageOut, df: DataFrame): DataFrame = {
     val List(a, b) = args
@@ -429,18 +437,32 @@ object Compiler {
     // the native aggregate fast path
     val aggShaped = pats.forall(_.isDefined) && !vt.isInstanceOf[StructType]
     if (aggShaped) {
+      val indexed = pats.map(_.get._2)
+      // form/type validation BEFORE compiling aggregates: subscripting a
+      // scalar must be the same type error the map path raises (it used to
+      // silently drop the subscript and sum the scalar), and whole-tuple
+      // max/min/+ over array values must not degrade to Spark's
+      // LEXICOGRAPHIC array aggregates — the reference has no whole-tuple
+      // fold operators at all (`pkg/query/types/value.go` BinaryOp,
+      // `builtin.go` max/min take numerics).
+      vt match {
+        case _: ArrayType =>
+          if (indexed.exists(!_))
+            throw new FqlException(
+              "whole-tuple reduce is not supported: fold element slots " +
+                "(e.g. reduce a, b -> a[0] + b[0], a[1] + b[1])")
+        case other =>
+          if (indexed.exists(identity))
+            throw new FqlException(s"cannot subscript ${other.simpleString} in reduce")
+      }
       // Sum/min/max shapes → native partial+final aggregate (map-side combine,
       // single shuffle of one row per partition — the 100 TB path).
-      def slotCol(i: Int): Column = vt match {
-        case _: ArrayType if n > 1 || slots.exists(_.isInstanceOf[IndexSub]) =>
-          col(ValueCol).getItem(i)
-        case _ if n == 1 => col(ValueCol)
-        case _ => col(ValueCol).getItem(i)
-      }
+      def slotCol(i: Int): Column =
+        if (indexed(i)) col(ValueCol).getItem(i) else col(ValueCol)
       val aggs = pats.zipWithIndex.map {
-        case (Some(AggSum), i) => sum(slotCol(i))
-        case (Some(AggMin), i) => min(slotCol(i))
-        case (Some(AggMax), i) => max(slotCol(i))
+        case (Some((AggSum, _)), i) => sum(slotCol(i))
+        case (Some((AggMin, _)), i) => min(slotCol(i))
+        case (Some((AggMax, _)), i) => max(slotCol(i))
         case _ => throw new IllegalStateException("unreachable")
       }
       val vc: Column =

@@ -23,7 +23,7 @@ object Eval {
     case StringLit(v) => v
     case Ident(n) => env.getOrElse(n, throw new FqlException(s"unresolved identifier '$n'"))
     case Unary("-", x) => eval(x, env) match {
-      case l: Long => -l
+      case l: Long => Math.negateExact(l) // Long.MinValue: fail like ANSI, not wrap
       case d: Double => -d
       case other => throw new FqlException(s"cannot negate $other")
     }
@@ -63,10 +63,15 @@ object Eval {
   private def bothLong(l: Any, r: Any): Boolean =
     l.isInstanceOf[Long] && r.isInstanceOf[Long]
 
+  // Long arithmetic is EXACT (Math.*Exact): overflow raises instead of
+  // wrapping, matching the compiled path under Spark's default ANSI mode.
+  // Deviation from Go's silent int64 wraparound, fixed deliberately (like
+  // E7/E15): both execution paths fail loudly on the same inputs rather
+  // than one wrapping while the other throws.
   private def binop(op: String, l: Any, r: Any): Any = op match {
-    case "+" => if (bothLong(l, r)) l.asInstanceOf[Long] + r.asInstanceOf[Long] else toD(l) + toD(r)
-    case "-" => if (bothLong(l, r)) l.asInstanceOf[Long] - r.asInstanceOf[Long] else toD(l) - toD(r)
-    case "*" => if (bothLong(l, r)) l.asInstanceOf[Long] * r.asInstanceOf[Long] else toD(l) * toD(r)
+    case "+" => if (bothLong(l, r)) Math.addExact(l.asInstanceOf[Long], r.asInstanceOf[Long]) else toD(l) + toD(r)
+    case "-" => if (bothLong(l, r)) Math.subtractExact(l.asInstanceOf[Long], r.asInstanceOf[Long]) else toD(l) - toD(r)
+    case "*" => if (bothLong(l, r)) Math.multiplyExact(l.asInstanceOf[Long], r.asInstanceOf[Long]) else toD(l) * toD(r)
     case "/" =>
       // always float (`value.go:436`); -0.0 divisor normalizes to +0.0 like
       // the compiled path (SQL treats them equal), so -x/0 = -Inf either way
@@ -110,11 +115,13 @@ object Eval {
 
   private def builtin(name: String, args: List[Any]): Any = name match {
     case "max" => args match {
+      case List(s: Seq[_]) if s.isEmpty => throw new FqlException("max of empty tuple")
       case List(s: Seq[_]) => s.map(toD).max match { case d => numOut(s, d) }
       case xs => if (xs.exists(_.isInstanceOf[Double])) xs.map(toD).max
         else xs.map(_.asInstanceOf[Long]).max
     }
     case "min" => args match {
+      case List(s: Seq[_]) if s.isEmpty => throw new FqlException("min of empty tuple")
       case List(s: Seq[_]) => numOut(s, s.map(toD).min)
       case xs => if (xs.exists(_.isInstanceOf[Double])) xs.map(toD).min
         else xs.map(_.asInstanceOf[Long]).min
@@ -131,7 +138,7 @@ object Eval {
     // ln(ln(3.0)). sqrt is exactly rounded by IEEE, either class works.
     case "pow" => StrictMath.pow(toD(args(0)), toD(args(1)))
     case "abs" => args.head match {
-      case l: Long => math.abs(l)
+      case l: Long => Math.absExact(l) // Long.MinValue: fail like ANSI, not wrap
       case d: Double => math.abs(d)
       case o => throw new FqlException(s"abs: not numeric $o")
     }

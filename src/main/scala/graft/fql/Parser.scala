@@ -34,11 +34,14 @@ object Parser {
       DateTimeFormatter.ofPattern("yyyy/MM/dd"),
       DateTimeFormatter.ofPattern("dd/MM/yyyy"),
       DateTimeFormatter.ofPattern("MMM dd, yyyy", Locale.US))
-    // Go time.Stamp ("Jan _2 15:04:05") has no year: default 0, like Go's
-    // zero-value parse (`pkg/query/parser/times.go` letterFormats)
+    // Go time.Stamp ("Jan _2 15:04:05") has no year. Go defaults it to
+    // year 0, which is outside the ±292-year range of 64-bit epoch nanos —
+    // with that default the format could never parse here (toNanos throws
+    // on every candidate). Deviation: default to 1970 so Stamp inputs
+    // resolve deterministically near the epoch instead of always erroring.
     val stamp = new java.time.format.DateTimeFormatterBuilder()
       .appendPattern("MMM ppd HH:mm:ss")
-      .parseDefaulting(java.time.temporal.ChronoField.YEAR, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.YEAR, 1970)
       .toFormatter(Locale.US)
     val locals: List[DateTimeFormatter] = List(
       DateTimeFormatter.ISO_LOCAL_DATE_TIME, stamp)

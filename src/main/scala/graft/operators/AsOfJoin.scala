@@ -44,9 +44,11 @@ object AsOfJoin {
         lit(1).as("__tag") :+
         struct(leftPayloadCols.map(col): _*).as("__l") :+
         lit(null).cast(
-          right.select(unix_micros(col(rightTime)).as("__rt"),
-            struct(rightPayloadCols.map(col): _*).as("__rp"))
-            .schema("__rp").dataType match { case dt => dt }
+          // derive ONLY the payload struct type (a projection of rightTime
+          // here would need the same .cast("timestamp") as rTagged — and
+          // its result was never read)
+          right.select(struct(rightPayloadCols.map(col): _*).as("__rp"))
+            .schema("__rp").dataType
         ).as("__r") :+
         lit(null).cast("long").as("__rt"): _*)
     val rTagged = right.select(

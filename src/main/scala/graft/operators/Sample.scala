@@ -36,7 +36,12 @@ object Sample {
     greedy(df, intervalNs, perTopic = false)
 
   private def greedy(df: DataFrame, intervalNs: Long, perTopic: Boolean): DataFrame = {
-    val intervalUs = Math.floorDiv(intervalNs, 1000L)
+    // timestamps have µs resolution, so a sub-µs positive interval means
+    // "drop same-µs entries, keep any later µs" ≡ 1 µs — floorDiv alone
+    // would give 0 and keep everything. Zero/negative intervals genuinely
+    // keep everything (t >= last + d always holds), like the reference.
+    val intervalUs =
+      if (intervalNs <= 0) 0L else math.max(1L, Math.floorDiv(intervalNs, 1000L))
     val spark = df.sparkSession
     val withT = df.withColumn(T, unix_micros(col("time")))
     val schema = withT.schema
@@ -77,7 +82,11 @@ object Sample {
     * routine and the kept row must not depend on partition layout. */
   def bucketed(df: DataFrame, intervalNs: Long): DataFrame = {
     val intervalUs = math.max(1L, Math.floorDiv(intervalNs, 1000L))
-    val bucket = (unix_micros(col("time")) / lit(intervalUs)).cast(LongType)
+    // FLOOR division on exact long micros: `/`+cast truncates toward zero,
+    // which merges the two windows adjacent to the epoch for pre-1970
+    // timestamps (trunc(-0.6) = trunc(0.6) = 0). pmod keeps it exact.
+    val tUs = unix_micros(col("time"))
+    val bucket = ((tUs - pmod(tUs, lit(intervalUs))) / lit(intervalUs)).cast(LongType)
     val w = Window.partitionBy(col("topic"), bucket).orderBy(col("time"), col("value"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

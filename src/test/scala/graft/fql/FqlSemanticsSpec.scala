@@ -79,6 +79,37 @@ class FqlSemanticsSpec extends SparkSpec {
     assert(edge(0).isNaN && edge(1).isNegInfinity)
   }
 
+  test("compiled ln propagates NULL instead of fabricating NaN") {
+    val df = Seq[(Timestamp, String, java.lang.Double)](
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "/t", null),
+      (Timestamp.valueOf("2024-01-01 00:00:01"), "/t", 1.0)
+    ).toDF("time", "topic", "value")
+    val c = new Catalog; c.createDdl("/t", "float64")
+    val e = FossilEngine.over(df, c, () => 1735689600L * 1000000000L)
+    val out = e.query("all | map x -> ln(x)").orderBy("time").select("value").collect()
+    assert(out(0).isNullAt(0)) // missing data stays missing
+    assert(out(1).getDouble(0) == 0.0)
+  }
+
+  test("reduce forms: scalar subscript and whole-tuple folds are typed errors") {
+    // whole-tuple max would silently become Spark's LEXICOGRAPHIC array max
+    assertThrows[FqlException] {
+      eng(1, 2).query("all | map x -> x, x | reduce a, b -> max(a, b)")
+    }
+    // subscripting a scalar used to silently drop the subscript and sum
+    assertThrows[FqlException] {
+      eng(1, 2).query("all | reduce a, b -> a[0] + b[0]")
+    }
+    // single element-slot folds over a tuple work (and fold the ELEMENT)
+    assert(vals("all | map x -> x, x + 1 | reduce a, b -> a[0] + b[0]", eng(1, 2))
+      == Seq(3.0))
+  }
+
+  test("Stamp datetime parses with the 1970 default year (Go's year 0 is unrepresentable)") {
+    val ns = Parser.parseVagueDateTime("Jan  2 15:04:05")
+    assert(ns == (86400L + 15 * 3600 + 4 * 60 + 5) * 1000000000L)
+  }
+
   test("reduce is a global fold with assoc+comm contract") {
     assert(vals("all | reduce a, b -> a + b", eng(1, 2, 3, 4)) == Seq(10.0))
   }
