@@ -18,6 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.walk(p)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -25,6 +33,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir must not present a PREVIOUS run's parquet as this
+        // run's result — a regression would read as a false pass. Delete
+        // whatever exists (possibly a partial overwrite) so the compare
+        // reports the query as missing/failed instead.
+        try deleteRecursively(Paths.get(outDir, name))
+        catch { case d: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup failed: ${d.getMessage}")
+        }
       }
       finally spark.catalog.clearCache()
     }

@@ -74,8 +74,12 @@ final class RemoteClient(
 
   @volatile private var currentDb = db
   @volatile private var handshakeVersion: String = ""
+  @volatile private var closed = false
   private val poolCount = math.max(1, poolSize)
   private val pool = new LinkedBlockingQueue[Socket]()
+  // serializes full-pool drains (use/close): two concurrent drains would
+  // each take part of the pool and deadlock waiting for the other's half
+  private val drainLock = new Object
   locally {
     // if connection N fails, close 1..N-1 instead of leaking them (and
     // their server-side sessions) from an abandoned half-built pool
@@ -124,6 +128,7 @@ final class RemoteClient(
     * reconnect with backoff and resend (bounded — a request is retried at
     * most `maxReconnects` times, each on a fresh connection). */
   private def send(cmd: String, payload: Array[Byte]): (String, Array[Byte]) = {
+    if (closed) throw new IllegalStateException("client is closed")
     var sock = pool.take()
     try {
       var attempt = 0
@@ -178,17 +183,32 @@ final class RemoteClient(
 
   /** USE: switch the session database on EVERY pooled connection (and for
     * future reconnects). Drains the full pool — blocking until in-flight
-    * requests return — so no connection can keep the old binding. On
-    * failure (e.g. unknown db) the already-switched connections are rolled
-    * back and `currentDb` is left unchanged, so reconnect handshakes keep
-    * working against the last database that was successfully in use. */
-  def use(name: String): Unit = {
+    * requests return — so no connection can keep the old binding. A dead
+    * socket in a slot (the sentinel an exhausted [[send]] leaves) is
+    * replaced through the reconnect path rather than failing the switch.
+    * On a SERVER-side rejection (e.g. unknown db) the already-switched
+    * connections are rolled back and `currentDb` is left unchanged, so
+    * reconnect handshakes keep working against the last database that was
+    * successfully in use. */
+  def use(name: String): Unit = drainLock.synchronized {
+    if (closed) throw new IllegalStateException("client is closed")
     val old = currentDb
-    val held = Seq.fill(poolCount)(pool.take())
+    val held = scala.collection.mutable.ArrayBuffer.fill(poolCount)(pool.take())
     try {
       val switched = scala.collection.mutable.ArrayBuffer.empty[Socket]
       try {
-        held.foreach { s => sendUseOn(s, name); switched += s }
+        held.indices.foreach { i =>
+          try sendUseOn(held(i), name)
+          catch {
+            case _: IOException =>
+              // dead slot: heal it (connect() handshakes USE currentDb=old),
+              // then apply the requested switch on the fresh socket
+              try held(i).close() catch { case _: IOException => () }
+              held(i) = reconnectWithBackoff()
+              sendUseOn(held(i), name)
+          }
+          switched += held(i)
+        }
         currentDb = name
       } catch {
         case e: Throwable =>
@@ -232,8 +252,11 @@ final class RemoteClient(
     countPrefixedLines(expectOk("STATS", Array.emptyByteArray))
 
   /** Close every pooled connection; blocks until in-flight requests return
-    * theirs. The client is unusable afterwards. */
-  def close(): Unit = {
+    * theirs. Idempotent; subsequent sends fail fast instead of blocking on
+    * an empty pool. */
+  def close(): Unit = drainLock.synchronized {
+    if (closed) return
+    closed = true
     val held = Seq.fill(poolCount)(pool.take())
     held.foreach(s => try s.close() catch { case _: IOException => () })
   }

@@ -22,18 +22,32 @@ final class Session(val spark: SparkSession, clock: Compiler.Clock = Compiler.sy
   private val stores = mutable.LinkedHashMap.empty[String, LocalClient]
   private var active: Option[String] = None
 
-  /** Resolve a connection string to a filesystem store root.
-    * Accepted shapes (serverless subset of
-    * `pkg/proto/connectionstring.go:34-74`): `file:///abs/path` or a bare
-    * path — both reduce to stripping the scheme prefix. */
+  /** Resolve a connection string to a filesystem store root via the shared
+    * [[ConnectionString]] dispatch (serverless subset of
+    * `pkg/proto/connectionstring.go:34-74`): `file://` and bare paths are
+    * local roots; `fossil://` targets belong to [[RemoteClient]] and are
+    * rejected here rather than silently treated as a directory name. */
   def resolveRoot(connectionString: String): String =
-    connectionString.stripPrefix("file://")
+    ConnectionString.parse(connectionString) match {
+      case ConnectionString.Local(path) => path
+      case r: ConnectionString.Remote =>
+        throw new IllegalArgumentException(
+          s"fossil://${r.host}:${r.port}/${r.db} is a wire target — " +
+            "sessions attach local stores; use RemoteClient for servers")
+    }
 
   /** ATTACH a named store (idempotent for the same root; re-attaching a
     * name to a DIFFERENT root is an error, mirroring the reference's
-    * one-database-per-name registry). Auto-activates the first store. */
-  def attach(name: String, connectionString: String): LocalClient =
-    attach(name, new LocalClient(spark, resolveRoot(connectionString), clock))
+    * one-database-per-name registry). Auto-activates the first store.
+    * The already-attached name short-circuits BEFORE constructing a client
+    * (a ParquetStore construction reads catalog.json from disk). */
+  def attach(name: String, connectionString: String): LocalClient = {
+    val root = resolveRoot(connectionString)
+    stores.get(name) match {
+      case Some(c) if c.root == root => c
+      case _ => attach(name, new LocalClient(spark, root, clock))
+    }
+  }
 
   /** ATTACH an existing client under a name — lets several sessions share
     * ONE client (and thus one live catalog) per store root, the multi-

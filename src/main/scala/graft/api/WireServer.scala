@@ -89,14 +89,17 @@ final class WireServer(
   }
 
   private def handle(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
-    // per-connection session state, like the reference's conn.db
-    // (`pkg/server/mux.go:96-118`)
-    val session = new Session(spark, clock)
-    clients.foreach { case (name, client) => session.attach(name, client) }
-    session.use(defaultStore)
+    // the WHOLE handler — including session setup — sits inside the
+    // try/finally: a failure attaching stores must still close the socket
+    // and drop it from the live set, not leak a hung connection
     try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      // per-connection session state, like the reference's conn.db
+      // (`pkg/server/mux.go:96-118`)
+      val session = new Session(spark, clock)
+      clients.foreach { case (name, client) => session.attach(name, client) }
+      session.use(defaultStore)
       while (true) {
         val (cmd, payload) = readMessage(in)
         try serve(cmd, payload, session, out)
@@ -126,7 +129,10 @@ final class WireServer(
         // which are meaningless for a distributed engine; we report
         // catalog/data stats per topic instead, in the LIST line shape
         val items = session.client.stats.collect().toSeq.map { r =>
-          s"${r.getString(0)} n=${r.getLong(1)} first=${r.getTimestamp(2)} last=${r.getTimestamp(3)}"
+          // explicit UTC like the QUERY entry lines — Timestamp.toString
+          // would render in the server JVM's default timezone
+          def fmt(i: Int) = EntryTimeFormat.format(r.getTimestamp(i).toInstant)
+          s"${r.getString(0)} n=${r.getLong(1)} first=${fmt(2)} last=${fmt(3)}"
         }
         writeMessage(out, "OK", listPayload(items))
       case "CREATE" =>
@@ -160,7 +166,10 @@ final class WireServer(
           bo.writeInt(bytes.length)
           bo.write(bytes)
           n += 1
-          overflow = body.size() > maxResponseBytes
+          // the wire FRAME adds 8 command bytes on top of the body — cap
+          // against the frame size a client's readMessage will see, or a
+          // body in the 8-byte window passes here and fails client-side
+          overflow = body.size() > maxResponseBytes - 8
         }
         if (overflow)
           writeMessage(out, "ERR", errPayload(507,

@@ -60,30 +60,51 @@ object RawTimePushdown extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def mirror(p: Expression): Option[Expression] = {
+  /** Mirrored conjuncts for one predicate — a LIST so EqualTo's two bounds
+    * stay separate conjuncts: a fused And(ge, le) would be split right back
+    * apart by splitConjuncts on the optimizer's next fixed-point iteration,
+    * the semantic-equality dedup (which compares whole conjuncts) would
+    * never match it, and the batch would re-add it forever (non-convergence
+    * → maxIterations warning, duplicated predicates, and a hard failure
+    * under spark.testing). */
+  private def mirror(p: Expression): Seq[Expression] = {
     def us(l: Literal): Long = l.value.asInstanceOf[Long] // TimestampType = micros
+    // saturating µs→ns: timestamp literals outside ±292 years of 1970
+    // (years ~1677-2262) exceed Long nanos; a plain * 1000 WRAPS and the
+    // mirrored bound silently excludes valid rows. Saturated bounds stay
+    // implied by the original predicate (every stored raw-nanos value is a
+    // representable Long, so `x >= Long.Max`/`x <= Long.Min` can only drop
+    // rows the exact original filter drops too).
+    def ns(usVal: Long): Long =
+      if (usVal > Long.MaxValue / 1000L) Long.MaxValue
+      else if (usVal < Long.MinValue / 1000L) Long.MinValue
+      else usVal * 1000L
+    def nsLo(usVal: Long): Long = { val n = ns(usVal); if (n <= Long.MinValue + 999L) Long.MinValue else n - 999L }
+    def nsHi(usVal: Long): Long = { val n = ns(usVal); if (n >= Long.MaxValue - 999L) Long.MaxValue else n + 999L }
+    def usP1(l: Literal): Long = { val u = us(l); if (u == Long.MaxValue) u else u + 1L }
+    def usM1(l: Literal): Long = { val u = us(l); if (u == Long.MinValue) u else u - 1L }
     p match {
       case GreaterThanOrEqual(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(GreaterThanOrEqual(x, Literal(us(l) * 1000L - 999L)))
+        Seq(GreaterThanOrEqual(x, Literal(nsLo(us(l)))))
       case GreaterThan(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(GreaterThanOrEqual(x, Literal((us(l) + 1L) * 1000L - 999L)))
+        Seq(GreaterThanOrEqual(x, Literal(nsLo(usP1(l)))))
       case LessThanOrEqual(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(LessThanOrEqual(x, Literal(us(l) * 1000L + 999L)))
+        Seq(LessThanOrEqual(x, Literal(nsHi(us(l)))))
       case LessThan(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(LessThanOrEqual(x, Literal((us(l) - 1L) * 1000L + 999L)))
+        Seq(LessThanOrEqual(x, Literal(nsHi(usM1(l)))))
       case EqualTo(MicrosOfNanos(x), l @ Literal(_, TimestampType)) =>
-        Some(And(GreaterThanOrEqual(x, Literal(us(l) * 1000L - 999L)),
-          LessThanOrEqual(x, Literal(us(l) * 1000L + 999L))))
+        Seq(GreaterThanOrEqual(x, Literal(nsLo(us(l)))),
+          LessThanOrEqual(x, Literal(nsHi(us(l)))))
       // literal-on-the-left flips
       case GreaterThanOrEqual(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(LessThanOrEqual(x, Literal(us(l) * 1000L + 999L)))
+        Seq(LessThanOrEqual(x, Literal(nsHi(us(l)))))
       case LessThanOrEqual(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(GreaterThanOrEqual(x, Literal(us(l) * 1000L - 999L)))
+        Seq(GreaterThanOrEqual(x, Literal(nsLo(us(l)))))
       case GreaterThan(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(LessThanOrEqual(x, Literal((us(l) - 1L) * 1000L + 999L)))
+        Seq(LessThanOrEqual(x, Literal(nsHi(usM1(l)))))
       case LessThan(l @ Literal(_, TimestampType), MicrosOfNanos(x)) =>
-        Some(GreaterThanOrEqual(x, Literal((us(l) + 1L) * 1000L - 999L)))
-      case _ => None
+        Seq(GreaterThanOrEqual(x, Literal(nsLo(usP1(l)))))
+      case _ => Seq.empty
     }
   }
 }

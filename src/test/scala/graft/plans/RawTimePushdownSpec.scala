@@ -43,6 +43,39 @@ class RawTimePushdownSpec extends SparkSpec {
     }
   }
 
+  test("equality predicates converge and mirror as two separate bounds") {
+    import spark.implicits._
+    val df = Seq(999L, 1000L, 1999L, 2000L).toDF("__t_ns")
+      .withColumn("time", timestamp_micros(expr("__t_ns div 1000")))
+    withRule {
+      // a fused And mirror would be split and re-added forever by the
+      // fixed-point batch (hard failure under spark.testing); two bare
+      // conjuncts dedup cleanly — this merely has to not explode and match
+      val q = df.filter(col("time") === timestamp_micros(lit(1L)))
+      assert(q.count() == 2) // 1000, 1999 truncate to 1µs
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // exactly one mirrored bound of each direction survives
+      assert("GreaterThanOrEqual\\(__t_ns".r.findAllIn(optimized).size <= 1)
+      assert("LessThanOrEqual\\(__t_ns".r.findAllIn(optimized).size <= 1)
+    }
+  }
+
+  test("out-of-range timestamp literals saturate instead of wrapping") {
+    import spark.implicits._
+    val df = Seq(-1500L, 0L, 1500L).toDF("__t_ns")
+      .withColumn("time", timestamp_micros(expr("__t_ns div 1000")))
+    withRule {
+      // year 1000 / year 9999: micros × 1000 overflows Long — a wrapped
+      // bound silently excluded every row; saturated bounds keep them all
+      val ancient = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
+      val distant = java.sql.Timestamp.valueOf("9999-01-01 00:00:00")
+      assert(df.filter(col("time") >= lit(ancient)).count() == 3)
+      assert(df.filter(col("time") <= lit(distant)).count() == 3)
+      assert(df.filter(col("time") >= lit(distant)).count() == 0)
+      assert(df.filter(col("time") <= lit(ancient)).count() == 0)
+    }
+  }
+
   test("strict bounds translate exactly at the micros boundary") {
     import spark.implicits._
     // raw nanos 1000..1999 all truncate to time = 1µs
