@@ -27,6 +27,19 @@ class OperatorsSpec extends SparkSpec {
       (1000000L, "B"), (12000000L, "B")))
   }
 
+  test("sub-microsecond intervals drop same-µs entries; zero keeps everything") {
+    // timestamps have µs resolution: a 500 ns interval means entries in the
+    // SAME µs are closer than the interval (gap 0 < 500ns → drop) while any
+    // later µs qualifies — naive floorDiv gave interval 0 and kept all
+    val df = entriesDf((0L, "A", 1), (0L, "A", 2), (1L, "A", 3))
+    val kept = Sample.greedyPerTopic(df, 500L)
+      .select(unix_micros($"time")).as[Long].collect().toSeq
+    assert(kept.sorted == Seq(0L, 1L)) // one per µs
+    // zero / negative interval: t >= last + d always holds → keep all
+    assert(Sample.greedyPerTopic(df, 0L).count() == 3)
+    assert(Sample.greedyPerTopic(df, -1000L).count() == 3)
+  }
+
   test("greedy global is one carry across all topics") {
     val df = entriesDf((0L, "A", 1), (5000000L, "B", 2), (10000000L, "B", 3))
     val kept = Sample.greedyGlobal(df, 10L * 1000000000L)
