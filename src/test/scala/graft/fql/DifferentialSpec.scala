@@ -52,6 +52,7 @@ class DifferentialSpec extends SparkSpec {
     case Unary(op, x) => s"$op(${renderExpr(x)})"
     case Binary(op, l, r) => s"(${renderExpr(l)} $op ${renderExpr(r)})"
     case Call(n, args) => s"$n(${args.map(renderExpr).mkString(", ")})"
+    case KeySub(x, k) => s"""${renderExpr(x)}["$k"]"""
     case other => throw new IllegalArgumentException(other.toString)
   }
 
@@ -159,6 +160,46 @@ class DifferentialSpec extends SparkSpec {
       }
     }
     assert(checked >= 35)
+  }
+
+  test("compiled and interpreted composite pipelines agree on 30 random cases") {
+    var checked = 0
+    (1 to 30).foreach { _ =>
+      val e1 = genExpr(2)
+      val e2 = genExpr(2)
+      // second stage: arithmetic over the composite's members by key
+      def genStage2(depth: Int): Expr =
+        if (depth == 0) Seq(KeySub(Ident("m"), "p"), KeySub(Ident("m"), "q"))(rnd.nextInt(2))
+        else rnd.nextInt(4) match {
+          case 0 | 1 => Binary(Seq("+", "-", "*", "/")(rnd.nextInt(4)),
+            genStage2(depth - 1), genStage2(depth - 1))
+          case 2 => Call("abs", List(genStage2(depth - 1)))
+          case 3 => FloatLit(rnd.between(1L, 9L).toDouble)
+        }
+      val e3 = genStage2(2)
+      val fql = s"""all in /x | map x -> "p": ${renderExpr(e1)}, "q": ${renderExpr(e2)}""" +
+        s" | map m -> ${renderExpr(e3)}"
+      val expected = try Some(inputs.map { v =>
+        val m = Eval.evalOut(OutComposite(List("p" -> e1, "q" -> e2)), Map("x" -> v))
+          .asInstanceOf[Map[String, Any]]
+        Eval.eval(e3, Map("m" -> m))
+      }) catch { case _: Exception => None }
+      expected.foreach { exp =>
+        val got = engine.query(fql).orderBy("time")
+          .select(col("value")).collect().map(_.get(0)).toSeq
+        def norm(x: Any): Any = x match { case l: Long => l.toDouble; case o => o }
+        got.map(norm).zip(exp.map(norm)).foreach { case (g, e) =>
+          (g, e) match {
+            case (gd: Double, ed: Double) =>
+              assert((gd.isNaN && ed.isNaN) || gd == ed,
+                s"composite mismatch for: $fql  got=$gd expected=$ed")
+            case _ => assert(g == e, s"composite mismatch for: $fql  got=$g expected=$e")
+          }
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 25)
   }
 
   test("compiled and interpreted reduce folds agree") {
