@@ -43,7 +43,17 @@ final class Scanner(input: String) {
       else if (c == '/' && prevIsValue) {
         // division operator — a topic path can never follow a value
         push(Token.Op, "/"); i += 1
-      } else if (c == '/') scanTopic()
+      } else if (c == '/') {
+        // reference parity (`scanner.go:326-334`): '/' starts a TOPIC only
+        // when followed by a LETTER. After `in`, a bare '/' is the root
+        // topic (`all in /` is a PASS corpus line) while `/12` leaves a
+        // trailing integer → parse error (pinned FAIL in invalid.txt).
+        val nextIsLetter = i + 1 < input.length && input(i + 1).isLetter
+        if (nextIsLetter) scanTopic()
+        else if (toks.lastOption.exists(t => t.kind == Token.Keyword && t.lexeme == "in")) {
+          push(Token.Topic, "/"); i += 1
+        } else { push(Token.Op, "/"); i += 1 }
+      }
       else if (c == '~') scanWhence()
       else if (c == '@') scanTimespan()
       else if (c.isDigit || (c == '.' && i + 1 < input.length && input(i + 1).isDigit)) scanNumber()
@@ -68,7 +78,9 @@ final class Scanner(input: String) {
   private def scanTopic(): Unit = {
     val start = i
     i += 1
-    while (i < input.length && (input(i).isLetterOrDigit || "/_-.".contains(input(i)))) i += 1
+    // continuation set per the reference MatchTopic (`scanner.go:50-63`):
+    // letters, digits, and / - _ # . @
+    while (i < input.length && (input(i).isLetterOrDigit || "/_-.#@".contains(input(i)))) i += 1
     toks :+= Tok(Token.Topic, input.substring(start, i), start)
   }
 

@@ -20,7 +20,7 @@ object Dbg {
       }
     probe("foo")                                     // invalid quantifier
     probe("all and then some garbage")               // trailing garbage
-    probe("all in /12")                              // ref corpus says invalid; we accept digit topics like /numbers/12
+    probe("all in /12")                              // ref-parity: ERR — '/'+digit lexes as slash, not topic (corpus invalid.txt)
     probe("all | filter x -> y > 1")                 // unresolved ident
     probe("all | filter x -> x == 'foo'")            // string vs float compare
     probe("all | reduce a -> a")                     // reduce arity

@@ -8,28 +8,60 @@ import org.scalatest.funsuite.AnyFunSuite
 class ParserSpec extends AnyFunSuite {
 
   val pass: Seq[String] = Seq(
+    // all.txt
     "all",
     "all in /foo since ~now - 1 * @year",
+    // sample.txt / between-predicate.txt / before/since-predicate.txt
     "sample(@minute)",
     "sample(@hour) between ~now - @month * 6, ~now - @month * 2",
     "all before ~(01/01/2023)",
+    "all since ~now",
+    "all since ~now - @minute * 10",
     "all since ~(02/01/2023)",
+    // in-topic.txt
+    "all in /",
+    "all in /foo/bar/baz",
     "all in /c02f3a2a-2791-443b-a2e9-c5e29740b803/",
+    "all in /numbers/12",
+    // data-filter.txt
     "all | filter x -> x > 100",
     "all | filter y -> y == \"foo\"",
+    "all | filter cool_var -> cool_var == 'bar'",
+    "all | filter x -> x < 2 < 5",
+    "all | filter z -> z < 100 + 12",
+    // data-map.txt
     "all | map x -> x / 32 * 24",
+    "all | map x -> 3 * x + 4",
+    "all | map x -> -x",
+    "all | map x -> x * -1",
+    "all | map x -> 1, x",
     "all | map x -> 1, x * 2",
     "all in /logs | map l -> len(l)",
     "all | map x -> pow(x, 2)",
+    "all | map x -> x + 40 * 10",
+    "all | map x -> (x + 40) * 10",
+    "all | map x -> x * 3.4",
+    // data-reduce.txt
+    "all | reduce a, b -> a + b",
     "all | reduce a, b -> a[0] + b[0], a[0] + b[0]",
     "all | reduce a, b -> a[\"key\"], b[\"key\"]",
+    "all | reduce a, b -> a[key], b[key]",
+    // dictionary.txt
     "all | map x -> \"a\" : x / 2, \"b\" : x",
+    "all | map x -> \"key\" : \"foo\", \"value\" : x",
+    "all | map x -> key : \"foo\", value : x",
+    // data.txt
     "all in /sensors/temp | map C -> C * 9 / 5 + 32",
     "all in /sensors/temp since ~now - @day * 7 | map t -> 1, t")
 
   val fail: Seq[String] = Seq(
+    // invalid.txt
     "foo",
     "all and then some garbage",
+    "",
+    "all in /12", // '/' + digit is a slash token, not a topic (scanner.go:326-334)
+    "all : map x -> (x * 3 + 4 : reduce a, b -> a + b",
+    // extra rejections beyond the corpus
     "all in",
     "all since",
     "all between ~now",
