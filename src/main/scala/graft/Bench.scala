@@ -40,9 +40,10 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // operators cache self-join inputs; drop them so later queries
-        // aren't taxed by accumulated cache memory/GC — but OUTSIDE the
-        // timed window: teardown cost isn't part of the query
+        // operators no longer cache (self-join inputs ride AQE exchange
+        // reuse; the remaining scoped caches self-unpersist) — this stays
+        // as a safety net against future regressions, OUTSIDE the timed
+        // window so teardown cost isn't part of the query
         spark.catalog.clearCache()
         name -> elapsed
       }.toMap

@@ -42,6 +42,20 @@ object Queries {
     FossilEngine.over(entries, c, fixedClock)
   }
 
+  /** Same topics, but the datum is the document's `lang` tag — a
+    * low-cardinality string column, so string ==/!= filters select
+    * non-empty, non-total subsets at every SF (the `text` variant only
+    * ever matched 0 rows, which made the equality oracle vacuous). */
+  private def engineDocsLang(spark: SparkSession, dir: String): FossilEngine = {
+    val c = new graft.engine.Catalog
+    c.createDdl("/docs", "string")
+    val entries = Tables.documents(spark, dir).select(
+      timestamp_micros(col("doc_id")).as("time"),
+      concat(lit("/docs/"), col("source")).as("topic"),
+      col("lang").as("value"))
+    FossilEngine.over(entries, c, fixedClock)
+  }
+
   /** Entry frame → oracle-comparable projection. */
   private def entryOut(df: DataFrame): DataFrame =
     df.select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
@@ -97,8 +111,13 @@ object Queries {
       "all in /events | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] | map c, s -> s / c"))),
     "fql_neq" -> ((s, d) => entryOut(engine(s, d).query(
       "all in /events | filter v -> v != 100"))),
-    "fql_string_eq" -> ((s, d) => entryOut(engineDocs(s, d).query(
-      "all in /docs | filter t -> t == \"x\" | map t -> len(t)"))),
+    // string equality is the reference type-checker's one tested regression
+    // (pkg/query/analysis/types_test.go:12-34); "en" matches a non-empty,
+    // non-total subset so both branches of the predicate are exercised
+    "fql_string_eq" -> ((s, d) => entryOut(engineDocsLang(s, d).query(
+      "all in /docs | filter t -> t == \"en\""))),
+    "fql_string_neq" -> ((s, d) => entryOut(engineDocsLang(s, d).query(
+      "all in /docs | filter t -> t != \"en\""))),
     "fql_builtin_abs" -> ((s, d) => entryOut(engine(s, d).query(
       "all in /events | map x -> abs(x - 100)"))),
     "fql_builtin_floor" -> ((s, d) => entryOut(engine(s, d).query(
@@ -157,8 +176,9 @@ object Queries {
       "fql_composite" -> ev("value * 2"),
       "fql_neq" -> ev("value", "value != 100"),
       "fql_string_eq" -> ("SELECT doc_id AS t_us, '/docs/' || source AS topic, " +
-        "CAST(length(text) AS BIGINT) AS value FROM documents WHERE text = 'x' " +
-        "ORDER BY t_us, topic"),
+        "lang AS value FROM documents WHERE lang = 'en' ORDER BY t_us, topic"),
+      "fql_string_neq" -> ("SELECT doc_id AS t_us, '/docs/' || source AS topic, " +
+        "lang AS value FROM documents WHERE lang != 'en' ORDER BY t_us, topic"),
       "fql_builtin_abs" -> ev("abs(value - 100)"),
       "fql_builtin_floor" -> ev("floor(value / 7)"),
       // sqrt is IEEE correctly-rounded in both engines (unlike exp/ln/pow ULPs)
@@ -232,6 +252,9 @@ object Queries {
       val in = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
       val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
       deleteOnExit(in); deleteOnExit(ck)
+      // DOUBLE only for driver dtype parity with the oracle's SUM result
+      // type; the values are integer cents < ~1e7 (event values are 3-digit
+      // floats), far below 2^53, so the cast is exact, not a rounding trap
       Tables.eventEntries(s, d).drop("__t_ns")
         .select(unix_micros(col("time")).as("t_us"), col("topic"),
           cents(col("value")).cast("double").as("value"))

@@ -128,8 +128,14 @@ final class RemoteClient(
     * reconnect with backoff and resend (bounded — a request is retried at
     * most `maxReconnects` times, each on a fresh connection). */
   private def send(cmd: String, payload: Array[Byte]): (String, Array[Byte]) = {
-    if (closed) throw new IllegalStateException("client is closed")
-    var sock = pool.take()
+    // poll-with-recheck instead of a bare take(): a send that passes the
+    // `closed` check just before close() drains the pool would otherwise
+    // block forever on an empty pool — close() never returns the sockets.
+    var sock: Socket = null
+    while (sock == null) {
+      if (closed) throw new IllegalStateException("client is closed")
+      sock = pool.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
     try {
       var attempt = 0
       while (true) {
@@ -195,7 +201,7 @@ final class RemoteClient(
     val old = currentDb
     val held = scala.collection.mutable.ArrayBuffer.fill(poolCount)(pool.take())
     try {
-      val switched = scala.collection.mutable.ArrayBuffer.empty[Socket]
+      val switchedIx = scala.collection.mutable.ArrayBuffer.empty[Int]
       try {
         held.indices.foreach { i =>
           try sendUseOn(held(i), name)
@@ -207,12 +213,27 @@ final class RemoteClient(
               held(i) = reconnectWithBackoff()
               sendUseOn(held(i), name)
           }
-          switched += held(i)
+          switchedIx += i
         }
         currentDb = name
       } catch {
         case e: Throwable =>
-          switched.foreach(s => try sendUseOn(s, old) catch { case _: Exception => () })
+          // roll the already-switched sockets back to the old binding. A
+          // socket whose ROLLBACK also fails must not reach the pool still
+          // bound to the new db (later sends would silently hit the wrong
+          // database): close it and replace via reconnectWithBackoff(),
+          // whose handshake USEs currentDb — still `old` here. If even the
+          // reconnect fails, the closed socket stays in the slot as the
+          // documented dead-slot sentinel and self-heals on next use.
+          switchedIx.foreach { i =>
+            try sendUseOn(held(i), old)
+            catch {
+              case _: Exception =>
+                try held(i).close() catch { case _: IOException => () }
+                try held(i) = reconnectWithBackoff()
+                catch { case _: Exception => () }
+            }
+          }
           throw e
       }
     } finally held.foreach(pool.put)

@@ -84,9 +84,13 @@ object Sample {
     val intervalUs = math.max(1L, Math.floorDiv(intervalNs, 1000L))
     // FLOOR division on exact long micros: `/`+cast truncates toward zero,
     // which merges the two windows adjacent to the epoch for pre-1970
-    // timestamps (trunc(-0.6) = trunc(0.6) = 0). pmod keeps it exact.
+    // timestamps (trunc(-0.6) = trunc(0.6) = 0). pmod floors the multiple,
+    // and SQL `div` keeps the quotient in LONG arithmetic end to end —
+    // `/` is double division, which rounds |t_us| > 2^53 (~year 2255 /
+    // pre-283 BCE) and can merge or split adjacent far-range buckets.
     val tUs = unix_micros(col("time"))
-    val bucket = ((tUs - pmod(tUs, lit(intervalUs))) / lit(intervalUs)).cast(LongType)
+    val bucket = expr(
+      s"(unix_micros(time) - pmod(unix_micros(time), ${intervalUs}L)) div ${intervalUs}L")
     val w = Window.partitionBy(col("topic"), bucket).orderBy(col("time"), col("value"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

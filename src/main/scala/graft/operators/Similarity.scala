@@ -115,17 +115,18 @@ object Similarity {
     * than the dimensionality supports degrades recall visibly (fewer
     * collision chances) instead of silently.
     *
-    * Cache lifecycle: the banded frame stays cached for the life of the
-    * returned (lazy) plan — callers that run many LSH passes in one session
-    * should `spark.catalog.clearCache()` between them, the same contract as
-    * [[Dedup]]'s banded self-joins (Bench/Verify do). */
+    * No caches: the id-keyed exchange below sits under EVERY consumer
+    * (banding, both verify join-back sides), and the banded self-join's two
+    * band-key exchanges canonicalize equal, so AQE's ReusedExchange computes
+    * the prep and the banding once each — disk-backed shuffle reuse instead
+    * of storage memory that a long-lived server session would never
+    * release (CacheLifecycleSpec pins this). */
   def nearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
       bitsPerBand: Int = 8, numBands: Int = 8): DataFrame = {
     val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", norm(col("__v")))
-      .repartition(col(idCol)) // parallelize per-row prep; ReusedExchange
-      .cache() // feeds banding AND both sides of the verify join-back
+      .repartition(col(idCol)) // compute-once point: every consumer reuses this exchange
     // band key: fold acc*2 + signbit over dims [i*r, i*r+r); bands that
     // would overrun the vector (i >= dim/r) are dropped, not wrapped
     val effBands = least(lit(numBands),
@@ -140,7 +141,6 @@ object Similarity {
                 (pmod(bandIx.cast("long") * bitsPerBand + j, size(col("__v")))
                   + 1).cast("int")) >= 0d, lit(1L)).otherwise(lit(0L)))))
           .as(Seq("band_ix", "band_key")))
-      .cache() // feeds both sides of the self-join; don't recompute upstream
     val cand = banded.select(col("id").as("a"), col("band_ix"), col("band_key"))
       .join(banded.select(col("id").as("b"), col("band_ix"), col("band_key")),
         Seq("band_ix", "band_key"))
@@ -245,6 +245,18 @@ object Similarity {
     * the raw int ranking approximate across vectors (standard symmetric
     * int8 trade-off); `refine` buys the recall back, and SimilaritySpec
     * measures it against [[ivfTopK]].
+    *
+    * The probe's int→double widening (`cast("array<double>")` feeding the
+    * codegen dot) happens AFTER the bucket join, inside the scoring
+    * projection: only the int arrays cross the bucket shuffle (the
+    * bandwidth win Plans.scala gates on); the widening is per-row CPU in
+    * the join's output stage with zero shuffle-width impact.
+    *
+    * No caches: the corpus/query assignment subtrees each end in the
+    * window's id-keyed exchange, which the int8 probe and the exact
+    * re-rank join-back both sit on top of — AQE's ReusedExchange runs the
+    * centroid scoring once per side; only the cheap per-row quantize/
+    * project work above the exchange repeats (CacheLifecycleSpec).
     * Output: (q, rank, id, sim_e6). */
   def ivfTopKInt8(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -256,12 +268,10 @@ object Similarity {
       .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
       .withColumn("scale", scaleE6(col("v")))
       .withColumn("qv", quantize(col("v"), col("scale")))
-      .cache() // feeds the int8 probe AND the exact-rescore join-back
     val probed = assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
       .select(col(idCol).as("q"), col("__v").as("qvec"), col("__n").as("qn"), col("bucket"))
       .withColumn("qscale", scaleE6(col("qvec")))
       .withColumn("qq", quantize(col("qvec"), col("qscale")))
-      .cache()
     // probe path: quantized arrays only — the int products are exact in the
     // codegen double dot (values ≤ 127)
     val iscored = bucketed.select(col("id"), col("bucket"), col("qv"))

@@ -41,12 +41,71 @@ object Repl {
     }
 
   /** Parse a REPL datum per a schema DDL (the reference REPL encodes via
-    * the topic schema client-side, `pkg/repl/parser.go:42-66`). */
+    * the topic schema client-side, `pkg/repl/parser.go:42-66` →
+    * `pkg/schema/encoding.go:360-520`): scalars parse by type; arrays are
+    * bare comma-separated element lists (elements are fixed scalars only,
+    * `docs/schema.md:32-34`, so a simple split is exact); composites are
+    * `key: value, ...` with optionally-quoted keys and values. */
   private[tools] def parseDatum(ddl: String, data: String): Any =
-    if (ddl.startsWith("int") || ddl.startsWith("uint")) data.trim.toLong
-    else if (ddl.startsWith("float")) data.trim.toDouble
-    else if (ddl == "boolean") data.trim.toBoolean
-    else data
+    parseTyped(FossilSchema.parse(ddl), data)
+
+  private def parseTyped(t: FossilSchema.SType, raw: String): Any = {
+    import FossilSchema._
+    t match {
+      case SString | SBinary => raw
+      // reference parity (`encoding.go:371-377`): everything but the
+      // literal "false" encodes true
+      case SBool => raw.trim != "false"
+      case SFloat32 | SFloat64 => raw.trim.toDouble
+      case _: Scalar => raw.trim.toLong // all int/uint widths; Codec range-checks
+      case SArray(_, elem) =>
+        raw.split(",", -1).toSeq.map(s => parseTyped(elem, s.trim))
+      case c: SComposite =>
+        val fieldTypes = c.fields.toMap
+        splitTopLevel(raw).map { part =>
+          val ix = topLevelColon(part)
+          if (ix < 0)
+            throw new IllegalArgumentException(s"malformed composite literal near '$part'")
+          val key = unquote(part.substring(0, ix).trim)
+          val ft = fieldTypes.getOrElse(key,
+            throw new IllegalArgumentException(s"unknown key '$key' in composite literal"))
+          key -> parseTyped(ft, unquote(part.substring(ix + 1).trim))
+        }.toMap
+      case SUnknown | SAmbiguous =>
+        throw new IllegalArgumentException(s"cannot parse datum for schema ${t.ddl}")
+    }
+  }
+
+  /** Split on commas outside double quotes (composite members may be
+    * strings containing commas/colons). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '"' => inQ = !inQ; cur += '"'
+      case ',' if !inQ => parts += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    parts += cur.toString
+    parts.toSeq
+  }
+
+  private def topLevelColon(s: String): Int = {
+    var inQ = false
+    s.indices.foreach { i =>
+      s.charAt(i) match {
+        case '"' => inQ = !inQ
+        case ':' if !inQ => return i
+        case _ => ()
+      }
+    }
+    -1
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
+    else s
 
   /** The schema a topic would get on append: its own entry, else the
     * nearest ancestor's NON-default schema, else the string default —

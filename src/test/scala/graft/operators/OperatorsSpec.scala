@@ -38,6 +38,15 @@ class OperatorsSpec extends SparkSpec {
     // zero / negative interval: t >= last + d always holds → keep all
     assert(Sample.greedyPerTopic(df, 0L).count() == 3)
     assert(Sample.greedyPerTopic(df, -1000L).count() == 3)
+    // the streaming twin must pin the IDENTICAL clamp: the same FQL
+    // sample(d) diverging between batch and streaming is the dual-path
+    // divergence class DifferentialSpec gates on (flatMapGroupsWithState
+    // executes fine on a batch frame, so the comparison is direct)
+    val streamKept = graft.streaming.StreamingAdapter.greedySample(df, 500L)
+      .select(unix_micros($"time")).as[Long].collect().toSeq
+    assert(streamKept.sorted == Seq(0L, 1L))
+    assert(graft.streaming.StreamingAdapter.greedySample(df, 0L).count() == 3)
+    assert(graft.streaming.StreamingAdapter.greedySample(df, -1000L).count() == 3)
   }
 
   test("greedy global is one carry across all topics") {

@@ -31,6 +31,33 @@ class ReplSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { Repl.render(df, "xml") }
   }
 
+  test("parseDatum handles scalar, array and composite literals per schema") {
+    import graft.engine.{Codec, FossilSchema}
+    assert(Repl.parseDatum("int32", " 42 ") == 42L)
+    assert(Repl.parseDatum("float64", "1.5") == 1.5)
+    // reference parity: everything but the literal "false" is true
+    assert(Repl.parseDatum("boolean", "true") == true)
+    assert(Repl.parseDatum("boolean", "false") == false)
+    assert(Repl.parseDatum("boolean", "yes") == true)
+    assert(Repl.parseDatum("string", "a, b: c") == "a, b: c")
+    // array literal: bare comma-separated (reference encoding.go:427-445)
+    assert(Repl.parseDatum("[3]int32", "1, 2, 3") == Seq(1L, 2L, 3L))
+    // composite literal: key: value with optional quotes (encoding.go:446-520)
+    assert(Repl.parseDatum("""{"a": int32, "b": string}""", """"a": 7, "b": "x, y"""")
+      == Map("a" -> 7L, "b" -> "x, y"))
+    // the parsed values round-trip through the wire codec
+    val arr = Codec.encode(FossilSchema.parse("[3]int32"),
+      Repl.parseDatum("[3]int32", "1,2,3"))
+    assert(Codec.decode(FossilSchema.parse("[3]int32"), arr) == Seq(1, 2, 3))
+    // malformed / unknown-key composites fail loudly, not as string fallback
+    assertThrows[IllegalArgumentException] {
+      Repl.parseDatum("""{"a": int32}""", """"z": 1""")
+    }
+    assertThrows[IllegalArgumentException] {
+      Repl.parseDatum("""{"a": int32}""", """no colon here""")
+    }
+  }
+
   test("effectiveDdl mirrors the server's inheritance walk") {
     val topics = Seq("/a" -> "float64", "/a/b" -> "string", "/x" -> "string",
       "/" -> "int64")
