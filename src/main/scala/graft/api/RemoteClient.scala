@@ -268,6 +268,11 @@ final class RemoteClient(
       }
     }
 
+  /** LIST databases: the server's attached store names
+    * (`pkg/server/response.go:38-44` dbMap enumeration). */
+  def listDatabases: Seq[String] =
+    countPrefixedLines(expectOk("LIST", "databases".getBytes(UTF_8)))
+
   /** STATS lines (`topic n=... first=... last=...`). */
   def stats(): Seq[String] =
     countPrefixedLines(expectOk("STATS", Array.emptyByteArray))

@@ -85,4 +85,10 @@ final class Session(val spark: SparkSession, clock: Compiler.Clock = Compiler.sy
   // -- command surface over the active store --
   def query(fql: String): DataFrame = client.query(fql)
   def listTopics: Seq[(String, String)] = client.listTopics
+
+  /** Attached store names — `LIST databases` enumerates the session's
+    * registry like the reference enumerates the server `dbMap`
+    * (`pkg/server/response.go:38-44`). Attachment order (the reference
+    * iterates an unordered Go map; a stable order is strictly more useful). */
+  def listDatabases: Seq[String] = stores.keys.toSeq
 }

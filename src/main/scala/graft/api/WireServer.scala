@@ -122,7 +122,15 @@ final class WireServer(
         // reference: OkResponse{201, "database changed"}
         writeMessage(out, "OK", okPayload(201, "database changed"))
       case "LIST" =>
-        val items = session.listTopics.map { case (t, ddl) => s"$t $ddl" }
+        // reference ListRequest.Object dispatch (`pkg/server/response.go:33-62`):
+        // "databases" enumerates the server's store registry (dbMap analog);
+        // anything else keeps the existing `topic ddl` listing, which covers
+        // both the reference's "topics" (names) and "schemas" (name+schema)
+        // views in one stable shape the clients already parse
+        val what = new String(payload, StandardCharsets.UTF_8).trim
+        val items =
+          if (what == "databases") session.listDatabases
+          else session.listTopics.map { case (t, ddl) => s"$t $ddl" }
         writeMessage(out, "OK", listPayload(items))
       case "STATS" =>
         // the reference reports process-heap numbers (`pkg/database/stats.go`)

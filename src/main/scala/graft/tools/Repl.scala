@@ -162,6 +162,8 @@ object Repl {
             client.listTopics.foreach { case (t2, s) => println(s"$t2\t$s") }
           case "list" :: "schemas" :: Nil =>
             client.listTopics.map(_._2).distinct.sorted.foreach(println)
+          case "list" :: "databases" :: Nil =>
+            client.listDatabases.foreach(println)
           case "stats" :: Nil => client.stats().foreach(println)
           case "version" :: Nil => println(client.version)
           case "use" :: db :: Nil => client.use(db.trim); println(s"database changed")

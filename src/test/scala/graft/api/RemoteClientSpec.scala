@@ -63,6 +63,7 @@ class RemoteClientSpec extends SparkSpec {
       assert(e.time == java.time.Instant.parse("2025-01-01T00:00:00Z"))
 
       assert(client.listTopics.contains("/rc/t" -> "float64"))
+      assert(client.listDatabases == Seq("a", "b"))
       assert(client.stats().exists(l => l.startsWith("/rc/t ") && l.contains("n=1")))
 
       // USE switches every pooled connection: the topic is invisible in b

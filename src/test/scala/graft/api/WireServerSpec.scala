@@ -82,6 +82,18 @@ class WireServerSpec extends SparkSpec {
       }
       assert(items.exists(_.startsWith("/wire/t ")))
 
+      // LIST databases enumerates the server's store registry
+      // (pkg/server/response.go:38-44 dbMap parity)
+      send(out, "LIST", "databases".getBytes(StandardCharsets.UTF_8))
+      val (_, dp) = recv(in)
+      val dbuf = ByteBuffer.wrap(dp)
+      val dn = dbuf.getInt
+      val dbs = (0 until dn).map { _ =>
+        val s = new Array[Byte](dbuf.getInt); dbuf.get(s)
+        new String(s, StandardCharsets.UTF_8)
+      }
+      assert(dbs == Seq("a", "b"))
+
       send(out, "STATS", Array.emptyByteArray)
       val (_, sp) = recv(in)
       val sbuf = ByteBuffer.wrap(sp)
