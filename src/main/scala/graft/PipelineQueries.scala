@@ -202,10 +202,20 @@ object PipelineQueries {
             .as(Seq("frame_ix", "frame_md5")))
         .orderBy("media_id", "frame_ix")
     }),
+    // REAL header decode: documents wrapped in genuine PNG/GIF/JPEG headers
+    // (dimension fields derived from row values), parsed back by the
+    // batched mapPartitions decoder — the oracle recomputes the embedded
+    // kind/width/height/byte-layout independently, so a parser that reads
+    // the wrong offsets or endianness fails the hash. content_md5 stays out
+    // of the compared shape only because DuckDB 1.0 cannot md5 BLOBs; it is
+    // spec-pinned in MultimodalSpec instead.
     "mm_meta" -> ((s, d) =>
-      Multimodal.metaColumns(
-        Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("bytes")),
-        "doc_id", "bytes")
+      Multimodal.decodeMeta(Multimodal.headerWrappedDocs(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes"))
         .orderBy("media_id")),
   )
 
@@ -538,11 +548,17 @@ object PipelineQueries {
       |  FROM documents)
       |ORDER BY media_id, frame_ix""".stripMargin.trim,
 
+    // header layout ground truth: png prefix = 8 sig + 25 IHDR chunk = 33,
+    // gif = 6 sig + 7 screen descriptor = 13, jpeg = 2 SOI + 18 APP0 +
+    // 19 SOF0 = 39 — n_bytes cross-checks the byte-exact fixture layout,
+    // width/height cross-check the decoder's offset/endianness parsing
     "mm_meta" -> """
       |SELECT doc_id AS media_id,
-      |  octet_length(encode(text))::BIGINT AS n_bytes,
-      |  md5(text) AS content_md5,
-      |  16 * (1 + ascii(substr(text, 1, 1)) % 40) AS width_stub
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind,
+      |  CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+      |  CAST(n_chars % 500 + 1 AS BIGINT) AS height,
+      |  octet_length(encode(text))::BIGINT
+      |    + (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 39 END) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin.trim,
   )
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,39 +12,89 @@ import org.apache.spark.sql.functions._
   * Parquet, metadata prunes/partitions, and decode runs batched inside
   * executors, never on the driver.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `FakeDecoder` derives deterministic pseudo-metadata and
-  * pseudo-frames from the bytes. Everything around it — the schema, the
-  * typed Dataset API, the batched mapPartitions execution shape (the Scala
-  * analog of `mapInPandas` batches), the frame-sample explode — is real.
+  * The image header decode is REAL: [[HeaderDecoder]] parses PNG (IHDR),
+  * GIF (logical screen descriptor) and JPEG (SOF segment walk) dimensions
+  * straight from the binary column — pure public format knowledge, no
+  * libraries. What remains out of scope in this container is full media
+  * decoding (pixel data, audio/video duration — those need codec
+  * libraries); `duration_ms` is therefore always 0 and documented as such.
   */
 object Multimodal {
 
   /** Typed media row: the schema a media lake table carries. */
   case class MediaFile(media_id: Long, kind: String, bytes: Array[Byte])
 
-  /** Decoded (stub) metadata: what a real decoder would emit. */
+  /** Decoded metadata. `kind` is what the MAGIC BYTES say ("png"/"gif"/
+    * "jpeg"), falling back to the carried kind for unrecognized payloads;
+    * width/height are 0 when no image header parses; duration_ms is always
+    * 0 (audio/video decoding needs codec libraries this container lacks). */
   case class MediaMeta(
       media_id: Long, kind: String, n_bytes: Long, content_md5: String,
       width: Int, height: Int, duration_ms: Long)
 
   case class Frame(media_id: Long, frame_ix: Int, frame_bytes: Array[Byte])
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A production build swaps `decodeOne` for an actual library call; the
-    * surrounding batching/planning machinery is unchanged. */
-  object FakeDecoder {
+  /** Real image-header parsing — public format layouts only:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk; width/height are the
+    *    two big-endian u32s at offsets 16/20 (PNG spec §5.2, §11.2.2).
+    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor;
+    *    width/height are little-endian u16s at offsets 6/8 (GIF89a spec §18).
+    *  - JPEG: SOI then a marker-segment walk ([FF xx][u16 len incl itself])
+    *    until a start-of-frame marker (C0–CF minus C4/C8/CC); the frame
+    *    header carries [u8 precision][u16 height][u16 width] (ITU T.81
+    *    §B.2.2). Standalone markers (RSTn/TEM) have no length field.
+    */
+  object HeaderDecoder {
     val BatchSize = 64 // batch shape a vectorized decoder would want
 
+    /** (format, width, height) if a recognized image header parses. */
+    def dims(b: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      if (b.length >= 24 &&
+          u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some(("png", be32(16), be32(20)))
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(("gif", le16(6), le16(8)))
+      else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8)
+        jpegDims(b)
+      else None
+    }
+
+    private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      var i = 2 // past SOI
+      while (i + 4 <= b.length) {
+        if (u8(i) != 0xff) return None // lost marker sync
+        val m = u8(i + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM/RSTn: no length
+        else if (m == 0xd9 || m == 0xda) return None // EOI / scan data before any SOF
+        else {
+          val len = be16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val sof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (sof)
+            return if (len >= 7) Some(("jpeg", be16(i + 7), be16(i + 5))) else None
+          i += 2 + len
+        }
+      }
+      None
+    }
+
     def decodeOne(m: MediaFile): MediaMeta = {
-      val n = m.bytes.length.toLong
-      // ??? real codec goes here; deterministic fake below
-      val b0 = if (n > 0) m.bytes(0) & 0xff else 0
-      val b1 = if (n > 1) m.bytes(1) & 0xff else 0
-      MediaMeta(m.media_id, m.kind, n,
+      val parsed = dims(m.bytes)
+      MediaMeta(m.media_id,
+        parsed.map(_._1).getOrElse(m.kind), m.bytes.length.toLong,
         md5Hex(m.bytes),
-        width = 16 * (1 + b0 % 40), height = 16 * (1 + b1 % 30),
-        duration_ms = n * 125 / 3)
+        width = parsed.map(_._2).getOrElse(0),
+        height = parsed.map(_._3).getOrElse(0),
+        duration_ms = 0L)
     }
 
     private def md5Hex(b: Array[Byte]): String =
@@ -56,20 +108,18 @@ object Multimodal {
   def decodeMeta(media: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init of the (stub) codec happens here, once
-      it.grouped(FakeDecoder.BatchSize).flatMap(_.map(FakeDecoder.decodeOne))
+      // per-partition decoder init happens here, once
+      it.grouped(HeaderDecoder.BatchSize).flatMap(_.map(HeaderDecoder.decodeOne))
     }
   }
 
   /** Columnar metadata extraction — the cheap subset of decodeMeta that
-    * needs no codec, as pure Catalyst expressions (oracle-checkable). */
+    * needs no parsing at all, as pure Catalyst expressions. */
   def metaColumns(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
     df.select(
       col(idCol).as("media_id"),
       length(col(bytesCol)).cast("long").as("n_bytes"),
-      md5(col(bytesCol)).as("content_md5"),
-      (lit(16) * (lit(1) + pmod(ascii(substring(col(bytesCol).cast("string"), 1, 1)), lit(40))))
-        .as("width_stub"))
+      md5(col(bytesCol)).as("content_md5"))
 
   /** Frame sampling: every `strideBytes`-th slice of `frameBytes` bytes
     * becomes a "frame" row — the explode shape of real video frame
@@ -86,10 +136,72 @@ object Multimodal {
   }
 
   /** Adapter: treat the `documents` table as a media lake (text bytes play
-    * the blob) — used by tests and the oracle-checked metadata query. */
+    * the blob) — used by tests and the frame-sampling query. */
   def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(col("doc_id").as("media_id"), lit("text").as("kind"),
       col("text").cast("binary").as("bytes")).as[MediaFile]
+  }
+
+  // ---- oracle fixture: REAL headers around document payloads ----
+
+  /** Big-endian u32. */
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** 33-byte PNG prefix: signature + a spec-correct IHDR chunk (8-bit RGBA,
+    * real CRC32 over type+data). */
+  private[operators] def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val data = be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)
+    val typeAndData = "IHDR".getBytes(StandardCharsets.US_ASCII) ++ data
+    val crc = new java.util.zip.CRC32
+    crc.update(typeAndData)
+    sig ++ be32(data.length) ++ typeAndData ++ be32(crc.getValue.toInt)
+  }
+
+  /** 13-byte GIF89a prefix: signature + logical screen descriptor (no
+    * global color table, so the descriptor is the complete header). */
+  private[operators] def gifHeader(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes(StandardCharsets.US_ASCII) ++ le16(w) ++ le16(h) ++
+      Array[Byte](0, 0, 0)
+
+  /** 39-byte JPEG prefix: SOI + a spec-correct JFIF APP0 + a baseline SOF0
+    * (8-bit, 3 components, 4:2:0) — everything a dimensions parser walks. */
+  private[operators] def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++
+      be16(h) ++ be16(w) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    soi ++ app0 ++ sof0
+  }
+
+  /** Oracle fixture: wrap each document's text bytes in a REAL image-format
+    * header (PNG/GIF/JPEG cycling on doc_id % 3) whose dimension fields
+    * derive from the row — the decoder then parses genuine header bytes
+    * while the SQL oracle recomputes the embedded values independently.
+    * Runs as a distributed typed map, like any ingest adapter would. */
+  def headerWrappedDocs(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val w = (id % 1000 + 1).toInt
+        val h = (nChars % 500 + 1).toInt
+        val header = (id % 3) match {
+          case 0 => pngHeader(w, h)
+          case 1 => gifHeader(w, h)
+          case _ => jpegHeader(w, h)
+        }
+        MediaFile(id, "image", header ++ text.getBytes(StandardCharsets.UTF_8))
+      }
   }
 }

@@ -12,6 +12,48 @@ class MultimodalSpec extends SparkSpec {
     MediaFile(3L, "video", Array.emptyByteArray)
   ).toDS()
 
+  test("HeaderDecoder parses real PNG/GIF/JPEG headers (offsets + endianness)") {
+    import Multimodal.HeaderDecoder.dims
+    // round-trip through the spec-correct header builders
+    assert(dims(Multimodal.pngHeader(640, 480)) == Some(("png", 640, 480)))
+    assert(dims(Multimodal.gifHeader(320, 200)) == Some(("gif", 320, 200)))
+    assert(dims(Multimodal.jpegHeader(1920, 1080)) == Some(("jpeg", 1920, 1080)))
+    // asymmetric dims catch transposed width/height (JPEG SOF is [h][w])
+    assert(dims(Multimodal.jpegHeader(2, 6000)) == Some(("jpeg", 2, 6000)))
+    // GIF is little-endian u16: 0x0102 must read 258, not 513
+    assert(dims(Multimodal.gifHeader(258, 1)) == Some(("gif", 258, 1)))
+    // GIF87a variant also parses
+    val gif87 = Multimodal.gifHeader(5, 7)
+    gif87(4) = '7'.toByte
+    assert(dims(gif87) == Some(("gif", 5, 7)))
+    // payload after the header does not confuse any parser
+    assert(dims(Multimodal.pngHeader(9, 8) ++ "trailing payload".getBytes)
+      == Some(("png", 9, 8)))
+    // truncated / junk input parses to None, never throws
+    assert(dims(Multimodal.pngHeader(640, 480).take(20)).isEmpty)
+    assert(dims(Multimodal.jpegHeader(10, 10).take(21)).isEmpty) // cut inside APP0
+    assert(dims(Array[Byte](1, 2, 3)).isEmpty)
+    assert(dims(Array.emptyByteArray).isEmpty)
+    // JPEG with scan data before any SOF (malformed for our purposes) → None
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)
+    assert(dims(noSof).isEmpty)
+  }
+
+  test("decodeMeta parses genuine dimensions from header-wrapped payloads") {
+    val files = Seq(
+      MediaFile(10L, "raw", Multimodal.pngHeader(101, 77) ++ Array.fill(50)(9.toByte)),
+      MediaFile(11L, "raw", Multimodal.gifHeader(3, 4) ++ Array.fill(10)(1.toByte)),
+      MediaFile(12L, "raw", Multimodal.jpegHeader(800, 600)),
+      MediaFile(13L, "raw", Array.fill(30)(5.toByte))).toDS()
+    val out = decodeMeta(files).collect().sortBy(_.media_id)
+    assert(out(0).kind == "png" && out(0).width == 101 && out(0).height == 77)
+    assert(out(0).n_bytes == 33L + 50L)
+    assert(out(1).kind == "gif" && out(1).width == 3 && out(1).height == 4)
+    assert(out(2).kind == "jpeg" && out(2).width == 800 && out(2).height == 600)
+    // unrecognized payload: kind falls back to the carried kind, dims 0
+    assert(out(3).kind == "raw" && out(3).width == 0 && out(3).height == 0)
+  }
+
   test("decodeMeta: one row per input, deterministic stub metadata") {
     val out = decodeMeta(media).collect().sortBy(_.media_id)
     assert(out.length == 3)
