@@ -133,6 +133,34 @@ object Queries {
     "fql_sample_global" -> ((s, d) =>
       entryOut(Sample.greedyGlobal(
         Tables.eventEntries(s, d).drop("__t_ns"), 3600L * 1000000000L))),
+    // continuous FQL: the SAME parse→compile path as batch, over a file-
+    // source replay of the events table — a 2-stage filter/map pipeline
+    // runs inside the streaming plan (stateless narrow ops, append mode)
+    // and must equal the batch FQL result on the identical data. This is
+    // the oracle row for StreamingFql, complementing the stateful-sample
+    // and windowed-agg streaming rows.
+    "stream_fql" -> ((s, d) => {
+      import graft.streaming.{StreamingFql, StreamingIngest}
+      val in = java.nio.file.Files.createTempDirectory("graft_sfql_in").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_sfql_ck").toString
+      deleteOnExit(in); deleteOnExit(ck)
+      Tables.eventEntries(s, d).drop("__t_ns")
+        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
+        .coalesce(4).write.mode("overwrite").json(in)
+      val entries = StreamingIngest.fileSource(s, in)
+        .select(timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
+      val out = StreamingFql.query(
+        "all in /events | filter v -> v > 100 | map F -> 5/9 * (F - 32)",
+        entries, fixedClock)
+      val sink = "graft_sfql_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      entryOut(s.table(sink))
+    }),
     // the ENGINE'S OWN storage path end-to-end (reference lifecycle
     // `pkg/database/db.go:554-649`): events ingested through
     // ParquetStore.append — schema-group/topic-partition layout,
@@ -217,6 +245,9 @@ object Queries {
         |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic, e.value
         |FROM events e JOIN kept k ON e.ts = k.t
         |ORDER BY t_us, topic""".stripMargin.trim,
+      // streaming filter/map ≡ batch: same pipeline as fql_filter ∘
+      // fql_map_arith, so the oracle is their composition
+      "stream_fql" -> ev("5.0/9.0 * (value - 32)", "value > 100"),
       // the store is lossless for (time µs, topic, value): the oracle is
       // the same scan+predicate straight off the source table
       "store_roundtrip" -> (
