@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-insurance sweep: synthesize a ~K× corpus from sf0.1 and time the
+  * heavy operators at 1× and K×, verifying (a) wall time grows ≲ linearly
+  * for the linear-by-design ops (the exact all-pairs baseline is expected
+  * ~K²: documented), and (b) none of the plan-shape invariants flip at the
+  * bigger scale (broadcast→BNLJ, narrow band joins→wide).
+  *
+  * Replica construction keeps the workload shape honest at K×:
+  *  - documents: replica k rotates each doc's word sequence by 7k and
+  *    prepends an `rk` tag token — same vocabulary and length profile, but
+  *    the 3-word/5-char shingle sets shift almost entirely, so replicas of
+  *    one doc are NOT near-duplicates of each other and the duplicate
+  *    density per replica mirrors the base corpus;
+  *  - embeddings: replica k multiplies every vector by one deterministic
+  *    ±1 sign pattern — an isometry (all within-replica dot products and
+  *    norms are EXACTLY preserved) while cross-replica cosines scramble
+  *    toward 0, so near-dup/ANN structure replicates without cross talk.
+  *
+  * Drive: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScaleSweep 10"
+  * Output: target/scale_sweep.json + human table on stdout; nonzero exit
+  * on any plan-invariant failure at scale.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale${factor}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize(spark, base, out, factor)
+
+    // the heavy set from the LLM-pipeline battery; expected scaling noted.
+    // "quadratic" rows are super-linear BY FIXTURE CONSTRUCTION, not by
+    // operator defect: emb_neardup is the documented exact all-pairs
+    // baseline (inherent n²); ann_topk's query set and ann_ivf*'s centroid
+    // count both grow with the corpus (n·q and n·k assignment cost), and
+    // emb_neardup_lsh keeps its 8-bit bands fixed while n grows, so its
+    // 256-key band space drives ~n² candidate collisions (at production
+    // scale bitsPerBand is the knob you turn with log2 n). The md5-banded
+    // dedup family and the rest must stay ~linear.
+    val ops = Seq(
+      ("dedup_minhash", "linear"), ("dedup_ngram", "linear"),
+      ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
+      ("dedup_clusters_dist", "linear"), ("pipeline_curate", "linear"),
+      ("emb_neardup_lsh", "quadratic"), ("ann_topk", "quadratic"),
+      ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
+      ("emb_neardup", "quadratic"), ("emb_quantize", "linear"))
+
+    // warm-up pass at the smallest SF (JIT/codegen), as Bench does
+    ops.foreach { case (n, _) =>
+      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (dt, rows)
+    }
+
+    var failed = 0
+    val results = ops.map { case (name, kind) =>
+      val (t1, r1) = time(name, base)
+      val (tk, rk) = time(name, out)
+      // linear ops: allow 2× headroom over proportional growth (fixed
+      // per-query overhead dominates small runs; catches plan flips which
+      // cost 10-100×, not 2×). quadratic baseline: bound by K²·2.
+      val bound = if (kind == "linear") factor * 2.0 else factor.toDouble * factor * 2.0
+      val ratio = tk / math.max(t1, 1e-9)
+      val ok = ratio <= bound
+      if (!ok) failed += 1
+      println(f"$name%-22s $kind%-9s 1x=$t1%7.2fs ${factor}x=$tk%7.2fs ratio=$ratio%6.2f bound=$bound%6.1f rows $r1%7d -> $rk%8d ${if (ok) "ok" else "FAIL"}")
+      (name, kind, t1, tk, ratio, r1, rk, ok)
+    }
+
+    // plan invariants at the K× scale — same walks as Plans.scala
+    failed += planChecks(spark, out)
+
+    def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
+    val json = results.map { case (n, kind, t1, tk, ratio, r1, rk, ok) =>
+      s""""$n":{"kind":"$kind","t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(ratio)},"rows1x":$r1,"rows${factor}x":$rk,"ok":$ok}"""
+    }.mkString("{", ",", "}")
+    val p = java.nio.file.Paths.get("target", "scale_sweep.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      s"""{"factor":$factor,"cpus":$cpus,"results":$json}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    if (failed > 0) { System.err.println(s"$failed scale checks FAILED"); sys.exit(1) }
+  }
+
+  private def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val outDir = new java.io.File(out)
+    if (new java.io.File(outDir, "_done").exists()) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxDoc = docs.agg(max("doc_id")).first().getLong(0) + 1
+    val maxVec = emb.agg(max("vec_id")).first().getLong(0) + 1
+    val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
+
+    docs.crossJoin(reps)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("r", when(col("n") > 0, pmod(col("k") * 7, col("n"))).otherwise(0))
+      .select(
+        (col("doc_id") + col("k") * maxDoc).as("doc_id"),
+        concat_ws(" ",
+          concat(
+            array(concat(lit("r"), col("k"))),
+            expr("slice(toks, r + 1, n - r)"),
+            expr("slice(toks, 1, r)"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // ±1 per-dimension sign pattern keyed on k: an exact isometry within
+    // each replica (s_i² = 1 cancels in every dot product), decorrelating
+    // across replicas; k = 0 is the identity (base corpus preserved)
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("k") * maxVec).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                  IF(((CAST(k AS BIGINT) * 2654435761) >> pmod(i, 31)) % 2 = 1,
+                     -x, x))""").as("embedding"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    new java.io.FileOutputStream(new java.io.File(outDir, "_done")).close()
+  }
+
+  /** The Plans.scala invariants that matter for the heavy set, re-checked
+    * on the scaled corpus (plan shape can flip with data-size stats). */
+  private def planChecks(spark: SparkSession, dir: String): Int = {
+    var failed = 0
+    def plan(name: String) = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+    Seq("emb_neardup", "emb_neardup_lsh").foreach { name =>
+      val s = plan(name).explainString(org.apache.spark.sql.execution.FormattedMode)
+      val ok = !s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct")
+      if (!ok) failed += 1
+      println(s"[scale-plan] $name no-BNLJ/no-cartesian: $ok")
+    }
+    Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh").foreach { name =>
+      val joins = plan(name).sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name.startsWith("band_"))) => j
+      }
+      val wide = joins.filter(_.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      val ok = joins.nonEmpty && wide.isEmpty
+      if (!ok) failed += 1
+      println(s"[scale-plan] $name band joins narrow: $ok (${joins.size} joins)")
+    }
+    locally {
+      val joins = plan("ann_ivf_int8").sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+      }
+      val wide = joins.filter(_.output.exists(a => a.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      }))
+      val ok = joins.nonEmpty && wide.isEmpty
+      if (!ok) failed += 1
+      println(s"[scale-plan] ann_ivf_int8 bucket joins int8-only: $ok (${joins.size} joins)")
+    }
+    failed
+  }
+}
