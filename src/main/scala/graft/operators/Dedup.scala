@@ -63,7 +63,8 @@ object Dedup {
     * vocabularies are small); at open-vocabulary corpus scale drop the hint
     * and it becomes a plain shuffle join on the shingle — still one pass.
     * Returns `(id, carry..., sig)` ONLY — shingle arrays stay behind in the
-    * caller's cached base frame and join back by id after candidate dedup.
+    * caller's scope-cached base frame and join back by id after candidate
+    * dedup.
     * `carry` columns must be constant per id (aggregated via min). */
   private def withMinhashSig(
       base: DataFrame, numHashes: Int, carry: Seq[String] = Nil): DataFrame = {
@@ -85,20 +86,18 @@ object Dedup {
     * self-join, which must stay narrow — at corpus scale candidate volume ×
     * payload width is the dominant shuffle cost, so only ids, band keys and
     * scalar carry columns may cross that shuffle (Plans.scala asserts no
-    * array column survives into any band join).
-    *
-    * Deliberately NOT cached: the two join inputs shuffle on the band keys,
-    * and because both sides prune to the same columns their exchange
-    * subtrees canonicalize equal, so AQE plans the second side as a
-    * ReusedExchange over the first side's shuffle output — the whole
-    * signature computation runs ONCE with zero storage-memory footprint
-    * (shuffle files are disk-backed and cleaned with the job; a Dataset
-    * cache would live until someone unpersists it, which a long-lived
-    * server session never does). CacheLifecycleSpec pins both properties. */
+    * array column survives into any band join). Cached because the two join
+    * inputs are different projections, so Spark's exchange reuse does not
+    * reliably apply (and an AQE broadcast of one side would defeat it
+    * outright) — without the cache the whole signature computation runs
+    * twice. Action-scoped via [[OperatorCache]]: released automatically
+    * when the materializing action completes, so no caller ever needs a
+    * clearCache() and long-lived sessions cannot leak storage memory
+    * (CacheLifecycleSpec pins both properties). */
   private def banded(withSig: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
-    withSig.select(col("*"),
+    OperatorCache.scoped(withSig.select(col("*"),
       posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
-      .drop("sig")
+      .drop("sig"))
 
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -107,18 +106,11 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
 
-    // the trailing repartition(id) is the compute-once point: the shingle
-    // arrays sit BELOW one id-keyed exchange, and every consumer (signature
-    // aggregation, its shingle dictionary, both verify join-back sides)
-    // reads that same exchange subtree, so AQE's ReusedExchange computes
-    // shingling once — replacing the Dataset cache this frame used to
-    // carry (storage-memory leak in server sessions) with disk-backed
-    // shuffle reuse. spread()'s text repartition still parallelizes the
-    // map side when the corpus arrives as one file.
-    val sh = spread(docs, idCol, textCol)
+    // action-scoped cache: feeds the signature explode AND both sides of
+    // the verify join-back (same lifecycle as `banded`)
+    val sh = OperatorCache.scoped(spread(docs, idCol, textCol)
       .select(col("id"), tokens(col("__text")).as("__toks"))
-      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh"))
-      .repartition(col("id"))
+      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh")))
     val b = banded(withMinhashSig(sh, numHashes), numBands, rowsPerBand)
 
     // slim candidate join (ids + band keys), dedup bare pairs, THEN join the
@@ -214,10 +206,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    // uncached: both block-join sides shuffle on (q, block) over the same
-    // pruned fingerprint subtree, so AQE reuses one exchange — fingerprints
-    // compute once with no storage-memory residue (CacheLifecycleSpec)
-    val fp = simhashFingerprints(docs, idCol, textCol)
+    val fp = OperatorCache.scoped(simhashFingerprints(docs, idCol, textCol))
     val blocked = fp.select(
       col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -358,13 +347,12 @@ object Dedup {
     // the verify stage with ~0.5% of all pairs; s^4 banding cuts candidates
     // ~12x while keeping recall ≈0.99 at J=0.95
     val numHashes = 12; val numBands = 3; val rowsPerBand = 4
-    // compute-once via the trailing id-keyed exchange (ReusedExchange), not
-    // a cache — same design note as minhashPairs' `sh` frame
-    val base = spread(docs, idCol, textCol)
+    // action-scoped cache: feeds the signature explode AND both sides of
+    // the verify join-back (same lifecycle as `banded`)
+    val base = OperatorCache.scoped(spread(docs, idCol, textCol)
       .select(col("id"), normText(col("__text")).as("__lt"))
       .select(col("id"), charShingles(col("__lt"), n).as("sh"),
-        length(col("__lt")).cast("long").as("len"))
-      .repartition(col("id"))
+        length(col("__lt")).cast("long").as("len")))
     // `len` (one scalar) rides the band join so the length-proximity gate
     // prunes candidates BEFORE the pair-dedup shuffle; the shingle arrays
     // join back by id only for the surviving pairs

@@ -115,24 +115,24 @@ object Similarity {
     * than the dimensionality supports degrades recall visibly (fewer
     * collision chances) instead of silently.
     *
-    * No caches: the id-keyed exchange below sits under EVERY consumer
-    * (banding, both verify join-back sides), and the banded self-join's two
-    * band-key exchanges canonicalize equal, so AQE's ReusedExchange computes
-    * the prep and the banding once each — disk-backed shuffle reuse instead
-    * of storage memory that a long-lived server session would never
-    * release (CacheLifecycleSpec pins this). */
+    * Cache lifecycle: the prepped and banded frames are action-scoped via
+    * [[OperatorCache]] — released automatically when the materializing
+    * action completes, no caller-side clearCache() contract (same
+    * lifecycle as [[Dedup]]'s banded self-joins; CacheLifecycleSpec). */
   def nearDupPairsLsh(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
       bitsPerBand: Int = 8, numBands: Int = 8): DataFrame = {
-    val vd = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__n", norm(col("__v")))
-      .repartition(col(idCol)) // compute-once point: every consumer reuses this exchange
+    val vd = OperatorCache.scoped(
+      vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__n", norm(col("__v")))
+        .repartition(col(idCol)) // parallelize per-row prep
+    ) // feeds banding AND both sides of the verify join-back
     // band key: fold acc*2 + signbit over dims [i*r, i*r+r); bands that
     // would overrun the vector (i >= dim/r) are dropped, not wrapped
     val effBands = least(lit(numBands),
       greatest(floor(size(col("__v")) / bitsPerBand).cast("int"), lit(1)))
     // ids + band keys ONLY — the candidate join must stay narrow
-    val banded = vd.select(col(idCol).as("id"),
+    val bandedRaw = vd.select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(0), effBands - 1), bandIx =>
           aggregate(
             sequence(lit(0L), lit(bitsPerBand - 1L)), lit(0L),
@@ -141,6 +141,7 @@ object Similarity {
                 (pmod(bandIx.cast("long") * bitsPerBand + j, size(col("__v")))
                   + 1).cast("int")) >= 0d, lit(1L)).otherwise(lit(0L)))))
           .as(Seq("band_ix", "band_key")))
+    val banded = OperatorCache.scoped(bandedRaw) // both self-join sides
     val cand = banded.select(col("id").as("a"), col("band_ix"), col("band_key"))
       .join(banded.select(col("id").as("b"), col("band_ix"), col("band_key")),
         Seq("band_ix", "band_key"))
@@ -245,18 +246,6 @@ object Similarity {
     * the raw int ranking approximate across vectors (standard symmetric
     * int8 trade-off); `refine` buys the recall back, and SimilaritySpec
     * measures it against [[ivfTopK]].
-    *
-    * The probe's int→double widening (`cast("array<double>")` feeding the
-    * codegen dot) happens AFTER the bucket join, inside the scoring
-    * projection: only the int arrays cross the bucket shuffle (the
-    * bandwidth win Plans.scala gates on); the widening is per-row CPU in
-    * the join's output stage with zero shuffle-width impact.
-    *
-    * No caches: the corpus/query assignment subtrees each end in the
-    * window's id-keyed exchange, which the int8 probe and the exact
-    * re-rank join-back both sit on top of — AQE's ReusedExchange runs the
-    * centroid scoring once per side; only the cheap per-row quantize/
-    * project work above the exchange repeats (CacheLifecycleSpec).
     * Output: (q, rank, id, sim_e6). */
   def ivfTopKInt8(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -264,14 +253,16 @@ object Similarity {
       nprobe: Int = 1, refine: Int = 4): DataFrame = {
     require(nprobe >= 1 && refine >= 1, s"need nprobe/refine >= 1, got $nprobe/$refine")
     val cent = centFrame(centroids, centroidIdCol, vecCol)
-    val bucketed = assignBuckets(corpus, cent, vecCol, idCol, "bucket", n = 1)
-      .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
-      .withColumn("scale", scaleE6(col("v")))
-      .withColumn("qv", quantize(col("v"), col("scale")))
-    val probed = assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
-      .select(col(idCol).as("q"), col("__v").as("qvec"), col("__n").as("qn"), col("bucket"))
-      .withColumn("qscale", scaleE6(col("qvec")))
-      .withColumn("qq", quantize(col("qvec"), col("qscale")))
+    val bucketed = OperatorCache.scoped(
+      assignBuckets(corpus, cent, vecCol, idCol, "bucket", n = 1)
+        .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
+        .withColumn("scale", scaleE6(col("v")))
+        .withColumn("qv", quantize(col("v"), col("scale")))) // int8 probe + exact-rescore join-back
+    val probed = OperatorCache.scoped(
+      assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
+        .select(col(idCol).as("q"), col("__v").as("qvec"), col("__n").as("qn"), col("bucket"))
+        .withColumn("qscale", scaleE6(col("qvec")))
+        .withColumn("qq", quantize(col("qvec"), col("qscale"))))
     // probe path: quantized arrays only — the int products are exact in the
     // codegen double dot (values ≤ 127)
     val iscored = bucketed.select(col("id"), col("bucket"), col("qv"))

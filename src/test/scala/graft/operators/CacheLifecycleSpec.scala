@@ -3,17 +3,19 @@ package graft.operators
 import graft.SparkSpec
 
 /** The storage-lifecycle contract for every battery operator: after an
-  * operator's action completes, the session's cache manager must be EMPTY
-  * without anyone calling `clearCache()`. Long-lived server sessions
+  * operator's action completes, the session's cache manager must drain to
+  * EMPTY without anyone calling `clearCache()`. Long-lived server sessions
   * (WireServer) run these operators for arbitrary lifetimes — a Dataset
-  * cache that nothing unpersists is an unbounded storage-memory leak there.
+  * cache that nothing unpersists is an unbounded storage-memory leak there
+  * (the round-5 footgun).
   *
-  * Two mechanisms satisfy the contract:
-  *  - self-join/join-back inputs are NOT cached at all; their compute-once
-  *    behavior comes from AQE exchange reuse (both consumers shuffle the
-  *    same canonical subtree, the second side becomes a ReusedExchange over
-  *    the first's disk-backed shuffle output) — asserted here on the
-  *    executed adaptive plan;
+  * Mechanisms under test:
+  *  - self-join/join-back inputs use [[OperatorCache.scoped]]: cached for
+  *    the materializing action (compute-once, in-memory columnar — the
+  *    fast shape; asserted via InMemoryTableScan in the executed plan),
+  *    then released by the session's QueryExecutionListener as soon as the
+  *    action completes (asserted by polling the cache manager, since
+  *    listener delivery is asynchronous);
   *  - genuinely eager operators (connected components, k-means, store
   *    append) cache inside a try/finally-unpersist scope.
   */
@@ -27,9 +29,21 @@ class CacheLifecycleSpec extends SparkSpec
 
   private val sf = "/root/testdata/sf0.001"
 
-  // every operator whose implementation historically cached, plus the
-  // composite pipeline; each runs a real action and must leave nothing
-  // behind in the cache manager
+  private def cacheManagerEmpty: Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
+  /** Listener callbacks ride the async listener bus; give them a bounded
+    * moment rather than asserting instantly. */
+  private def eventuallyEmpty(label: String): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!cacheManagerEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cacheManagerEmpty, s"$label left cached plans registered in the cache manager")
+  }
+
+  // every operator whose implementation caches (directly or via
+  // composition), plus the store path; each runs a real action and must
+  // leave nothing behind
   private val ops = Seq(
     "dedup_minhash", "dedup_ngram", "dedup_simhash",
     "dedup_clusters", "dedup_clusters_dist",
@@ -40,20 +54,33 @@ class CacheLifecycleSpec extends SparkSpec
     test(s"$name leaves the cache manager empty after its action") {
       val df = graft.SparkEntry.queries(name)(spark, sf)
       df.count()
-      assert(spark.sharedState.cacheManager.isEmpty,
-        s"$name left cached plans registered in the cache manager")
+      eventuallyEmpty(name)
     }
 
-  // compute-once evidence: the band self-join really is planned as one
-  // shuffle + ReusedExchange, so dropping the cache did not buy the empty
-  // cache manager by paying the signature computation twice
-  for (name <- Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh"))
-    test(s"$name executes its self-join via ReusedExchange, not recompute") {
+  // compute-once evidence: during the action the expensive shared frames
+  // really were served from the scoped cache (InMemoryTableScan in the
+  // executed plan), so the empty cache manager was not bought by paying
+  // the signature/banding computation once per consumer
+  for (name <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash", "emb_neardup_lsh",
+      "ann_ivf_int8"))
+    test(s"$name serves its shared frames from the scoped cache during the action") {
       val df = graft.SparkEntry.queries(name)(spark, sf)
-      df.collect() // executes THIS queryExecution, so the adaptive plan finalizes
+      df.collect() // executes THIS queryExecution so the adaptive plan finalizes
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ReusedExchange"),
-        s"$name adaptive plan has no ReusedExchange:\n" +
-          plan.linesIterator.take(60).mkString("\n"))
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"$name executed plan shows no in-memory scan of the scoped cache:\n" +
+          plan.linesIterator.take(40).mkString("\n"))
+      eventuallyEmpty(name)
     }
+
+  test("scoped caches release even when the action FAILS") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      // a udf that throws at execution time, after the scoped cache is set up
+      .withColumn("doc_id", udf((id: Long) =>
+        if (id >= 0) throw new RuntimeException("boom") else id).apply(col("doc_id")))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+    intercept[Exception] { pairs.count() }
+    eventuallyEmpty("failed action")
+  }
 }
