@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * bigger scale (broadcast→BNLJ, narrow band joins→wide).
   *
   * Replica construction keeps the workload shape honest at K×:
-  *  - documents: replica k rotates each doc's word sequence by 7k and
-  *    prepends an `rk` tag token — same vocabulary and length profile, but
-  *    the 3-word/5-char shingle sets shift almost entirely, so replicas of
-  *    one doc are NOT near-duplicates of each other and the duplicate
-  *    density per replica mirrors the base corpus;
+  *  - documents: replica k applies a Caesar cipher (letters shifted by k)
+  *    — a bijection on characters, so every within-replica char-gram and
+  *    word-shingle relationship (Jaccard, minhash, simhash, lengths) is
+  *    preserved EXACTLY while replicas share no letter-bearing shingles.
+  *    Two earlier attempts failed instructively: rotating word order
+  *    preserves consecutive shingles (replicas became near-dups, pairs
+  *    ~90x past 10x), and suffixing tokens with `~k` injected common
+  *    char-grams that inflated within-replica background Jaccard ~350x;
   *  - embeddings: replica k multiplies every vector by one deterministic
   *    ±1 sign pattern — an isometry (all within-replica dot products and
   *    norms are EXACTLY preserved) while cross-replica cosines scramble
@@ -111,17 +114,18 @@ object ScaleSweep {
     val maxVec = emb.agg(max("vec_id")).first().getLong(0) + 1
     val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val shifts = (0 until factor).map { k =>
+      val rot = lower.drop(k % 26) + lower.take(k % 26)
+      (k, lower + lower.toUpperCase, rot + rot.toUpperCase)
+    }
+    val shiftCase = shifts.map { case (k, from, to) =>
+      s"WHEN k = $k THEN translate(text, '$from', '$to')"
+    }.mkString("CASE ", " ", " ELSE text END")
     docs.crossJoin(reps)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")))
-      .withColumn("r", when(col("n") > 0, pmod(col("k") * 7, col("n"))).otherwise(0))
       .select(
         (col("doc_id") + col("k") * maxDoc).as("doc_id"),
-        concat_ws(" ",
-          concat(
-            array(concat(lit("r"), col("k"))),
-            expr("slice(toks, r + 1, n - r)"),
-            expr("slice(toks, 1, r)"))).as("text"),
+        expr(shiftCase).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
       .repartition(8)
