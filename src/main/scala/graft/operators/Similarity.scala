@@ -246,6 +246,12 @@ object Similarity {
     * the raw int ranking approximate across vectors (standard symmetric
     * int8 trade-off); `refine` buys the recall back, and SimilaritySpec
     * measures it against [[ivfTopK]].
+    *
+    * The probe's int→double widening (`cast("array<double>")` feeding the
+    * codegen dot) happens AFTER the bucket join, inside the scoring
+    * projection: only the int arrays cross the bucket shuffle (the
+    * bandwidth win Plans.scala gates on); the widening is per-row CPU in
+    * the join's output stage with zero shuffle-width impact.
     * Output: (q, rank, id, sim_e6). */
   def ivfTopKInt8(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,

@@ -216,4 +216,32 @@ class DifferentialSpec extends SparkSpec {
       assert(got == expected, s"reduce mismatch for: $fql")
     }
   }
+
+  test("compiled and interpreted string ==/!= filters agree across both paths") {
+    // the reference's one tested type-checker regression is string equality
+    // (pkg/query/analysis/types_test.go:12-34); this pins the dual-path
+    // contract on strings: empty strings, case sensitivity, absent values,
+    // and both orientations (ident-literal and literal-ident)
+    val vals = Seq("en", "de", "fr", "", "EN", "zh", "en")
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), "/s", v)
+    }.toDF("time", "topic", "value")
+    val c = new Catalog; c.createDdl("/s", "string")
+    val strEngine = FossilEngine.over(df, c, () => 1735689600L * 1000000000L)
+    for {
+      lit <- Seq("en", "de", "", "nope", "EN")
+      op <- Seq("==", "!=")
+      flipped <- Seq(false, true)
+    } {
+      val pred =
+        if (flipped) Binary(op, StringLit(lit), Ident("t"))
+        else Binary(op, Ident("t"), StringLit(lit))
+      val fql = s"""all in /s | filter t -> ${
+        if (flipped) s""""$lit" $op t""" else s"""t $op "$lit""""}"""
+      val expected = vals.filter(v => Eval.eval(pred, Map("t" -> v)) == true)
+      val got = strEngine.query(fql).orderBy("time")
+        .select(col("value")).as[String].collect().toSeq
+      assert(got.sorted == expected.sorted, s"string filter mismatch for: $fql")
+    }
+  }
 }
