@@ -125,6 +125,24 @@ object PipelineQueries {
         minCosineE6 = 600000, bitsPerBand = 8, numBands = 8)
         .orderBy("a", "b")
     }),
+    // SRP (signed-random-projection) LSH — the variant whose band space
+    // is not capped by dimensionality (round-6 sweep finding). The fixture
+    // plants a 2·v copy of every vector: cosine is exactly 1.0 and the
+    // sign pattern identical, so EVERY band collides and recall on the
+    // planted set is structural (1.0 by construction), making the final
+    // result oracle-expressible even though the hyperplane candidate
+    // stage itself is not SQL-mirrorable: at threshold 0.99 the output is
+    // precisely the planted pairs with cosE6 = 1000000 (background
+    // cosines top out near 0.5).
+    "emb_neardup_srp" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val off = e.agg(max("vec_id")).first().getLong(0) + 1
+      val doubled = e.select((col("vec_id") + off).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+      Similarity.nearDupPairsSrp(e.unionByName(doubled), "vec_id", "embedding",
+        minCosineE6 = 990000, bitsPerBand = 16, numBands = 8)
+        .orderBy("a", "b")
+    }),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy("id", "i")),
@@ -346,6 +364,15 @@ object PipelineQueries {
       |SELECT a, b, ${cosE6("va", "vb")} AS sim_e6
       |FROM cand WHERE ${cosE6("va", "vb")} >= 600000
       |ORDER BY a, b""".stripMargin.trim,
+
+    // structural recall 1.0 on sign-identical planted pairs → the result
+    // is the planted set itself; sim computed through the shared cosE6 so
+    // any rounding asymmetry would still surface
+    "emb_neardup_srp" -> s"""
+      |SELECT a.vec_id AS a,
+      |  a.vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS b,
+      |  ${cosE6("a.embedding", "list_transform(a.embedding::DOUBLE[], x -> x * 2)")} AS sim_e6
+      |FROM embeddings a ORDER BY a, b""".stripMargin.trim,
 
     "emb_quantize" -> """
       |WITH v AS (

@@ -157,6 +157,78 @@ object Similarity {
       .filter(col("sim_e6") >= minCosineE6)
   }
 
+  /** Signed-random-projection (SRP / Charikar) LSH near-dup pairs — the
+    * variant whose band space does NOT cap at the vector dimensionality.
+    *
+    * [[nearDupPairsLsh]] packs sign bits of RAW dimensions, so total
+    * distinct bits ≤ dim: at dim 64 its 8-bit bands saturate (256 keys)
+    * and random-pair collisions grow ~n²/256 — the 10× scale sweep
+    * measured exactly that (ScaleSweep, BASELINE.md round 6). Here each
+    * bit is the sign of ⟨v, h⟩ for a deterministic Rademacher hyperplane
+    * h (components ±1 seeded by (seed, band, bit, dim) through the same
+    * 32-bit avalanche mix Spark's `hash` uses — pure public knowledge,
+    * engine-portable): `numBands · bitsPerBand` is unbounded, so
+    * bitsPerBand can be sized ~log₂ n to keep the candidate stream LINEAR
+    * in corpus size at any dimensionality (P[bit collides] = 1 − θ/π, the
+    * standard SRP guarantee).
+    *
+    * Execution shape is identical to [[nearDupPairsLsh]]: hyperplanes
+    * arrive as one broadcast frame (numBands·bitsPerBand rows of
+    * `array<double>` — k·b·d doubles, trivially small), band keys
+    * aggregate bit signs per (row, band), the candidate self-join carries
+    * ids + band keys only, survivors verify with exact cosine — false
+    * positives remain impossible. Deterministic end to end for a fixed
+    * seed; verified against planted near-dups and the exact operator in
+    * SimilaritySpec (no SQL oracle row: mirroring the hyperplane
+    * generation in the oracle dialect would test the oracle, not the
+    * operator). */
+  def nearDupPairsSrp(
+      vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
+      bitsPerBand: Int = 16, numBands: Int = 8, seed: Int = 42): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.select(size(col(vecCol)).as("d")).limit(1).as[Int].head()
+    // Rademacher components from a splitmix-style avalanche of the index
+    // tuple: deterministic, seed-keyed, no RNG object state
+    val (c1, c2, c3, c4) =
+      (0x9e3779b9L.toInt, 0x85ebca6bL.toInt, 0xc2b2ae35L.toInt, 0x27d4eb2fL.toInt)
+    def rademacher(b: Int, t: Int, i: Int): Double = {
+      var x = seed * c1 + b * c2 + t * c3 + i * c4
+      x ^= x >>> 16; x *= c2; x ^= x >>> 13; x *= c3; x ^= x >>> 16
+      if ((x & 1) == 0) 1.0 else -1.0
+    }
+    val planes = (for { b <- 0 until numBands; t <- 0 until bitsPerBand }
+      yield (b, t, (0 until dim).map(i => rademacher(b, t, i)).toArray))
+      .toDF("band_ix", "bit_ix", "h")
+    val vd = OperatorCache.scoped(
+      vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__n", norm(col("__v")))
+        .repartition(col(idCol)))
+    // one row per (vector, band, bit) → sign bit → packed band key; the
+    // broadcast keeps the corpus unshuffled through projection
+    val bandedRaw = vd.select(col(idCol).as("id"), col("__v"))
+      .join(broadcast(planes), lit(true))
+      .select(col("id"), col("band_ix"),
+        when(dot(col("__v"), col("h")) >= 0d,
+          expr("shiftleft(CAST(1 AS BIGINT), bit_ix)")).otherwise(lit(0L)).as("__bit"))
+      .groupBy("id", "band_ix")
+      .agg(sum("__bit").as("band_key"))
+    val banded = OperatorCache.scoped(bandedRaw) // both self-join sides
+    val cand = banded.select(col("id").as("a"), col("band_ix"), col("band_key"))
+      .join(banded.select(col("id").as("b"), col("band_ix"), col("band_key")),
+        Seq("band_ix", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    cand
+      .join(vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na")), Seq("a"))
+      .join(vd.select(col(idCol).as("b"), col("__v").as("vb"), col("__n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= minCosineE6)
+  }
+
   /** Exact brute-force top-k: for every query row, the k nearest corpus
     * rows by (sim_e6 desc, id asc), self-matches excluded.
     * Output: (q, rank, id, sim_e6). */

@@ -196,6 +196,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("nearDupPairsSrp: full recall on planted dups, no false positives, seed-deterministic") {
+    val corpus = plantedCorpus(n = 200, dim = 64, planted = 20)
+    val exact = naivePairs(corpus, 950000)
+    assert(exact.size >= 15)
+    val srp = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
+      minCosineE6 = 950000, bitsPerBand = 12, numBands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(srp.subsetOf(exact)) // exact verify ⇒ no false positives
+    val recall = srp.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${srp.size}/${exact.size})")
+    // deterministic for a fixed seed; a different seed may differ in
+    // candidates but never in verified-pair correctness
+    val again = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
+      minCosineE6 = 950000, bitsPerBand = 12, numBands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == srp)
+    val otherSeed = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
+      minCosineE6 = 950000, bitsPerBand = 12, numBands = 8, seed = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(otherSeed.subsetOf(exact))
+  }
+
+  test("SRP band space scales past the dimensionality cap: log2(n) bits keep candidates ~linear") {
+    // the sign-of-dimension variant caps total bits at dim, so at dim 16
+    // its 8-bit bands wrap to floor(16/8)=2 real bands of a 256-key space
+    // and random collisions grow ~n². SRP bits are unlimited: sizing
+    // bitsPerBand ~log2(n) holds expected per-band collisions ~n/2 — the
+    // candidate-to-corpus ratio must stay ~flat as n grows 4x.
+    def srpCandidates(n: Int): Long = {
+      val corpus = plantedCorpus(n = n, dim = 16, planted = 0)
+      val bits = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+      // count verified CANDIDATES (threshold -1e6 admits every verified
+      // pair, so this measures candidate volume, not near-dup density)
+      Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
+        minCosineE6 = -1000000L, bitsPerBand = bits, numBands = 8).count()
+    }
+    val small = srpCandidates(150)
+    val big = srpCandidates(600)
+    val perRowSmall = small.toDouble / 150
+    val perRowBig = big.toDouble / 600
+    assert(perRowBig <= perRowSmall * 2.5,
+      s"candidates/row grew ${perRowSmall} -> ${perRowBig}: band space not scaling")
+  }
+
   test("ivfTopK recall@k rises with nprobe and hits 1.0 at nprobe = #centroids") {
     val corpus = plantedCorpus(n = 300, dim = 16, planted = 0)
     val queries = corpus.filter($"vec_id" % 29 === 0)
