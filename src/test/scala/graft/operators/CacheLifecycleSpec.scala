@@ -47,7 +47,7 @@ class CacheLifecycleSpec extends SparkSpec
   private val ops = Seq(
     "dedup_minhash", "dedup_ngram", "dedup_simhash",
     "dedup_clusters", "dedup_clusters_dist",
-    "emb_neardup_lsh", "ann_ivf_int8",
+    "emb_neardup_lsh", "emb_neardup_srp", "ann_ivf_int8",
     "pipeline_curate", "store_roundtrip")
 
   for (name <- ops)
