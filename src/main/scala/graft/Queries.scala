@@ -438,6 +438,20 @@ object Queries {
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         ORDER BY day""")
     }),
+    // session windows: Spark's native session_window (the gap-based
+    // grouping Structured Streaming uses) checked against a batch
+    // gaps-and-islands oracle — session end = last event + gap, a new
+    // session starts when the inter-event gap is >= the threshold
+    "q_session_window" -> ((s, d) => {
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+      clicks.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_us"),
+          unix_micros(col("session_window.end")).as("e_us"),
+          col("n"), col("sum_cents"))
+        .orderBy("user_id", "s_us")
+    }),
     "q_join_outer" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val c = Tables.customer(s, d)
@@ -586,6 +600,26 @@ object Queries {
       |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carry_cents
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY day""".stripMargin.trim,
+    // gaps-and-islands: a session breaks when the inter-event gap >= 30min
+    // (Spark's session end bound is exclusive, so an event landing exactly
+    // at lastTs + gap starts a NEW session); session end = last + gap
+    "q_session_window" -> """
+      |WITH c AS (
+      |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m)
+      |SELECT user_id, epoch_us(MIN(ts)) AS s_us,
+      |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS e_us,
+      |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM g GROUP BY user_id, grp ORDER BY user_id, s_us""".stripMargin.trim,
     "q_join_outer" -> """
       |SELECT n_name, COALESCE(n_cust, 0) AS n_cust
       |FROM nation FULL OUTER JOIN

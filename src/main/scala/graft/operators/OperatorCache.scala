@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -41,9 +41,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object OperatorCache {
 
-  private val registered =
-    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
-  private val installed = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: a stopped/dropped session must not be pinned by this
+  // registry (the listener registration itself dies with the session).
+  // Queues drain after every action, so entries are near-empty at rest.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]())
+  private val installed = java.util.Collections.newSetFromMap(
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Cache `df` until the next completed action on its session. */
   def scoped(df: DataFrame): DataFrame = {
@@ -56,14 +61,18 @@ object OperatorCache {
           release(spark)
       })
     val cached = df.cache()
-    registered.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]()).add(cached)
+    registered.synchronized {
+      var q = registered.get(spark)
+      if (q == null) { q = new ConcurrentLinkedQueue[DataFrame](); registered.put(spark, q) }
+      q.add(cached)
+    }
     cached
   }
 
   /** Unpersist every cache registered for `spark` (idempotent; called by
     * the listener after each action, callable directly in tests). */
   def release(spark: SparkSession): Unit = {
-    val q = registered.get(spark)
+    val q = registered.synchronized(registered.get(spark))
     if (q != null) {
       var df = q.poll()
       while (df != null) {
