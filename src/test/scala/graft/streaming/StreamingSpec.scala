@@ -120,6 +120,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode: session windows close when the watermark passes end (last + gap)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val s = 1000000L
+    val in = MemoryStream[Entry]
+    // gap 10 s, watermark delay 30 s — mirrors the batch q_session_window
+    // semantics: session end = last event + gap, exclusive
+    val q = sessionStats(in.toDF(), "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("asw_out").outputMode("append").start()
+    def emitted(): Set[(Long, Long, String, Long)] = spark.table("asw_out")
+      .select((unix_micros(col("s_start")) / s).cast("long"),
+        (unix_micros(col("s_end")) / s).cast("long"), col("topic"), col("n"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    try {
+      // one session: events at 10 s and 15 s merge (gap 5 < 10) → [10, 25)
+      in.addData(Entry(10 * s, "A", 1.0), Entry(15 * s, "A", 1.0))
+      q.processAllAvailable() // watermark 15-30 < 0: nothing closed
+      assert(emitted().isEmpty)
+      in.addData(Entry(100 * s, "A", 1.0))
+      q.processAllAvailable() // watermark 70 ≥ session end 25 → emitted
+      assert(emitted() == Set((10L, 25L, "A", 2L)))
+      // t = 20 s is older than the 70 s watermark → dropped; the emitted
+      // session stays final (no retraction), and the open [100, 110)
+      // session closes once the watermark passes it
+      in.addData(Entry(20 * s, "A", 99.0), Entry(200 * s, "A", 1.0))
+      q.processAllAvailable() // watermark 170 closes [100, 110)
+      assert(emitted() == Set((10L, 25L, "A", 2L), (100L, 110L, "A", 1L)))
+      // closed-session output ≡ the batch session_window aggregation over
+      // the admitted rows, restricted to sessions the watermark closed —
+      // the same equivalence contract as the tumbling append-mode case
+      val admitted = Seq(10L, 15L, 100L, 200L)
+      val batch = admitted.toDF("t_s")
+        .groupBy(session_window(timestamp_seconds(col("t_s")), "10 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .filter(unix_seconds(col("session_window.end")) <= 170)
+        .select(unix_seconds(col("session_window.start")),
+          unix_seconds(col("session_window.end")), lit("A"), col("n"))
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(emitted() == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
