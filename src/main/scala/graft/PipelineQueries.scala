@@ -220,20 +220,20 @@ object PipelineQueries {
             .as(Seq("frame_ix", "frame_md5")))
         .orderBy("media_id", "frame_ix")
     }),
-    // REAL header decode: documents wrapped in genuine PNG/GIF/JPEG headers
-    // (dimension fields derived from row values), parsed back by the
-    // batched mapPartitions decoder — the oracle recomputes the embedded
-    // kind/width/height/byte-layout independently, so a parser that reads
-    // the wrong offsets or endianness fails the hash. content_md5 stays out
-    // of the compared shape only because DuckDB 1.0 cannot md5 BLOBs; it is
-    // spec-pinned in MultimodalSpec instead.
+    // REAL header decode: documents wrapped in genuine PNG/GIF/JPEG/WAV
+    // headers (dimension/duration fields derived from row values), parsed
+    // back by the batched mapPartitions decoder — the oracle recomputes
+    // the embedded kind/width/height/duration/byte-layout independently,
+    // so a parser reading wrong offsets or endianness fails the hash.
+    // content_md5 stays out of the compared shape only because DuckDB 1.0
+    // cannot md5 BLOBs; it is spec-pinned in MultimodalSpec instead.
     "mm_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.headerWrappedDocs(Tables.documents(s, d)))
         .toDF()
         .select(col("media_id"), col("kind"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_bytes"))
+          col("duration_ms"), col("n_bytes"))
         .orderBy("media_id")),
   )
 
@@ -577,15 +577,23 @@ object PipelineQueries {
 
     // header layout ground truth: png prefix = 8 sig + 25 IHDR chunk = 33,
     // gif = 6 sig + 7 screen descriptor = 13, jpeg = 2 SOI + 18 APP0 +
-    // 19 SOF0 = 39 — n_bytes cross-checks the byte-exact fixture layout,
-    // width/height cross-check the decoder's offset/endianness parsing
+    // 19 SOF0 = 39, wav = 12 RIFF + 24 fmt + 8 data header = 44 — n_bytes
+    // cross-checks the byte-exact fixture layout, width/height/duration
+    // cross-check the decoder's offset/endianness/chunk-walk parsing
+    // (wav duration = data bytes · 1000 // 32000 byte rate, floor)
     "mm_meta" -> """
       |SELECT doc_id AS media_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind,
-      |  CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
-      |  CAST(n_chars % 500 + 1 AS BIGINT) AS height,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |                  WHEN 2 THEN 'jpeg' ELSE 'wav' END AS kind,
+      |  CASE WHEN doc_id % 4 = 3 THEN 0
+      |       ELSE CAST(doc_id % 1000 + 1 AS BIGINT) END AS width,
+      |  CASE WHEN doc_id % 4 = 3 THEN 0
+      |       ELSE CAST(n_chars % 500 + 1 AS BIGINT) END AS height,
+      |  CASE WHEN doc_id % 4 = 3
+      |       THEN octet_length(encode(text)) * 1000 // 32000 ELSE 0 END AS duration_ms,
       |  octet_length(encode(text))::BIGINT
-      |    + (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 39 END) AS n_bytes
+      |    + (CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+      |                       WHEN 2 THEN 39 ELSE 44 END) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin.trim,
   )
 }

@@ -438,6 +438,16 @@ object Queries {
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         ORDER BY day""")
     }),
+    // sliding (overlapping) windows: each event lands in len/slide
+    // windows — Spark's window(col, len, slide) against an oracle that
+    // explodes each event into its covering window starts
+    "q_sliding_window" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_micros(col("window.start")).as("w_us"), col("n"), col("sum_cents"))
+        .orderBy("w_us")
+    }),
     // session windows: Spark's native session_window (the gap-based
     // grouping Structured Streaming uses) checked against a batch
     // gaps-and-islands oracle — session end = last event + gap, a new
@@ -600,6 +610,21 @@ object Queries {
       |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carry_cents
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY day""".stripMargin.trim,
+    // an event at t covers window starts s ∈ {k·slide : t-len < s ≤ t},
+    // i.e. the len/slide starts ending after t; epoch-aligned like Spark
+    "q_sliding_window" -> """
+      |WITH e AS (
+      |  SELECT epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |x AS (
+      |  SELECT t, cents,
+      |    unnest(generate_series(
+      |      (t - 3600000000 + 900000000) // 900000000,
+      |      t // 900000000, 1)) AS k
+      |  FROM e)
+      |SELECT k * 900000000 AS w_us, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin.trim,
     // gaps-and-islands: a session breaks when the inter-event gap >= 30min
     // (Spark's session end bound is exclusive, so an event landing exactly
     // at lastTs + gap starts a NEW session); session end = last + gap

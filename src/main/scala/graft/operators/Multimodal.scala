@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * Parquet, metadata prunes/partitions, and decode runs batched inside
   * executors, never on the driver.
   *
-  * The image header decode is REAL: [[HeaderDecoder]] parses PNG (IHDR),
-  * GIF (logical screen descriptor) and JPEG (SOF segment walk) dimensions
-  * straight from the binary column — pure public format knowledge, no
-  * libraries. What remains out of scope in this container is full media
-  * decoding (pixel data, audio/video duration — those need codec
-  * libraries); `duration_ms` is therefore always 0 and documented as such.
+  * The header decode is REAL: [[HeaderDecoder]] parses PNG (IHDR), GIF
+  * (logical screen descriptor) and JPEG (SOF segment walk) dimensions,
+  * and WAV (RIFF chunk walk) duration, straight from the binary column —
+  * pure public format knowledge, no libraries. What remains out of scope
+  * in this container is decoding PAYLOADS (pixels, samples, compressed
+  * audio/video duration) — that needs codec libraries; for those formats
+  * `duration_ms` is 0 and dims are 0, by contract.
   */
 object Multimodal {
 
@@ -25,9 +26,10 @@ object Multimodal {
   case class MediaFile(media_id: Long, kind: String, bytes: Array[Byte])
 
   /** Decoded metadata. `kind` is what the MAGIC BYTES say ("png"/"gif"/
-    * "jpeg"), falling back to the carried kind for unrecognized payloads;
-    * width/height are 0 when no image header parses; duration_ms is always
-    * 0 (audio/video decoding needs codec libraries this container lacks). */
+    * "jpeg"/"wav"), falling back to the carried kind for unrecognized
+    * payloads; width/height are 0 when no image header parses;
+    * duration_ms is real for WAV (data bytes / byte rate) and 0 for
+    * formats whose duration needs payload decoding. */
   case class MediaMeta(
       media_id: Long, kind: String, n_bytes: Long, content_md5: String,
       width: Int, height: Int, duration_ms: Long)
@@ -66,6 +68,30 @@ object Multimodal {
       else None
     }
 
+    /** WAV (RIFF) duration: walk the chunk list for `fmt ` (byte rate at
+      * chunk offset 8) and `data` (payload size); duration_ms =
+      * data_bytes · 1000 / byte_rate, floor — the PCM header layout from
+      * the public RIFF/WAVE spec. Only the header is read: the data
+      * chunk's SIZE field suffices, its payload may lie beyond the buffer. */
+    def wavDurationMs(b: Array[Byte]): Option[Long] = {
+      def u8(i: Int) = b(i) & 0xff
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+      def tag(i: Int, t: String) = t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
+      if (b.length < 36 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var i = 12
+      var byteRate = -1L
+      var dataSize = -1L
+      while (i + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
+          byteRate = le32(i + 8 + 8)
+        if (tag(i, "data")) dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // odd chunks pad one byte
+      }
+      if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate) else None
+    }
+
     private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
       def u8(i: Int) = b(i) & 0xff
       def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -88,13 +114,17 @@ object Multimodal {
     }
 
     def decodeOne(m: MediaFile): MediaMeta = {
-      val parsed = dims(m.bytes)
-      MediaMeta(m.media_id,
-        parsed.map(_._1).getOrElse(m.kind), m.bytes.length.toLong,
-        md5Hex(m.bytes),
-        width = parsed.map(_._2).getOrElse(0),
-        height = parsed.map(_._3).getOrElse(0),
-        duration_ms = 0L)
+      val n = m.bytes.length.toLong
+      dims(m.bytes) match {
+        case Some((kind, w, h)) =>
+          MediaMeta(m.media_id, kind, n, md5Hex(m.bytes), w, h, duration_ms = 0L)
+        case None => wavDurationMs(m.bytes) match {
+          case Some(ms) =>
+            MediaMeta(m.media_id, "wav", n, md5Hex(m.bytes), 0, 0, duration_ms = ms)
+          case None =>
+            MediaMeta(m.media_id, m.kind, n, md5Hex(m.bytes), 0, 0, duration_ms = 0L)
+        }
+      }
     }
 
     private def md5Hex(b: Array[Byte]): String =
@@ -171,6 +201,20 @@ object Multimodal {
     "GIF89a".getBytes(StandardCharsets.US_ASCII) ++ le16(w) ++ le16(h) ++
       Array[Byte](0, 0, 0)
 
+  /** 44-byte canonical WAV header: RIFF/WAVE + 16-byte PCM `fmt ` chunk
+    * (mono, 16 kHz, 16-bit → byte rate 32000) + a `data` chunk header
+    * declaring `dataLen` payload bytes. */
+  private[operators] def wavHeader(dataLen: Int): Array[Byte] = {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(36 + dataLen) ++
+      "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+      "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes(StandardCharsets.US_ASCII) ++ le32(dataLen)
+  }
+
   /** 39-byte JPEG prefix: SOI + a spec-correct JFIF APP0 + a baseline SOF0
     * (8-bit, 3 components, 4:2:0) — everything a dimensions parser walks. */
   private[operators] def jpegHeader(w: Int, h: Int): Array[Byte] = {
@@ -184,8 +228,8 @@ object Multimodal {
     soi ++ app0 ++ sof0
   }
 
-  /** Oracle fixture: wrap each document's text bytes in a REAL image-format
-    * header (PNG/GIF/JPEG cycling on doc_id % 3) whose dimension fields
+  /** Oracle fixture: wrap each document's text bytes in a REAL media
+    * header (PNG/GIF/JPEG/WAV cycling on doc_id % 4) whose metadata fields
     * derive from the row — the decoder then parses genuine header bytes
     * while the SQL oracle recomputes the embedded values independently.
     * Runs as a distributed typed map, like any ingest adapter would. */
@@ -196,12 +240,14 @@ object Multimodal {
       .map { case (id, text, nChars) =>
         val w = (id % 1000 + 1).toInt
         val h = (nChars % 500 + 1).toInt
-        val header = (id % 3) match {
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val header = (id % 4) match {
           case 0 => pngHeader(w, h)
           case 1 => gifHeader(w, h)
-          case _ => jpegHeader(w, h)
+          case 2 => jpegHeader(w, h)
+          case _ => wavHeader(payload.length)
         }
-        MediaFile(id, "image", header ++ text.getBytes(StandardCharsets.UTF_8))
+        MediaFile(id, "media", header ++ payload)
       }
   }
 }

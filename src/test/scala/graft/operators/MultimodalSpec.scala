@@ -39,12 +39,15 @@ class MultimodalSpec extends SparkSpec {
     assert(dims(noSof).isEmpty)
   }
 
-  test("decodeMeta parses genuine dimensions from header-wrapped payloads") {
+  test("decodeMeta parses genuine dimensions/durations from header-wrapped payloads") {
     val files = Seq(
       MediaFile(10L, "raw", Multimodal.pngHeader(101, 77) ++ Array.fill(50)(9.toByte)),
       MediaFile(11L, "raw", Multimodal.gifHeader(3, 4) ++ Array.fill(10)(1.toByte)),
       MediaFile(12L, "raw", Multimodal.jpegHeader(800, 600)),
-      MediaFile(13L, "raw", Array.fill(30)(5.toByte))).toDS()
+      MediaFile(13L, "raw", Array.fill(30)(5.toByte)),
+      // 64000 data bytes at 32000 B/s → exactly 2000 ms
+      MediaFile(14L, "raw", Multimodal.wavHeader(64000) ++ Array.fill(64000)(7.toByte)))
+      .toDS()
     val out = decodeMeta(files).collect().sortBy(_.media_id)
     assert(out(0).kind == "png" && out(0).width == 101 && out(0).height == 77)
     assert(out(0).n_bytes == 33L + 50L)
@@ -52,6 +55,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).kind == "jpeg" && out(2).width == 800 && out(2).height == 600)
     // unrecognized payload: kind falls back to the carried kind, dims 0
     assert(out(3).kind == "raw" && out(3).width == 0 && out(3).height == 0)
+    assert(out(4).kind == "wav" && out(4).duration_ms == 2000L && out(4).width == 0)
+  }
+
+  test("wavDurationMs walks RIFF chunks and survives truncation/junk") {
+    import Multimodal.HeaderDecoder.wavDurationMs
+    // duration floors: 48000 bytes at 32000 B/s → 1500 ms; 1000 → 31 ms
+    assert(wavDurationMs(Multimodal.wavHeader(48000)) == Some(1500L))
+    assert(wavDurationMs(Multimodal.wavHeader(1000)) == Some(31L))
+    // data size field alone suffices — payload beyond the buffer is fine
+    assert(wavDurationMs(Multimodal.wavHeader(1 << 20)) == Some(32768L))
+    assert(wavDurationMs(Multimodal.wavHeader(100).take(20)).isEmpty) // truncated
+    assert(wavDurationMs("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+    assert(wavDurationMs(Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("decodeMeta: one row per input, deterministic stub metadata") {
