@@ -438,6 +438,30 @@ object Queries {
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         ORDER BY day""")
     }),
+    // pivot: long→wide reshaping (a surface fossil lacks entirely);
+    // values enumerated explicitly so the plan is one pass, no
+    // distinct-values pre-query — the oracle is the equivalent
+    // conditional aggregation
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")),
+    // exact percentiles (not the sketch): interpolated percentile over
+    // integer cents — interpolation points land on exact .0/.5 doubles,
+    // so Spark's percentile() and DuckDB's quantile_cont agree bit-exactly
+    "q_percentile_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.25)").as("p25_cents"),
+          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.5)").as("p50_cents"),
+          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.75)").as("p75_cents"))
+        .orderBy("l_returnflag")),
     // sliding (overlapping) windows: each event lands in len/slide
     // windows — Spark's window(col, len, slide) against an oracle that
     // explodes each event into its covering window starts
@@ -610,6 +634,18 @@ object Queries {
       |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carry_cents
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY day""".stripMargin.trim,
+    "q_pivot" -> """
+      |SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+    "q_percentile_exact" -> """
+      |SELECT l_returnflag,
+      |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.25) AS p25_cents,
+      |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.5) AS p50_cents,
+      |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.75) AS p75_cents
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
     // an event at t covers window starts s ∈ {k·slide : t-len < s ≤ t},
     // i.e. the len/slide starts ending after t; epoch-aligned like Spark
     "q_sliding_window" -> """
