@@ -126,6 +126,11 @@ object Queries {
       "all in /events | map x -> sqrt(x)"))),
     "fql_sample_greedy" -> ((s, d) => entryOut(engine(s, d).query(
       "sample(@hour) in /events"))),
+    // quantifier ∘ pipeline composition: the greedy sample feeds a
+    // filter/map chain (grammar: quantifier [topic] [time] [| stages]) —
+    // pins that stages run over the SAMPLED stream, not the raw one
+    "fql_sample_pipeline" -> ((s, d) => entryOut(engine(s, d).query(
+      "sample(@hour) in /events | filter v -> v > 100 | map F -> F * 2"))),
     "fql_sample_bucketed" -> ((s, d) =>
       entryOut(Sample.bucketed(Tables.eventEntries(s, d), 3600L * 1000000000L))),
     // fossil-exact semantics: ONE greedy carry over the merged time-ordered
@@ -230,6 +235,24 @@ object Queries {
         |)
         |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic, e.value
         |FROM events e JOIN kept k ON e.event_type = k.topic AND e.ts = k.t
+        |ORDER BY t_us, topic""".stripMargin.trim,
+      // same kept-set CTE as fql_sample_greedy; the pipeline applies to
+      // the kept rows (filter AFTER sampling, then the map projection)
+      "fql_sample_pipeline" -> """
+        |WITH RECURSIVE kept(topic, t) AS (
+        |  SELECT event_type, MIN(ts) FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT k.topic,
+        |    (SELECT MIN(e.ts) FROM events e WHERE e.event_type = k.topic
+        |       AND e.ts >= k.t + INTERVAL 1 HOUR)
+        |  FROM kept k
+        |  WHERE (SELECT MIN(e.ts) FROM events e WHERE e.event_type = k.topic
+        |       AND e.ts >= k.t + INTERVAL 1 HOUR) IS NOT NULL
+        |)
+        |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic,
+        |  e.value * 2 AS value
+        |FROM events e JOIN kept k ON e.event_type = k.topic AND e.ts = k.t
+        |WHERE e.value > 100
         |ORDER BY t_us, topic""".stripMargin.trim,
       "fql_sample_bucketed" -> ("SELECT epoch_us(ts) AS t_us, '/events/' || event_type AS topic, value " +
         "FROM events QUALIFY row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000 " +
