@@ -166,6 +166,32 @@ object Queries {
       q.awaitTermination()
       entryOut(s.table(sink))
     }),
+    // continuous FQL with the STATEFUL operator: sample(@hour) compiled
+    // onto the stream (flatMapGroupsWithState greedy carry). The whole
+    // replay arrives in one micro-batch (64-file trigger ≥ the 4 input
+    // files), where the operator's in-batch time sort makes the carry
+    // exact — so the result must equal the batch greedy sample, same
+    // recursive-CTE oracle as fql_sample_greedy
+    "stream_fql_sample" -> ((s, d) => {
+      import graft.streaming.{StreamingFql, StreamingIngest}
+      val in = java.nio.file.Files.createTempDirectory("graft_sfqs_in").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_sfqs_ck").toString
+      deleteOnExit(in); deleteOnExit(ck)
+      Tables.eventEntries(s, d).drop("__t_ns")
+        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
+        .coalesce(4).write.mode("overwrite").json(in)
+      val entries = StreamingIngest.fileSource(s, in)
+        .select(timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
+      val out = StreamingFql.query("sample(@hour) in /events", entries, fixedClock)
+      val sink = "graft_sfqs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      entryOut(s.table(sink))
+    }),
     // the ENGINE'S OWN storage path end-to-end (reference lifecycle
     // `pkg/database/db.go:554-649`): events ingested through
     // ParquetStore.append — schema-group/topic-partition layout,
@@ -271,6 +297,21 @@ object Queries {
       // streaming filter/map ≡ batch: same pipeline as fql_filter ∘
       // fql_map_arith, so the oracle is their composition
       "stream_fql" -> ev("5.0/9.0 * (value - 32)", "value > 100"),
+      // single-batch stateful replay ≡ batch greedy sample (same CTE)
+      "stream_fql_sample" -> """
+        |WITH RECURSIVE kept(topic, t) AS (
+        |  SELECT event_type, MIN(ts) FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT k.topic,
+        |    (SELECT MIN(e.ts) FROM events e WHERE e.event_type = k.topic
+        |       AND e.ts >= k.t + INTERVAL 1 HOUR)
+        |  FROM kept k
+        |  WHERE (SELECT MIN(e.ts) FROM events e WHERE e.event_type = k.topic
+        |       AND e.ts >= k.t + INTERVAL 1 HOUR) IS NOT NULL
+        |)
+        |SELECT epoch_us(e.ts) AS t_us, '/events/' || e.event_type AS topic, e.value
+        |FROM events e JOIN kept k ON e.event_type = k.topic AND e.ts = k.t
+        |ORDER BY t_us, topic""".stripMargin.trim,
       // the store is lossless for (time µs, topic, value): the oracle is
       // the same scan+predicate straight off the source table
       "store_roundtrip" -> (
