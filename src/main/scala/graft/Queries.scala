@@ -526,6 +526,27 @@ object Queries {
           expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.5)").as("p50_cents"),
           expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.75)").as("p75_cents"))
         .orderBy("l_returnflag")),
+    // unpivot (wide→long melt, the inverse of q_pivot): per-order rows of
+    // (metric, cents) via Spark's stack() table generator
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3,
+            'qty', CAST(round(l_quantity*100) AS BIGINT),
+            'price', CAST(round(l_extendedprice*100) AS BIGINT),
+            'disc', CAST(round(l_discount*100) AS BIGINT)) AS (metric, cents)"""))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+    // ntile: equal-frequency bucketing — the quantile-binning building
+    // block (feature bucketization in training pipelines)
+    "q_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
     // sliding (overlapping) windows: each event lands in len/slide
     // windows — Spark's window(col, len, slide) against an oracle that
     // explodes each event into its covering window starts
@@ -698,6 +719,26 @@ object Queries {
       |    ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carry_cents
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY day""".stripMargin.trim,
+    "q_unpivot" -> """
+      |SELECT l_orderkey, l_linenumber, metric, cents FROM (
+      |  SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+      |    CAST(round(l_quantity*100) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'price',
+      |    CAST(round(l_extendedprice*100) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'disc',
+      |    CAST(round(l_discount*100) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey <= 100)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin.trim,
+    "q_ntile" -> """
+      |SELECT l_returnflag, l_orderkey, l_linenumber,
+      |  ntile(4) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin.trim,
     "q_pivot" -> """
       |SELECT o_orderpriority,
       |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
