@@ -40,8 +40,8 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // operators no longer cache (self-join inputs ride AQE exchange
-        // reuse; the remaining scoped caches self-unpersist) — this stays
+        // operator caches are action-scoped (OperatorCache releases them
+        // when the materializing action completes) — this clearCache stays
         // as a safety net against future regressions, OUTSIDE the timed
         // window so teardown cost isn't part of the query
         spark.catalog.clearCache()

@@ -66,6 +66,31 @@ object Queries {
   /** Exact integer-cents: round(x*100) as BIGINT. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Replay a batch `(t_us, topic, value)` frame through the file-source
+    * stream, run `plan` over the streaming frame, and drain it into a
+    * memory sink via one AvailableNow pass; returns the sink table. The
+    * sink name is FIXED per battery key: the memory sink registers its
+    * results with createOrReplaceTempView, so repeated invocations
+    * (bench passes, verify re-runs) REPLACE the previous result set
+    * instead of accumulating one retained table per UUID in the driver. */
+  private def replayThroughStream(
+      s: SparkSession, batchEntries: DataFrame, sinkName: String, mode: String)(
+      plan: DataFrame => DataFrame): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val in = java.nio.file.Files.createTempDirectory(s"graft_${sinkName}_in").toString
+    val ck = java.nio.file.Files.createTempDirectory(s"graft_${sinkName}_ck").toString
+    deleteOnExit(in); deleteOnExit(ck)
+    batchEntries.coalesce(4).write.mode("overwrite").json(in)
+    val out = plan(StreamingIngest.fileSource(s, in))
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ck)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
+
   /** Recursive delete at JVM exit — for store fixtures under tmpdir whose
     * lazily-read frames keep the files live for the process lifetime. */
   private def deleteOnExit(root: String): Unit =
@@ -144,54 +169,31 @@ object Queries {
     // and must equal the batch FQL result on the identical data. This is
     // the oracle row for StreamingFql, complementing the stateful-sample
     // and windowed-agg streaming rows.
-    "stream_fql" -> ((s, d) => {
-      import graft.streaming.{StreamingFql, StreamingIngest}
-      val in = java.nio.file.Files.createTempDirectory("graft_sfql_in").toString
-      val ck = java.nio.file.Files.createTempDirectory("graft_sfql_ck").toString
-      deleteOnExit(in); deleteOnExit(ck)
-      Tables.eventEntries(s, d).drop("__t_ns")
-        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
-        .coalesce(4).write.mode("overwrite").json(in)
-      val entries = StreamingIngest.fileSource(s, in)
-        .select(timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
-      val out = StreamingFql.query(
-        "all in /events | filter v -> v > 100 | map F -> 5/9 * (F - 32)",
-        entries, fixedClock)
-      val sink = "graft_sfql_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      entryOut(s.table(sink))
-    }),
+    "stream_fql" -> ((s, d) => entryOut(replayThroughStream(
+      s, Tables.eventEntries(s, d).drop("__t_ns")
+        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value")),
+      "graft_sink_stream_fql", "append") { stream =>
+        graft.streaming.StreamingFql.query(
+          "all in /events | filter v -> v > 100 | map F -> 5/9 * (F - 32)",
+          stream.select(timestamp_micros(col("t_us")).as("time"),
+            col("topic"), col("value")),
+          fixedClock)
+      })),
     // continuous FQL with the STATEFUL operator: sample(@hour) compiled
     // onto the stream (flatMapGroupsWithState greedy carry). The whole
     // replay arrives in one micro-batch (64-file trigger ≥ the 4 input
     // files), where the operator's in-batch time sort makes the carry
     // exact — so the result must equal the batch greedy sample, same
     // recursive-CTE oracle as fql_sample_greedy
-    "stream_fql_sample" -> ((s, d) => {
-      import graft.streaming.{StreamingFql, StreamingIngest}
-      val in = java.nio.file.Files.createTempDirectory("graft_sfqs_in").toString
-      val ck = java.nio.file.Files.createTempDirectory("graft_sfqs_ck").toString
-      deleteOnExit(in); deleteOnExit(ck)
-      Tables.eventEntries(s, d).drop("__t_ns")
-        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
-        .coalesce(4).write.mode("overwrite").json(in)
-      val entries = StreamingIngest.fileSource(s, in)
-        .select(timestamp_micros(col("t_us")).as("time"), col("topic"), col("value"))
-      val out = StreamingFql.query("sample(@hour) in /events", entries, fixedClock)
-      val sink = "graft_sfqs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      entryOut(s.table(sink))
-    }),
+    "stream_fql_sample" -> ((s, d) => entryOut(replayThroughStream(
+      s, Tables.eventEntries(s, d).drop("__t_ns")
+        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value")),
+      "graft_sink_stream_fql_sample", "append") { stream =>
+        graft.streaming.StreamingFql.query("sample(@hour) in /events",
+          stream.select(timestamp_micros(col("t_us")).as("time"),
+            col("topic"), col("value")),
+          fixedClock)
+      })),
     // the ENGINE'S OWN storage path end-to-end (reference lifecycle
     // `pkg/database/db.go:554-649`): events ingested through
     // ParquetStore.append — schema-group/topic-partition layout,
@@ -342,33 +344,23 @@ object Queries {
     // semantics match the equivalent batch GROUP BY. Values aggregate as
     // integer cents (exact under any accumulation order); Complete mode
     // makes the memory-sink contents independent of micro-batch boundaries.
-    "stream_windowed" -> ((s, d) => {
-      import graft.streaming.StreamingIngest
-      val in = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
-      val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
-      deleteOnExit(in); deleteOnExit(ck)
-      // DOUBLE only for driver dtype parity with the oracle's SUM result
-      // type; the values are integer cents < ~1e7 (event values are 3-digit
-      // floats), far below 2^53, so the cast is exact, not a rounding trap
-      Tables.eventEntries(s, d).drop("__t_ns")
-        .select(unix_micros(col("time")).as("t_us"), col("topic"),
-          cents(col("value")).cast("double").as("value"))
-        .coalesce(4).write.mode("overwrite").json(in)
-      val agg = StreamingIngest.windowedStats(
-        StreamingIngest.fileSource(s, in), "1 day", "1 hour")
-      val sink = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ck)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).select(
+    "stream_windowed" -> ((s, d) =>
+      // value rides as cents cast DOUBLE only for driver dtype parity with
+      // the oracle's SUM result type; the values are integer cents < ~1e7
+      // (event values are 3-digit floats), far below 2^53, so the cast is
+      // exact, not a rounding trap
+      replayThroughStream(
+        s, Tables.eventEntries(s, d).drop("__t_ns")
+          .select(unix_micros(col("time")).as("t_us"), col("topic"),
+            cents(col("value")).cast("double").as("value")),
+        "graft_sink_stream_windowed", "complete") { stream =>
+          graft.streaming.StreamingIngest.windowedStats(stream, "1 day", "1 hour")
+        }
+        .select(
           unix_micros(col("w_start")).as("w_us"), col("topic"), col("n"),
           col("sum_value").cast("long").as("sum_cents"),
           col("first_us"), col("last_us"))
-        .orderBy("w_us", "topic")
-    }),
+        .orderBy("w_us", "topic")),
     // TPC-H Q1-shaped pricing summary; exact cents arithmetic
     "q1_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)

@@ -79,15 +79,21 @@ object Multimodal {
         (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
       def tag(i: Int, t: String) = t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
       if (b.length < 36 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-      var i = 12
+      var i = 12L
       var byteRate = -1L
       var dataSize = -1L
+      // i and the advance stay in LONG arithmetic: a hostile size field up
+      // to 0xFFFFFFFF must neither truncate to a negative Int (zero or
+      // backwards advance → infinite loop / negative indexing) nor
+      // overflow — the advance is always ≥ 8, so the walk strictly
+      // progresses and exits once it passes the buffer
       while (i + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
-        val size = le32(i + 4)
-        if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
-          byteRate = le32(i + 8 + 8)
-        if (tag(i, "data")) dataSize = size
-        i += 8 + size.toInt + (size.toInt & 1) // odd chunks pad one byte
+        val at = i.toInt
+        val size = le32(at + 4) // u32 as Long: always ≥ 0
+        if (tag(at, "fmt ") && size >= 16 && i + 8 + 16 <= b.length)
+          byteRate = le32(at + 8 + 8)
+        if (tag(at, "data")) dataSize = size
+        i += 8L + size + (size & 1L) // odd chunks pad one byte
       }
       if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate) else None
     }

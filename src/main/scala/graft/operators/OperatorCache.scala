@@ -1,9 +1,10 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Action-scoped Dataset caches for the dedup/similarity operators.
@@ -20,59 +21,137 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * [[scoped]] keeps the cache's whole benefit — every read within the
   * action that materializes the operator — and bounds its life to that
-  * action: a per-session [[QueryExecutionListener]] unpersists every
-  * registered cache as soon as ANY action on the session completes
-  * (success or failure). Post-action release costs nothing on the timed
-  * path (non-blocking), and correctness never depends on a cache: an
-  * unpersisted frame recomputes.
+  * action: a per-session [[QueryExecutionListener]] fires after every
+  * completed action (success or failure) and unpersists exactly the
+  * registered caches THAT EXECUTION REFERENCED (matched through the
+  * execution's optimized plan, where cached subtrees appear as
+  * InMemoryRelation nodes). Referenced-only release matters twice over,
+  * because listener delivery is ASYNCHRONOUS:
+  *  - a late-delivered event from an EARLIER action (e.g. the small
+  *    `max(id)`/`size(vec)` scalar lookups some operators run while
+  *    building their plan) must not tear down caches registered after it
+  *    for the main action — its plan does not reference them, so it
+  *    cannot release them;
+  *  - in a thread-per-connection server sharing one session, one query's
+  *    completion must not strip caches an in-flight sibling query is
+  *    about to materialize.
+  * Post-action release costs nothing on the timed path (non-blocking),
+  * and correctness never depends on a cache: an unpersisted frame
+  * recomputes.
   *
   * The alternative — no caches plus AQE ReusedExchange over shuffle
-  * output — was built and measured in round 6: it is plan-correct but
-  * 1.5-2.8× slower at sf0.1 (extra exchanges and disk round-trips beat
-  * the in-memory columnar reads), and broadcast decisions can silently
-  * defeat the reuse. Scoped caches keep the r5 plan shapes and numbers.
+  * output — was built and measured in round 6: plan-correct but 1.5-2.8×
+  * slower at sf0.1 (extra exchanges and disk round-trips beat in-memory
+  * columnar reads), and broadcast decisions can silently defeat the
+  * reuse. Scoped caches keep the r5 plan shapes and numbers.
   *
-  * Contract: a scoped cache lives until the NEXT completed action on the
-  * session. Operators that construct-then-action immediately (every
-  * battery query, Verify, Bench, the wire server's QUERY path) get exactly
-  * one materialize-use-release cycle. A caller that interleaves an
-  * unrelated action between constructing and running an operator plan
-  * merely loses the cache (recompute, still correct).
+  * Lifetime notes: registry entries hold their frames strongly, but this
+  * pins nothing beyond what Spark's own CacheManager already pins — a
+  * cached-but-unreleased plan (and through it the session) lives inside
+  * the CacheManager regardless until someone unpersists it; the registry
+  * entry mirrors that exact lifetime and is dropped on release. A plan
+  * constructed but never executed keeps its registration (an
+  * unmaterialized cache holds no storage) until a later action
+  * references it or [[release]] runs.
   */
 object OperatorCache {
 
-  // weak keys: a stopped/dropped session must not be pinned by this
-  // registry (the listener registration itself dies with the session).
-  // Queues drain after every action, so entries are near-empty at rest.
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]())
-  private val installed = java.util.Collections.newSetFromMap(
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  private val registered =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+  private val installed = ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Cache `df` until the next completed action on its session. */
+  /** Cache `df` until an action that reads it completes on its session. */
   def scoped(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (installed.add(spark))
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          release(spark)
+          releaseReferenced(spark, qe)
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-          release(spark)
+          releaseReferenced(spark, qe)
       })
     val cached = df.cache()
-    registered.synchronized {
-      var q = registered.get(spark)
-      if (q == null) { q = new ConcurrentLinkedQueue[DataFrame](); registered.put(spark, q) }
-      q.add(cached)
-    }
+    registered.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]()).add(cached)
     cached
   }
 
-  /** Unpersist every cache registered for `spark` (idempotent; called by
-    * the listener after each action, callable directly in tests). */
+  /** Unpersist the registered caches that `qe`'s plan reads (their cache
+    * builders appear as InMemoryRelation nodes in the optimized plan). */
+  private def releaseReferenced(spark: SparkSession, qe: QueryExecution): Unit = {
+    val q = registered.get(spark)
+    if (q == null || q.isEmpty) return
+    val dbg = sys.env.contains("GRAFT_CACHE_DEBUG")
+    // transitively collect every cache builder the execution depends on:
+    // the optimized plan only shows the OUTERMOST cached subtrees (an
+    // action over a cached frame whose materialization read other caches
+    // shows one InMemoryRelation subsuming the rest), so each relation's
+    // cached PHYSICAL plan is walked for nested InMemoryTableScans too
+    val used: Set[Any] =
+      try {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        // physical traversal that steps THROUGH adaptive wrappers: an
+        // AdaptiveSparkPlanExec and its query stages hold their inner
+        // plans as fields, not children, so plain collect() is blind there
+        def scans(p: SparkPlan, out: scala.collection.mutable.Buffer[InMemoryRelation]): Unit = {
+          p match {
+            case s: InMemoryTableScanExec => out += s.relation
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan, out)
+            case qs: QueryStageExec => scans(qs.plan, out)
+            case _ => ()
+          }
+          p.children.foreach(scans(_, out))
+        }
+        val seen = scala.collection.mutable.Set[Any]()
+        var frontier: Seq[InMemoryRelation] =
+          qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+        while (frontier.nonEmpty) {
+          val next = scala.collection.mutable.Buffer[InMemoryRelation]()
+          frontier.foreach { r =>
+            if (seen.add(r.cacheBuilder)) scans(r.cacheBuilder.cachedPlan, next)
+          }
+          frontier = next.toSeq
+        }
+        seen.toSet
+      } catch { case e: Throwable =>
+        if (dbg) println(s"[opcache] optimizedPlan threw: $e")
+        return } // unresolvable plan: keep caches
+    if (dbg) println(s"[opcache] event queue=${q.size} usedBuilders=${used.size}")
+    if (used.isEmpty) return
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    // drain, then release in REVERSE registration order: operators always
+    // register a dependency (sh/vd) before the frame built on it (banded),
+    // and unpersisting the dependency first makes the CacheManager REBUILD
+    // the dependent's entry with a fresh cache builder (cascade=false
+    // recache) — the rebuilt builder then no longer matches the one the
+    // executed plan referenced and the dependent leaks. Dependents-first
+    // leaves dependencies with no dependents to rebuild.
+    val drained = new java.util.ArrayList[DataFrame]()
+    var df = q.poll()
+    while (df != null) { drained.add(df); df = q.poll() }
+    val keep = new java.util.ArrayList[DataFrame]()
+    var i = drained.size() - 1
+    while (i >= 0) {
+      val d = drained.get(i)
+      val referenced =
+        try cm.lookupCachedData(d.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+          .exists(cd => used.contains(cd.cachedRepresentation.cacheBuilder))
+        catch { case _: Throwable => false }
+      if (dbg) println(s"[opcache]   entry $i referenced=$referenced")
+      if (referenced) {
+        try d.unpersist(false) catch { case _: Throwable => () }
+      } else keep.add(0, d) // preserve original registration order
+      i -= 1
+    }
+    q.addAll(keep)
+  }
+
+  /** Unpersist EVERY cache registered for `spark` regardless of use —
+    * test hook and explicit-shutdown path. */
   def release(spark: SparkSession): Unit = {
-    val q = registered.synchronized(registered.get(spark))
+    val q = registered.get(spark)
     if (q != null) {
       var df = q.poll()
       while (df != null) {

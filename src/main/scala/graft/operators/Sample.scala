@@ -88,7 +88,6 @@ object Sample {
     // and SQL `div` keeps the quotient in LONG arithmetic end to end —
     // `/` is double division, which rounds |t_us| > 2^53 (~year 2255 /
     // pre-283 BCE) and can merge or split adjacent far-range buckets.
-    val tUs = unix_micros(col("time"))
     val bucket = expr(
       s"(unix_micros(time) - pmod(unix_micros(time), ${intervalUs}L)) div ${intervalUs}L")
     val w = Window.partitionBy(col("topic"), bucket).orderBy(col("time"), col("value"))

@@ -37,10 +37,13 @@ object BenchAB {
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // a failed query records -1 (like Bench), never its time-to-failure —
+      // a broken query must be unmistakable in bench_ab.json, not a
+      // plausible-looking fast sample
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // outside the timed window, as in Bench
-      dt
+      if (ok) dt else -1.0
     }
 
     // protocol A first, then B, so B cannot ride A's same-query warmth

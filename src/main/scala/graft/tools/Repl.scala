@@ -62,7 +62,15 @@ object Repl {
         raw.split(",", -1).toSeq.map(s => parseTyped(elem, s.trim))
       case c: SComposite =>
         val fieldTypes = c.fields.toMap
-        splitTopLevel(raw).map { part =>
+        // a comma-split part without a top-level colon is the continuation
+        // of the PREVIOUS field's array literal (array elements are bare
+        // comma-separated): '"a": 1, 2, 3, "b": 7' splits into
+        // ['"a": 1', ' 2', ' 3', '"b": 7'] and re-merges to two fields
+        val merged = splitTopLevel(raw).foldLeft(List.empty[String]) { (acc, part) =>
+          if (topLevelColon(part) >= 0 || acc.isEmpty) part :: acc
+          else (acc.head + "," + part) :: acc.tail
+        }.reverse
+        merged.map { part =>
           val ix = topLevelColon(part)
           if (ix < 0)
             throw new IllegalArgumentException(s"malformed composite literal near '$part'")

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    // the Caesar shift wraps at 26: replica 26 would be byte-identical to
+    // the base corpus, silently planting exact duplicates and invalidating
+    // every "linear" conclusion — refuse rather than mislead
+    require(factor >= 2 && factor <= 26,
+      s"factor must be in [2, 26] (letter-shift bijection wraps at 26), got $factor")
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale${factor}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

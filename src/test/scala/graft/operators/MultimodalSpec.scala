@@ -68,6 +68,15 @@ class MultimodalSpec extends SparkSpec {
     assert(wavDurationMs(Multimodal.wavHeader(100).take(20)).isEmpty) // truncated
     assert(wavDurationMs("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
     assert(wavDurationMs(Array[Byte](1, 2, 3)).isEmpty)
+    // hostile size fields must not loop forever or index negatively:
+    // 0xFFFFFFF8 once truncated to Int would advance the walk by zero
+    val hostile = Multimodal.wavHeader(100)
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte // fmt size = 0xFFFFFFF8
+    assert(wavDurationMs(hostile).isEmpty) // walks past the buffer and stops
+    val zeroChunk = Multimodal.wavHeader(100)
+    zeroChunk(12) = 'j' // unknown zero-advance-prone chunk: must still terminate
+    wavDurationMs(zeroChunk) // terminates without throwing (advance ≥ 8 always)
   }
 
   test("decodeMeta: one row per input, deterministic stub metadata") {

@@ -49,6 +49,13 @@ class ReplSpec extends SparkSpec {
     val arr = Codec.encode(FossilSchema.parse("[3]int32"),
       Repl.parseDatum("[3]int32", "1,2,3"))
     assert(Codec.decode(FossilSchema.parse("[3]int32"), arr) == Seq(1, 2, 3))
+    // composites with ARRAY fields: the array's bare comma-separated
+    // elements re-merge into their field (valid schema per the reference:
+    // only nested composites are banned)
+    assert(Repl.parseDatum("""{"a": [3]int32, "b": int32}""", """"a": 1, 2, 3, "b": 7""")
+      == Map("a" -> Seq(1L, 2L, 3L), "b" -> 7L))
+    assert(Repl.parseDatum("""{"b": int32, "a": [2]float32}""", """"b": 5, "a": 1.5, 2.5""")
+      == Map("b" -> 5L, "a" -> Seq(1.5, 2.5)))
     // malformed / unknown-key composites fail loudly, not as string fallback
     assertThrows[IllegalArgumentException] {
       Repl.parseDatum("""{"a": int32}""", """"z": 1""")
