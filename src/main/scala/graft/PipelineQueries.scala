@@ -125,22 +125,25 @@ object PipelineQueries {
         minCosineE6 = 600000, bitsPerBand = 8, numBands = 8)
         .orderBy("a", "b")
     }),
-    // SRP (signed-random-projection) LSH — the variant whose band space
-    // is not capped by dimensionality (round-6 sweep finding). The fixture
+    // SRP (signed-random-projection) LSH — the PRODUCTION near-dup path:
+    // band space not capped by dimensionality (round-6 sweep finding),
+    // bitsPerBand auto-sized ~log₂ n so candidates stay linear at any
+    // corpus size (the default the operator now ships with). The fixture
     // plants a 2·v copy of every vector: cosine is exactly 1.0 and the
     // sign pattern identical, so EVERY band collides and recall on the
-    // planted set is structural (1.0 by construction), making the final
-    // result oracle-expressible even though the hyperplane candidate
-    // stage itself is not SQL-mirrorable: at threshold 0.99 the output is
-    // precisely the planted pairs with cosE6 = 1000000 (background
-    // cosines top out near 0.5).
+    // planted set is structural (1.0 by construction) regardless of the
+    // auto-sized band width, making the final result oracle-expressible
+    // even though the hyperplane candidate stage itself is not
+    // SQL-mirrorable: at threshold 0.99 the output is precisely the
+    // planted pairs with cosE6 = 1000000 (background cosines top out
+    // near 0.5).
     "emb_neardup_srp" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val off = e.agg(max("vec_id")).first().getLong(0) + 1
       val doubled = e.select((col("vec_id") + off).as("vec_id"),
         expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
       Similarity.nearDupPairsSrp(e.unionByName(doubled), "vec_id", "embedding",
-        minCosineE6 = 990000, bitsPerBand = 16, numBands = 8)
+        minCosineE6 = 990000)
         .orderBy("a", "b")
     }),
     "emb_quantize" -> ((s, d) =>
@@ -152,20 +155,29 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
         .orderBy("q", "rank")
     }),
+    // centroid count grows with the corpus as k ≈ √n (the standard IVF
+    // geometry: probe cost n/k per query, assignment cost n·k — both
+    // balance at k = √n), via a √n-derived id modulus the oracle mirrors
+    // as a scalar subquery. At sf0.1 this lands within a few centroids of
+    // the previous fixed mod-100 fixture; at the 10× sweep it keeps the
+    // ANN rows modeling production geometry instead of fixture centroids.
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
       Similarity.ivfTopK(
-        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % 100 === 0),
+        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % mod === 0),
         "vec_id", "embedding", "vec_id", k = 3)
         .orderBy("q", "rank")
     }),
     // the int8-probe scale path: quantized bucket scoring + exact re-rank
     // of k*refine candidates — deterministic end to end (integer scores,
-    // id tie-breaks), so the oracle reproduces the refine cut exactly
+    // id tie-breaks), so the oracle reproduces the refine cut exactly;
+    // same √n centroid geometry as ann_ivf
     "ann_ivf_int8" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
       Similarity.ivfTopKInt8(
-        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % 100 === 0),
+        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % mod === 0),
         "vec_id", "embedding", "vec_id", k = 3, refine = 4)
         .orderBy("q", "rank")
     }),
@@ -401,7 +413,8 @@ object PipelineQueries {
       |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin.trim,
 
     "ann_ivf" -> s"""
-      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
       |assigned AS (
       |  SELECT vec_id AS id, embedding AS v, cid AS bucket FROM (
       |    SELECT e.vec_id, e.embedding, c.cid,
@@ -428,7 +441,8 @@ object PipelineQueries {
     // scoring with an id tie-break at the k*refine cut, exact cosine on the
     // survivors
     "ann_ivf_int8" -> s"""
-      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
       |assigned AS (
       |  SELECT vec_id AS id, embedding AS v, cid AS bucket FROM (
       |    SELECT e.vec_id, e.embedding, c.cid,

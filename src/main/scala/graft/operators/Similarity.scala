@@ -91,12 +91,27 @@ object Similarity {
     * least one band key and are then EXACTLY verified (cosine ≥ threshold),
     * so false positives are impossible — only recall is approximate.
     *
-    * This is the 100 TB path for the regime LSH is actually good at: tight
-    * thresholds (cosine ≳ 0.9, i.e. true near-duplicates), where per-bit
-    * collision probability ≈ 1 − θ/π ≈ 0.9 makes recall ≈ 1 with a few
-    * bands while random pairs collide at 2^-bitsPerBand per band. At loose
-    * thresholds use [[nearDupPairs]] — the candidate/verify trade-off
-    * inverts (SimilaritySpec measures this).
+    * '''DEPRECATED — use [[nearDupPairsSrp]] for production near-dup.'''
+    * The band space here is bounded by the vector dimensionality: distinct
+    * sign bits ≤ dim, so effective bands cap at floor(dim/bitsPerBand) and
+    * the per-band key space at 2^bitsPerBand keys CANNOT grow with the
+    * corpus. The round-6 10× scale sweep measured the consequence directly
+    * (165× wall-time growth at 10× corpus: 8-bit bands over dim-64 vectors
+    * saturate their 256-key space and candidates go ~n²/256). The SRP
+    * variant draws its bits from random hyperplanes instead of raw
+    * dimensions, so `numBands · bitsPerBand` is unbounded and bitsPerBand
+    * auto-sizes ~log₂ n — same slim-join execution shape, same exact
+    * verification, no saturation. This operator stays for the one regime
+    * it genuinely wins: dim ≫ log₂ n corpora where skipping the
+    * hyperplane projection pass saves a corpus scan, and as the measured
+    * counter-example the scale sweep documents.
+    *
+    * This is the tight-threshold regime's candidate generator (cosine
+    * ≳ 0.9, i.e. true near-duplicates), where per-bit collision
+    * probability ≈ 1 − θ/π ≈ 0.9 makes recall ≈ 1 with a few bands while
+    * random pairs collide at 2^-bitsPerBand per band. At loose thresholds
+    * use [[nearDupPairs]] — the candidate/verify trade-off inverts
+    * (SimilaritySpec measures this).
     *
     * Execution shape: the banded self-join is SLIM — ids and band keys
     * only, never the vectors. With b-bit bands random pairs collide at
@@ -157,8 +172,9 @@ object Similarity {
       .filter(col("sim_e6") >= minCosineE6)
   }
 
-  /** Signed-random-projection (SRP / Charikar) LSH near-dup pairs — the
-    * variant whose band space does NOT cap at the vector dimensionality.
+  /** Signed-random-projection (SRP / Charikar) LSH near-dup pairs — THE
+    * production near-dup path; its band space does NOT cap at the vector
+    * dimensionality.
     *
     * [[nearDupPairsLsh]] packs sign bits of RAW dimensions, so total
     * distinct bits ≤ dim: at dim 64 its 8-bit bands saturate (256 keys)
@@ -168,9 +184,16 @@ object Similarity {
     * h (components ±1 seeded by (seed, band, bit, dim) through the same
     * 32-bit avalanche mix Spark's `hash` uses — pure public knowledge,
     * engine-portable): `numBands · bitsPerBand` is unbounded, so
-    * bitsPerBand can be sized ~log₂ n to keep the candidate stream LINEAR
+    * bitsPerBand sizes ~log₂ n to keep the candidate stream LINEAR
     * in corpus size at any dimensionality (P[bit collides] = 1 − θ/π, the
     * standard SRP guarantee).
+    *
+    * `bitsPerBand = 0` (the default) auto-sizes to max(8, ⌈log₂ n⌉): the
+    * expected random-pair collisions per band are then n²/2^bits ≤ n, so
+    * the candidate stream stays proportional to the corpus at ANY n — the
+    * sizing a production deployment would otherwise have to hand-tune per
+    * corpus. The count it needs rides the same scan that probes the
+    * dimensionality (one cheap metadata-friendly aggregate).
     *
     * Execution shape is identical to [[nearDupPairsLsh]]: hyperplanes
     * arrive as one broadcast frame (numBands·bitsPerBand rows of
@@ -179,15 +202,38 @@ object Similarity {
     * ids + band keys only, survivors verify with exact cosine — false
     * positives remain impossible. Deterministic end to end for a fixed
     * seed; verified against planted near-dups and the exact operator in
-    * SimilaritySpec (no SQL oracle row: mirroring the hyperplane
-    * generation in the oracle dialect would test the oracle, not the
-    * operator). */
+    * SimilaritySpec (no SQL oracle row for the hyperplane stage:
+    * mirroring the generation in the oracle dialect would test the
+    * oracle, not the operator — the battery row's fixture makes the final
+    * RESULT oracle-expressible instead). */
   def nearDupPairsSrp(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
-      bitsPerBand: Int = 16, numBands: Int = 8, seed: Int = 42): DataFrame = {
+      bitsPerBand: Int = 0, numBands: Int = 8, seed: Int = 42): DataFrame = {
     val spark = vecs.sparkSession
-    import spark.implicits._
-    val dim = vecs.select(size(col(vecCol)).as("d")).limit(1).as[Int].head()
+    // one aggregate probes corpus size AND dimensionality (and catches
+    // ragged vectors loudly instead of silently banding on the first
+    // row's dim); an empty corpus returns an empty pair frame rather
+    // than throwing off head() (round-6 ADVICE)
+    val probe = vecs.agg(
+      count(lit(1)).as("n"), min(size(col(vecCol))).as("dmin"),
+      max(size(col(vecCol))).as("dmax")).head()
+    val n = probe.getLong(0)
+    if (n == 0L) {
+      val idType = vecs.schema(idCol).dataType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", idType),
+          org.apache.spark.sql.types.StructField("b", idType),
+          org.apache.spark.sql.types.StructField("sim_e6",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val dim = probe.getInt(1)
+    require(dim == probe.getInt(2),
+      s"ragged embedding column '$vecCol': dims ${probe.getInt(1)}..${probe.getInt(2)}")
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else math.max(8, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
     // Rademacher components from a splitmix-style avalanche of the index
     // tuple: deterministic, seed-keyed, no RNG object state
     val (c1, c2, c3, c4) =
@@ -197,7 +243,8 @@ object Similarity {
       x ^= x >>> 16; x *= c2; x ^= x >>> 13; x *= c3; x ^= x >>> 16
       if ((x & 1) == 0) 1.0 else -1.0
     }
-    val planes = (for { b <- 0 until numBands; t <- 0 until bitsPerBand }
+    import spark.implicits._
+    val planes = (for { b <- 0 until numBands; t <- 0 until bits }
       yield (b, t, (0 until dim).map(i => rademacher(b, t, i)).toArray))
       .toDF("band_ix", "bit_ix", "h")
     val vd = OperatorCache.scoped(

@@ -49,21 +49,28 @@ object ScaleSweep {
     synthesize(spark, base, out, factor)
 
     // the heavy set from the LLM-pipeline battery; expected scaling noted.
-    // "quadratic" rows are super-linear BY FIXTURE CONSTRUCTION, not by
-    // operator defect: emb_neardup is the documented exact all-pairs
-    // baseline (inherent n²); ann_topk's query set and ann_ivf*'s centroid
-    // count both grow with the corpus (n·q and n·k assignment cost), and
+    // "quadratic" rows are super-linear BY DESIGN, not by operator defect:
+    // emb_neardup is the documented exact all-pairs baseline (inherent
+    // n²); ann_topk's query set grows with the corpus (n·q cost);
+    // ann_ivf*'s centroid count grows as k ≈ √n (production IVF geometry
+    // → n^1.5 assignment cost, far inside the n² bound); and
     // emb_neardup_lsh keeps its 8-bit bands fixed while n grows, so its
-    // 256-key band space drives ~n² candidate collisions (at production
-    // scale bitsPerBand is the knob you turn with log2 n). The md5-banded
-    // dedup family and the rest must stay ~linear.
+    // 256-key band space drives ~n² candidate collisions — the measured
+    // saturation that motivated the SRP variant, kept here as the
+    // documented counter-example. emb_neardup_srp auto-sizes bitsPerBand
+    // ~log₂ n and must stay LINEAR — that is the production near-dup
+    // claim this sweep exists to verify. The md5-banded dedup family, the
+    // streaming replays, and the rest must stay ~linear too.
     val ops = Seq(
       ("dedup_minhash", "linear"), ("dedup_ngram", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("pipeline_curate", "linear"),
+      ("emb_neardup_srp", "linear"),
       ("emb_neardup_lsh", "quadratic"), ("ann_topk", "quadratic"),
       ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
-      ("emb_neardup", "quadratic"), ("emb_quantize", "linear"))
+      ("emb_neardup", "quadratic"), ("emb_quantize", "linear"),
+      ("stream_fql", "linear"), ("stream_fql_sample", "linear"),
+      ("stream_windowed", "linear"))
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
     ops.foreach { case (n, _) =>
@@ -147,6 +154,23 @@ object ScaleSweep {
                      -x, x))""").as("embedding"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events: replica k shifts time by k·31 days — a K× LONGER stream at
+    // the SAME per-hour density (what a production stream actually does at
+    // K×), so the streaming replays' watermark/state behavior is preserved
+    // per replica while windows, kept samples, and output rows all scale
+    // ~K; ids offset so replicas never collide
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val maxEvent = ev.agg(max("event_id")).first().getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).first().getLong(0) + 1
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("k") * maxEvent).as("event_id"),
+        (col("ts") + expr("make_interval(0, 0, 0, k * 31, 0, 0, 0)")).as("ts"),
+        (col("user_id") + col("k") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     new java.io.FileOutputStream(new java.io.File(outDir, "_done")).close()
   }
 
@@ -161,7 +185,11 @@ object ScaleSweep {
       if (!ok) failed += 1
       println(s"[scale-plan] $name no-BNLJ/no-cartesian: $ok")
     }
-    Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh").foreach { name =>
+    // emb_neardup_srp joins the tiny broadcast hyperplane frame with a
+    // literal-true condition (an intentional BroadcastNestedLoopJoin over
+    // k·b rows), so it takes only the narrow-band-join gate, not the
+    // no-BNLJ one
+    Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh", "emb_neardup_srp").foreach { name =>
       val joins = plan(name).sparkPlan.collect {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
             if j.leftKeys.exists(_.references.exists(_.name.startsWith("band_"))) => j

@@ -240,6 +240,33 @@ class SimilaritySpec extends SparkSpec {
       s"candidates/row grew ${perRowSmall} -> ${perRowBig}: band space not scaling")
   }
 
+  test("SRP default auto-sizes bitsPerBand ~log2(n); empty and ragged inputs are handled") {
+    // auto default (bitsPerBand = 0) must behave like the hand-sized
+    // log2(n) variant: full recall on planted dups, zero false positives
+    val corpus = plantedCorpus(n = 200, dim = 64, planted = 20)
+    val exact = naivePairs(corpus, 950000)
+    val auto = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
+      minCosineE6 = 950000).as[(Long, Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact))
+    assert(auto.size.toDouble / exact.size >= 0.95)
+    // empty corpus: empty pair frame with the (a, b, sim_e6) schema, not
+    // a NoSuchElementException off the dimensionality probe
+    val empty = Similarity.nearDupPairsSrp(
+      corpus.filter($"vec_id" < 0), "vec_id", "embedding", minCosineE6 = 0L)
+    assert(empty.columns.toSeq == Seq("a", "b", "sim_e6"))
+    assert(empty.count() == 0)
+    // ragged dimensionality fails loudly instead of banding on whatever
+    // dim the first row happened to have
+    import org.apache.spark.sql.functions.{when, expr}
+    val ragged = corpus.select($"vec_id",
+      when($"vec_id" === 0, expr("slice(embedding, 1, 32)"))
+        .otherwise($"embedding").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsSrp(ragged, "vec_id", "embedding", minCosineE6 = 0L)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("ivfTopK recall@k rises with nprobe and hits 1.0 at nprobe = #centroids") {
     val corpus = plantedCorpus(n = 300, dim = 16, planted = 0)
     val queries = corpus.filter($"vec_id" % 29 === 0)
