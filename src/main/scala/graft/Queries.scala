@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.FossilEngine
 import graft.fql.Compiler
-import graft.operators.{AsOfJoin, RangeJoin, Sample}
+import graft.operators.{AsOfJoin, Quantiles, RangeJoin, Sample}
 
 /** The operator battery behind [[SparkEntry.queries]].
   *
@@ -509,14 +509,23 @@ object Queries {
         .orderBy("o_orderpriority")),
     // exact percentiles (not the sketch): interpolated percentile over
     // integer cents — interpolation points land on exact .0/.5 doubles,
-    // so Spark's percentile() and DuckDB's quantile_cont agree bit-exactly
+    // so the result and DuckDB's quantile_cont agree bit-exactly.
+    // Computed via the DISTRIBUTED two-pass exact quantile
+    // ([[graft.operators.Quantiles.quantileCont]]: approx cut-points +
+    // narrow count/refine) — Spark's percentile() aggregate would buffer
+    // every group's values in executor memory, an OOM cliff when a group
+    // is O(corpus); this plan's only value buffering is the ~1% refine
+    // window (QuantilesSpec plan-asserts no Percentile aggregate).
     "q_percentile_exact" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Quantiles.quantileCont(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), cents(col("l_quantity")).as("__cents")),
+        "l_returnflag", "__cents", Seq(0.25, 0.5, 0.75))
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.25)").as("p25_cents"),
-          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.5)").as("p50_cents"),
-          expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.75)").as("p75_cents"))
+          max(when(col("p") === 0.25, col("q"))).as("p25_cents"),
+          max(when(col("p") === 0.5, col("q"))).as("p50_cents"),
+          max(when(col("p") === 0.75, col("q"))).as("p75_cents"))
         .orderBy("l_returnflag")),
     // unpivot (wide→long melt, the inverse of q_pivot): per-order rows of
     // (metric, cents) via Spark's stack() table generator
@@ -530,13 +539,24 @@ object Queries {
             'disc', CAST(round(l_discount*100) AS BIGINT)) AS (metric, cents)"""))
         .orderBy("l_orderkey", "l_linenumber", "metric")),
     // ntile: equal-frequency bucketing — the quantile-binning building
-    // block (feature bucketization in training pipelines)
+    // block (feature bucketization in training pipelines). Computed via
+    // RANGE ASSIGNMENT against exact bucket-boundary keys
+    // ([[graft.operators.Quantiles.ntileRange]]) — `ntile(4) OVER
+    // (PARTITION BY l_returnflag ...)` would sort each of the 3 flag
+    // groups in ONE task regardless of cluster size; this plan is
+    // parallel in the corpus. The ORDER BY triple packs into one BIGINT
+    // key (order-isomorphic: price cents < 2^24 at any TPC-H SF, orderkey
+    // < 2^30 through sf100, linenumber 1..7 < 2^3) so boundaries are
+    // single values and ties are impossible; QuantilesSpec plan-asserts
+    // no group-partitioned window survives.
     "q_ntile" -> ((s, d) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      Tables.lineitem(s, d)
+      val keyed = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          ntile(4).over(w).as("quartile"))
+          (cents(col("l_extendedprice")) * lit(1L << 33)
+            + col("l_orderkey") * 8 + col("l_linenumber")).as("__key"))
+      Quantiles.ntileRange(keyed, "l_returnflag", "__key", 4)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("tile").as("quartile"))
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
     // sliding (overlapping) windows: each event lands in len/slide

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Quantiles]] — distributed exact quantiles / equal-frequency
+  * bucketing. Correctness is pinned against Spark's own exact built-ins
+  * (`percentile`, window `ntile`) on adversarial fixtures; the scale
+  * contracts are pinned as plan assertions (no full-value `Percentile`
+  * aggregate, no group-partitioned window sort). */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic multi-group fixture: heavy ties (v mod 17), one giant
+    * group, one group smaller than the grid, one singleton. */
+  private def fixture(): DataFrame = {
+    val rows =
+      (0 until 5000).map(i => ("big", ((i * 2654435761L) % 977 % 17 * 10).toInt)) ++
+      (0 until 60).map(i => ("small", (i * 37 % 23))) ++
+      Seq(("one", 42))
+    rows.toDF("g", "v")
+  }
+
+  test("quantileCont matches the exact percentile aggregate bit-for-bit") {
+    val df = fixture()
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Quantiles.quantileCont(df, "g", "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val pLit = ps.mkString("array(", ",", ")")
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(v, $pLit)").as("qs"))
+      .collect().flatMap { r =>
+        val qs = r.getSeq[Double](1)
+        ps.zip(qs).map { case (p, q) => (r.getString(0), p) -> q }
+      }.toMap
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want) assert(got(k) == w, s"at $k: got ${got(k)}, want $w")
+  }
+
+  test("quantileCont survives a tight refine budget (grid smaller than groups)") {
+    val df = fixture()
+    val got = Quantiles.quantileCont(df, "g", "v", Seq(0.5), gridCells = 4, accuracy = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = df.groupBy("g").agg(expr("percentile(v, 0.5)"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
+  test("ntileRange matches window ntile on a unique key, incl. n < k groups") {
+    val rows = (0 until 2000).map(i => ("a", (i * 48271L) % 99991)) ++
+      (0 until 7).map(i => ("tiny", i * 100L)) ++
+      Seq(("one", 5L), ("two", 9L), ("two", 3L))
+    val df = rows.toDF("g", "key")
+    for (k <- Seq(2, 4, 7)) {
+      val got = Quantiles.ntileRange(df, "g", "key", k)
+        .select("g", "key", "tile").as[(String, Long, Int)].collect().toSet
+      val w = Window.partitionBy("g").orderBy("key")
+      val want = df.withColumn("tile", ntile(k).over(w))
+        .as[(String, Long, Int)].collect().toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("scale contracts: no Percentile buffering, no group-partitioned window") {
+    val df = fixture()
+    // exact-quantile plan must contain NO Percentile aggregate (the
+    // buffer-every-value built-in) — only ApproximatePercentile sketches
+    val qc = Quantiles.quantileCont(df, "g", "v", Seq(0.25, 0.5))
+    val aggExprs = qc.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
+        })
+    }.flatten
+    assert(aggExprs.isEmpty, "found a full-value Percentile aggregate in the plan")
+    assert(qc.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
+      "expected the approx sketch pass")
+
+    // every window in BOTH plans must partition by more than the bare
+    // group (the refine windows key on (group, rank-id): bounded slices,
+    // never one task per group value), and no NTile expression anywhere
+    val nt = Quantiles.ntileRange(
+      df.withColumn("key", col("v") * 10000 + monotonically_increasing_id() % 10000),
+      "g", "key", 4)
+    for ((name, frame) <- Seq("quantileCont" -> qc, "ntileRange" -> nt)) {
+      val windows = frame.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      windows.foreach { w =>
+        assert(w.partitionSpec.length >= 2,
+          s"$name: window partitioned by ${w.partitionSpec} — one task per group value")
+        val hasNtile = w.windowExpression.exists(_.collectFirst {
+          case n: org.apache.spark.sql.catalyst.expressions.NTile => n
+        }.nonEmpty)
+        assert(!hasNtile, s"$name: NTile window function in the plan")
+      }
+    }
+  }
+}
