@@ -82,5 +82,24 @@ object Ast {
       pipeline: List[Stage])
 }
 
-final class FqlException(msg: String, val pos: Int = -1)
-    extends RuntimeException(if (pos >= 0) s"$msg (at offset $pos)" else msg)
+final class FqlException(
+    val rawMessage: String, val pos: Int = -1, val endPos: Int = -1,
+    val input: String = null)
+    extends RuntimeException(FqlException.render(rawMessage, pos, endPos, input))
+
+object FqlException {
+  /** Caret-formatted syntax error, reference `FormatError` parity
+    * (`pkg/common/parse/error.go:24-40`): the offending query, then an
+    * underline `^~~~` spanning [pos, endPos) followed by the message.
+    * Errors carrying no input (compiler/runtime stages) keep the plain
+    * `msg (at offset pos)` shape. */
+  private def render(msg: String, pos: Int, endPos: Int, input: String): String =
+    if (input == null || pos < 0) {
+      if (pos >= 0) s"$msg (at offset $pos)" else msg
+    } else {
+      val repeat = math.max(endPos - pos - 1, 0)
+      "Syntax error found in query:\n" + input + "\n" +
+        (" " * math.min(math.max(pos, 0), input.length)) + "^" +
+        ("~" * repeat) + " " + msg + "\n"
+    }
+}

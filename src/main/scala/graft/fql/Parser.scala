@@ -75,7 +75,12 @@ object Parser {
 final class Parser(s: Scanner) {
   import Parser._
 
-  private def err(t: Tok, msg: String) = throw new FqlException(msg, t.pos)
+  /** Syntax errors underline the offending token in the query — reference
+    * `FormatError` parity (`pkg/common/parse/error.go:24-40`; the parser
+    * wraps every syntax panic that way, `pkg/query/parser/parser.go:30`). */
+  private def err(t: Tok, msg: String) =
+    throw new FqlException(msg, t.pos,
+      t.pos + math.max(t.lexeme.length, 1), s.rawInput)
 
   private def expectOp(op: String): Unit = {
     val t = s.next()
@@ -143,7 +148,14 @@ final class Parser(s: Scanner) {
     val t = s.next()
     if (t.kind != Token.Whence) err(t, s"unexpected token '${t.lexeme}', expected a time-whence (~now, etc.)")
     if (t.lexeme == "~now") WhenceNow
-    else WhenceAt(parseVagueDateTime(t.lexeme.substring(2, t.lexeme.length - 1)))
+    else {
+      // re-home the datetime-format error onto the whence token so the
+      // caret rendering can underline it in the query
+      val ns =
+        try parseVagueDateTime(t.lexeme.substring(2, t.lexeme.length - 1))
+        catch { case e: FqlException => err(t, e.rawMessage) }
+      WhenceAt(ns)
+    }
   }
 
   // time-quantity = time-term *( ( "-" / "+" ) time-term ), folded to ns

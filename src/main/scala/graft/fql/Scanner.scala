@@ -34,7 +34,9 @@ final class Scanner(input: String) {
   private var toks = Vector.empty[Tok]
   private var cursor = 0
 
-  private def err(msg: String) = throw new FqlException(msg, i)
+  private[fql] def rawInput: String = input
+
+  private def err(msg: String) = throw new FqlException(msg, i, i + 1, input)
 
   private def scanAll(): Unit = {
     while (i < input.length) {

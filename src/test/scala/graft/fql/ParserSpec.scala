@@ -83,6 +83,48 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  // Caret-formatted syntax errors — reference FormatError parity
+  // (pkg/common/parse/error.go:24-40) over the invalid.txt corpus
+  // (test/parsing/query/input/invalid.txt): the message must carry the
+  // query and an underline whose caret column is the offending token.
+  private def caretCol(msg: String, query: String): Int = {
+    val lines = msg.linesIterator.toVector
+    assert(lines.head == "Syntax error found in query:", msg)
+    assert(lines(1) == query, msg)
+    lines(2).indexOf('^')
+  }
+
+  test("located errors: caret underlines the offending token (invalid.txt corpus)") {
+    def locate(q: String): Int = {
+      val e = intercept[FqlException](Parser.parse(q))
+      assert(e.input == q, s"error for '$q' lost its input")
+      caretCol(e.getMessage, q)
+    }
+    assert(locate("foo") == 0) // not a quantifier
+    assert(locate("all and then some garbage") == 4) // 'and' is trailing
+    // '/12' scans as op-slash + int → the trailing tokens start at '/'
+    assert(locate("all in /12") >= 7)
+    assert(locate("all : map x -> (x * 3 + 4 : reduce a, b -> a + b") == 4)
+    assert(locate("all | map -> 1") == 10) // missing argument name
+    assert(locate("all | banana x -> x") == 6)
+    assert(locate("all since ~(blorp)") == 10) // bad datetime, on the whence
+  }
+
+  test("located errors: underline spans the token like the reference (^~~~)") {
+    val q = "all and then some garbage"
+    val e = intercept[FqlException](Parser.parse(q))
+    val underline = e.getMessage.linesIterator.toVector(2)
+    // 'and' is 3 chars → ^ plus 2 tildes, then the message
+    assert(underline.startsWith("    ^~~ "), s"got '$underline'")
+  }
+
+  test("errors with no position keep the plain message shape") {
+    val e = new FqlException("plain")
+    assert(e.getMessage == "plain")
+    val at = new FqlException("msg", 7)
+    assert(at.getMessage == "msg (at offset 7)")
+  }
+
   test("AST golden shapes (reference expectation-dump analog)") {
     import Ast._
     assert(Parser.parse("all") == Query(All, None, None, Nil))
