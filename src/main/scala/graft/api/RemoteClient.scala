@@ -277,6 +277,14 @@ final class RemoteClient(
   def stats(): Seq[String] =
     countPrefixedLines(expectOk("STATS", Array.emptyByteArray))
 
+  /** METRICS: the server's Prometheus text exposition (connection counter,
+    * per-(db,cmd) request counters, response-time histogram — the
+    * reference registry, `pkg/server/metrics.go:19-28`). */
+  def metricsText(): String = {
+    val payload = expectOk("METRICS", Array.emptyByteArray)
+    new String(payload, 4, payload.length - 4, UTF_8) // skip the u32 code
+  }
+
   /** Close every pooled connection; blocks until in-flight requests return
     * theirs. Idempotent; subsequent sends fail fast instead of blocking on
     * an empty pool. */

@@ -42,9 +42,37 @@ final class WireServer(
     spark: SparkSession, storeRoots: Map[String, String], defaultStore: String,
     clock: Compiler.Clock = Compiler.systemClock,
     maxResponseBytes: Int = WireServer.MaxMessageBytes,
-    bindPort: Int = 0) {
+    bindPort: Int = 0,
+    metricsPort: Int = -1) {
 
   import WireServer._
+
+  /** Operational metrics, reference-parity names/labels/buckets
+    * ([[ServerMetrics]]): connection counter, per-(db,cmd) request
+    * counters, response-time histogram. Scrape via the `METRICS` wire
+    * command or, when `metricsPort >= 0`, a plain-HTTP `/metrics`
+    * endpoint (the reference's promhttp analog, `pkg/server/metrics.go`). */
+  val metrics = new ServerMetrics
+
+  private val metricsHttp: Option[com.sun.net.httpserver.HttpServer] =
+    if (metricsPort < 0) None
+    else {
+      val h = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(metricsPort), 0)
+      h.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = metrics.render.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      })
+      h.start()
+      Some(h)
+    }
+  /** Bound HTTP metrics port (-1 when the endpoint is disabled). */
+  def httpMetricsPort: Int =
+    metricsHttp.map(_.getAddress.getPort).getOrElse(-1)
 
   // ONE client (→ one ParquetStore, one live catalog) per root, shared by
   // every connection: per-connection store instances would each snapshot
@@ -84,6 +112,7 @@ final class WireServer(
   def close(): Unit = {
     running = false
     server.close()
+    metricsHttp.foreach(_.stop(0))
     conns.forEach(s => try s.close() catch { case _: IOException => () })
     conns.clear()
   }
@@ -93,6 +122,7 @@ final class WireServer(
     // try/finally: a failure attaching stores must still close the socket
     // and drop it from the live set, not leak a hung connection
     try {
+      metrics.incClientConnection() // reference: mux.go:91, per accept
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       // per-connection session state, like the reference's conn.db
@@ -102,10 +132,17 @@ final class WireServer(
       session.use(defaultStore)
       while (true) {
         val (cmd, payload) = readMessage(in)
+        val t0 = System.nanoTime()
         try serve(cmd, payload, session, out)
         catch {
           case e: Exception =>
             writeMessage(out, "ERR", errPayload(500, Option(e.getMessage).getOrElse("error")))
+        } finally {
+          // count + time every request, errors included, against the
+          // session's CURRENT database (reference: server.go:74-77)
+          val db = session.activeName.getOrElse("")
+          metrics.incRequests(db, cmd)
+          metrics.observeResponseNs(db, cmd, System.nanoTime() - t0)
         }
       }
     } catch { case _: EOFException | _: IOException => () } // client gone
@@ -188,6 +225,10 @@ final class WireServer(
           java.nio.ByteBuffer.wrap(resp).putInt(n)
           writeMessage(out, "OK", resp)
         }
+      case "METRICS" =>
+        // the scrape surface as a wire command (the reference exposes the
+        // registry over promhttp; same text exposition bytes here)
+        writeMessage(out, "OK", okPayload(200, metrics.render))
       case other =>
         writeMessage(out, "ERR", errPayload(501, s"command not found: $other"))
     }

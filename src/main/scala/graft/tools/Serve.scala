@@ -8,15 +8,23 @@ import graft.api.WireServer
   * `fossil server` command (`cmd/fossil/server/server.go`). Serves one or
   * more named stores over the fossil wire protocol until killed.
   *
-  * Usage: sbt "runMain graft.tools.Serve [port=N] name=/path/to/store [name2=/path2 ...]"
+  * Usage: sbt "runMain graft.tools.Serve [port=N] [metrics=N] name=/path/to/store [name2=/path2 ...]"
   *        (defaults to `default=/tmp/graft_serve_store` on an ephemeral
   *        port — `port=8001` pins the reference default; the first name is
-  *        the connection default; prints `listening on <port>`)
+  *        the connection default; prints `listening on <port>`.
+  *        `metrics=N` additionally serves Prometheus text on
+  *        `http://host:N/metrics`, the reference's promhttp analog —
+  *        `metrics=0` picks an ephemeral port; scraping also works in-band
+  *        via the `METRICS` wire command)
   */
 object Serve {
   def main(args: Array[String]): Unit = {
-    val (portArgs, rootArgs) = args.toSeq.partition(_.startsWith("port="))
-    val port = portArgs.lastOption.map(_.stripPrefix("port=").toInt).getOrElse(0)
+    val (optArgs, rootArgs) = args.toSeq.partition(a =>
+      a.startsWith("port=") || a.startsWith("metrics="))
+    val port = optArgs.filter(_.startsWith("port="))
+      .lastOption.map(_.stripPrefix("port=").toInt).getOrElse(0)
+    val metricsPort = optArgs.filter(_.startsWith("metrics="))
+      .lastOption.map(_.stripPrefix("metrics=").toInt).getOrElse(-1)
     val roots: Seq[(String, String)] =
       if (rootArgs.isEmpty) Seq("default" -> "/tmp/graft_serve_store")
       else rootArgs.map { a =>
@@ -31,8 +39,11 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val server = new WireServer(spark, roots.toMap, roots.head._1, bindPort = port)
+    val server = new WireServer(spark, roots.toMap, roots.head._1,
+      bindPort = port, metricsPort = metricsPort)
     println(s"listening on ${server.port}")
+    if (server.httpMetricsPort >= 0)
+      println(s"metrics on http://0.0.0.0:${server.httpMetricsPort}/metrics")
     // serve until the process is killed (acceptor runs on a daemon thread)
     Thread.currentThread.join()
   }

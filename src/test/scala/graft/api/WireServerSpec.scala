@@ -196,4 +196,72 @@ class WireServerSpec extends SparkSpec {
       s1.close(); s2.close()
     } finally server.close()
   }
+
+  test("metrics: counters and histogram advance across a command sequence; " +
+      "METRICS wire command and /metrics HTTP endpoint render them") {
+    val root = Files.createTempDirectory("graft_wire_metrics").toString
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock,
+      metricsPort = 0)
+    try {
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+
+      send(out, "VERSION", Array.emptyByteArray); recv(in)
+      send(out, "CREATE", withTopic("/m/t", "float64".getBytes(StandardCharsets.UTF_8)))
+      recv(in)
+      send(out, "APPEND", withTopic("/m/t", Codec.encode(FossilSchema.SFloat64, 1.5)))
+      recv(in)
+      send(out, "QUERY", "all in /m/t".getBytes(StandardCharsets.UTF_8)); recv(in)
+      // a failing request must be counted too (reference counts in the
+      // request loop, pkg/server/server.go:74-77) — and the wire ERR for a
+      // syntax error carries the caret-formatted rendering
+      send(out, "QUERY", "all and then garbage".getBytes(StandardCharsets.UTF_8))
+      val (qc, qp) = recv(in)
+      assert(qc == "ERR")
+      val errMsg = new String(qp.drop(4), StandardCharsets.UTF_8)
+      assert(errMsg.contains("Syntax error found in query:"))
+      assert(errMsg.contains("all and then garbage"))
+      assert(errMsg.contains("    ^~~ "), s"no caret underline in: $errMsg")
+
+      // all five prior requests were recorded by the time the server
+      // serves the NEXT command on this connection
+      send(out, "METRICS", Array.emptyByteArray)
+      val (mc, mp) = recv(in)
+      assert(mc == "OK" && codeOf(mp) == 200)
+      val text = new String(mp.drop(4), StandardCharsets.UTF_8)
+      assert(text.contains("fossil_client_connections 1"))
+      assert(text.contains("""fossil_requests{database="a",cmd="VERSION"} 1"""))
+      assert(text.contains("""fossil_requests{database="a",cmd="QUERY"} 2"""))
+      assert(text.contains("""fossil_response_ns_count{database="a",cmd="QUERY"} 2"""))
+      assert(text.contains("""fossil_response_ns_bucket{database="a",cmd="QUERY",le="+Inf"} 2"""))
+      // the reference's 2ms..38ms ladder is present
+      assert(text.contains("""le="2000000""""))
+      assert(text.contains("""le="38000000""""))
+
+      // typed accessors agree
+      assert(server.metrics.connectionCount == 1)
+      assert(server.metrics.requestCount("a", "QUERY") == 2)
+      assert(server.metrics.responseCount("a", "QUERY") == 2)
+      assert(server.metrics.responseSumNs("a", "QUERY") > 0)
+
+      // HTTP scrape endpoint (promhttp analog) serves the same exposition
+      assert(server.httpMetricsPort > 0)
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${server.httpMetricsPort}/metrics").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      val http = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(http.contains("fossil_client_connections 1"))
+      assert(http.contains("# TYPE fossil_response_ns histogram"))
+
+      // RemoteClient surface
+      val rc = new RemoteClient("127.0.0.1", server.port, "a")
+      val viaClient = rc.metricsText()
+      assert(viaClient.contains("fossil_requests"))
+      rc.close()
+      sock.close()
+    } finally server.close()
+  }
 }
