@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -45,33 +45,55 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * columnar reads), and broadcast decisions can silently defeat the
   * reuse. Scoped caches keep the r5 plan shapes and numbers.
   *
-  * Lifetime notes: registry entries hold their frames strongly, but this
-  * pins nothing beyond what Spark's own CacheManager already pins — a
-  * cached-but-unreleased plan (and through it the session) lives inside
-  * the CacheManager regardless until someone unpersists it; the registry
-  * entry mirrors that exact lifetime and is dropped on release. A plan
-  * constructed but never executed keeps its registration (an
-  * unmaterialized cache holds no storage) until a later action
-  * references it or [[release]] runs.
+  * Lifetime notes: both registries are WEAK-KEYED on the session and an
+  * entry whose queue drains empty is removed, so the registry itself
+  * never pins a session: a queue entry's frames reference their session,
+  * but only while a cached-but-unreleased plan exists — which Spark's
+  * own CacheManager pins regardless until someone unpersists it; the
+  * registry entry mirrors that exact lifetime. A plan constructed but
+  * never executed keeps its registration (an unmaterialized cache holds
+  * no storage) until a later action references it or [[release]] runs.
+  * Release passes serialize on the per-session queue, so a listener
+  * delivery racing an explicit [[release]] (or future multi-threaded
+  * listener buses) cannot interleave drain/re-add and resurrect caches
+  * the other pass drained.
   */
 object OperatorCache {
 
-  private val registered =
-    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
-  private val installed = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: a dead session's entries vanish with it (the values of
+  // `installed` hold no session reference; `registered` queues do via
+  // their frames, so those entries are additionally removed when drained)
+  private val registered: java.util.Map[SparkSession, ConcurrentLinkedQueue[DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]())
+  private val installed: java.util.Map[SparkSession, QueryExecutionListener] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, QueryExecutionListener]())
 
   /** Cache `df` until an action that reads it completes on its session. */
   def scoped(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (installed.add(spark))
-      spark.listenerManager.register(new QueryExecutionListener {
+    installed.computeIfAbsent(spark, s => {
+      val l = new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
           releaseReferenced(spark, qe)
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
           releaseReferenced(spark, qe)
-      })
+      }
+      s.listenerManager.register(l)
+      l
+    })
     val cached = df.cache()
-    registered.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]()).add(cached)
+    // registration re-checks the queue is still the live entry under its
+    // lock: a release pass that just drained it empty may have removed it
+    // from the map, and an add to that orphaned queue would never release
+    var done = false
+    while (!done) {
+      val q = registered.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
+      q.synchronized {
+        if (registered.get(spark) eq q) { q.add(cached); done = true }
+      }
+    }
     cached
   }
 
@@ -127,37 +149,49 @@ object OperatorCache {
     // the dependent's entry with a fresh cache builder (cascade=false
     // recache) — the rebuilt builder then no longer matches the one the
     // executed plan referenced and the dependent leaks. Dependents-first
-    // leaves dependencies with no dependents to rebuild.
-    val drained = new java.util.ArrayList[DataFrame]()
-    var df = q.poll()
-    while (df != null) { drained.add(df); df = q.poll() }
-    val keep = new java.util.ArrayList[DataFrame]()
-    var i = drained.size() - 1
-    while (i >= 0) {
-      val d = drained.get(i)
-      val referenced =
-        try cm.lookupCachedData(d.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-          .exists(cd => used.contains(cd.cachedRepresentation.cacheBuilder))
-        catch { case _: Throwable => false }
-      if (dbg) println(s"[opcache]   entry $i referenced=$referenced")
-      if (referenced) {
-        try d.unpersist(false) catch { case _: Throwable => () }
-      } else keep.add(0, d) // preserve original registration order
-      i -= 1
+    // leaves dependencies with no dependents to rebuild. The whole
+    // drain/filter/re-add runs under the queue's lock so concurrent
+    // release passes can't hide each other's drained entries.
+    q.synchronized {
+      val drained = new java.util.ArrayList[DataFrame]()
+      var df = q.poll()
+      while (df != null) { drained.add(df); df = q.poll() }
+      val keep = new java.util.ArrayList[DataFrame]()
+      var i = drained.size() - 1
+      while (i >= 0) {
+        val d = drained.get(i)
+        val referenced =
+          try cm.lookupCachedData(d.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+            .exists(cd => used.contains(cd.cachedRepresentation.cacheBuilder))
+          catch { case _: Throwable => false }
+        if (dbg) println(s"[opcache]   entry $i referenced=$referenced")
+        if (referenced) {
+          try d.unpersist(false) catch { case _: Throwable => () }
+        } else keep.add(0, d) // preserve original registration order
+        i -= 1
+      }
+      q.addAll(keep)
+      // drained empty → drop the entry so its frames stop pinning the
+      // session through the weak map's value chain
+      if (q.isEmpty) registered.remove(spark, q)
+      ()
     }
-    q.addAll(keep)
   }
 
-  /** Unpersist EVERY cache registered for `spark` regardless of use —
-    * test hook and explicit-shutdown path. */
+  /** Unpersist EVERY cache registered for `spark` regardless of use, and
+    * detach the session from both registries (the listener included) —
+    * test hook and explicit-shutdown path; a later [[scoped]] reinstalls. */
   def release(spark: SparkSession): Unit = {
-    val q = registered.get(spark)
-    if (q != null) {
+    val q = registered.remove(spark)
+    if (q != null) q.synchronized {
       var df = q.poll()
       while (df != null) {
         try df.unpersist(false) catch { case _: Throwable => () }
         df = q.poll()
       }
     }
+    val l = installed.remove(spark)
+    if (l != null)
+      try spark.listenerManager.unregister(l) catch { case _: Throwable => () }
   }
 }

@@ -85,15 +85,24 @@ object Repl {
   }
 
   /** Split on commas outside double quotes (composite members may be
-    * strings containing commas/colons). */
+    * strings containing commas/colons). A backslash inside quotes escapes
+    * the next character — `"a\"b"` stays ONE quoted token — so an escaped
+    * quote can't flip the quoting state and misparse the rest of the
+    * literal; [[unquote]] resolves the escapes. */
   private def splitTopLevel(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
-    s.foreach {
-      case '"' => inQ = !inQ; cur += '"'
-      case ',' if !inQ => parts += cur.toString; cur.clear()
-      case ch => cur += ch
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if inQ && i + 1 < s.length =>
+          cur += '\\'; cur += s.charAt(i + 1); i += 1
+        case '"' => inQ = !inQ; cur += '"'
+        case ',' if !inQ => parts += cur.toString; cur.clear()
+        case ch => cur += ch
+      }
+      i += 1
     }
     parts += cur.toString
     parts.toSeq
@@ -101,19 +110,33 @@ object Repl {
 
   private def topLevelColon(s: String): Int = {
     var inQ = false
-    s.indices.foreach { i =>
+    var i = 0
+    while (i < s.length) {
       s.charAt(i) match {
+        case '\\' if inQ => i += 1 // skip the escaped character
         case '"' => inQ = !inQ
         case ':' if !inQ => return i
         case _ => ()
       }
+      i += 1
     }
     -1
   }
 
+  /** Strip outer quotes and resolve `\"` / `\\` escapes inside them. */
   private def unquote(s: String): String =
-    if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
-    else s
+    if (s.length >= 2 && s.head == '"' && s.last == '"') {
+      val body = s.substring(1, s.length - 1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\\' && i + 1 < body.length) { sb += body.charAt(i + 1); i += 1 }
+        else sb += c
+        i += 1
+      }
+      sb.result()
+    } else s
 
   /** The schema a topic would get on append: its own entry, else the
     * nearest ancestor's NON-default schema, else the string default —

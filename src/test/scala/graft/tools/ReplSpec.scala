@@ -63,6 +63,14 @@ class ReplSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Repl.parseDatum("""{"a": int32}""", """no colon here""")
     }
+    // an escaped quote inside a string value must not flip the quote
+    // state (it would misparse the following comma/colon of the literal);
+    // the escape resolves in the parsed value
+    assert(Repl.parseDatum("""{"a": string, "b": int32}""",
+      """"a": "x \" y, z: w", "b": 7""")
+      == Map("a" -> """x " y, z: w""", "b" -> 7L))
+    assert(Repl.parseDatum("string", """plain \ backslash stays""")
+      == """plain \ backslash stays""")
   }
 
   test("effectiveDdl mirrors the server's inheritance walk") {
