@@ -583,6 +583,60 @@ object Queries {
           col("n"), col("sum_cents"))
         .orderBy("user_id", "s_us")
     }),
+    // streaming session windows in APPEND mode, oracle-checked: per-user
+    // click sessions (30-min gap) replay through a file-source stream and
+    // close on the watermark — the driver-verified twin of the
+    // q_session_window batch row (the StreamingSpec append-mode test pins
+    // the mechanics; this row pins the RESULT against DuckDB on real data).
+    //
+    // Append mode only emits a session once the watermark passes its end,
+    // so the horizon is CLOSED with sentinel events on a throwaway topic:
+    // each extra replay pass appends a sentinel a year further out and
+    // restarts from the same checkpoint; the sentinel advances the global
+    // watermark past every real session's end (emitting them all by the
+    // last DATA batch even if no no-data batch runs), while the
+    // sentinel's own session never closes and its topic is filtered from
+    // the result. The file sink accumulates exactly-once across restarts
+    // (checkpoint + sink metadata), which is the restart contract the
+    // engine's streaming story rests on.
+    "stream_session" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("t_us"),
+          concat(lit("/u/"), col("user_id")).as("topic"),
+          cents(col("value")).cast("double").as("value"))
+      val maxUs = clicks.agg(max("t_us")).first().getLong(0)
+      val in = java.nio.file.Files.createTempDirectory("graft_stream_session_in").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_stream_session_ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_stream_session_out").toString
+      deleteOnExit(in); deleteOnExit(ck); deleteOnExit(outDir)
+      clicks.coalesce(4).write.mode("overwrite").json(in)
+      def pass(): Unit = {
+        val out = graft.streaming.StreamingIngest.sessionStats(
+          graft.streaming.StreamingIngest.fileSource(s, in), "30 minutes", "30 minutes")
+        val q = out.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def sentinel(offsetUs: Long): Unit =
+        s.range(1).select(lit(maxUs + offsetUs).as("t_us"),
+          lit("/sentinel/x").as("topic"), lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").json(in)
+      pass() // real clicks
+      sentinel(365L * 86400L * 1000000L); pass() // watermark past all real ends
+      sentinel(730L * 86400L * 1000000L); pass() // emit even without no-data batches
+      s.read.parquet(outDir)
+        .filter(col("topic").startsWith("/u/"))
+        .select(substring_index(col("topic"), "/", -1).cast("bigint").as("user_id"),
+          unix_micros(col("s_start")).as("s_us"),
+          unix_micros(col("s_end")).as("e_us"),
+          col("n"), col("sum_value").cast("long").as("sum_cents"))
+        .orderBy("user_id", "s_us")
+    }),
     "q_join_outer" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val c = Tables.customer(s, d)
@@ -782,6 +836,25 @@ object Queries {
     // (Spark's session end bound is exclusive, so an event landing exactly
     // at lastTs + gap starts a NEW session); session end = last + gap
     "q_session_window" -> """
+      |WITH c AS (
+      |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m)
+      |SELECT user_id, epoch_us(MIN(ts)) AS s_us,
+      |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS e_us,
+      |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM g GROUP BY user_id, grp ORDER BY user_id, s_us""".stripMargin.trim,
+    // the streaming twin must equal the batch gaps-and-islands result on
+    // the closed horizon — same oracle as q_session_window
+    "stream_session" -> """
       |WITH c AS (
       |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
       |  FROM events WHERE event_type = 'click'),

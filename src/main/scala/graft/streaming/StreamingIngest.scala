@@ -119,9 +119,10 @@ object StreamingIngest {
       .withColumn("time", timestamp_micros(col("t_us")))
       .withWatermark("time", watermarkDelay)
       .groupBy(session_window(col("time"), gapDur), col("topic"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("session_window.start").as("s_start"),
-        col("session_window.end").as("s_end"), col("topic"), col("n"))
+        col("session_window.end").as("s_end"), col("topic"), col("n"),
+        col("sum_value"))
 
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon — the streaming twin of
