@@ -97,8 +97,11 @@ object Quantiles {
 
     // pass 2: per wanted rank, the count strictly below the bracket and
     // the bracket's distinct values with multiplicities. `wanted` is
-    // groups × ranks rows — broadcast-joinable at any corpus size.
-    val joined = data.join(broadcast(wanted), col(g) === col("__g"))
+    // groups × ranks rows — no broadcast HINT: in the target regime (few
+    // huge groups) AQE broadcasts it from runtime stats anyway, while a
+    // high-cardinality group column (where a forced broadcast could OOM
+    // the driver) degrades to a shuffle join that is still correct.
+    val joined = data.join(wanted, col(g) === col("__g"))
     val below = joined.filter(col(v) < col("__lo"))
       .groupBy(col("__g"), col("__rid"))
       .agg(count(lit(1)).as("__below"))
@@ -177,10 +180,13 @@ object Quantiles {
       s"b$b" -> ((n: Column) =>
         lit(b.toLong) * floor(n / numTiles) + least(lit(b.toLong), n % numTiles) - 1)
     }
+    // ≤ numTiles−1 boundary keys per group; AQE broadcasts when groups
+    // are few (the target regime) without risking a forced broadcast of
+    // a high-cardinality bounds side
     val bounds = valueAtRanks(data, g, key, ranks, gridCells, accuracy)
       .groupBy(col(g).as("__bg"))
       .agg(sort_array(collect_list(col("value"))).as("__bnds"))
-    data.join(broadcast(bounds), col(g) === col("__bg"), "left")
+    data.join(bounds, col(g) === col("__bg"), "left")
       .withColumn("tile",
         (lit(1) + coalesce(
           size(filter(col("__bnds"), b => b < col(key))), lit(0))).cast("int"))
