@@ -54,6 +54,43 @@ object PipelineQueries {
        |  FROM banded l JOIN banded r
        |    ON l.band_ix = r.band_ix AND l.band_h = r.band_h AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** Cross-corpus variant of [[minhashPairsCtes]]: NEW-side docs (rows
+    * matching `newWhere`) banded against REF-side docs (`refWhere`) — no
+    * a < b constraint, the sides are different corpora. */
+  private def minhashCrossCtes(newWhere: String, refWhere: String): String = s"""shn AS (
+       |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents WHERE $newWhere)),
+       |shr AS (
+       |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents WHERE $refWhere)),
+       |sgn AS (
+       |  SELECT doc_id, sh, list_transform(range(0, 12),
+       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+       |  FROM shn),
+       |sgr AS (
+       |  SELECT doc_id, sh, list_transform(range(0, 12),
+       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+       |  FROM shr),
+       |bn AS (
+       |  SELECT doc_id, sh, b AS band_ix,
+       |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
+       |  FROM sgn, range(0, 4) r(b)),
+       |br AS (
+       |  SELECT doc_id, sh, b AS band_ix,
+       |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
+       |  FROM sgr, range(0, 4) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
+       |  FROM bn l JOIN br r ON l.band_ix = r.band_ix AND l.band_h = r.band_h)""".stripMargin
+
+  /** md5-hex bucket in [0, 10000) of an id expression — mirrors
+    * [[graft.operators.Sampling.bucketE4]] (first 4 hex digits). */
+  private def bucketE4Sql(idExpr: String): String = {
+    val h = s"md5($idExpr::VARCHAR)"
+    s"((${hexVal(h, "1")}*4096 + ${hexVal(h, "2")}*256 + " +
+      s"${hexVal(h, "3")}*16 + ${hexVal(h, "4")}) % 10000)"
+  }
+
   /** cosine ×1e6 as BIGINT over two FLOAT[] columns (double accumulation). */
   private def cosE6(a: String, b: String): String =
     s"""CAST(round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
@@ -92,6 +129,26 @@ object PipelineQueries {
           shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000),
         localThreshold = 0)
         .orderBy("id")),
+    // incremental dedup: a 10% "incoming batch" slice against the other
+    // 90% as the frozen reference corpus — near-dup pairs that straddle
+    // the split surface exactly once as (new, ref); the reference side's
+    // signatures are what a production run would precompute and persist
+    "dedup_against_ref" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text",
+        shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
+        .orderBy("a", "b")
+    }),
+    // deterministic hash-stratified subsampling (training-mix rates):
+    // pure function of doc_id, reproducible on any engine/partitioning
+    "doc_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 2500, "zh" -> 7500), defaultE4 = 5000)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -293,6 +350,18 @@ object PipelineQueries {
       |SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
       |FROM nodes n JOIN reach r ON r.x = n.id
       |GROUP BY n.id ORDER BY n.id""".stripMargin.trim,
+
+    "dedup_against_ref" -> s"""
+      |WITH ${minhashCrossCtes("doc_id % 10 = 0", "doc_id % 10 != 0")}
+      |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
+      |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    "doc_sample_stratified" -> s"""
+      |SELECT doc_id, lang FROM documents
+      |WHERE ${bucketE4Sql("doc_id")} <
+      |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 7500 ELSE 5000 END
+      |ORDER BY doc_id""".stripMargin.trim,
 
     "dedup_simhash" -> s"""
       |WITH th AS (

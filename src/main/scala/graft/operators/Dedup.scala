@@ -134,6 +134,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup: each NEW document against a REFERENCE corpus —
+    * the daily-crawl-vs-frozen-training-set shape, which a self-join
+    * formulation cannot express without re-pairing the whole reference
+    * against itself. Same signature scheme as [[minhashPairs]] (the
+    * shingle hash is content-keyed, so signatures are comparable across
+    * corpora), but the candidate join is NEW-bands × REF-bands only:
+    * cost is O(|new| + |ref|) signature work plus a band join whose
+    * driver side is the (small) incoming batch.
+    *
+    * 100 TB story: the reference side's banded signatures are a pure
+    * function of the corpus and can be computed once and persisted
+    * (parquet of (id, band_ix, band_h) + (id, sh)); an incremental run
+    * then pays only for the new batch's shingles and a narrow
+    * hash-join against the precomputed bands. This operator IS that
+    * plan with both sides inlined — substituting a stored frame for
+    * `refDocs` changes nothing downstream.
+    *
+    * Output: (a = new id, b = ref id, j_e4), distinct, exact-verified at
+    * `minJaccardE4` (no a < b constraint — the sides are different
+    * corpora; ids may even overlap). */
+  def minhashPairsAgainst(
+      newDocs: DataFrame, refDocs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      minJaccardE4: Long = 5000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
+    def prep(docs: DataFrame) = OperatorCache.scoped(spread(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__text")).as("__toks"))
+      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh")))
+    val shNew = prep(newDocs)
+    val shRef = prep(refDocs)
+    val bNew = banded(withMinhashSig(shNew, numHashes), numBands, rowsPerBand)
+    val bRef = banded(withMinhashSig(shRef, numHashes), numBands, rowsPerBand)
+    // slim candidate join (ids + band keys only), dedup bare pairs, then
+    // the shingle arrays join back by id — same narrowness contract as
+    // the self-join variant (Plans.scala band-join gate applies)
+    val cand = bNew.select(col("id").as("a"), col("band_ix"), col("band_h"))
+      .join(bRef.select(col("id").as("b"), col("band_ix"), col("band_h")),
+        Seq("band_ix", "band_h"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    cand
+      .join(shNew.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(shRef.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .filter(col("j_e4") >= minJaccardE4)
+      .distinct()
+  }
+
   /** Whole-simhash typed Aggregator: input is each token occurrence's md5
     * hex (joined from the distinct-token dictionary), the buffer is the 64
     * signed bit-weights, finish folds weights to the 16-hex fingerprint —

@@ -58,8 +58,8 @@ object Plans {
     // the join-back's, so this walks the physical plan instead.
     // (emb_neardup_srp's hyperplane broadcast is an intentional BNLJ over
     // k·b rows, so it takes only this narrow-band gate, not a no-BNLJ one)
-    val narrowBandJoins = Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh",
-      "emb_neardup_srp")
+    val narrowBandJoins = Seq("dedup_minhash", "dedup_ngram", "dedup_against_ref",
+      "emb_neardup_lsh", "emb_neardup_srp")
     narrowBandJoins.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val joins = df.queryExecution.sparkPlan.collect {

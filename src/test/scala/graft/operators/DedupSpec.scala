@@ -31,6 +31,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashPairsAgainst: cross-corpus pairs only, signatures comparable across sides") {
+    // new batch = {2 (near-dup of ref 1), 3 (unrelated)}; ref = {1, 4}
+    val newDocs = docs.filter(col("doc_id").isin(2L, 3L))
+    val refDocs = docs.filter(col("doc_id").isin(1L, 4L))
+    val pairs = Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text",
+      minJaccardE4 = 5000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every pair is (new, ref); the near-dup straddles the split both ways
+    assert(pairs.subsetOf(Set((2L, 1L), (2L, 4L))), s"got $pairs")
+    assert(pairs.nonEmpty, "cross-corpus near-dup not found")
+    // no within-side pairs ever: ref 1 vs ref 4 are exact dups of each
+    // other but must NOT pair (that's the self-join operator's job)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 1L)))
+    // result agrees with the self-join operator restricted to cross pairs
+    val self = Dedup.minhashPairs(docs, "doc_id", "text", minJaccardE4 = 5000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val crossFromSelf = self.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .filter { case (x, y) => Set(2L, 3L)(x) && Set(1L, 4L)(y) }
+    assert(pairs == crossFromSelf)
+  }
+
+  test("Sampling.stratified: deterministic, rate-shaped, engine-portable buckets") {
+    val corpus = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratified(corpus, "doc_id", "lang",
+      Map("en" -> 2500), defaultE4 = 7500)
+    val again = Sampling.stratified(corpus, "doc_id", "lang",
+      Map("en" -> 2500), defaultE4 = 7500)
+    assert(kept.collect().toSeq == again.collect().toSeq) // pure function of id
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 docs per stratum at 25% / 75% — binomial, allow wide slack
+    assert(byLang("en") > 150 && byLang("en") < 350, s"en=${byLang("en")}")
+    assert(byLang("de") > 650 && byLang("de") < 850, s"de=${byLang("de")}")
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(corpus, "doc_id", "lang", Map("en" -> 10001), 0)
+    }
+  }
+
   test("duplicate doc ids do not multiply pairs through the verify join-back") {
     // raw corpora carry repeated ids; the slim candidate join fetches
     // payloads back BY ID, which would fan out without the final distinct
