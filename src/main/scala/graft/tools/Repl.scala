@@ -20,6 +20,7 @@ import graft.engine.{Codec, FossilSchema}
   *   create topic <path> <schema-ddl>
   *   list topics | list schemas
   *   stats
+  *   metrics                (remote) server Prometheus metrics text
   *   version                (remote) server version
   *   use <db>               (remote) switch database
   *   format table|csv|json  set output format (S8 writers)
@@ -196,6 +197,7 @@ object Repl {
           case "list" :: "databases" :: Nil =>
             client.listDatabases.foreach(println)
           case "stats" :: Nil => client.stats().foreach(println)
+          case "metrics" :: Nil => print(client.metricsText())
           case "version" :: Nil => println(client.version)
           case "use" :: db :: Nil => client.use(db.trim); println(s"database changed")
           case other => println(s"unrecognized: ${other.mkString(" ")}")
