@@ -73,7 +73,14 @@ object ScaleSweep {
       ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
       ("emb_neardup", "quadratic"), ("emb_quantize", "linear"),
       ("stream_fql", "linear"), ("stream_fql_sample", "linear"),
-      ("stream_windowed", "linear"))
+      ("stream_windowed", "linear"),
+      // the round-7 de-weaked quantile paths: replicas keep each group's
+      // VALUE MULTISET identical (only ids shift), so groups grow 10×
+      // with unchanged quantiles — the exact per-group-buffering /
+      // single-task-sort cliff the distributed rewrites remove. Both
+      // must scale ~linearly in corpus size.
+      ("q_percentile_exact", "linear"), ("q_ntile", "linear"),
+      ("dedup_against_ref", "linear"), ("doc_sample_stratified", "linear"))
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
     ops.foreach { case (n, _) =>
@@ -178,6 +185,18 @@ object ScaleSweep {
         col("event_type"), col("value"), col("props"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // lineitem: replica k offsets l_orderkey (stays < 2^30, preserving
+    // q_ntile's packed-key bounds) and keeps every value column intact —
+    // each l_returnflag group's value multiset replicates exactly, so
+    // group sizes grow K× while quantiles/bucket boundaries stay fixed:
+    // the per-group scale stress the distributed quantile paths exist for
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxOk = li.agg(max("l_orderkey")).first().getLong(0) + 1
+    li.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * maxOk)
+      .drop("k")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     new java.io.FileOutputStream(new java.io.File(outDir, "_done")).close()
   }
 
