@@ -95,20 +95,30 @@ object Quantiles {
         element_at(col("__qs"), (col("__ilo") + 1).cast("int")).as("__lo"),
         element_at(col("__qs"), (col("__ihi") + 1).cast("int")).as("__hi"))
 
-    // pass 2: per wanted rank, the count strictly below the bracket and
-    // the bracket's distinct values with multiplicities. `wanted` is
-    // groups × ranks rows — no broadcast HINT: in the target regime (few
-    // huge groups) AQE broadcasts it from runtime stats anyway, while a
-    // high-cardinality group column (where a forced broadcast could OOM
-    // the driver) degrades to a shuffle join that is still correct.
+    // pass 2, ONE aggregation for both refine inputs: rows inside the
+    // bracket keep their value as the group key (distinct values with
+    // multiplicities); rows outside collapse into one null-keyed group
+    // per (g, rid) whose conditional sum counts exactly the values
+    // strictly below the bracket. `wanted` is groups × ranks rows — no
+    // broadcast HINT: in the target regime (few huge groups) AQE
+    // broadcasts it from runtime stats anyway, while a high-cardinality
+    // group column (where a forced broadcast could OOM the driver)
+    // degrades to a shuffle join that is still correct.
     val joined = data.join(wanted, col(g) === col("__g"))
-    val below = joined.filter(col(v) < col("__lo"))
-      .groupBy(col("__g"), col("__rid"))
-      .agg(count(lit(1)).as("__below"))
-    val win = joined.filter(col(v) >= col("__lo") && col(v) <= col("__hi"))
-      .select(col("__g"), col("__rid"), col("__n"), col("__k"), col(v).as("__v"))
+    // action-scoped cache: the aggregate output (refine-window values +
+    // one null row per (g, rid) — bounded by the knobs, NOT the data)
+    // feeds both branches below; without it each branch re-scans the
+    // corpus for its half of the same aggregation
+    val refine = OperatorCache.scoped(joined
+      .withColumn("__v",
+        when(col(v) >= col("__lo") && col(v) <= col("__hi"), col(v)))
       .groupBy("__g", "__rid", "__n", "__k", "__v")
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(v) < col("__lo"), 1L).otherwise(0L)).as("__bl")))
+    val below = refine.filter(col("__v").isNull)
+      .select(col("__g"), col("__rid"), col("__bl").as("__below"))
+    val win = refine.filter(col("__v").isNotNull)
+      .select("__g", "__rid", "__n", "__k", "__v", "__c")
 
     // pass 3: cumulative counts over each (group, rank) window — the
     // window partition is the REFINE SLICE (bounded by the knobs), so the
