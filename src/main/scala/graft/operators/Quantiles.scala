@@ -105,30 +105,27 @@ object Quantiles {
     // group column (where a forced broadcast could OOM the driver)
     // degrades to a shuffle join that is still correct.
     val joined = data.join(wanted, col(g) === col("__g"))
-    // action-scoped cache: the aggregate output (refine-window values +
-    // one null row per (g, rid) — bounded by the knobs, NOT the data)
-    // feeds both branches below; without it each branch re-scans the
-    // corpus for its half of the same aggregation
-    val refine = OperatorCache.scoped(joined
+    val refine = joined
       .withColumn("__v",
         when(col(v) >= col("__lo") && col(v) <= col("__hi"), col(v)))
       .groupBy("__g", "__rid", "__n", "__k", "__v")
       .agg(count(lit(1)).as("__c"),
-        sum(when(col(v) < col("__lo"), 1L).otherwise(0L)).as("__bl")))
-    val below = refine.filter(col("__v").isNull)
-      .select(col("__g"), col("__rid"), col("__bl").as("__below"))
-    val win = refine.filter(col("__v").isNotNull)
-      .select("__g", "__rid", "__n", "__k", "__v", "__c")
+        sum(when(col(v) < col("__lo"), 1L).otherwise(0L)).as("__bl"))
 
-    // pass 3: cumulative counts over each (group, rank) window — the
-    // window partition is the REFINE SLICE (bounded by the knobs), so the
-    // per-task sort stays small no matter how large the group is. The
-    // rank-k value is the row whose [start, end) count range covers k.
-    val w = Window.partitionBy("__g", "__rid").orderBy("__v")
-    win
-      .withColumn("__cum", sum(col("__c")).over(w))
-      .join(below, Seq("__g", "__rid"), "left")
-      .withColumn("__start", coalesce(col("__below"), lit(0L)) + col("__cum") - col("__c"))
+    // pass 3: the below-count surfaces from the null-keyed row via an
+    // unordered window over the SAME (group, rank) partition the ordered
+    // cumulative count uses — one downstream consumer, no second scan,
+    // no cache, one shuffle. Both window partitions are the REFINE SLICE
+    // (bounded by the knobs), so the per-task sort stays small no matter
+    // how large the group is. The rank-k value is the row whose
+    // [start, end) count range covers k.
+    val part = Window.partitionBy("__g", "__rid")
+    refine
+      .withColumn("__below",
+        coalesce(max(when(col("__v").isNull, col("__bl"))).over(part), lit(0L)))
+      .filter(col("__v").isNotNull)
+      .withColumn("__cum", sum(col("__c")).over(part.orderBy("__v")))
+      .withColumn("__start", col("__below") + col("__cum") - col("__c"))
       .filter(col("__k") >= col("__start") && col("__k") < col("__start") + col("__c"))
       .select(col("__g").as(g), col("__rid").as("rid"), col("__n").as("n"),
         col("__k").as("k"), col("__v").as("value"))

@@ -46,9 +46,10 @@ class CacheLifecycleSpec extends SparkSpec
   // leave nothing behind
   private val ops = Seq(
     "dedup_minhash", "dedup_ngram", "dedup_simhash",
-    "dedup_clusters", "dedup_clusters_dist",
+    "dedup_clusters", "dedup_clusters_dist", "dedup_against_ref",
     "emb_neardup_lsh", "emb_neardup_srp", "ann_ivf_int8",
-    "pipeline_curate", "store_roundtrip")
+    "pipeline_curate", "store_roundtrip",
+    "q_percentile_exact", "q_ntile")
 
   for (name <- ops)
     test(s"$name leaves the cache manager empty after its action") {
