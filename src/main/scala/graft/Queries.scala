@@ -194,6 +194,23 @@ object Queries {
             col("topic"), col("value")),
           fixedClock)
       })),
+    // continuous FQL with an AGG-SHAPED reduce: the full fql_avg pipeline
+    // (map → tuple-slot reduce → map) compiled onto a stream. The reduce
+    // becomes a streaming GLOBAL aggregation — one state row, complete
+    // output mode — and the trailing map projects over the aggregate, so
+    // the replayed result must equal the batch average exactly (integer
+    // sums are order-independent; the division happens once at the end).
+    "stream_fql_reduce" -> ((s, d) => replayThroughStream(
+      s, Tables.eventEntriesLong(s, d).drop("__t_ns")
+        .select(unix_micros(col("time")).as("t_us"), col("topic"),
+          col("value")),
+      "graft_sink_stream_fql_reduce", "complete") { stream =>
+        graft.streaming.StreamingFql.query(
+          "all in /events | map x -> 1, x | reduce a, b -> a[0] + b[0], a[1] + b[1] | map c, s -> s / c",
+          stream.select(timestamp_micros(col("t_us")).as("time"),
+            col("topic"), col("value")),
+          fixedClock)
+      }.select("value")),
     // the ENGINE'S OWN storage path end-to-end (reference lifecycle
     // `pkg/database/db.go:554-649`): events ingested through
     // ParquetStore.append — schema-group/topic-partition layout,
@@ -248,6 +265,10 @@ object Queries {
       "fql_reduce_min" -> "SELECT MIN(value) AS value FROM events",
       "fql_reduce_max" -> "SELECT MAX(value) AS value FROM events",
       "fql_avg" -> "SELECT CAST(SUM(user_id) AS DOUBLE) / COUNT(*) AS value FROM events",
+      // agg-shaped reduce on a stream ≡ the batch average (integer sums
+      // are exact in doubles at any accumulation order)
+      "stream_fql_reduce" ->
+        "SELECT CAST(SUM(user_id) AS DOUBLE) / COUNT(*) AS value FROM events",
       // exact greedy downsample: per-topic sequential carry, expressible as a
       // recursive CTE (next kept = min ts >= last kept + interval)
       "fql_sample_greedy" -> """

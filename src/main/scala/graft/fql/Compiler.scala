@@ -97,12 +97,6 @@ object Compiler {
           else graft.operators.Sample.greedyPerTopic(df, ns)
     }
 
-    // Global reduce on an unbounded stream is unbounded state — reject like
-    // any sane streaming engine; windowed aggregation is the streaming twin.
-    if (df.isStreaming && q.pipeline.exists(_.isInstanceOf[ReduceStage]))
-      throw new FqlException(
-        "reduce is not supported on unbounded streams; use a windowed aggregation")
-
     // --- data pipeline -----------------------------------------------------
     // The fold threads the logical tuple arity alongside the frame: Spark's
     // ArrayType carries no length, but fossil's checker enforces arg-count
@@ -487,6 +481,15 @@ object Compiler {
           lit("N/A").as(TopicCol),
           col(ValueCol))
     } else {
+      // General fold on an unbounded stream is unbounded per-row state —
+      // reject like any sane streaming engine. (Agg-SHAPED reduces took
+      // the branch above: a global sum/min/max/count is O(1) state, a
+      // bread-and-butter streaming aggregation run in complete mode.)
+      if (df.isStreaming)
+        throw new FqlException(
+          "general-fold reduce is not supported on unbounded streams; " +
+            "agg-shaped reduces (+/min/max) run as streaming aggregations, " +
+            "or use a windowed aggregation")
       // General associative fold: a LAZY distributed plan — per-partition
       // fold with the FQL interpreter, then a single final fold. Same
       // contract as the reference (arrival-order fold, `reduce.go:47-79`):

@@ -7,8 +7,11 @@ import graft.fql.{Ast, Compiler, Parser}
 
 /** Continuous FQL: the same parse → compile path as batch, over a streaming
   * entries frame. filter/map stages compile 1:1 (stateless narrow ops),
-  * `sample` becomes the stateful per-topic greedy operator, `reduce` is
-  * rejected (unbounded state) in favor of windowed aggregation.
+  * `sample` becomes the stateful per-topic greedy operator, agg-shaped
+  * `reduce` (+/min/max over the reduce args) runs as a streaming global
+  * aggregation (O(1) state — drive the sink in complete mode); only the
+  * general fold is rejected (unbounded per-row state) in favor of
+  * windowed aggregation.
   */
 object StreamingFql {
   def query(fql: String, entries: DataFrame,

@@ -220,9 +220,13 @@ class StreamingSpec extends SparkSpec {
       assert(ts == Set(0L, 1000000L)) // greedy carry across batches
     } finally q.stop()
 
-    assertThrows[graft.fql.FqlException] {
-      StreamingFql.query("all in /s | reduce a, b -> a + b", entries)
+    // agg-shaped reduce compiles to a streaming aggregation (O(1) state,
+    // complete mode); only the general fold is rejected (unbounded state)
+    assert(StreamingFql.query("all in /s | reduce a, b -> a + b", entries).isStreaming)
+    val e = intercept[graft.fql.FqlException] {
+      StreamingFql.query("all in /s | reduce a, b -> a * b", entries)
     }
+    assert(e.getMessage.contains("general-fold"))
   }
 
   test("streamed entries land in the store and are FQL-queryable") {
