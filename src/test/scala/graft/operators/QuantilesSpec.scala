@@ -63,6 +63,30 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("quantileCont property sweep: random corpora, skewed groups, heavy ties") {
+    // deterministic pseudo-random corpora across several shapes: group
+    // cardinality 1..5, tie density from none to near-total, sizes that
+    // straddle the grid boundary — every (group, p) must equal the
+    // built-in exact aggregate bit-for-bit
+    val ps = Seq(0.1, 0.25, 0.5, 0.9)
+    val pLit = ps.mkString("array(", ",", ")")
+    for (seed <- Seq(1, 2, 3); (nRows, mod) <- Seq((37, 5), (450, 7), (3000, 997))) {
+      val rows = (0 until nRows).map { i =>
+        val x = (i * 6364136223846793005L + seed * 1442695040888963407L)
+        (s"g${math.floorMod(x, 5)}", math.floorMod(x >> 8, mod).toInt)
+      }
+      val df = rows.toDF("g", "v")
+      val got = Quantiles.quantileCont(df, "g", "v", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val want = df.groupBy("g")
+        .agg(expr(s"percentile(v, $pLit)").as("qs"))
+        .collect().flatMap { r =>
+          ps.zip(r.getSeq[Double](1)).map { case (p, q) => (r.getString(0), p) -> q }
+        }.toMap
+      assert(got == want, s"seed=$seed nRows=$nRows mod=$mod")
+    }
+  }
+
   test("scale contracts: no Percentile buffering, no group-partitioned window") {
     val df = fixture()
     // exact-quantile plan must contain NO Percentile aggregate (the
