@@ -36,19 +36,26 @@ object PipelineQueries {
   private def hexVal(h: String, p: String): String =
     s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
 
-  /** Shared CTE chain producing the minhash LSH candidate set `cand`
-    * (mirrors Dedup.minhashPairs with 3-word shingles, 12 hashes, 4 bands). */
-  private def minhashPairsCtes: String = s"""sh AS (
+  /** One side's shingle → signature → band CTE chain (3-word shingles, 12
+    * hashes, 4 bands — the Dedup.minhashPairs scheme); `suffix` names the
+    * CTEs (`sh$suffix`/`sig$suffix`/`banded$suffix`), `where` restricts
+    * the corpus slice. Shared by the self-join and cross-corpus oracles
+    * so the scheme constants live in exactly one place. */
+  private def minhashSideCtes(suffix: String, where: String): String = s"""sh$suffix AS (
        |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
-       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
-       |sig AS (
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents WHERE $where)),
+       |sig$suffix AS (
        |  SELECT doc_id, sh, list_transform(range(0, 12),
        |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-       |  FROM sh),
-       |banded AS (
+       |  FROM sh$suffix),
+       |banded$suffix AS (
        |  SELECT doc_id, sh, b AS band_ix,
        |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
-       |  FROM sig, range(0, 4) r(b)),
+       |  FROM sig$suffix, range(0, 4) r(b))""".stripMargin
+
+  /** Shared CTE chain producing the minhash LSH candidate set `cand`
+    * (mirrors Dedup.minhashPairs). */
+  private def minhashPairsCtes: String = s"""${minhashSideCtes("", "TRUE")},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
        |  FROM banded l JOIN banded r
@@ -57,31 +64,13 @@ object PipelineQueries {
   /** Cross-corpus variant of [[minhashPairsCtes]]: NEW-side docs (rows
     * matching `newWhere`) banded against REF-side docs (`refWhere`) — no
     * a < b constraint, the sides are different corpora. */
-  private def minhashCrossCtes(newWhere: String, refWhere: String): String = s"""shn AS (
-       |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
-       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents WHERE $newWhere)),
-       |shr AS (
-       |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
-       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents WHERE $refWhere)),
-       |sgn AS (
-       |  SELECT doc_id, sh, list_transform(range(0, 12),
-       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-       |  FROM shn),
-       |sgr AS (
-       |  SELECT doc_id, sh, list_transform(range(0, 12),
-       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-       |  FROM shr),
-       |bn AS (
-       |  SELECT doc_id, sh, b AS band_ix,
-       |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
-       |  FROM sgn, range(0, 4) r(b)),
-       |br AS (
-       |  SELECT doc_id, sh, b AS band_ix,
-       |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
-       |  FROM sgr, range(0, 4) r(b)),
+  private def minhashCrossCtes(newWhere: String, refWhere: String): String =
+    s"""${minhashSideCtes("_n", newWhere)},
+       |${minhashSideCtes("_r", refWhere)},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
-       |  FROM bn l JOIN br r ON l.band_ix = r.band_ix AND l.band_h = r.band_h)""".stripMargin
+       |  FROM banded_n l JOIN banded_r r
+       |    ON l.band_ix = r.band_ix AND l.band_h = r.band_h)""".stripMargin
 
   /** md5-hex bucket in [0, 10000) of an id expression — mirrors
     * [[graft.operators.Sampling.bucketE4]] (first 4 hex digits). */

@@ -139,10 +139,15 @@ final class WireServer(
             writeMessage(out, "ERR", errPayload(500, Option(e.getMessage).getOrElse("error")))
         } finally {
           // count + time every request, errors included, against the
-          // session's CURRENT database (reference: server.go:74-77)
+          // session's CURRENT database (reference: server.go:74-77).
+          // Unknown commands collapse into one fixed label: `cmd` is the
+          // client-supplied 8-byte header, and per-value counters would
+          // let a client grow the metrics maps (and every scrape) without
+          // bound — a memory DoS on a long-lived server.
           val db = session.activeName.getOrElse("")
-          metrics.incRequests(db, cmd)
-          metrics.observeResponseNs(db, cmd, System.nanoTime() - t0)
+          val cmdLabel = if (KnownCommands(cmd)) cmd else "UNKNOWN"
+          metrics.incRequests(db, cmdLabel)
+          metrics.observeResponseNs(db, cmdLabel, System.nanoTime() - t0)
         }
       }
     } catch { case _: EOFException | _: IOException => () } // client gone
@@ -264,6 +269,9 @@ final class WireServer(
 
 object WireServer {
   val Version = "v1.0.0" // protocol version answered to VERSION
+  /** The command surface (metrics label allowlist). */
+  val KnownCommands: Set[String] =
+    Set("VERSION", "USE", "LIST", "STATS", "CREATE", "APPEND", "QUERY", "METRICS")
   /** 100 MiB, both directions (reference cap `pkg/proto/message.go:96-98`). */
   val MaxMessageBytes: Int = 100 * 1024 * 1024
 

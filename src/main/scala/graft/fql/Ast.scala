@@ -98,8 +98,16 @@ object FqlException {
       if (pos >= 0) s"$msg (at offset $pos)" else msg
     } else {
       val repeat = math.max(endPos - pos - 1, 0)
-      "Syntax error found in query:\n" + input + "\n" +
-        (" " * math.min(math.max(pos, 0), input.length)) + "^" +
-        ("~" * repeat) + " " + msg + "\n"
+      val p = math.min(pos, input.length)
+      // the caret line goes directly under the LINE containing pos, and
+      // its column counts from that line's start — a raw-offset pad would
+      // misalign on any query with embedded newlines (the scanner skips
+      // them as whitespace, so multi-line queries are legal)
+      val lineStart = input.lastIndexOf('\n', math.max(p - 1, 0)) + 1
+      val lineEnd = input.indexOf('\n', p) match { case -1 => input.length; case e => e }
+      val caret = (" " * (p - lineStart)) + "^" + ("~" * repeat) + " " + msg
+      "Syntax error found in query:\n" +
+        input.substring(0, lineEnd) + "\n" + caret +
+        (if (lineEnd < input.length) input.substring(lineEnd) else "") + "\n"
     }
 }

@@ -97,6 +97,19 @@ object Compiler {
           else graft.operators.Sample.greedyPerTopic(df, ns)
     }
 
+    // sample ∘ reduce on a stream would chain the stateful greedy sample
+    // (flatMapGroupsWithState) into a global streaming aggregation — a
+    // combination Spark rejects at sink start with an opaque
+    // UnsupportedOperationChecker error (complete mode forbids
+    // flatMapGroupsWithState; append forbids the unwatermarked global
+    // agg). Reject it here with a queryable message instead.
+    if (df.isStreaming && q.quantifier.isInstanceOf[Sample]
+        && q.pipeline.exists(_.isInstanceOf[ReduceStage]))
+      throw new FqlException(
+        "sample(...) followed by reduce is not supported on unbounded " +
+          "streams: the stateful sample and a global aggregation cannot " +
+          "share one streaming query; use a windowed aggregation")
+
     // --- data pipeline -----------------------------------------------------
     // The fold threads the logical tuple arity alongside the frame: Spark's
     // ArrayType carries no length, but fossil's checker enforces arg-count

@@ -74,11 +74,14 @@ object OperatorCache {
   def scoped(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     installed.computeIfAbsent(spark, s => {
+      // the listener must NOT capture the session: a captured reference
+      // would make the weak map's value reach its own key and pin every
+      // session for the JVM lifetime. The execution carries its session.
       val l = new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          releaseReferenced(spark, qe)
+          releaseReferenced(qe.sparkSession, qe)
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-          releaseReferenced(spark, qe)
+          releaseReferenced(qe.sparkSession, qe)
       }
       s.listenerManager.register(l)
       l

@@ -216,7 +216,8 @@ object ScaleSweep {
     // literal-true condition (an intentional BroadcastNestedLoopJoin over
     // k·b rows), so it takes only the narrow-band-join gate, not the
     // no-BNLJ one
-    Seq("dedup_minhash", "dedup_ngram", "emb_neardup_lsh", "emb_neardup_srp").foreach { name =>
+    Seq("dedup_minhash", "dedup_ngram", "dedup_against_ref",
+        "emb_neardup_lsh", "emb_neardup_srp").foreach { name =>
       val joins = plan(name).sparkPlan.collect {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
             if j.leftKeys.exists(_.references.exists(_.name.startsWith("band_"))) => j

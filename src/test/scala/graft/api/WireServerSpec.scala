@@ -245,6 +245,17 @@ class WireServerSpec extends SparkSpec {
       assert(server.metrics.responseCount("a", "QUERY") == 2)
       assert(server.metrics.responseSumNs("a", "QUERY") > 0)
 
+      // unknown commands collapse into one fixed label — the client
+      // controls the command bytes, and per-value counters would be an
+      // unbounded-cardinality memory DoS on a long-lived server
+      send(out, "BOGUS1", Array.emptyByteArray); recv(in)
+      send(out, "BOGUS2", Array.emptyByteArray); recv(in)
+      send(out, "METRICS", Array.emptyByteArray)
+      val afterBogus = new String(recv(in)._2.drop(4), StandardCharsets.UTF_8)
+      assert(server.metrics.requestCount("a", "UNKNOWN") == 2)
+      assert(server.metrics.requestCount("a", "BOGUS1") == 0)
+      assert(!afterBogus.contains("BOGUS"))
+
       // HTTP scrape endpoint (promhttp analog) serves the same exposition
       assert(server.httpMetricsPort > 0)
       val url = new java.net.URI(

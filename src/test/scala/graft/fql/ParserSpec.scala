@@ -118,6 +118,17 @@ class ParserSpec extends AnyFunSuite {
     assert(underline.startsWith("    ^~~ "), s"got '$underline'")
   }
 
+  test("located errors: caret aligns to the LINE containing the error in multi-line queries") {
+    // the scanner treats newlines as whitespace, so multi-line queries are
+    // legal; the caret must pad from the error line's start, not the raw
+    // offset into the whole input
+    val q = "all\n| banana x -> x"
+    val e = intercept[FqlException](Parser.parse(q))
+    val lines = e.getMessage.linesIterator.toVector
+    assert(lines(1) == "all" && lines(2) == "| banana x -> x", lines)
+    assert(lines(3).startsWith("  ^"), s"caret line misaligned: '${lines(3)}'")
+  }
+
   test("errors with no position keep the plain message shape") {
     val e = new FqlException("plain")
     assert(e.getMessage == "plain")

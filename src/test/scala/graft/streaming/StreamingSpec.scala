@@ -227,6 +227,13 @@ class StreamingSpec extends SparkSpec {
       StreamingFql.query("all in /s | reduce a, b -> a * b", entries)
     }
     assert(e.getMessage.contains("general-fold"))
+    // sample ∘ reduce would chain flatMapGroupsWithState into a global
+    // aggregation — rejected with an FQL-level message, not Spark's
+    // opaque UnsupportedOperationChecker failure at sink start
+    val e2 = intercept[graft.fql.FqlException] {
+      StreamingFql.query("sample(@hour) in /s | reduce a, b -> a + b", entries)
+    }
+    assert(e2.getMessage.contains("sample"))
   }
 
   test("streamed entries land in the store and are FQL-queryable") {
