@@ -90,6 +90,13 @@ final class LocalClient(
   /** LIST schemas in use. */
   def listSchemas: Seq[String] = store.catalog.list.map(_._2.ddl).distinct.sorted
 
+  /** Store shape for the per-database metrics collector
+    * (`fossil_database_segments` / `fossil_database_topics`,
+    * `pkg/server/dbmetrics.go:21-48` analog): live data file count and
+    * registered topic count, read at scrape time. */
+  def storeShape: ServerMetrics.DbShape =
+    ServerMetrics.DbShape(store.segmentCount, store.catalog.list.size.toLong)
+
   /** Maintenance: compact the store's accumulated small append files into
     * one time-sorted file per topic ([[graft.engine.ParquetStore.compact]]
     * — run during a quiesced period). */

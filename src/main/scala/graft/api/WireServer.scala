@@ -43,7 +43,8 @@ final class WireServer(
     clock: Compiler.Clock = Compiler.systemClock,
     maxResponseBytes: Int = WireServer.MaxMessageBytes,
     bindPort: Int = 0,
-    metricsPort: Int = -1) {
+    metricsPort: Int = -1,
+    metricsHost: String = "127.0.0.1") {
 
   import WireServer._
 
@@ -57,8 +58,12 @@ final class WireServer(
   private val metricsHttp: Option[com.sun.net.httpserver.HttpServer] =
     if (metricsPort < 0) None
     else {
+      // loopback by default: the scrape exposes db names and traffic shape,
+      // so it must not bind the wildcard address unless explicitly asked
+      // (set metricsHost to "0.0.0.0" to export beyond the host)
       val h = com.sun.net.httpserver.HttpServer.create(
-        new java.net.InetSocketAddress(metricsPort), 0)
+        new java.net.InetSocketAddress(
+          java.net.InetAddress.getByName(metricsHost), metricsPort), 0)
       h.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
         val body = metrics.render.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type",
@@ -81,6 +86,12 @@ final class WireServer(
   // ParquetStore; the catalog itself is a concurrent map.
   private val clients: Map[String, LocalClient] =
     storeRoots.map { case (name, root) => name -> new LocalClient(spark, root, clock) }
+
+  // one shape collector per attached store, evaluated on every scrape
+  // (reference: server registers NewDBStatsCollector per opened database)
+  clients.foreach { case (name, client) =>
+    metrics.registerDatabase(name, () => client.storeShape)
+  }
 
   private val server = new ServerSocket(bindPort) // 0 = ephemeral port
   def port: Int = server.getLocalPort

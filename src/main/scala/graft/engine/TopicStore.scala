@@ -219,6 +219,26 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     }
   }
 
+  /** Number of live Parquet data files — the store's segment-count analog
+    * (the reference gauge `fossil_database_segments` counts WAL segments,
+    * `pkg/server/dbmetrics.go:73-77`; here a "segment" is one immutable
+    * columnar file, the unit [[compact]] consolidates). Pure filesystem
+    * walk, no Spark job; dot-prefixed temp dirs (mid-compact) are skipped
+    * the same way Spark scans skip them. */
+  def segmentCount: Long = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val dataDir = Paths.get(root, "data")
+    if (!Files.exists(dataDir)) return 0L
+    Using.resource(Files.walk(dataDir)) { s =>
+      s.iterator().asScala.count { p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          !dataDir.relativize(p).iterator().asScala
+            .exists(_.toString.startsWith("."))
+      }.toLong
+    }
+  }
+
   private def persistCatalog(): Unit = ParquetStore.saveCatalog(root, catalog)
 }
 

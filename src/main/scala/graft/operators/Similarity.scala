@@ -228,6 +228,8 @@ object Similarity {
           org.apache.spark.sql.types.StructField("sim_e6",
             org.apache.spark.sql.types.LongType))))
     }
+    require(!probe.isNullAt(1) && !probe.isNullAt(2) && probe.getInt(1) >= 0,
+      s"embedding column '$vecCol' is entirely null or invalid — cannot size hyperplanes")
     val dim = probe.getInt(1)
     require(dim == probe.getInt(2),
       s"ragged embedding column '$vecCol': dims ${probe.getInt(1)}..${probe.getInt(2)}")

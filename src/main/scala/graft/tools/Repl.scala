@@ -132,8 +132,12 @@ object Repl {
       var i = 0
       while (i < body.length) {
         val c = body.charAt(i)
-        if (c == '\\' && i + 1 < body.length) { sb += body.charAt(i + 1); i += 1 }
-        else sb += c
+        // Only \" and \\ are escape sequences; a backslash before any
+        // other character is a literal backslash (so "C:\temp" survives).
+        if (c == '\\' && i + 1 < body.length &&
+            (body.charAt(i + 1) == '"' || body.charAt(i + 1) == '\\')) {
+          sb += body.charAt(i + 1); i += 1
+        } else sb += c
         i += 1
       }
       sb.result()

@@ -12,10 +12,12 @@ import graft.api.WireServer
   *        (defaults to `default=/tmp/graft_serve_store` on an ephemeral
   *        port — `port=8001` pins the reference default; the first name is
   *        the connection default; prints `listening on <port>`.
-  *        `metrics=N` additionally serves Prometheus text on
-  *        `http://host:N/metrics`, the reference's promhttp analog —
-  *        `metrics=0` picks an ephemeral port; scraping also works in-band
-  *        via the `METRICS` wire command)
+  *        `metrics=N` (or `metrics=host:N`) additionally serves Prometheus
+  *        text on `http://host:N/metrics`, the reference's promhttp
+  *        analog — `metrics=0` picks an ephemeral port; the bind host
+  *        defaults to loopback (the scrape exposes db names and traffic
+  *        shape — pass `metrics=0.0.0.0:N` to export beyond the host);
+  *        scraping also works in-band via the `METRICS` wire command)
   */
 object Serve {
   def main(args: Array[String]): Unit = {
@@ -23,8 +25,13 @@ object Serve {
       a.startsWith("port=") || a.startsWith("metrics="))
     val port = optArgs.filter(_.startsWith("port="))
       .lastOption.map(_.stripPrefix("port=").toInt).getOrElse(0)
-    val metricsPort = optArgs.filter(_.startsWith("metrics="))
-      .lastOption.map(_.stripPrefix("metrics=").toInt).getOrElse(-1)
+    val (metricsHost, metricsPort) = optArgs.filter(_.startsWith("metrics="))
+      .lastOption.map(_.stripPrefix("metrics=")) match {
+        case Some(v) if v.contains(':') =>
+          val Array(h, p) = v.split(":", 2); (h, p.toInt)
+        case Some(v) => ("127.0.0.1", v.toInt)
+        case None => ("127.0.0.1", -1)
+      }
     val roots: Seq[(String, String)] =
       if (rootArgs.isEmpty) Seq("default" -> "/tmp/graft_serve_store")
       else rootArgs.map { a =>
@@ -40,10 +47,10 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val server = new WireServer(spark, roots.toMap, roots.head._1,
-      bindPort = port, metricsPort = metricsPort)
+      bindPort = port, metricsPort = metricsPort, metricsHost = metricsHost)
     println(s"listening on ${server.port}")
     if (server.httpMetricsPort >= 0)
-      println(s"metrics on http://0.0.0.0:${server.httpMetricsPort}/metrics")
+      println(s"metrics on http://$metricsHost:${server.httpMetricsPort}/metrics")
     // serve until the process is killed (acceptor runs on a daemon thread)
     Thread.currentThread.join()
   }

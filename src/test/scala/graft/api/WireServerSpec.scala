@@ -275,4 +275,83 @@ class WireServerSpec extends SparkSpec {
       sock.close()
     } finally server.close()
   }
+
+  test("per-database shape gauges track CREATE/APPEND across two stores; " +
+      "JVM runtime section renders in METRICS and /metrics") {
+    val rootA = Files.createTempDirectory("graft_wire_shape_a").toString
+    val rootB = Files.createTempDirectory("graft_wire_shape_b").toString
+    val server = new WireServer(spark, Map("a" -> rootA, "b" -> rootB), "a",
+      fixedClock, metricsPort = 0)
+    try {
+      // both stores are registered and empty before any traffic —
+      // collectors are scrape-time reads of the store, not pushed counters
+      val t0 = server.metrics.render
+      assert(t0.contains("""fossil_database_segments{db_name="a"} 0"""))
+      assert(t0.contains("""fossil_database_segments{db_name="b"} 0"""))
+      assert(t0.contains("""fossil_database_topics{db_name="a"} 0"""))
+      assert(t0.contains("""fossil_database_topics{db_name="b"} 0"""))
+
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+
+      send(out, "CREATE", withTopic("/shape/one", "float64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "CREATE", withTopic("/shape/two", "int64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "APPEND", withTopic("/shape/one", Codec.encode(FossilSchema.SFloat64, 1.5)))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "USE", "b".getBytes(StandardCharsets.UTF_8))
+      assert(codeOf(recv(in)._2) == 201)
+      send(out, "CREATE", withTopic("/other", "string".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+
+      send(out, "METRICS", Array.emptyByteArray)
+      val text = new String(recv(in)._2.drop(4), StandardCharsets.UTF_8)
+      assert(text.contains("# TYPE fossil_database_segments gauge"))
+      assert(text.contains("# TYPE fossil_database_topics gauge"))
+      assert(text.contains("""fossil_database_topics{db_name="a"} 2"""))
+      assert(text.contains("""fossil_database_topics{db_name="b"} 1"""))
+      // a has data files from the append; b has only catalog metadata
+      val segA = server.metrics.render.linesIterator
+        .find(_.startsWith("""fossil_database_segments{db_name="a"}"""))
+        .map(_.split(' ').last.toLong).get
+      assert(segA >= 1, s"expected >=1 segment in a, got $segA")
+      assert(text.contains("""fossil_database_segments{db_name="b"} 0"""))
+
+      // a second append lands at least one more immutable file
+      send(out, "USE", "a".getBytes(StandardCharsets.UTF_8))
+      assert(codeOf(recv(in)._2) == 201)
+      send(out, "APPEND", withTopic("/shape/one", Codec.encode(FossilSchema.SFloat64, 2.5)))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "METRICS", Array.emptyByteArray)
+      val after = new String(recv(in)._2.drop(4), StandardCharsets.UTF_8)
+      val segA2 = after.linesIterator
+        .find(_.startsWith("""fossil_database_segments{db_name="a"}"""))
+        .map(_.split(' ').last.toLong).get
+      assert(segA2 > segA, s"segments did not grow: $segA -> $segA2")
+
+      // JVM runtime section — the Go-collector analog
+      // (pkg/server/metrics.go:43-47) — is part of every scrape
+      assert(after.contains("# TYPE jvm_memory_heap_used_bytes gauge"))
+      val heapUsed = after.linesIterator
+        .find(_.startsWith("jvm_memory_heap_used_bytes "))
+        .map(_.split(' ').last.toLong).get
+      assert(heapUsed > 0)
+      assert(after.contains("# TYPE jvm_gc_collections_total counter"))
+      assert(after.contains("jvm_gc_collection_time_ms_total{gc="))
+      val threadsNow = after.linesIterator
+        .find(_.startsWith("jvm_threads_current "))
+        .map(_.split(' ').last.toLong).get
+      assert(threadsNow > 0)
+
+      // the HTTP scrape carries the same sections
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${server.httpMetricsPort}/metrics").toURL
+      val http = new String(url.openStream().readAllBytes(), StandardCharsets.UTF_8)
+      assert(http.contains("""fossil_database_topics{db_name="a"} 2"""))
+      assert(http.contains("jvm_memory_heap_used_bytes "))
+      sock.close()
+    } finally server.close()
+  }
 }
