@@ -13,6 +13,16 @@ from pathlib import Path
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 
+# target/ hygiene: drop test-report XMLs whose spec source no longer exists
+# (deleted scratch suites otherwise linger in target/test-reports and read
+# as phantom coverage)
+reports = Path("/root/repo/target/test-reports")
+if reports.is_dir():
+    specs = {p.stem for p in Path("/root/repo/src/test/scala").rglob("*.scala")}
+    for xml in reports.glob("TEST-*.xml"):
+        if xml.stem.removeprefix("TEST-").split(".")[-1] not in specs:
+            xml.unlink()
+
 if "--skip-plans" not in sys.argv and "--skip-verify" not in sys.argv:
     # Plan-shape assertions (pushdown, broadcast, no-BNLJ, narrow band joins)
     # gate the same as a hash mismatch: a lost pushdown is a regression even
