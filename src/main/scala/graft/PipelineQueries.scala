@@ -16,6 +16,24 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  /** Per-JVM signature store for the stored-variant incremental dedup row:
+    * the frozen 90% slice's signatures build once per sf dir (the
+    * operator's once-per-corpus cost) and the build is charged to the
+    * bench harness ledger — the row's timed wall is the incremental run
+    * only, which is exactly the quantity the row exists to measure. */
+  private val sigStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def refSigStore(s: SparkSession, d: String): String =
+    sigStoreRoots.computeIfAbsent(d, _ =>
+      Queries.harness("dedup_against_ref_stored") {
+        val root = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+        Queries.deleteOnExit(root)
+        graft.operators.SignatureStore.build(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", root, "ref90")
+        root
+      })
+
   // ---- DuckDB SQL fragments mirroring graft.operators.TextOps ----
 
   /** toks: lowercased whitespace tokens, empties dropped. */
@@ -128,6 +146,24 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text",
+        shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
+        .orderBy("a", "b")
+    }),
+    // the SAME incremental dedup running from a PERSISTED signature store:
+    // the reference side arrives as two parquet scans (bands + shingles,
+    // zero shingle/minhash recompute — Plans.scala gates this) and the
+    // result must be pair-for-pair identical to the inline variant above,
+    // so both rows share one oracle SQL. The store build is the operator's
+    // once-per-corpus cost — done once per JVM and charged to the bench
+    // harness ledger, like the streaming fixtures.
+    "dedup_against_ref_stored" -> ((s, d) => {
+      import graft.operators.SignatureStore
+      val root = refSigStore(s, d)
+      Dedup.minhashPairsAgainstStored(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text",
+        SignatureStore.bands(s, root, "ref90"),
+        SignatureStore.shingles(s, root, "ref90"),
         shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
         .orderBy("a", "b")
     }),
@@ -341,6 +377,14 @@ object PipelineQueries {
       |GROUP BY n.id ORDER BY n.id""".stripMargin.trim,
 
     "dedup_against_ref" -> s"""
+      |WITH ${minhashCrossCtes("doc_id % 10 = 0", "doc_id % 10 != 0")}
+      |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
+      |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    // the stored variant must produce pair-for-pair the inline result —
+    // one oracle, two engine paths (recompute vs persisted signatures)
+    "dedup_against_ref_stored" -> s"""
       |WITH ${minhashCrossCtes("doc_id % 10 = 0", "doc_id % 10 != 0")}
       |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
       |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000

@@ -75,7 +75,7 @@ object Queries {
     * timed wall and reports the total separately (`harness_s`). */
   private[graft] val harnessNs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]
-  private def harness[A](key: String)(body: => A): A = {
+  private[graft] def harness[A](key: String)(body: => A): A = {
     val t0 = System.nanoTime()
     try body finally harnessNs
       .computeIfAbsent(key, _ => new java.util.concurrent.atomic.LongAdder)
@@ -130,7 +130,7 @@ object Queries {
 
   /** Recursive delete at JVM exit — for store fixtures under tmpdir whose
     * lazily-read frames keep the files live for the process lifetime. */
-  private def deleteOnExit(root: String): Unit =
+  private[graft] def deleteOnExit(root: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -99,6 +99,29 @@ object Dedup {
       posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
       .drop("sig"))
 
+  /** `(id, sh)` shingle frame for a corpus — the shared front half of
+    * every minhash path (spread → tokenize → k-word shingles), exposed so
+    * [[SignatureStore]] can persist exactly the frame the inline operators
+    * compute. */
+  private[operators] def shingleFrame(
+      docs: DataFrame, idCol: String, textCol: String, shingleWords: Int): DataFrame =
+    spread(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__text")).as("__toks"))
+      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh"))
+
+  /** `(id, band_ix, band_h)` banded-signature frame from a shingle frame —
+    * the un-cached twin of [[banded]]∘[[withMinhashSig]] for persistence
+    * (the store's parquet write materializes it once; scope-caching would
+    * only add churn). */
+  private[operators] def bandFrame(
+      sh: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
+    withMinhashSig(sh, numHashes)
+      .select(col("id"),
+        posexplode(lshBands(col("sig"), numBands, rowsPerBand)).as(Seq("band_ix", "band_h")))
+  }
+
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4,
@@ -108,9 +131,7 @@ object Dedup {
 
     // action-scoped cache: feeds the signature explode AND both sides of
     // the verify join-back (same lifecycle as `banded`)
-    val sh = OperatorCache.scoped(spread(docs, idCol, textCol)
-      .select(col("id"), tokens(col("__text")).as("__toks"))
-      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh")))
+    val sh = OperatorCache.scoped(shingleFrame(docs, idCol, textCol, shingleWords))
     val b = banded(withMinhashSig(sh, numHashes), numBands, rowsPerBand)
 
     // slim candidate join (ids + band keys), dedup bare pairs, THEN join the
@@ -160,9 +181,8 @@ object Dedup {
       minJaccardE4: Long = 5000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
-    def prep(docs: DataFrame) = OperatorCache.scoped(spread(docs, idCol, textCol)
-      .select(col("id"), tokens(col("__text")).as("__toks"))
-      .select(col("id"), wordShingles(col("__toks"), shingleWords).as("sh")))
+    def prep(docs: DataFrame) =
+      OperatorCache.scoped(shingleFrame(docs, idCol, textCol, shingleWords))
     val shNew = prep(newDocs)
     val shRef = prep(refDocs)
     val bNew = banded(withMinhashSig(shNew, numHashes), numBands, rowsPerBand)
@@ -178,6 +198,37 @@ object Dedup {
     cand
       .join(shNew.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(shRef.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .filter(col("j_e4") >= minJaccardE4)
+      .distinct()
+  }
+
+  /** [[minhashPairsAgainst]] with the reference side PRE-COMPUTED: `refBands`
+    * and `refShingles` are the persisted frames a [[SignatureStore]] serves
+    * (bare parquet scans — zero tokenize/shingle/minhash work on the frozen
+    * corpus, which is the whole point of the daily-crawl shape: the batch
+    * pays its own signatures plus one narrow band join). Parameters must
+    * match the ones the store was built with ([[SignatureStore.Params.tag]]
+    * enforces this at read time); with matching parameters the output is
+    * pair-for-pair identical to the inline variant. Plans.scala gates that
+    * the reference side of this plan stays scan-only. */
+  def minhashPairsAgainstStored(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      refBands: DataFrame, refShingles: DataFrame,
+      shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4,
+      minJaccardE4: Long = 5000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
+    val shNew = OperatorCache.scoped(shingleFrame(newDocs, idCol, textCol, shingleWords))
+    val bNew = banded(withMinhashSig(shNew, numHashes), numBands, rowsPerBand)
+    val cand = bNew.select(col("id").as("a"), col("band_ix"), col("band_h"))
+      .join(refBands.select(col("id").as("b"), col("band_ix"), col("band_h")),
+        Seq("band_ix", "band_h"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    cand
+      .join(shNew.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(refShingles.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
       .distinct()

@@ -1,0 +1,113 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted minhash signatures for incremental cross-corpus dedup.
+  *
+  * [[Dedup.minhashPairsAgainst]]'s scaladoc promises that "a daily-crawl
+  * run pays only the batch's shingles plus a narrow band join" — but the
+  * inline operator recomputes the frozen corpus's shingles and signatures
+  * on every call. This store makes the promise real: build once per
+  * (corpus, params), then every incremental run reads the reference side
+  * as two bare parquet scans ([[bands]] `(id, band_ix, band_h)` for the
+  * candidate join, [[shingles]] `(id, sh)` for the exact-Jaccard verify)
+  * and feeds them to [[Dedup.minhashPairsAgainstStored]].
+  *
+  * The reference engine has no dedup surface (SURVEY §2.5 extension row);
+  * the store layout follows the repo's own ParquetStore conventions —
+  * immutable parquet + a tiny sidecar marker, no new machinery.
+  *
+  * Layout under `root/corpusId/`:
+  *   - `shingles.parquet`  (id, sh array&lt;string&gt;)
+  *   - `bands.parquet`     (id, band_ix, band_h)
+  *   - `_params`           the [[Params.tag]], written LAST as the commit
+  *                         marker: a crashed build leaves no marker and
+  *                         rebuilds on the next call; a parameter change
+  *                         flips the tag and invalidates the store
+  *                         (signatures built under different shingle/hash/
+  *                         band parameters are incomparable — comparing
+  *                         them would silently return garbage pairs).
+  *
+  * 100 TB story: the build is one pass over the corpus (the same
+  * tokenize → shingle → dictionary-minhash → band plan the inline operator
+  * runs), written as partitioned parquet; bands.parquet is ~numHashes rows
+  * of (id, two longs) per document — a few percent of corpus text size —
+  * and the incremental join reads only the band-key columns it needs.
+  */
+object SignatureStore {
+
+  /** Banding parameters baked into a persisted store. */
+  final case class Params(shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4) {
+    require(numBands > 0 && numHashes % numBands == 0, "bands must tile the signature")
+    /** Version-tagged fingerprint; `v1` covers the md5 shingle-hash scheme
+      * ([[TextOps.md5s]]) — bump if the hash family ever changes. */
+    def tag: String = s"minhash.v1;w=$shingleWords;h=$numHashes;b=$numBands"
+  }
+
+  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
+  private def marker(root: String, corpusId: String): Path =
+    dir(root, corpusId).resolve("_params")
+
+  /** True iff a complete store exists for exactly these params. */
+  def isBuilt(root: String, corpusId: String, params: Params): Boolean = {
+    val m = marker(root, corpusId)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == params.tag
+  }
+
+  /** Compute and persist `docs`' signatures; idempotent per
+    * (corpusId, params) — an existing store with a matching tag is left
+    * untouched, anything else (partial build, different params) is wiped
+    * and rebuilt. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      root: String, corpusId: String, params: Params = Params()): Unit = {
+    if (isBuilt(root, corpusId, params)) return
+    val spark = docs.sparkSession
+    val d = dir(root, corpusId)
+    if (Files.exists(d)) rmTree(d)
+    Files.createDirectories(d)
+    Dedup.shingleFrame(docs, idCol, textCol, params.shingleWords)
+      .write.mode("overwrite").parquet(d.resolve("shingles.parquet").toString)
+    // bands derive from the JUST-PERSISTED shingles: the tokenize/shingle
+    // pass runs once, and both artifacts are guaranteed byte-consistent
+    Dedup.bandFrame(
+        spark.read.parquet(d.resolve("shingles.parquet").toString),
+        params.numHashes, params.numBands)
+      .write.mode("overwrite").parquet(d.resolve("bands.parquet").toString)
+    Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Banded signatures `(id, band_ix, band_h)` of a persisted corpus — a
+    * bare parquet scan, NO tokenize/shingle/minhash stages in the plan
+    * (gated in tools/Plans.scala). */
+  def bands(spark: SparkSession, root: String, corpusId: String,
+      params: Params = Params()): DataFrame = {
+    requireBuilt(root, corpusId, params)
+    spark.read.parquet(dir(root, corpusId).resolve("bands.parquet").toString)
+  }
+
+  /** Shingle sets `(id, sh)` of a persisted corpus (exact-verify side). */
+  def shingles(spark: SparkSession, root: String, corpusId: String,
+      params: Params = Params()): DataFrame = {
+    requireBuilt(root, corpusId, params)
+    spark.read.parquet(dir(root, corpusId).resolve("shingles.parquet").toString)
+  }
+
+  private def requireBuilt(root: String, corpusId: String, params: Params): Unit =
+    require(isBuilt(root, corpusId, params),
+      s"signature store $root/$corpusId is missing, incomplete, or was built " +
+        s"with different parameters than ${params.tag} — run SignatureStore.build")
+
+  private def rmTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    Using.resource(Files.walk(p)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

@@ -59,7 +59,7 @@ object Plans {
     // (emb_neardup_srp's hyperplane broadcast is an intentional BNLJ over
     // k·b rows, so it takes only this narrow-band gate, not a no-BNLJ one)
     val narrowBandJoins = Seq("dedup_minhash", "dedup_ngram", "dedup_against_ref",
-      "emb_neardup_lsh", "emb_neardup_srp")
+      "dedup_against_ref_stored", "emb_neardup_lsh", "emb_neardup_srp")
     narrowBandJoins.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val joins = df.queryExecution.sparkPlan.collect {
@@ -72,6 +72,35 @@ object Plans {
       if (!ok) failed += 1
       println(s"[check] $name band joins narrow (no array cols): $ok " +
         s"(${joins.size} band join(s), ${wide.size} wide)")
+    }
+    // dedup_against_ref_stored's contract: the REFERENCE side must be
+    // served from the persisted signature store as bare parquet scans —
+    // NO shingle/minhash recompute. Two machine checks: (a) the plan scans
+    // the store's bands.parquet and shingles.parquet files; (b) the stored
+    // variant carries exactly HALF the inline variant's Generate stages
+    // (shingle explode + band posexplode exist only on the NEW side).
+    locally {
+      // count in the ANALYZED logical plan: the operators scope-cache their
+      // shingle/band frames, and cache substitution would hide the
+      // explodes inside InMemoryRelation subtrees of the physical plan
+      def gens(name: String) =
+        graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }.size
+      val stored = graft.SparkEntry.queries("dedup_against_ref_stored")(spark, sfDir)
+      val scans = stored.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      val hasStoreScans = scans.exists(_.contains("bands.parquet")) &&
+        scans.exists(_.contains("shingles.parquet"))
+      val gInline = gens("dedup_against_ref")
+      val gStored = gens("dedup_against_ref_stored")
+      val halved = gStored * 2 == gInline && gStored > 0
+      val ok = hasStoreScans && halved
+      if (!ok) failed += 1
+      println(s"[check] dedup_against_ref_stored ref side is scan-only: $ok " +
+        s"(store scans: $hasStoreScans, generates inline=$gInline stored=$gStored)")
     }
     // ann_ivf_int8's probe contract: joins keyed on the IVF bucket must
     // carry only the int8-quantized arrays — a full-precision double array

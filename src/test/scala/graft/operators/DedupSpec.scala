@@ -52,6 +52,53 @@ class DedupSpec extends SparkSpec {
     assert(pairs == crossFromSelf)
   }
 
+  test("SignatureStore: stored-variant pairs identical to inline; params tag " +
+      "invalidates; reads are scan-only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sigstore_spec").toString
+    val newDocs = docs.filter(col("doc_id").isin(2L, 3L))
+    val refDocs = docs.filter(col("doc_id").isin(1L, 4L))
+    val params = SignatureStore.Params()
+    SignatureStore.build(refDocs, "doc_id", "text", root, "ref", params)
+    assert(SignatureStore.isBuilt(root, "ref", params))
+    // idempotent: a second build with the same tag leaves the marker alone
+    val markerTime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "ref", "_params"))
+    SignatureStore.build(refDocs, "doc_id", "text", root, "ref", params)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "ref", "_params")) == markerTime)
+
+    val stored = Dedup.minhashPairsAgainstStored(
+      newDocs, "doc_id", "text",
+      SignatureStore.bands(spark, root, "ref", params),
+      SignatureStore.shingles(spark, root, "ref", params),
+      minJaccardE4 = 5000)
+      .select("a", "b", "j_e4").as[(Long, Long, Long)].collect().toSet
+    val inline = Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text",
+      minJaccardE4 = 5000)
+      .select("a", "b", "j_e4").as[(Long, Long, Long)].collect().toSet
+    assert(stored == inline && stored.nonEmpty, s"stored=$stored inline=$inline")
+
+    // the persisted frames read as bare scans: no shingle/minhash stages
+    val bandPlan = SignatureStore.bands(spark, root, "ref", params)
+      .queryExecution.sparkPlan
+    assert(bandPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.isEmpty, "store read must be a bare parquet scan")
+
+    // parameter change invalidates: reads refuse, rebuild replaces
+    val other = SignatureStore.Params(numHashes = 24, numBands = 4)
+    assert(!SignatureStore.isBuilt(root, "ref", other))
+    intercept[IllegalArgumentException] {
+      SignatureStore.bands(spark, root, "ref", other)
+    }
+    SignatureStore.build(refDocs, "doc_id", "text", root, "ref", other)
+    assert(SignatureStore.isBuilt(root, "ref", other) &&
+      !SignatureStore.isBuilt(root, "ref", params))
+    assert(SignatureStore.bands(spark, root, "ref", other)
+      .select(max("band_ix")).head().getInt(0) == 3)
+  }
+
   test("Sampling.stratified: deterministic, rate-shaped, engine-portable buckets") {
     val corpus = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
