@@ -251,6 +251,21 @@ object PipelineQueries {
         "vec_id", "embedding", "vec_id", k = 3)
         .orderBy("q", "rank")
     }),
+    // the production recall knob: same IVF geometry, nprobe=4 — each query
+    // probes its 4 nearest centroids' buckets. The oracle mirrors the
+    // multi-probe (rn <= 4) and the deterministic (sim desc, id) tie-break
+    // survives: corpus rows live in exactly ONE bucket and probed buckets
+    // are distinct per query, so no (q, id) candidate dedup is needed.
+    // Recall >= the nprobe=1 row on the same fixture by construction
+    // (candidate sets are supersets); SimilaritySpec measures the curve.
+    "ann_ivf_probe4" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % mod === 0),
+        "vec_id", "embedding", "vec_id", k = 3, nprobe = 4)
+        .orderBy("q", "rank")
+    }),
     // the int8-probe scale path: quantized bucket scoring + exact re-rank
     // of k*refine candidates — deterministic end to end (integer scores,
     // id tie-breaks), so the oracle reproduces the refine cut exactly;
@@ -529,6 +544,33 @@ object PipelineQueries {
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
       |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0) WHERE rn = 1),
+      |scored AS (
+      |  SELECT p.q, a.id, ${cosE6("a.v", "p.qv")} AS sim_e6
+      |  FROM assigned a JOIN probed p ON a.bucket = p.bucket AND a.id != p.q),
+      |ranked AS (
+      |  SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM scored)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
+
+    // multi-probe IVF: identical CTEs except the probe keeps each query's
+    // 4 nearest centroids (rn <= 4) — candidates are the union of 4
+    // buckets, no dedup needed (corpus rows live in exactly one bucket)
+    "ann_ivf_probe4" -> s"""
+      |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+      |assigned AS (
+      |  SELECT vec_id AS id, embedding AS v, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |probed AS (
+      |  SELECT vec_id AS q, embedding AS qv, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 4),
       |scored AS (
       |  SELECT p.q, a.id, ${cosE6("a.v", "p.qv")} AS sim_e6
       |  FROM assigned a JOIN probed p ON a.bucket = p.bucket AND a.id != p.q),
