@@ -83,43 +83,76 @@ object FossilSchema {
 
   /** Parse a fossil schema DDL string (grammar `docs/schema.md:89-103`).
     * Accepts trailing commas in composites like the reference
-    * (`pkg/schema/encoding_test.go`). */
-  def parse(ddl: String): SType = {
-    val s = ddl.trim
-    if (s.isEmpty) throw new IllegalArgumentException("empty schema")
+    * (`pkg/schema/encoding_test.go`). Errors throw [[SchemaParseException]]
+    * (an `IllegalArgumentException`) whose message carries the
+    * reference-style caret rendering over the offending DDL region. */
+  def parse(ddl: String): SType = parseRegion(ddl, 0, ddl.length)
+
+  /** Parse the [from0, to0) region of `ddl`, tracking absolute offsets so
+    * errors can point a caret at the offending characters of the ORIGINAL
+    * string (nested composite values recurse with their own region). */
+  private def parseRegion(ddl: String, from0: Int, to0: Int): SType = {
+    def err(msg: String, p: Int, e: Int): Nothing =
+      throw new SchemaParseException(msg, p, math.max(e, p + 1), ddl)
+    var from = from0
+    var to = to0
+    while (from < to && ddl.charAt(from).isWhitespace) from += 1
+    while (to > from && ddl.charAt(to - 1).isWhitespace) to -= 1
+    if (from >= to) err("empty schema", from0, to0)
+    val s = ddl.substring(from, to)
     if (s.startsWith("[")) {
       val close = s.indexOf(']')
-      if (close < 0) throw new IllegalArgumentException(s"bad array schema '$s'")
-      val len = s.substring(1, close).trim.toInt
+      if (close < 0) err(s"bad array schema '$s'", from, to)
+      val lenStr = s.substring(1, close).trim
+      val len = try lenStr.toInt catch {
+        case _: NumberFormatException =>
+          err(s"bad array length '$lenStr'", from + 1, from + close)
+      }
+      var ef = from + close + 1
+      while (ef < to && ddl.charAt(ef).isWhitespace) ef += 1
       val elem = s.substring(close + 1).trim
       scalars.get(elem) match {
         case Some(sc) if sc != SString && sc != SBinary => SArray(len, sc)
-        case Some(_) => throw new IllegalArgumentException(
-          s"array element must be fixed-width, got '$elem'")
-        case None => throw new IllegalArgumentException(s"unknown type '$elem'")
+        case Some(_) => err(
+          s"array element must be fixed-width, got '$elem'", ef, ef + elem.length)
+        case None => err(s"unknown type '$elem'", ef, ef + elem.length)
       }
     } else if (s.startsWith("{")) {
-      if (!s.endsWith("}")) throw new IllegalArgumentException(s"bad composite '$s'")
-      val body = s.substring(1, s.length - 1).trim
-      // split on top-level commas (no nested composites allowed)
-      val parts = body.split(",").map(_.trim).filter(_.nonEmpty)
-      val fields = parts.toList.map { p =>
-        val colon = p.indexOf(':')
-        if (colon < 0) throw new IllegalArgumentException(s"bad composite entry '$p'")
-        val rawKey = p.substring(0, colon).trim
-        val key =
-          if (rawKey.length >= 2 && rawKey.startsWith("\"") && rawKey.endsWith("\""))
-            rawKey.substring(1, rawKey.length - 1)
-          else rawKey
-        val v = parse(p.substring(colon + 1))
-        v match {
-          case _: SComposite =>
-            throw new IllegalArgumentException("composite values may not be composites")
-          case _ => (key, v)
+      if (!s.endsWith("}")) err(s"bad composite '$s'", to - 1, to)
+      // split the body region on top-level commas (no nested composites
+      // allowed, so every comma inside the braces is a field separator)
+      val bodyFrom = from + 1
+      val bodyTo = to - 1
+      val segments = {
+        val cuts = (bodyFrom until bodyTo).filter(ddl.charAt(_) == ',')
+        val bounds = (bodyFrom +: cuts.map(_ + 1)) :+ (bodyTo + 1)
+        bounds.sliding(2).map { case Seq(a, b) => (a, math.min(b - 1, bodyTo)) }.toList
+      }
+      val fields = segments.flatMap { case (pf0, pt0) =>
+        var pf = pf0
+        var pt = pt0
+        while (pf < pt && ddl.charAt(pf).isWhitespace) pf += 1
+        while (pt > pf && ddl.charAt(pt - 1).isWhitespace) pt -= 1
+        if (pf >= pt) None // trailing comma / empty segment
+        else {
+          val p = ddl.substring(pf, pt)
+          val colon = p.indexOf(':')
+          if (colon < 0) err(s"bad composite entry '$p'", pf, pt)
+          val rawKey = p.substring(0, colon).trim
+          val key =
+            if (rawKey.length >= 2 && rawKey.startsWith("\"") && rawKey.endsWith("\""))
+              rawKey.substring(1, rawKey.length - 1)
+            else rawKey
+          val v = parseRegion(ddl, pf + colon + 1, pt)
+          v match {
+            case _: SComposite =>
+              err("composite values may not be composites", pf + colon + 1, pt)
+            case _ => Some((key, v))
+          }
         }
       }
       SComposite(fields).sorted
-    } else scalars.getOrElse(s, throw new IllegalArgumentException(s"unknown type '$s'"))
+    } else scalars.getOrElse(s, err(s"unknown type '$s'", from, to))
   }
 
   /** Inverse of [[SType.sparkType]]: the fossil schema a Spark value type
@@ -224,3 +257,15 @@ object FossilSchema {
       case _ => false
     })
 }
+
+/** Schema-DDL parse failure with a reference-style caret rendering over
+  * the offending region of the DDL string (the schema-surface twin of
+  * [[graft.fql.FqlException]] — `pkg/common/parse/error.go:24-40` format,
+  * applied to the CREATE/schema path). Extends IllegalArgumentException so
+  * every existing caller and test that treats a bad DDL as an illegal
+  * argument keeps working. */
+final class SchemaParseException(
+    val rawMessage: String, val pos: Int, val endPos: Int, val input: String)
+    extends IllegalArgumentException(
+      graft.fql.FqlException.caret(rawMessage, pos, endPos, input,
+        "Syntax error found in schema:"))

@@ -89,25 +89,31 @@ final class FqlException(
 
 object FqlException {
   /** Caret-formatted syntax error, reference `FormatError` parity
-    * (`pkg/common/parse/error.go:24-40`): the offending query, then an
+    * (`pkg/common/parse/error.go:24-40`): the offending input, then an
     * underline `^~~~` spanning [pos, endPos) followed by the message.
-    * Errors carrying no input (compiler/runtime stages) keep the plain
+    * Shared by FQL queries, schema DDL ([[graft.engine.FossilSchema]])
+    * and REPL command errors — one renderer, one reference format; the
+    * header names which surface the input came from. */
+  private[graft] def caret(msg: String, pos: Int, endPos: Int, input: String,
+      header: String): String = {
+    val repeat = math.max(endPos - pos - 1, 0)
+    val p = math.min(pos, input.length)
+    // the caret line goes directly under the LINE containing pos, and
+    // its column counts from that line's start — a raw-offset pad would
+    // misalign on any query with embedded newlines (the scanner skips
+    // them as whitespace, so multi-line queries are legal)
+    val lineStart = input.lastIndexOf('\n', math.max(p - 1, 0)) + 1
+    val lineEnd = input.indexOf('\n', p) match { case -1 => input.length; case e => e }
+    val underline = (" " * (p - lineStart)) + "^" + ("~" * repeat) + " " + msg
+    header + "\n" +
+      input.substring(0, lineEnd) + "\n" + underline +
+      (if (lineEnd < input.length) input.substring(lineEnd) else "") + "\n"
+  }
+
+  /** Errors carrying no input (compiler/runtime stages) keep the plain
     * `msg (at offset pos)` shape. */
   private def render(msg: String, pos: Int, endPos: Int, input: String): String =
     if (input == null || pos < 0) {
       if (pos >= 0) s"$msg (at offset $pos)" else msg
-    } else {
-      val repeat = math.max(endPos - pos - 1, 0)
-      val p = math.min(pos, input.length)
-      // the caret line goes directly under the LINE containing pos, and
-      // its column counts from that line's start — a raw-offset pad would
-      // misalign on any query with embedded newlines (the scanner skips
-      // them as whitespace, so multi-line queries are legal)
-      val lineStart = input.lastIndexOf('\n', math.max(p - 1, 0)) + 1
-      val lineEnd = input.indexOf('\n', p) match { case -1 => input.length; case e => e }
-      val caret = (" " * (p - lineStart)) + "^" + ("~" * repeat) + " " + msg
-      "Syntax error found in query:\n" +
-        input.substring(0, lineEnd) + "\n" + caret +
-        (if (lineEnd < input.length) input.substring(lineEnd) else "") + "\n"
-    }
+    } else caret(msg, pos, endPos, input, "Syntax error found in query:")
 }

@@ -30,6 +30,13 @@ import graft.engine.{Codec, FossilSchema}
   *        sbt "runMain graft.tools.Repl fossil://localhost:8001/default"
   */
 object Repl {
+  /** Command vocabularies per loop — the unmatched-input renderer uses
+    * them to distinguish a misspelled command from an incomplete one. */
+  private[tools] val RemoteCommands: Set[String] =
+    Set("query", "append", "create", "list", "stats", "metrics", "version", "use", "quit")
+  private[tools] val LocalCommands: Set[String] =
+    Set("query", "append", "create", "list", "stats", "compact", "format", "quit")
+
   /** S8 output writers (`pkg/repl/writer.go:34-66` analog): one rendered
     * line per row. `table` renders via Spark's own formatter (showString
     * is private — the REPL calls show() directly); csv joins the row
@@ -40,6 +47,24 @@ object Repl {
       case "json" => df.toJSON.collect().toSeq
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
+
+  /** Caret-rendered command error over [from, to) of the input line — the
+    * REPL analog of the FQL / schema-DDL caret renderings (one shared
+    * renderer, reference `FormatError` format). */
+  private[tools] def commandError(line: String, msg: String, from: Int, to: Int): String =
+    graft.fql.FqlException.caret(msg, from, to, line, "Syntax error found in command:")
+
+  /** Locate the unmatched command's leading token and caret it; a token
+    * that IS a known command failed on shape, not spelling, so the message
+    * says incomplete rather than unrecognized. */
+  private[tools] def unrecognized(line: String, known: Set[String]): String = {
+    val tok = line.trim.split("\\s+", 2).head
+    val start = line.indexOf(tok)
+    val msg =
+      if (known(tok)) s"incomplete command '$tok'"
+      else s"unrecognized command '$tok'"
+    commandError(line, msg, start, start + tok.length)
+  }
 
   /** Parse a REPL datum per a schema DDL (the reference REPL encodes via
     * the topic schema client-side, `pkg/repl/parser.go:42-66` →
@@ -185,11 +210,16 @@ object Repl {
               println(s"${e.time}\t${e.topic}\t${e.decoded}\t${e.schema}")
             }
           case "append" :: rest :: Nil =>
-            val Array(topic, data) = rest.split("\\s+", 2)
-            val ddl = effectiveDdl(client.listTopics, topic)
-            client.append(topic,
-              Codec.encode(FossilSchema.parse(ddl), parseDatum(ddl, data)))
-            println("ok")
+            rest.split("\\s+", 2) match {
+              case Array(topic, data) =>
+                val ddl = effectiveDdl(client.listTopics, topic)
+                client.append(topic,
+                  Codec.encode(FossilSchema.parse(ddl), parseDatum(ddl, data)))
+                println("ok")
+              case _ =>
+                println(commandError(t, "append needs <topic> <data>",
+                  t.length, t.length + 1))
+            }
           case "create" :: rest :: Nil if rest.startsWith("topic ") =>
             val parts = rest.stripPrefix("topic ").split("\\s+", 2)
             client.create(parts(0), if (parts.length > 1) parts(1) else "string")
@@ -204,7 +234,7 @@ object Repl {
           case "metrics" :: Nil => print(client.metricsText())
           case "version" :: Nil => println(client.version)
           case "use" :: db :: Nil => client.use(db.trim); println(s"database changed")
-          case other => println(s"unrecognized: ${other.mkString(" ")}")
+          case _ => println(unrecognized(t, RemoteCommands))
         }
       } catch {
         case e: Exception => println(s"error: ${e.getMessage}")
@@ -238,13 +268,18 @@ object Repl {
               case _ => df.show(50, truncate = false)
             }
           case "append" :: rest :: Nil =>
-            val Array(topic, data) = rest.split("\\s+", 2)
-            // parse per the topic's (possibly inherited) schema — numeric
-            // parsing on a string topic would build an ill-typed row
-            val ddl = client.engine.catalog.schemaOf(topic)
-              .map(_.ddl).getOrElse("string")
-            client.append(topic, parseDatum(ddl, data))
-            println("ok")
+            rest.split("\\s+", 2) match {
+              case Array(topic, data) =>
+                // parse per the topic's (possibly inherited) schema — numeric
+                // parsing on a string topic would build an ill-typed row
+                val ddl = client.engine.catalog.schemaOf(topic)
+                  .map(_.ddl).getOrElse("string")
+                client.append(topic, parseDatum(ddl, data))
+                println("ok")
+              case _ =>
+                println(commandError(t, "append needs <topic> <data>",
+                  t.length, t.length + 1))
+            }
           case "create" :: rest :: Nil if rest.startsWith("topic ") =>
             val parts = rest.stripPrefix("topic ").split("\\s+", 2)
             client.createTopic(parts(0), if (parts.length > 1) parts(1) else "string")
@@ -258,8 +293,8 @@ object Repl {
             client.compact().foreach { case (g, b, a) => println(s"$g: $b -> $a files") }
           case "format" :: f :: Nil if Set("table", "csv", "json")(f) =>
             format = f; println(s"format=$f")
-          case other =>
-            println(s"unrecognized: ${other.mkString(" ")}")
+          case _ =>
+            println(unrecognized(t, LocalCommands))
         }
       } catch {
         case e: Exception => println(s"error: ${e.getMessage}")

@@ -31,6 +31,45 @@ class ReplSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { Repl.render(df, "xml") }
   }
 
+  test("schema DDL and REPL command errors render reference-style carets") {
+    import graft.engine.{FossilSchema, SchemaParseException}
+    // bad scalar type: caret spans the unknown token
+    val e1 = intercept[SchemaParseException] { FossilSchema.parse("flaot64") }
+    assert(e1.getMessage ==
+      "Syntax error found in schema:\nflaot64\n^" + ("~" * 6) +
+        " unknown type 'flaot64'\n")
+    // bad array element: caret lands on the element, not the brackets
+    val e2 = intercept[SchemaParseException] { FossilSchema.parse("[4]varchar") }
+    assert(e2.getMessage ==
+      "Syntax error found in schema:\n[4]varchar\n   ^" + ("~" * 6) +
+        " unknown type 'varchar'\n")
+    // bad element INSIDE a composite: caret at the value's own offset
+    val e3 = intercept[SchemaParseException] {
+      FossilSchema.parse("""{"a": int32, "b": intt64}""")
+    }
+    assert(e3.getMessage == "Syntax error found in schema:\n" +
+      """{"a": int32, "b": intt64}""" + "\n" +
+      (" " * 18) + "^" + ("~" * 5) + " unknown type 'intt64'\n")
+    // a SchemaParseException is still an IllegalArgumentException — the
+    // store/catalog contract for bad DDL is unchanged
+    assert(e1.isInstanceOf[IllegalArgumentException])
+    // bad array length
+    val e4 = intercept[SchemaParseException] { FossilSchema.parse("[x]int32") }
+    assert(e4.getMessage ==
+      "Syntax error found in schema:\n[x]int32\n ^ bad array length 'x'\n")
+
+    // REPL command errors: misspelled vs incomplete, caret on the token
+    assert(Repl.unrecognized("frobnicate topics", Repl.LocalCommands) ==
+      "Syntax error found in command:\nfrobnicate topics\n" +
+        "^" + ("~" * 9) + " unrecognized command 'frobnicate'\n")
+    assert(Repl.unrecognized("append", Repl.LocalCommands) ==
+      "Syntax error found in command:\nappend\n^" + ("~" * 5) +
+        " incomplete command 'append'\n")
+    assert(Repl.commandError("append /t", "append needs <topic> <data>", 9, 10) ==
+      "Syntax error found in command:\nappend /t\n" +
+        "         ^ append needs <topic> <data>\n")
+  }
+
   test("parseDatum handles scalar, array and composite literals per schema") {
     import graft.engine.{Codec, FossilSchema}
     assert(Repl.parseDatum("int32", " 42 ") == 42L)
