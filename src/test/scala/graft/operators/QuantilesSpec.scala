@@ -87,6 +87,41 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("quantileCont adversarial distributions: all-equal, two-point masses, " +
+      "ties at bracket edges, extreme ps") {
+    // the approx-bracket + refine plan's hard cases: degenerate sketches
+    // (every bracket endpoint identical), point masses that put the whole
+    // refine slice on one value, and boundary ps where n·p lands exactly
+    // on a tie run's edge — each must still match the buffering built-in
+    // bit-for-bit
+    val ps = Seq(0.0, 0.25, 0.4, 0.5, 0.6, 1.0)
+    val pLit = ps.mkString("array(", ",", ")")
+    val shapes: Seq[(String, Seq[Int])] = Seq(
+      // all values equal, group bigger than the default 200-cell grid
+      ("all-equal", Seq.fill(5000)(42)),
+      // two-point masses at 1%/99% and 50%/50%
+      ("two-point-skewed", Seq.fill(50)(0) ++ Seq.fill(4950)(1000000)),
+      ("two-point-even", Seq.fill(2500)(-7) ++ Seq.fill(2500)(7)),
+      // tie runs sized so n·p for p=0.4/0.6 lands exactly on run edges
+      ("bracket-edge-ties",
+        Seq.fill(2000)(1) ++ Seq.fill(1000)(2) ++ Seq.fill(2000)(3)),
+      // single row and two rows: interpolation endpoints degenerate
+      ("single", Seq(13)),
+      ("pair", Seq(10, 20)))
+    shapes.foreach { case (label, values) =>
+      val df = values.zipWithIndex.map { case (v, i) => (s"g${i % 2}", v) }
+        .toDF("g", "v")
+      val got = Quantiles.quantileCont(df, "g", "v", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val want = df.groupBy("g")
+        .agg(expr(s"percentile(v, $pLit)").as("qs"))
+        .collect().flatMap { r =>
+          ps.zip(r.getSeq[Double](1)).map { case (p, q) => (r.getString(0), p) -> q }
+        }.toMap
+      assert(got == want, s"shape=$label")
+    }
+  }
+
   test("scale contracts: no Percentile buffering, no group-partitioned window") {
     val df = fixture()
     // exact-quantile plan must contain NO Percentile aggregate (the
