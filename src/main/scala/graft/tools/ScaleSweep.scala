@@ -10,31 +10,37 @@ import org.apache.spark.sql.functions._
   * bigger scale (broadcast→BNLJ, narrow band joins→wide).
   *
   * Replica construction keeps the workload shape honest at K×:
-  *  - documents: replica k applies a Caesar cipher (letters shifted by k)
-  *    — a bijection on characters, so every within-replica char-gram and
-  *    word-shingle relationship (Jaccard, minhash, simhash, lengths) is
-  *    preserved EXACTLY while replicas share no letter-bearing shingles.
-  *    Two earlier attempts failed instructively: rotating word order
-  *    preserves consecutive shingles (replicas became near-dups, pairs
-  *    ~90x past 10x), and suffixing tokens with `~k` injected common
-  *    char-grams that inflated within-replica background Jaccard ~350x;
+  *  - documents: replica k applies a seeded substitution cipher (a
+  *    Fisher-Yates permutation of the alphabet keyed by k; k = 0 is the
+  *    identity) — a bijection on characters, so every within-replica
+  *    char-gram and word-shingle relationship (Jaccard, minhash, simhash,
+  *    lengths) is preserved EXACTLY while cross-replica shingle collisions
+  *    need every character to map identically (vanishing probability).
+  *    The permutation generalizes the earlier Caesar rotation, whose
+  *    26-shift wrap capped the sweep at 26×. Two earlier attempts failed
+  *    instructively: rotating word order preserves consecutive shingles
+  *    (replicas became near-dups, pairs ~90x past 10x), and suffixing
+  *    tokens with `~k` injected common char-grams that inflated
+  *    within-replica background Jaccard ~350x;
   *  - embeddings: replica k multiplies every vector by one deterministic
   *    ±1 sign pattern — an isometry (all within-replica dot products and
   *    norms are EXACTLY preserved) while cross-replica cosines scramble
   *    toward 0, so near-dup/ANN structure replicates without cross talk.
   *
   * Drive: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScaleSweep 10"
+  *        (optional second arg: comma-separated op subset, e.g.
+  *        `ScaleSweep 30 emb_neardup_srp,dedup_minhash` — the 30×+ deep
+  *        sweep targets the headline-linear ops without paying the full
+  *        battery at that scale)
   * Output: target/scale_sweep.json + human table on stdout; nonzero exit
   * on any plan-invariant failure at scale.
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
-    // the Caesar shift wraps at 26: replica 26 would be byte-identical to
-    // the base corpus, silently planting exact duplicates and invalidating
-    // every "linear" conclusion — refuse rather than mislead
-    require(factor >= 2 && factor <= 26,
-      s"factor must be in [2, 26] (letter-shift bijection wraps at 26), got $factor")
+    require(factor >= 2 && factor <= 200, s"factor must be in [2, 200], got $factor")
+    val subset: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet) else None
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale${factor}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,7 +87,9 @@ object ScaleSweep {
       // single-task-sort cliff the distributed rewrites remove. Both
       // must scale ~linearly in corpus size.
       ("q_percentile_exact", "linear"), ("q_ntile", "linear"),
-      ("dedup_against_ref", "linear"), ("doc_sample_stratified", "linear"))
+      ("dedup_against_ref", "linear"), ("dedup_against_ref_stored", "linear"),
+      ("doc_sample_stratified", "linear"))
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
     ops.foreach { case (n, _) =>
@@ -89,10 +97,18 @@ object ScaleSweep {
       catch { case _: Throwable => () }
     }
 
+    // harness-aware timing (same accounting as Bench/TimeSome): streaming
+    // fixture writes / sig-store builds are charged to Queries.harnessNs
+    // and excluded — the sweep compares ENGINE scaling, and a 1× run that
+    // pays a fixture write against a K× run that doesn't (or vice versa)
+    // would corrupt the ratio
+    def harnessOf(n: String): Long =
+      Option(graft.Queries.harnessNs.get(n)).map(_.sum()).getOrElse(0L)
     def time(name: String, dir: String): (Double, Long) = {
+      val h0 = harnessOf(name)
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(name)(spark, dir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9 - (harnessOf(name) - h0) / 1e9
       spark.catalog.clearCache()
       (dt, rows)
     }
@@ -115,6 +131,16 @@ object ScaleSweep {
     // plan invariants at the K× scale — same walks as Plans.scala
     failed += planChecks(spark, out)
 
+    // SRP recall curve: auto-sized bits grow ~log2(n), and per-band
+    // collision probability for a fixed angle θ decays as (1−θ/π)^bits —
+    // measure recall on planted ~0.9-cosine pairs at 1× and K× to record
+    // where the default 8 bands start needing help (r7 VERDICT #4)
+    val recallRows = Seq(base, out).map { dir =>
+      val (n, bits, planted, found, recall) = srpRecall(spark, dir)
+      println(f"[srp-recall] dir=$dir n=$n bits=$bits planted=$planted found=$found recall=$recall%.3f")
+      s"""{"n":$n,"bits":$bits,"planted":$planted,"found":$found,"recall":${f2(recall)}}"""
+    }
+
     def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val json = results.map { case (n, kind, t1, tk, ratio, r1, rk, ok) =>
       s""""$n":{"kind":"$kind","t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(ratio)},"rows1x":$r1,"rows${factor}x":$rk,"ok":$ok}"""
@@ -122,10 +148,54 @@ object ScaleSweep {
     val p = java.nio.file.Paths.get("target", "scale_sweep.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p,
-      s"""{"factor":$factor,"cpus":$cpus,"results":$json}"""
+      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed scale checks FAILED"); sys.exit(1) }
+  }
+
+  private def f2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", d)
+
+  /** SRP recall probe: plant a companion at ~0.9 cosine for every
+    * ~n/200th corpus vector (companion = 0.9·v + 0.436·shift(v), where
+    * shift rotates component indices — deterministic, no RNG; the exact
+    * cosine of each planted pair is computed as ground truth, so the
+    * construction's small spread around 0.9 cannot bias the measurement),
+    * run the production SRP path at 850000 e6, and report the fraction of
+    * ground-truth pairs (exact cosine ≥ threshold) the banding recovered.
+    * Returns (corpus n, auto-sized bits, planted ground truth, found,
+    * recall). */
+  private def srpRecall(spark: SparkSession, dir: String): (Long, Int, Long, Long, Double) = {
+    import graft.operators.Similarity
+    val minE6 = 850000L
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = e.agg(max("vec_id")).first().getLong(0) + 1
+    val n = e.count()
+    val a = 0.9
+    val b = math.sqrt(1 - a * a)
+    val step = math.max(n / 200L, 1L)
+    val samples = e.filter(col("vec_id") % step === 0)
+    val planted = samples.select((col("vec_id") + maxId).as("vec_id"),
+      expr(s"""transform(embedding, (x, i) -> CAST($a * x +
+          $b * element_at(embedding, CAST(pmod(i + 7, size(embedding)) AS INT) + 1) AS FLOAT))""")
+        .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val total = n + samples.count()
+    val bits = math.max(8, math.ceil(math.log(total.toDouble) / math.log(2)).toInt)
+    val gt = samples.select(col("vec_id"), col("embedding").as("v"))
+      .join(planted.select((col("vec_id") - maxId).as("vec_id"), col("embedding").as("w")),
+        Seq("vec_id"))
+      .filter(Similarity.cosineE6(col("v").cast("array<double>"),
+        col("w").cast("array<double>")) >= minE6)
+      .count()
+    val found = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
+        minCosineE6 = minE6)
+      .filter(col("b") === col("a") + maxId)
+      .count()
+    spark.catalog.clearCache()
+    (total, bits, gt, found, if (gt == 0) 0.0 else found.toDouble / gt)
   }
 
   private def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
@@ -138,9 +208,24 @@ object ScaleSweep {
     val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
+    // seeded Fisher-Yates permutation per replica: a full substitution
+    // cipher (26! keys, no 26-shift wrap) — k = 0 stays the identity so
+    // the base corpus is preserved verbatim; duplicate permutations
+    // across replicas are re-rolled (two identical ciphers would plant
+    // exact cross-replica duplicates and corrupt every "linear" ratio)
+    val used = scala.collection.mutable.Set.empty[String]
     val shifts = (0 until factor).map { k =>
-      val rot = lower.drop(k % 26) + lower.take(k % 26)
-      (k, lower + lower.toUpperCase, rot + rot.toUpperCase)
+      var seed = k
+      var perm = if (k == 0) lower else {
+        val r = new scala.util.Random(seed)
+        r.shuffle(lower.toList).mkString
+      }
+      while (used.contains(perm)) {
+        seed += 1000003
+        perm = new scala.util.Random(seed).shuffle(lower.toList).mkString
+      }
+      used += perm
+      (k, lower + lower.toUpperCase, perm + perm.toUpperCase)
     }
     val shiftCase = shifts.map { case (k, from, to) =>
       s"WHEN k = $k THEN translate(text, '$from', '$to')"
