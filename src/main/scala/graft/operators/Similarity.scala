@@ -206,6 +206,33 @@ object Similarity {
     * mirroring the generation in the oracle dialect would test the
     * oracle, not the operator — the battery row's fixture makes the final
     * RESULT oracle-expressible instead). */
+  /** Bands needed for a target recall under SRP banding — the sizing rule
+    * the measured recall curve validates (BASELINE.md round 8: observed
+    * recall tracked 1−(1−(1−θ/π)^bits)^bands within noise at n up to
+    * 60k). Auto-sized bits grow with ⌈log₂ n⌉ to keep candidates linear,
+    * which makes per-band collision probability p = (1−θ/π)^bits DECAY
+    * with corpus growth — a fixed band count silently loses recall as the
+    * corpus scales (the default 8 bands recover ~7% of 0.9-cosine pairs
+    * at n = 10⁹). This inverts the model: bands = ⌈ln(1−target)/ln(1−p)⌉,
+    * so a pipeline can hold recall FIXED and pay the explicit linear cost
+    * of more bands instead. `minCosineE6` is the TIGHTEST angle you need
+    * recovered (recall at looser angles is strictly lower). */
+  def srpBandsForRecall(
+      n: Long, minCosineE6: Long, targetRecall: Double,
+      bitsPerBand: Int = 0): Int = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"target recall must be in (0, 1), got $targetRecall")
+    require(minCosineE6 > 0 && minCosineE6 < 1000000,
+      s"minCosineE6 must be in (0, 1e6), got $minCosineE6")
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else math.max(8, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    val theta = math.acos(minCosineE6 / 1e6)
+    val p = math.pow(1.0 - theta / math.Pi, bits)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt)
+  }
+
   def nearDupPairsSrp(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
       bitsPerBand: Int = 0, numBands: Int = 8, seed: Int = 42): DataFrame = {

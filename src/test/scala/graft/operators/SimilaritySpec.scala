@@ -170,6 +170,54 @@ class SimilaritySpec extends SparkSpec {
     } yield (a, b, s)).toSet
   }
 
+  test("srpBandsForRecall inverts the banding model; sized bands hit the target " +
+      "on mid-angle planted pairs") {
+    import Similarity.srpBandsForRecall
+    // consistency with the measured round-8 curve (BASELINE.md): the
+    // default 8 bands delivered ~0.715 recall at n=2200 / cos 0.9 — the
+    // model should size ~8 bands for targets just under that
+    assert(srpBandsForRecall(2200, 900000, 0.70) == 8)
+    // monotonicity: recall target up → bands up; corpus up (bits up,
+    // per-band p down) → bands up; tighter angle (higher cosine) → fewer
+    assert(srpBandsForRecall(2200, 900000, 0.95) > srpBandsForRecall(2200, 900000, 0.5))
+    assert(srpBandsForRecall(60200, 900000, 0.7) > srpBandsForRecall(2200, 900000, 0.7))
+    assert(srpBandsForRecall(2200, 990000, 0.7) <= srpBandsForRecall(2200, 900000, 0.7))
+    // the n=1e9 extrapolation the curve section quotes: default 8 bands
+    // collapse, the model prices the fix
+    val bandsAtBillion = srpBandsForRecall(1000000000L, 900000, 0.9)
+    assert(bandsAtBillion > 100 && bandsAtBillion < 2000, s"got $bandsAtBillion")
+
+    // empirical: plant MID-ANGLE pairs (~0.9 cosine — the regime where 8
+    // bands lose recall), size bands for 0.95, and beat a 0.85 floor
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val n = 300
+    def randVec() = Array.fill(dim)((rnd.nextGaussian() / math.sqrt(dim)).toFloat)
+    val base = (0 until n).map(i => (i.toLong, randVec()))
+    val a = 0.9
+    val b = math.sqrt(1 - a * a)
+    val planted = (0 until 60).map { i =>
+      val v = base(i)._2
+      val u = randVec()
+      ((n + i).toLong, v.zip(u).map { case (x, y) => (a * x + b * y).toFloat })
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val minE6 = 850000L
+    val truth = naivePairs(corpus, minE6)
+      .collect { case (x, y, _) if y == x + n => (x, y) }
+    assert(truth.size >= 30, s"fixture degenerate: ${truth.size} true pairs")
+    val bands = srpBandsForRecall(n + 60L, minE6, 0.95)
+    val got = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding", minE6,
+        numBands = bands)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recovered = truth.count(got.contains)
+    val recall = recovered.toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall with $bands bands (target 0.95)")
+    // and every returned pair is exact-verified: no false positives ever
+    val all = naivePairs(corpus, minE6).map { case (x, y, _) => (x, y) }
+    assert(got.subsetOf(all))
+  }
+
   test("blocked nearDupPairs matches naive all-pairs exactly (all block counts)") {
     val corpus = plantedCorpus(n = 120, dim = 16, planted = 10)
     val expect = naivePairs(corpus, 450000)
