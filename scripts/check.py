@@ -13,14 +13,19 @@ from pathlib import Path
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 
-# target/ hygiene: drop test-report XMLs whose spec source no longer exists
+# target/ hygiene: drop test-report XMLs whose suite CLASS no longer exists
 # (deleted scratch suites otherwise linger in target/test-reports and read
-# as phantom coverage)
+# as phantom coverage). Matching must be against declared class names, not
+# file stems — a suite defined inside a differently-named file (e.g.
+# ConnectionStringSpec in RemoteClientSpec.scala) is live coverage.
+import re
 reports = Path("/root/repo/target/test-reports")
 if reports.is_dir():
-    specs = {p.stem for p in Path("/root/repo/src/test/scala").rglob("*.scala")}
+    classes = set()
+    for p in Path("/root/repo/src/test/scala").rglob("*.scala"):
+        classes |= set(re.findall(r"\bclass\s+(\w+)", p.read_text()))
     for xml in reports.glob("TEST-*.xml"):
-        if xml.stem.removeprefix("TEST-").split(".")[-1] not in specs:
+        if xml.stem.removeprefix("TEST-").split(".")[-1] not in classes:
             xml.unlink()
 
 if "--skip-plans" not in sys.argv and "--skip-verify" not in sys.argv:

@@ -55,6 +55,22 @@ final class WireServer(
     * endpoint (the reference's promhttp analog, `pkg/server/metrics.go`). */
   val metrics = new ServerMetrics
 
+  // ONE client (→ one ParquetStore, one live catalog) per root, shared by
+  // every connection: per-connection store instances would each snapshot
+  // catalog.json at connect time and clobber each other's topic registry
+  // on persist (lost-update). Mutating store ops serialize inside
+  // ParquetStore; the catalog itself is a concurrent map.
+  private val clients: Map[String, LocalClient] =
+    storeRoots.map { case (name, root) => name -> new LocalClient(spark, root, clock) }
+
+  // one shape collector per attached store, evaluated on every scrape
+  // (reference: server registers NewDBStatsCollector per opened database).
+  // Registered BEFORE the HTTP endpoint below starts serving, so even a
+  // scrape landing in the construction window carries the db gauges.
+  clients.foreach { case (name, client) =>
+    metrics.registerDatabase(name, () => client.storeShape)
+  }
+
   private val metricsHttp: Option[com.sun.net.httpserver.HttpServer] =
     if (metricsPort < 0) None
     else {
@@ -78,20 +94,6 @@ final class WireServer(
   /** Bound HTTP metrics port (-1 when the endpoint is disabled). */
   def httpMetricsPort: Int =
     metricsHttp.map(_.getAddress.getPort).getOrElse(-1)
-
-  // ONE client (→ one ParquetStore, one live catalog) per root, shared by
-  // every connection: per-connection store instances would each snapshot
-  // catalog.json at connect time and clobber each other's topic registry
-  // on persist (lost-update). Mutating store ops serialize inside
-  // ParquetStore; the catalog itself is a concurrent map.
-  private val clients: Map[String, LocalClient] =
-    storeRoots.map { case (name, root) => name -> new LocalClient(spark, root, clock) }
-
-  // one shape collector per attached store, evaluated on every scrape
-  // (reference: server registers NewDBStatsCollector per opened database)
-  clients.foreach { case (name, client) =>
-    metrics.registerDatabase(name, () => client.storeShape)
-  }
 
   private val server = new ServerSocket(bindPort) // 0 = ephemeral port
   def port: Int = server.getLocalPort

@@ -223,19 +223,30 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * (the reference gauge `fossil_database_segments` counts WAL segments,
     * `pkg/server/dbmetrics.go:73-77`; here a "segment" is one immutable
     * columnar file, the unit [[compact]] consolidates). Pure filesystem
-    * walk, no Spark job; dot-prefixed temp dirs (mid-compact) are skipped
+    * walk, no Spark job. Synchronized on the store so the lazy walk never
+    * races this store's own append/compact renames (a path enumerated
+    * then deleted mid-walk throws from the stream and would fail the
+    * whole metrics scrape — the scrape briefly waiting on the store lock
+    * beats a failed scrape); dot- and underscore-prefixed components
+    * (mid-compact temp trees, Spark `_temporary` staging) are skipped
     * the same way Spark scans skip them. */
-  def segmentCount: Long = {
+  def segmentCount: Long = synchronized {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
     val dataDir = Paths.get(root, "data")
     if (!Files.exists(dataDir)) return 0L
-    Using.resource(Files.walk(dataDir)) { s =>
+    def hidden(c: String) = c.startsWith(".") || c.startsWith("_")
+    try Using.resource(Files.walk(dataDir)) { s =>
       s.iterator().asScala.count { p =>
         p.getFileName.toString.endsWith(".parquet") &&
           !dataDir.relativize(p).iterator().asScala
-            .exists(_.toString.startsWith("."))
+            .exists(seg => hidden(seg.toString))
       }.toLong
+    } catch {
+      // non-store writers (external cleanup, operator rm) can still yank
+      // paths mid-walk; a gauge read must degrade, not throw through the
+      // scrape — report the directory as momentarily uncountable
+      case _: java.io.UncheckedIOException | _: java.io.IOException => 0L
     }
   }
 

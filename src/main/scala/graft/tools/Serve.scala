@@ -25,10 +25,19 @@ object Serve {
       a.startsWith("port=") || a.startsWith("metrics="))
     val port = optArgs.filter(_.startsWith("port="))
       .lastOption.map(_.stripPrefix("port=").toInt).getOrElse(0)
+    // split host:port on the LAST colon and strip IPv6 brackets, so
+    // `metrics=[::1]:9090` works and a malformed value fails with a clear
+    // usage error instead of a bare NumberFormatException
     val (metricsHost, metricsPort) = optArgs.filter(_.startsWith("metrics="))
       .lastOption.map(_.stripPrefix("metrics=")) match {
         case Some(v) if v.contains(':') =>
-          val Array(h, p) = v.split(":", 2); (h, p.toInt)
+          val cut = v.lastIndexOf(':')
+          val h = v.substring(0, cut).stripPrefix("[").stripSuffix("]")
+          val p = v.substring(cut + 1)
+          if (h.isEmpty || !p.forall(_.isDigit) || p.isEmpty)
+            throw new IllegalArgumentException(
+              s"metrics= expects PORT or HOST:PORT (IPv6 in brackets), got '$v'")
+          (h, p.toInt)
         case Some(v) => ("127.0.0.1", v.toInt)
         case None => ("127.0.0.1", -1)
       }
