@@ -59,9 +59,12 @@ object Dedup {
     * carry...)` frame: every DISTINCT shingle is salted-md5-hashed once,
     * then per-doc signature elements are partial-aggregated mins — the same
     * value as hashing every occurrence (min over a set), at a fraction of
-    * the hash work. The shingle dictionary is broadcast here (word-soup
-    * vocabularies are small); at open-vocabulary corpus scale drop the hint
-    * and it becomes a plain shuffle join on the shingle — still one pass.
+    * the hash work. The dictionary join carries NO broadcast hint: the
+    * dict grows with the open vocabulary (the 100× sweep measured a
+    * forced broadcast collecting >1 GB of shingle+hash arrays to the
+    * driver and aborting on maxResultSize), so AQE picks broadcast when
+    * the dict is genuinely small and a plain shuffle join on the shingle
+    * key otherwise — still one pass either way.
     * Returns `(id, carry..., sig)` ONLY — shingle arrays stay behind in the
     * caller's scope-cached base frame and join back by id after candidate
     * dedup.
@@ -74,7 +77,7 @@ object Dedup {
         h => md5s(concat(h.cast("string"), lit("|"), col("s")))))
     val minCols = (0 until numHashes).map(h => min(element_at(col("hv"), h + 1)).as(s"__m$h"))
     val aggs = minCols ++ carry.map(c => min(col(c)).as(c))
-    ex.join(broadcast(dict), Seq("s"), "left")
+    ex.join(dict, Seq("s"), "left")
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id") +: carry.map(col) :+
