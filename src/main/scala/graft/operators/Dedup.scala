@@ -284,7 +284,11 @@ object Dedup {
 
   /** Per-document 64-bit SimHash fingerprints (16-char hex), dictionary
     * encoded: each DISTINCT token is md5-hashed once, occurrences stream
-    * through the partial-aggregating [[SimhashAgg]]. */
+    * through the partial-aggregating [[SimhashAgg]]. The dictionary join
+    * carries no broadcast hint for the same reason as [[withMinhashSig]]:
+    * a token vocabulary is open-ended, and a forced broadcast turns into
+    * a driver maxResultSize abort at corpus scale — AQE broadcasts small
+    * dicts and shuffle-joins on the token otherwise. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.functions.udaf
     val sim = udaf(SimhashAgg,
@@ -293,7 +297,7 @@ object Dedup {
       .select(col("id"), explode_outer(tokens(col("__text"))).as("t"))
     val dict = ex.filter(col("t").isNotNull).select("t").distinct()
       .withColumn("h", md5s(col("t")))
-    ex.join(broadcast(dict), Seq("t"), "left")
+    ex.join(dict, Seq("t"), "left")
       .groupBy("id")
       .agg(sim(col("h")).as("simhash"))
   }
