@@ -21,11 +21,20 @@ outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 import re
 reports = Path("/root/repo/target/test-reports")
 if reports.is_dir():
-    classes = set()
+    # Build PACKAGE-QUALIFIED suite names (package decl + declared classes,
+    # including backtick-quoted names) so a report is pruned only when its
+    # fully-qualified suite has no declaration anywhere — and log each
+    # deletion so pruning is auditable rather than silent (round-8 ADVICE).
+    qualified = set()
     for p in Path("/root/repo/src/test/scala").rglob("*.scala"):
-        classes |= set(re.findall(r"\bclass\s+(\w+)", p.read_text()))
+        text = p.read_text()
+        pkg = re.search(r"^\s*package\s+([\w.]+)", text, re.M)
+        prefix = pkg.group(1) + "." if pkg else ""
+        for name in re.findall(r"\bclass\s+(?:`([^`]+)`|(\w+))", text):
+            qualified.add(prefix + (name[0] or name[1]))
     for xml in reports.glob("TEST-*.xml"):
-        if xml.stem.removeprefix("TEST-").split(".")[-1] not in classes:
+        if xml.stem.removeprefix("TEST-") not in qualified:
+            print(f"pruning orphaned test report: {xml.name}", file=sys.stderr)
             xml.unlink()
 
 if "--skip-plans" not in sys.argv and "--skip-verify" not in sys.argv:

@@ -63,9 +63,15 @@ object Bench {
     calibrate() // warm the probe's plan like every other query
 
     // harness_s must describe the BATTERY's fixture I/O — snapshot the
-    // ledger here so warm-up fixture builds at sf0.001 (never inside any
-    // timed wall) don't inflate the reported number
+    // ledger here (total AND per key) so warm-up fixture builds at
+    // sf0.001 (never inside any timed wall) don't inflate the reported
+    // number, and so the sidecar's per-key map sums to harness_s instead
+    // of mixing in warm-up totals (round-8 ADVICE)
     val harnessAtStart = harnessTotalNs
+    val harnessAtStartByKey: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Queries.harnessNs.asScala.map { case (k, v) => k -> v.sum() }.toMap
+    }
 
     val calibs = collection.mutable.ArrayBuffer.empty[Double]
     val passes = (0 until 3).map { _ =>
@@ -102,8 +108,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val hs = {
       import scala.jdk.CollectionConverters._
+      // battery-only deltas (warm-up snapshot subtracted): sums to harness_s
       Queries.harnessNs.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\":" + f(v.sum() / 1e9)
+        val delta = v.sum() - harnessAtStartByKey.getOrElse(k, 0L)
+        "\"" + k + "\":" + f(delta / 1e9)
       }.mkString("{", ",", "}")
     }
     val sidecar = java.nio.file.Paths.get("target", "bench_runs.json")

@@ -94,6 +94,10 @@ final class WireServer(
   /** Bound HTTP metrics port (-1 when the endpoint is disabled). */
   def httpMetricsPort: Int =
     metricsHttp.map(_.getAddress.getPort).getOrElse(-1)
+  /** Bound HTTP metrics bind address (None when disabled) — loopback
+    * unless `metricsHost` explicitly widened it. */
+  private[api] def httpMetricsAddress: Option[java.net.InetAddress] =
+    metricsHttp.map(_.getAddress.getAddress)
 
   private val server = new ServerSocket(bindPort) // 0 = ephemeral port
   def port: Int = server.getLocalPort

@@ -230,23 +230,44 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * beats a failed scrape); dot- and underscore-prefixed components
     * (mid-compact temp trees, Spark `_temporary` staging) are skipped
     * the same way Spark scans skip them. */
-  def segmentCount: Long = synchronized {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
+  def segmentCount: Long = {
     val dataDir = Paths.get(root, "data")
     if (!Files.exists(dataDir)) return 0L
+    segmentCountOrDegrade(() => walkSegmentCount(dataDir))
+  }
+
+  // last successful walk result, served when a walk degrades (below) so a
+  // transient filesystem race reads as "stale gauge", not a false drop to
+  // 0 segments that trips alerting (round-8 ADVICE)
+  private var lastGoodSegmentCount = 0L
+
+  /** Run `walk`, remembering its result; on a mid-walk I/O failure serve
+    * the LAST SUCCESSFUL count instead. Non-store writers (external
+    * cleanup, operator rm) can yank paths mid-walk, and a gauge read must
+    * degrade, not throw through the scrape — but before this seam it
+    * degraded to 0, indistinguishable from a genuinely empty store. */
+  private[engine] def segmentCountOrDegrade(walk: () => Long): Long =
+    synchronized {
+      try {
+        val n = walk()
+        lastGoodSegmentCount = n
+        n
+      } catch {
+        case _: java.io.UncheckedIOException | _: java.io.IOException =>
+          lastGoodSegmentCount
+      }
+    }
+
+  private def walkSegmentCount(dataDir: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
     def hidden(c: String) = c.startsWith(".") || c.startsWith("_")
-    try Using.resource(Files.walk(dataDir)) { s =>
+    Using.resource(Files.walk(dataDir)) { s =>
       s.iterator().asScala.count { p =>
         p.getFileName.toString.endsWith(".parquet") &&
           !dataDir.relativize(p).iterator().asScala
             .exists(seg => hidden(seg.toString))
       }.toLong
-    } catch {
-      // non-store writers (external cleanup, operator rm) can still yank
-      // paths mid-walk; a gauge read must degrade, not throw through the
-      // scrape — report the directory as momentarily uncountable
-      case _: java.io.UncheckedIOException | _: java.io.IOException => 0L
     }
   }
 

@@ -230,8 +230,23 @@ object Similarity {
       else math.max(8, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
     val theta = math.acos(minCosineE6 / 1e6)
     val p = math.pow(1.0 - theta / math.Pi, bits)
-    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt)
+    val bands = math.ceil(math.log1p(-targetRecall) / math.log1p(-p))
+    // For loose angles at huge n, p → 0 and the band count explodes; a
+    // silent Double→Int saturation at Int.MaxValue would "succeed" into an
+    // absurd plan. Fail with the infeasible combination instead — each
+    // band is a full pass over the corpus, so anything past this ceiling
+    // is a mis-sizing, not a plan (round-8 ADVICE).
+    require(bands <= MaxSrpBands,
+      s"infeasible SRP sizing: recall $targetRecall at cosine " +
+        s"${minCosineE6 / 1e6} over n=$n needs ${bands.toLong} bands " +
+        s"(> $MaxSrpBands); per-band collision probability $p is too " +
+        "small — lower bitsPerBand, loosen the target, or tighten the angle")
+    math.max(1, bands.toInt)
   }
+
+  /** Sanity ceiling for [[srpBandsForRecall]]: each band is a full
+    * corpus pass, so a sizing past this is infeasible by construction. */
+  val MaxSrpBands: Int = 4096
 
   def nearDupPairsSrp(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,

@@ -20,25 +20,37 @@ import graft.api.WireServer
   *        scraping also works in-band via the `METRICS` wire command)
   */
 object Serve {
+  /** Parse a `metrics=` value into (bindHost, port). Splits host:port on
+    * the LAST colon and strips IPv6 brackets, so `metrics=[::1]:9090`
+    * works — and an UNBRACKETED IPv6 like `metrics=::1` is rejected here
+    * with the usage error (the last-colon split would otherwise pass
+    * host ":" through validation and fail much later with an opaque
+    * UnknownHostException). Malformed ports likewise fail here instead of
+    * as a bare NumberFormatException. */
+  private[tools] def parseMetricsArg(v: String): (String, Int) =
+    if (v.contains(':')) {
+      val cut = v.lastIndexOf(':')
+      val rawH = v.substring(0, cut)
+      val bracketed = rawH.startsWith("[") && rawH.endsWith("]")
+      val h = rawH.stripPrefix("[").stripSuffix("]")
+      val p = v.substring(cut + 1)
+      if (h.isEmpty || p.isEmpty || !p.forall(_.isDigit) ||
+          (h.contains(':') && !bracketed))
+        throw new IllegalArgumentException(
+          s"metrics= expects PORT or HOST:PORT (IPv6 in brackets), got '$v'")
+      (h, p.toInt)
+    } else if (v.nonEmpty && v.forall(_.isDigit)) ("127.0.0.1", v.toInt)
+    else throw new IllegalArgumentException(
+      s"metrics= expects PORT or HOST:PORT (IPv6 in brackets), got '$v'")
+
   def main(args: Array[String]): Unit = {
     val (optArgs, rootArgs) = args.toSeq.partition(a =>
       a.startsWith("port=") || a.startsWith("metrics="))
     val port = optArgs.filter(_.startsWith("port="))
       .lastOption.map(_.stripPrefix("port=").toInt).getOrElse(0)
-    // split host:port on the LAST colon and strip IPv6 brackets, so
-    // `metrics=[::1]:9090` works and a malformed value fails with a clear
-    // usage error instead of a bare NumberFormatException
     val (metricsHost, metricsPort) = optArgs.filter(_.startsWith("metrics="))
       .lastOption.map(_.stripPrefix("metrics=")) match {
-        case Some(v) if v.contains(':') =>
-          val cut = v.lastIndexOf(':')
-          val h = v.substring(0, cut).stripPrefix("[").stripSuffix("]")
-          val p = v.substring(cut + 1)
-          if (h.isEmpty || !p.forall(_.isDigit) || p.isEmpty)
-            throw new IllegalArgumentException(
-              s"metrics= expects PORT or HOST:PORT (IPv6 in brackets), got '$v'")
-          (h, p.toInt)
-        case Some(v) => ("127.0.0.1", v.toInt)
+        case Some(v) => parseMetricsArg(v)
         case None => ("127.0.0.1", -1)
       }
     val roots: Seq[(String, String)] =

@@ -258,6 +258,10 @@ class WireServerSpec extends SparkSpec {
 
       // HTTP scrape endpoint (promhttp analog) serves the same exposition
       assert(server.httpMetricsPort > 0)
+      // ...and binds LOOPBACK by default: the scrape exposes db names and
+      // traffic shape, so the wildcard address must be an explicit opt-in
+      assert(server.httpMetricsAddress.exists(_.isLoopbackAddress),
+        s"metrics endpoint bound ${server.httpMetricsAddress}, not loopback")
       val url = new java.net.URI(
         s"http://127.0.0.1:${server.httpMetricsPort}/metrics").toURL
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
@@ -274,6 +278,28 @@ class WireServerSpec extends SparkSpec {
       rc.close()
       sock.close()
     } finally server.close()
+  }
+
+  test("response histogram: one increment in the first holding bucket, " +
+      "cumulated at render; above-ladder observations land only in +Inf") {
+    val m = new ServerMetrics
+    m.observeResponseNs("db", "QUERY", 1000000L)   // 1 ms → le=2ms bucket
+    m.observeResponseNs("db", "QUERY", 2000000L)   // exactly 2 ms → ns <= le holds
+    m.observeResponseNs("db", "QUERY", 3000000L)   // 3 ms → le=4ms bucket
+    m.observeResponseNs("db", "QUERY", 100000000L) // 100 ms → beyond the 38ms ladder
+    val r = m.render
+    def bucket(le: String) =
+      s"""fossil_response_ns_bucket{database="db",cmd="QUERY",le="$le"}"""
+    assert(r.contains(bucket("2000000") + " 2"))
+    assert(r.contains(bucket("4000000") + " 3"))
+    // every later bucket repeats the cumulative 3 (nothing lands between
+    // 4ms and the ladder top), and +Inf carries the full count — the
+    // first-holding-bucket increment must not double-count into each
+    // later bucket (round-8 ADVICE: the scan-all-buckets defect)
+    assert(r.contains(bucket("38000000") + " 3"))
+    assert(r.contains(bucket("+Inf") + " 4"))
+    assert(r.contains("""fossil_response_ns_count{database="db",cmd="QUERY"} 4"""))
+    assert(r.contains("""fossil_response_ns_sum{database="db",cmd="QUERY"} 106000000"""))
   }
 
   test("per-database shape gauges track CREATE/APPEND across two stores; " +

@@ -317,4 +317,30 @@ class StoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { sess.attach("a", rootB) }
     sess.attach("a", s"file://$rootA") // same root: idempotent
   }
+
+  test("segmentCount gauge degrades to the last successful count on a " +
+      "mid-walk I/O failure, not a false drop to 0") {
+    val root = Files.createTempDirectory("graft_segcount").toString
+    val store = new ParquetStore(spark, root)
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/g/t", "int64")
+    c.append("/g/t", 1L, Timestamp.valueOf("2024-01-01 00:00:00"))
+    c.append("/g/t", 2L, Timestamp.valueOf("2024-01-01 00:01:00"))
+    val n = store.segmentCount
+    assert(n > 0)
+    // a walk interrupted by an external writer (IOException mid-stream)
+    // serves the cached count — a scrape during cleanup must read as a
+    // stale gauge, not an alert-tripping segment-count drop to zero
+    val degraded = store.segmentCountOrDegrade(
+      () => throw new java.io.IOException("yanked mid-walk"))
+    assert(degraded == n)
+    // UncheckedIOException (what a lazy Files.walk stream actually throws
+    // mid-iteration) degrades the same way
+    val degraded2 = store.segmentCountOrDegrade(() =>
+      throw new java.io.UncheckedIOException(new java.io.IOException("race")))
+    assert(degraded2 == n)
+    // and a later successful walk refreshes the cache
+    c.append("/g/t", 3L, Timestamp.valueOf("2024-01-01 00:02:00"))
+    assert(store.segmentCount > n)
+  }
 }

@@ -218,6 +218,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(all))
   }
 
+  test("srpBandsForRecall fails loudly on infeasible sizings instead of saturating") {
+    // loose angle (cos 0.1 ≈ 84°) at huge n: per-band p underflows and the
+    // inverted model wants astronomically many bands — that must be an
+    // error naming the combination, not a silent Int.MaxValue plan
+    val e = intercept[IllegalArgumentException] {
+      Similarity.srpBandsForRecall(1000000000L, 100000, 0.99)
+    }
+    assert(e.getMessage.contains("infeasible SRP sizing"))
+    assert(e.getMessage.contains("0.99") && e.getMessage.contains("n=1000000000"))
+    // feasible sizings stay well under the ceiling and still work
+    assert(Similarity.srpBandsForRecall(1000000000L, 900000, 0.9) <= Similarity.MaxSrpBands)
+  }
+
+  test("nearDupPairsSrp rejects an all-null embedding column with a clear error") {
+    val allNull = Seq(1L, 2L, 3L)
+      .toDF("vec_id")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("array<float>"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsSrp(allNull, "vec_id", "embedding", 900000)
+    }
+    assert(e.getMessage.contains("entirely null"))
+  }
+
   test("blocked nearDupPairs matches naive all-pairs exactly (all block counts)") {
     val corpus = plantedCorpus(n = 120, dim = 16, planted = 10)
     val expect = naivePairs(corpus, 450000)

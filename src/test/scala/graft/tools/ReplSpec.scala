@@ -110,6 +110,14 @@ class ReplSpec extends SparkSpec {
       == Map("a" -> """x " y, z: w""", "b" -> 7L))
     assert(Repl.parseDatum("string", """plain \ backslash stays""")
       == """plain \ backslash stays""")
+    // only \" and \\ are escape sequences inside quotes: a backslash
+    // before any OTHER character is literal — "C:\temp" keeps its
+    // backslash (round-8 ADVICE regression golden), while "x\\y"
+    // collapses the doubled backslash
+    assert(Repl.parseDatum("""{"a": string}""", """"a": "C:\temp"""")
+      == Map("a" -> """C:\temp"""))
+    assert(Repl.parseDatum("""{"a": string}""", """"a": "x\\y"""")
+      == Map("a" -> """x\y"""))
   }
 
   test("effectiveDdl mirrors the server's inheritance walk") {
