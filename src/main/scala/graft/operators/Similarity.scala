@@ -195,8 +195,18 @@ object Similarity {
     * corpus. The count it needs rides the same scan that probes the
     * dimensionality (one cheap metadata-friendly aggregate).
     *
+    * `numBands = 0` (the default) sizes the band count FOR RECALL via
+    * [[srpBandsForRecall]] at `targetRecall` (default
+    * [[DefaultSrpTargetRecall]] = 0.9): auto-sized bits make per-band
+    * collision probability decay with corpus growth, so the measured
+    * recall of any fixed band count falls off a cliff as n grows (the
+    * legacy fixed-8 default: 0.345 by n=200k, ~7% at 10⁹ — BASELINE.md
+    * round-8 curve). Sizing per corpus holds recall FIXED and pays the
+    * explicit, linear, visible cost of more band passes instead. Pass
+    * `numBands > 0` to pin the count manually.
+    *
     * Execution shape is identical to [[nearDupPairsLsh]]: hyperplanes
-    * arrive as one broadcast frame (numBands·bitsPerBand rows of
+    * arrive as one broadcast frame (bands·bitsPerBand rows of
     * `array<double>` — k·b·d doubles, trivially small), band keys
     * aggregate bit signs per (row, band), the candidate self-join carries
     * ids + band keys only, survivors verify with exact cosine — false
@@ -248,9 +258,27 @@ object Similarity {
     * corpus pass, so a sizing past this is infeasible by construction. */
   val MaxSrpBands: Int = 4096
 
+  /** Default recall target for [[nearDupPairsSrp]]'s auto-sized band
+    * count: recover ≥90% of true pairs AT the caller's threshold angle
+    * (recall at tighter angles is strictly higher). Chosen where the
+    * measured round-8 recall-vs-n curve and the analytic model agree the
+    * fixed-8-band legacy default collapses (0.345 recall by n=200k, ~7%
+    * at 10⁹): a production dedup pass that silently loses 2/3 of its
+    * duplicates is worse than one that pays ~2-4× more explicit band
+    * passes — the cost is linear and visible, the recall loss was not. */
+  val DefaultSrpTargetRecall: Double = 0.9
+
+  /** Telemetry from one [[nearDupPairsSrp]] sizing run: corpus size, the
+    * auto-sized (or pinned) geometry, and the pre-verification candidate
+    * volume — what a recall/cost sweep needs to record. */
+  final case class SrpStats(
+      n: Long, bitsPerBand: Int, bands: Int, candidatePairs: Long)
+
   def nearDupPairsSrp(
       vecs: DataFrame, idCol: String, vecCol: String, minCosineE6: Long,
-      bitsPerBand: Int = 0, numBands: Int = 8, seed: Int = 42): DataFrame = {
+      bitsPerBand: Int = 0, numBands: Int = 0, seed: Int = 42,
+      targetRecall: Double = DefaultSrpTargetRecall,
+      instrument: SrpStats => Unit = null): DataFrame = {
     val spark = vecs.sparkSession
     // one aggregate probes corpus size AND dimensionality (and catches
     // ragged vectors loudly instead of silently banding on the first
@@ -278,6 +306,17 @@ object Similarity {
     val bits =
       if (bitsPerBand > 0) bitsPerBand
       else math.max(8, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    // Band count: explicit numBands wins (tests, tuned deployments);
+    // otherwise SIZE FOR RECALL via the validated model — auto-sized bits
+    // keep candidates linear but make per-band collision probability
+    // decay with corpus growth, so any FIXED default silently loses
+    // recall as the corpus scales (the old numBands=8 default was down to
+    // 0.345 measured recall at n=200k). A threshold at/above 1.0 cosine
+    // clamps to the model's open interval: exact duplicates share every
+    // sign pattern, so one band already recovers them all.
+    val bands =
+      if (numBands > 0) numBands
+      else srpBandsForRecall(n, math.min(minCosineE6, 999999L), targetRecall, bits)
     // Rademacher components from a splitmix-style avalanche of the index
     // tuple: deterministic, seed-keyed, no RNG object state
     val (c1, c2, c3, c4) =
@@ -288,7 +327,7 @@ object Similarity {
       if ((x & 1) == 0) 1.0 else -1.0
     }
     import spark.implicits._
-    val planes = (for { b <- 0 until numBands; t <- 0 until bits }
+    val planes = (for { b <- 0 until bands; t <- 0 until bits }
       yield (b, t, (0 until dim).map(i => rademacher(b, t, i)).toArray))
       .toDF("band_ix", "bit_ix", "h")
     val vd = OperatorCache.scoped(
@@ -311,6 +350,11 @@ object Similarity {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .dropDuplicates("a", "b")
+    // instrumented runs pay one extra materialization of the candidate
+    // stage (the count is an action, so the scoped caches release and the
+    // verify pass below recomputes) — sweeps opt in, production never does
+    if (instrument != null)
+      instrument(SrpStats(n, bits, bands, cand.count()))
     cand
       .join(vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na")), Seq("a"))
       .join(vd.select(col(idCol).as("b"), col("__v").as("vb"), col("__n").as("nb")), Seq("b"))

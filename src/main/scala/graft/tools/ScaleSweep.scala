@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Similarity
+
 /** Scale-insurance sweep: synthesize a ~K× corpus from sf0.1 and time the
   * heavy operators at 1× and K×, verifying (a) wall time grows ≲ linearly
   * for the linear-by-design ops (the exact all-pairs baseline is expected
@@ -131,14 +133,24 @@ object ScaleSweep {
     // plan invariants at the K× scale — same walks as Plans.scala
     failed += planChecks(spark, out)
 
-    // SRP recall curve: auto-sized bits grow ~log2(n), and per-band
-    // collision probability for a fixed angle θ decays as (1−θ/π)^bits —
-    // measure recall on planted ~0.9-cosine pairs at 1× and K× to record
-    // where the default 8 bands start needing help (r7 VERDICT #4)
+    // SRP recall at the PRODUCTION default (recall-sized bands, round-8
+    // VERDICT #4): auto-sized bits grow ~log2(n) and per-band collision
+    // probability decays as (1−θ/π)^bits, so the operator now sizes its
+    // band count for DefaultSrpTargetRecall per corpus. This is the
+    // sweep's proof: planted ~0.9-cosine pairs at 1× and K×, recall must
+    // hold ≥ target at EVERY n (planted pairs sit tighter than the
+    // threshold angle, so the model's expectation has margin), with the
+    // sized band count and pre-verify candidate volume recorded.
     val recallRows = Seq(base, out).map { dir =>
-      val (n, bits, planted, found, recall) = srpRecall(spark, dir)
-      println(f"[srp-recall] dir=$dir n=$n bits=$bits planted=$planted found=$found recall=$recall%.3f")
-      s"""{"n":$n,"bits":$bits,"planted":$planted,"found":$found,"recall":${f2(recall)}}"""
+      val (n, bits, stats, planted, found, recall) = srpRecall(spark, dir)
+      val candPerN = if (n == 0) 0.0 else stats.candidatePairs.toDouble / n
+      val ok = recall >= Similarity.DefaultSrpTargetRecall
+      if (!ok) failed += 1
+      println(f"[srp-recall] dir=$dir n=$n bits=$bits bands=${stats.bands} " +
+        f"cand=${stats.candidatePairs} cand/n=$candPerN%.2f planted=$planted " +
+        f"found=$found recall=$recall%.3f ${if (ok) "ok" else "FAIL"}")
+      s"""{"n":$n,"bits":$bits,"bands":${stats.bands},"candidates":${stats.candidatePairs},""" +
+        s""""planted":$planted,"found":$found,"recall":${f2(recall)},"ok":$ok}"""
     }
 
     def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
@@ -166,8 +178,9 @@ object ScaleSweep {
     * ground-truth pairs (exact cosine ≥ threshold) the banding recovered.
     * Returns (corpus n, auto-sized bits, planted ground truth, found,
     * recall). */
-  private def srpRecall(spark: SparkSession, dir: String): (Long, Int, Long, Long, Double) = {
-    import graft.operators.Similarity
+  private def srpRecall(spark: SparkSession, dir: String)
+      : (Long, Int, Similarity.SrpStats, Long, Long, Double) = {
+    
     val minE6 = 850000L
     val e = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -190,12 +203,13 @@ object ScaleSweep {
       .filter(Similarity.cosineE6(col("v").cast("array<double>"),
         col("w").cast("array<double>")) >= minE6)
       .count()
+    var stats: Similarity.SrpStats = null
     val found = Similarity.nearDupPairsSrp(corpus, "vec_id", "embedding",
-        minCosineE6 = minE6)
+        minCosineE6 = minE6, instrument = s => stats = s)
       .filter(col("b") === col("a") + maxId)
       .count()
     spark.catalog.clearCache()
-    (total, bits, gt, found, if (gt == 0) 0.0 else found.toDouble / gt)
+    (total, bits, stats, gt, found, if (gt == 0) 0.0 else found.toDouble / gt)
   }
 
   private def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
