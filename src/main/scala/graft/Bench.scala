@@ -101,6 +101,12 @@ object Bench {
       Queries.harnessNs.asScala.map { case (k, v) => k -> v.sum() }.toMap
     }
 
+    // A query that THROWS must not report its analysis-exception latency as
+    // an engine time (r9: 39 broken rows read as a fake 30% speedup). Failed
+    // runs record NaN; a query with no successful run reports -1 and is
+    // excluded from total_s, and its name + first error land in "failed" /
+    // the sidecar's "errors" so the breakage is loud in the artifact itself.
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
     val calibs = collection.mutable.ArrayBuffer.empty[Double]
     val ioCalibs = collection.mutable.ArrayBuffer.empty[Double]
     val passes = (0 until 3).map { _ =>
@@ -109,7 +115,13 @@ object Bench {
       queries.map { case (name, fn) =>
         val h0 = harnessOf(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(
+              name, e.toString.replaceAll("\\s+", " ").take(300))
+            false
+          }
         val wall = (System.nanoTime() - t0) / 1e9
         val harness = (harnessOf(name) - h0) / 1e9
         // operator caches are action-scoped (OperatorCache releases them
@@ -117,16 +129,20 @@ object Bench {
         // as a safety net against future regressions, OUTSIDE the timed
         // window so teardown cost isn't part of the query
         spark.catalog.clearCache()
-        name -> (wall - harness)
+        name -> (if (ok) wall - harness else Double.NaN)
       }.toMap
     }
     val results = queries.map { case (name, _) =>
       val runs = passes.map(_(name))
-      (name, runs.sorted.apply(runs.size / 2), runs)
+      val good = runs.filterNot(_.isNaN)
+      val median = if (good.isEmpty) -1.0 else good.sorted.apply(good.size / 2)
+      (name, median, runs)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would corrupt the one JSON line the driver parses
-    def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
+    def f(d: Double): String =
+      if (d.isNaN) "null" // failed run — NaN is not valid JSON
+      else String.format(java.util.Locale.ROOT, "%.4f", d)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // Per-run arrays (outlier visibility) go to a SIDECAR file, not the
@@ -152,7 +168,11 @@ object Bench {
         "\"" + k + "\":" + f(v.sum() / 1e9)
       }.mkString("{", ",", "}")
     }
-    val total = f(results.map(_._2).sum)
+    val total = f(results.map(_._2).filter(_ >= 0).sum)
+    val failedArr = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val harnessTotal = f((harnessTotalNs - harnessAtStart) / 1e9)
     val calibMed = f(calibs.sorted.apply(calibs.size / 2))
     val ioCalibMed = f(ioCalibs.sorted.apply(ioCalibs.size / 2))
@@ -161,7 +181,7 @@ object Bench {
     val sidecar = java.nio.file.Paths.get("target", "bench_runs.json")
     java.nio.file.Files.createDirectories(sidecar.getParent)
     java.nio.file.Files.write(sidecar,
-      s"""{"runs":$rs,"harness":$hs,"phases":$ps,"calib":$calibArr,"io_calib":$ioCalibArr,"sf":"$sfDir"}"""
+      s"""{"runs":$rs,"harness":$hs,"phases":$ps,"calib":$calibArr,"io_calib":$ioCalibArr,"errors":$errJson,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The COMPLETE battery, machine-readable, at a stable path: three
     // rounds running the driver's stdout tail-capture truncated the
@@ -170,7 +190,7 @@ object Bench {
     val finalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,""" +
       s""""harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed,""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_final.json"),
       finalLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

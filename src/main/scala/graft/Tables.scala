@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.engine.{Catalog, FossilSchema}
 
@@ -14,19 +15,44 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS) which Spark 4 refuses
-    * ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert to a µs
-    * timestamp — identical to DuckDB's ns→µs truncation, so oracle
-    * comparisons line up exactly. */
+  /** `events.ts` has shipped in two parquet physical types across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses —
+    * [PARQUET_TYPE_ILLEGAL] — so it's read as raw int64 nanos) and
+    * TIMESTAMP_MICROS. Detect which one this dataset has and normalize to
+    * the same shape either way: `ts` a µs-precision TimestampType column
+    * plus `__t_ns` with the epoch-nanos value of each row.
+    *
+    * Nanos input: the truncation ns→µs matches DuckDB's, so oracle
+    * comparisons line up exactly; `ts` is a DERIVED column, so only the
+    * `__t_ns` raw column (plus [[graft.plans.RawTimePushdown]]) reaches the
+    * Parquet row-group stats. Micros input: `ts` IS the source column —
+    * time predicates on it push down natively, and `__t_ns` is derived
+    * (`unix_micros * 1000`), kept only for the FQL compiler's ns-exact
+    * bound semantics. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      // keep the raw nanos column: predicates on it push down to Parquet
-      // row-group stats, predicates on the converted timestamp cannot
-      .withColumn("__t_ns", col("ts"))
-      // integer div — long/long through `/` would round-trip a 1.7e18 ns
-      // value through double (53-bit mantissa) and corrupt low digits
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // no-tz TIMESTAMP_MICROS would otherwise infer as TIMESTAMP_NTZ, which
+    // every downstream comparison against TimestampType literals rejects at
+    // analysis; with session tz pinned to UTC the instant is identical
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw int64 nanos
+        raw
+          .withColumn("__t_ns", col("ts"))
+          // integer div — long/long through `/` would round-trip a 1.7e18 ns
+          // value through double (53-bit mantissa) and corrupt low digits
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType =>
+        raw.withColumn("__t_ns", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType => // inferTimestampNTZ was set after a first read
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("__t_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: expected int64-nanos or timestamp, got $other")
+    }
   }
 
   /** Events as fossil entries: `(time, topic, value:double)` + pushdown

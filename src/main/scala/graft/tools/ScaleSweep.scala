@@ -269,18 +269,28 @@ object ScaleSweep {
     // the SAME per-hour density (what a production stream actually does at
     // K×), so the streaming replays' watermark/state behavior is preserved
     // per replica while windows, kept samples, and output rows all scale
-    // ~K; ids offset so replicas never collide. `ts` is TIMESTAMP(NANOS)
-    // in the driver fixtures — read as raw nanos (the same flag
-    // Tables.events sets) and shift in exact integer nanos; the written
-    // INT64 column reads back identically through Tables.events.
+    // ~K; ids offset so replicas never collide. `ts` has shipped as both
+    // TIMESTAMP(NANOS) (read as raw int64 nanos — shift in exact integer
+    // nanos) and TIMESTAMP_MICROS (shift in exact integer micros) across
+    // driver fixture generations; either written form reads back
+    // identically through Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val ev = spark.read.parquet(s"$base/events.parquet")
+    val shiftedTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (col("ts") + col("k").cast("long") * lit(31L * 86400L * 1000000000L)).as("ts")
+      case _ =>
+        timestamp_micros(
+          unix_micros(col("ts").cast("timestamp")) +
+            col("k").cast("long") * lit(31L * 86400L * 1000000L)).as("ts")
+    }
     val maxEvent = ev.agg(max("event_id")).first().getLong(0) + 1
     val maxUser = ev.agg(max("user_id")).first().getLong(0) + 1
     ev.crossJoin(reps)
       .select(
         (col("event_id") + col("k") * maxEvent).as("event_id"),
-        (col("ts") + col("k").cast("long") * lit(31L * 86400L * 1000000000L)).as("ts"),
+        shiftedTs,
         (col("user_id") + col("k") * maxUser).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(8)

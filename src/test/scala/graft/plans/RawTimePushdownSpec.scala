@@ -18,9 +18,19 @@ class RawTimePushdownSpec extends SparkSpec {
 
   test("plain DataFrame time filter reaches the parquet scan") {
     val entries = Tables.eventEntries(spark, "/root/testdata/sf0.001")
+    // micros-era fixtures: `time` IS the source column, so the filter pushes
+    // down natively and the rule has nothing to add; nanos-era fixtures:
+    // `time` is derived, so only the rule's mirrored raw-ns bound reaches
+    // the scan. Either way, WITH the rule the scan must be pruned.
+    val derivedTime = entries.schema("__t_ns").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      Tables.read(spark, "/root/testdata/sf0.001", "events")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
     val q = entries.filter(col("time") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
-    val before = q.queryExecution.executedPlan.toString
-    assert(!before.contains("GreaterThanOrEqual(ts,"))
+    if (derivedTime) {
+      val before = q.queryExecution.executedPlan.toString
+      assert(!before.contains("GreaterThanOrEqual(ts,"))
+    }
     withRule {
       val q2 = entries.filter(col("time") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
       val plan = q2.queryExecution.executedPlan.toString
