@@ -205,5 +205,14 @@ object Bench {
     // disk-loud, which is exactly what round 8 could not see).
     println(finalLine.dropRight(1) +
       s""","total_s":$total,"harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed}""")
+    // a battery with dead rows must not exit 0 — "fast" and "broken" have
+    // to be distinguishable from the exit code alone (r9: 39 crashed rows
+    // read as a 30% speedup). The JSON line above is already printed and
+    // the artifacts written, so a parsing driver still gets the partial data.
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

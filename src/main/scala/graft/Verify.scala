@@ -17,6 +17,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata-drift preflight: name the drift in ONE line before it can
+    // silently fail dozens of queries (round 9: ts unit change → 34 rows
+    // vanished from the correctness compare with no direct diagnostic).
+    // Proceed regardless — partial results beat none; absorbed drift (e.g.
+    // a ts unit the Tables reader normalizes) is informational only.
+    Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     def deleteRecursively(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {

@@ -303,7 +303,7 @@ object WireServer {
     val buf = new Array[Byte](length)
     in.readFully(buf)
     val cmd = new String(buf, 0, 8, StandardCharsets.UTF_8)
-      .replace(" ", "").trim.toUpperCase
+      .replace("\u0000", "").trim.toUpperCase
     (cmd, buf.drop(8))
   }
 
