@@ -34,6 +34,27 @@ object PipelineQueries {
         root
       })
 
+  /** Per-JVM persisted IVF index for the stored-ANN rows — same pattern as
+    * [[refSigStore]]: the corpus assignment (the one full pass) builds once
+    * per sf dir, charged to the bench harness ledger; the rows' timed walls
+    * are the probe only — the per-query-batch cost a production deployment
+    * actually pays against a prebuilt index. */
+  private val IvfTag = "subset-sqrtn.v1"
+  private val ivfStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def refIvfStore(s: SparkSession, d: String): String =
+    ivfStoreRoots.computeIfAbsent(d, _ =>
+      Queries.harness("ann_ivf_stored") {
+        val root = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+        Queries.deleteOnExit(root)
+        val e = Tables.embeddings(s, d)
+        val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+        graft.operators.IvfStore.build(
+          e, e.filter(col("vec_id") % mod === 0),
+          "vec_id", "embedding", "vec_id", root, "emb", IvfTag)
+        root
+      })
+
   // ---- DuckDB SQL fragments mirroring graft.operators.TextOps ----
 
   /** toks: lowercased whitespace tokens, empties dropped. */
@@ -278,6 +299,24 @@ object PipelineQueries {
         "vec_id", "embedding", "vec_id", k = 3, refine = 4)
         .orderBy("q", "rank")
     }),
+    // stored-index twins: the corpus assignment is paid ONCE at build time
+    // (harness-ledgered, like the dedup signature store); the timed row is
+    // the probe against bare parquet scans — identical results to the
+    // inline rows by construction, so they share those rows' oracles
+    "ann_ivf_stored" -> ((s, d) => {
+      val root = refIvfStore(s, d)
+      Similarity.ivfTopKStored(s, root, "emb", IvfTag,
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3)
+        .orderBy("q", "rank")
+    }),
+    "ann_ivf_int8_stored" -> ((s, d) => {
+      val root = refIvfStore(s, d)
+      Similarity.ivfTopKInt8Stored(s, root, "emb", IvfTag,
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, refine = 4)
+        .orderBy("q", "rank")
+    }),
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_quality" -> ((s, d) =>
@@ -348,7 +387,13 @@ object PipelineQueries {
 
   // ======================== oracles ================================
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase ++ Map(
+    // the stored-IVF rows return byte-identical results to their inline
+    // twins (same centroids, deterministic assignment) — same oracle
+    "ann_ivf_stored" -> oraclesBase("ann_ivf"),
+    "ann_ivf_int8_stored" -> oraclesBase("ann_ivf_int8"))
+
+  private def oraclesBase: Map[String, String] = Map(
     "dedup_exact" -> """
       |WITH doubled AS (
       |  SELECT doc_id, text FROM documents

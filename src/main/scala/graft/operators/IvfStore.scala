@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index for approximate-nearest-neighbor search — the ANN
+  * analogue of [[SignatureStore]].
+  *
+  * [[Similarity.ivfTopK]] is honest about its cost split: assigning the
+  * CORPUS to buckets is the one pass over all the data; probing is
+  * bucket-local. The inline operator pays the corpus assignment on every
+  * query batch anyway. This store makes the amortization real: build once
+  * per (corpus, centroid recipe), then every query batch reads the index
+  * side as bare parquet scans — centroids for the probe routing, bucketed
+  * vectors for the scoring — and pays only its own (small) query
+  * assignment. [[Similarity.ivfTopKStored]] / [[Similarity.ivfTopKInt8Stored]]
+  * consume it and return results IDENTICAL to the inline operators on the
+  * same centroids (assignment is deterministic: cosine desc, cid asc).
+  *
+  * The reference engine has no vector surface (SURVEY §2.5 extension row);
+  * the layout follows [[SignatureStore]]'s conventions — immutable parquet
+  * plus a tiny `_params` commit marker written LAST (a crashed build leaves
+  * no marker and rebuilds; a tag change invalidates: an index probed with a
+  * different centroid recipe than it was built with would silently return
+  * wrong neighbors).
+  *
+  * Layout under `root/corpusId/`:
+  *   - `centroids.parquet` (cid, cv array&lt;double&gt;, cn)
+  *   - `buckets.parquet`   (id, v array&lt;double&gt;, n, bucket,
+  *                          scale, qv array&lt;int&gt;) — full-precision
+  *                          vectors for exact scoring/re-rank plus the
+  *                          symmetric-int8 form for the quantized probe
+  *   - `_params`           the caller's centroid-recipe tag
+  *
+  * 100 TB story: the build is ONE broadcast-join pass over the corpus
+  * (centroids never exceed k·d doubles), written as partitioned parquet
+  * bucketed by centroid id; a probe reads only the probed buckets' rows
+  * (partition pruning on `bucket`), and the int8 column is the 4-8×
+  * probe-I/O reduction measured by the `ann_ivf_int8` battery row.
+  */
+object IvfStore {
+
+  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
+  private def marker(root: String, corpusId: String): Path =
+    dir(root, corpusId).resolve("_params")
+
+  /** True iff a complete store exists for exactly this centroid-recipe tag. */
+  def isBuilt(root: String, corpusId: String, tag: String): Boolean = {
+    val m = marker(root, corpusId)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == tag
+  }
+
+  /** Assign `corpus` to its nearest centroid and persist the index;
+    * idempotent per (corpusId, tag) — an existing store with a matching
+    * tag is left untouched, anything else is wiped and rebuilt.
+    *
+    * @param tag identifies the CENTROID RECIPE (e.g. "subset-sqrtn.v1" or
+    *            "kmeans.v1;k=64;it=5") — the store is only comparable to
+    *            probes routed by the same centroids. */
+  def build(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, centroidIdCol: String, root: String, corpusId: String,
+      tag: String): Unit = {
+    if (isBuilt(root, corpusId, tag)) return
+    val d = dir(root, corpusId)
+    if (Files.exists(d)) rmTree(d)
+    Files.createDirectories(d)
+    val cent = Similarity.centFrame(centroids, centroidIdCol, vecCol)
+    cent.write.mode("overwrite").parquet(d.resolve("centroids.parquet").toString)
+    // bucket from the JUST-PERSISTED centroids so both artifacts are
+    // guaranteed consistent; partitionBy(bucket) → probe-side pruning
+    val persistedCent = centroids.sparkSession.read
+      .parquet(d.resolve("centroids.parquet").toString)
+    Similarity.assignBuckets(corpus, persistedCent, vecCol, idCol, "bucket", n = 1)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
+      .withColumn("scale", Similarity.scaleE6(col("v")))
+      .withColumn("qv", Similarity.quantize(col("v"), col("scale")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(d.resolve("buckets.parquet").toString)
+    Files.write(marker(root, corpusId), tag.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Persisted centroids `(cid, cv, cn)` — a bare parquet scan. */
+  def centroids(spark: SparkSession, root: String, corpusId: String,
+      tag: String): DataFrame = {
+    requireBuilt(root, corpusId, tag)
+    spark.read.parquet(dir(root, corpusId).resolve("centroids.parquet").toString)
+  }
+
+  /** Persisted bucketed corpus `(id, v, n, bucket, scale, qv)` — a bare
+    * parquet scan; filters on `bucket` prune partitions. */
+  def buckets(spark: SparkSession, root: String, corpusId: String,
+      tag: String): DataFrame = {
+    requireBuilt(root, corpusId, tag)
+    spark.read.parquet(dir(root, corpusId).resolve("buckets.parquet").toString)
+  }
+
+  private def requireBuilt(root: String, corpusId: String, tag: String): Unit =
+    require(isBuilt(root, corpusId, tag),
+      s"IVF store $root/$corpusId is missing, incomplete, or was built with " +
+        s"a different centroid recipe than '$tag' — run IvfStore.build")
+
+  private def rmTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(p)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

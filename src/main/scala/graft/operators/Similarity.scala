@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
@@ -393,7 +393,7 @@ object Similarity {
     * recall@k against [[bruteForceTopK]]).
     * Output: (q, rank, id, sim_e6). */
   /** Prep centroids: (cid, cv, cn) with double vectors and norms. */
-  private def centFrame(centroids: DataFrame, centroidIdCol: String, vecCol: String): DataFrame =
+  private[operators] def centFrame(centroids: DataFrame, centroidIdCol: String, vecCol: String): DataFrame =
     centroids
       .select(col(centroidIdCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -401,7 +401,7 @@ object Similarity {
   /** Assign each row to its `n` nearest centroids by (cosine desc, cid asc);
     * output (id, __v, __n, out). One broadcast join over the frame — no
     * shuffle of the vectors themselves. */
-  private def assignBuckets(
+  private[operators] def assignBuckets(
       df: DataFrame, cent: DataFrame, vecCol: String,
       id: String, out: String, n: Int): DataFrame = {
     val scored = df
@@ -425,12 +425,39 @@ object Similarity {
       .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
     val probed = assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
       .select(col(idCol).as("q"), col("__v").as("qv"), col("__n").as("qn"), col("bucket"))
+    ivfProbe(bucketed, probed, k)
+  }
+
+  /** Shared exact bucket-probe: `bucketed` (id, v, n, bucket) joins
+    * `probed` (q, qv, qn, bucket) — one path for the inline and stored
+    * variants, so their semantics cannot drift. */
+  private def ivfProbe(bucketed: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val scored = bucketed.join(probed, Seq("bucket"))
       .filter(col("id") =!= col("q"))
       .select(col("q"), col("id"),
         round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
           .cast("long").as("sim_e6"))
     topKPerGroup(scored, "q", k)
+  }
+
+  /** IVF top-k against a PERSISTED index ([[IvfStore]]): the corpus-side
+    * assignment — the one full pass over the data — was paid at build
+    * time; this reads the index as bare parquet scans and pays only the
+    * query batch's own routing. Results are identical to [[ivfTopK]] on
+    * the centroids the store was built with (assignment is deterministic:
+    * cosine desc, cid asc). The daily-crawl ANN story: build once per
+    * corpus snapshot, probe per batch. */
+  def ivfTopKStored(
+      spark: SparkSession, root: String, corpusId: String, tag: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cent = IvfStore.centroids(spark, root, corpusId, tag)
+    val bucketed = IvfStore.buckets(spark, root, corpusId, tag)
+      .select(col("id"), col("v"), col("n"), col("bucket"))
+    val probed = assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
+      .select(col(idCol).as("q"), col("__v").as("qv"), col("__n").as("qn"), col("bucket"))
+    ivfProbe(bucketed, probed, k)
   }
 
   /** IVF probe over int8-quantized vectors with exact re-ranking — the
@@ -476,6 +503,14 @@ object Similarity {
         .select(col(idCol).as("q"), col("__v").as("qvec"), col("__n").as("qn"), col("bucket"))
         .withColumn("qscale", scaleE6(col("qvec")))
         .withColumn("qq", quantize(col("qvec"), col("qscale"))))
+    ivfProbeInt8(bucketed, probed, k, refine)
+  }
+
+  /** Shared int8 probe + exact re-rank: `bucketed` (id, v, n, bucket, qv)
+    * joins `probed` (q, qvec, qn, bucket, qq) — one path for the inline
+    * and stored variants. */
+  private def ivfProbeInt8(
+      bucketed: DataFrame, probed: DataFrame, k: Int, refine: Int): DataFrame = {
     // probe path: quantized arrays only — the int products are exact in the
     // codegen double dot (values ≤ 127)
     val iscored = bucketed.select(col("id"), col("bucket"), col("qv"))
@@ -495,6 +530,28 @@ object Similarity {
         round(dot(col("v"), col("qvec")) / (col("n") * col("qn")) * 1e6, 0)
           .cast("long").as("sim_e6"))
     topKPerGroup(rescored, "q", k)
+  }
+
+  /** Int8-probe IVF against a PERSISTED index ([[IvfStore]]) — the stored
+    * twin of [[ivfTopKInt8]]: the probe reads ONLY the index's int8
+    * column + bucket (the 4-8× I/O reduction now applies to a disk scan,
+    * not a recomputation) and the full-precision vectors join back for
+    * the exact re-rank. Identical results to the inline operator on the
+    * store's centroids. */
+  def ivfTopKInt8Stored(
+      spark: SparkSession, root: String, corpusId: String, tag: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1, refine: Int = 4): DataFrame = {
+    require(nprobe >= 1 && refine >= 1, s"need nprobe/refine >= 1, got $nprobe/$refine")
+    val cent = IvfStore.centroids(spark, root, corpusId, tag)
+    val bucketed = IvfStore.buckets(spark, root, corpusId, tag)
+      .select(col("id"), col("v"), col("n"), col("bucket"), col("qv"))
+    val probed = OperatorCache.scoped(
+      assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
+        .select(col(idCol).as("q"), col("__v").as("qvec"), col("__n").as("qn"), col("bucket"))
+        .withColumn("qscale", scaleE6(col("qvec")))
+        .withColumn("qq", quantize(col("qvec"), col("qscale"))))
+    ivfProbeInt8(bucketed, probed, k, refine)
   }
 
   /** Spherical k-means trainer for the IVF coarse quantizer ([[ivfTopK]]'s
@@ -558,7 +615,7 @@ object Similarity {
 
   /** Per-vector symmetric int8 scale = 127/max|x|, carried as an exact ×1e6
     * long; 0 for all-zero vectors. */
-  private def scaleE6(v: Column): Column = {
+  private[operators] def scaleE6(v: Column): Column = {
     val maxAbs = array_max(transform(v, x => abs(x)))
     when(maxAbs > 0, floor(lit(1e6) * 127 / maxAbs + 0.5).cast("long")).otherwise(lit(0L))
   }
@@ -566,7 +623,7 @@ object Similarity {
   /** Elements mapped via floor(x·scale + 0.5) — floor, not round: engines
     * disagree on rounding decimal representations but floor of the same
     * double is identical everywhere. */
-  private def quantize(v: Column, scale: Column): Column =
+  private[operators] def quantize(v: Column, scale: Column): Column =
     transform(v, x => floor(x * scale / 1e6 + 0.5).cast("int"))
 
   /** Symmetric int8 scalar quantization of a float vector column (see
@@ -580,7 +637,7 @@ object Similarity {
         posexplode(quantize(col("v"), col("scale_e6"))).as(Seq("i", "q")))
   }
 
-  private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
+  private[operators] def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("sim_e6").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -588,7 +645,7 @@ object Similarity {
       .select(col(groupCol), col("rank"), col("id"), col("sim_e6"))
   }
 
-  private def topNPerGroup(
+  private[operators] def topNPerGroup(
       df: DataFrame, groupCol: String, n: Int, orderCols: Seq[Column]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(orderCols: _*)

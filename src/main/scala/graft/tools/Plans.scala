@@ -123,6 +123,27 @@ object Plans {
       println(s"[check] ann_ivf_int8 bucket joins int8-only (no double arrays): $ok " +
         s"(${bucketJoins.size} bucket join(s), ${wide.size} wide)")
     }
+    // stored-IVF contract: the corpus-side assignment (corpus × broadcast
+    // centroids — the one full pass over the data) is paid at BUILD time.
+    // The probe plan must carry only the query batch's assignment join
+    // (strictly fewer broadcast-nested-loop assignments than the inline
+    // twin) and read the corpus side as bare scans of the persisted index.
+    locally {
+      def assigns(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.sparkPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }.size
+      val inline = graft.SparkEntry.queries("ann_ivf")(spark, sfDir)
+      val stored = graft.SparkEntry.queries("ann_ivf_stored")(spark, sfDir)
+      val storeScans = stored.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfstore")) => s
+      }.size
+      val ok = assigns(stored) < assigns(inline) && storeScans >= 2
+      if (!ok) failed += 1
+      println(s"[check] ann_ivf_stored probe is store-scan + query-assign only: $ok " +
+        s"(assign joins inline=${assigns(inline)} stored=${assigns(stored)}, store scans=$storeScans)")
+    }
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }
   }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The persisted IVF index must be a pure cache: stored probes return
+  * byte-identical results to the inline operators on the same centroids,
+  * and the commit-marker protocol makes partial/incompatible stores
+  * rebuild instead of silently serving a stale index.
+  */
+class IvfStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val tag = "subset-sqrtn.v1"
+
+  private def corpus = Tables.embeddings(spark, dir)
+
+  private def buildStore(): String = {
+    val root = Files.createTempDirectory("graft_ivfspec").toString
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    IvfStore.build(e, e.filter(col("vec_id") % mod === 0),
+      "vec_id", "embedding", "vec_id", root, "emb", tag)
+    root
+  }
+
+  test("stored probe == inline probe (exact and int8)") {
+    val root = buildStore()
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val cents = e.filter(col("vec_id") % mod === 0)
+
+    val inline = Similarity.ivfTopK(e, queries, cents,
+      "vec_id", "embedding", "vec_id", k = 3, nprobe = 2)
+      .orderBy("q", "rank").collect().toSeq
+    val stored = Similarity.ivfTopKStored(spark, root, "emb", tag, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("q", "rank").collect().toSeq
+    assert(inline.nonEmpty && inline == stored)
+
+    val inline8 = Similarity.ivfTopKInt8(e, queries, cents,
+      "vec_id", "embedding", "vec_id", k = 3, refine = 4)
+      .orderBy("q", "rank").collect().toSeq
+    val stored8 = Similarity.ivfTopKInt8Stored(spark, root, "emb", tag, queries,
+      "vec_id", "embedding", k = 3, refine = 4)
+      .orderBy("q", "rank").collect().toSeq
+    assert(inline8.nonEmpty && inline8 == stored8)
+  }
+
+  test("missing marker (crashed build) and tag mismatch both refuse to serve") {
+    val root = buildStore()
+    intercept[IllegalArgumentException] {
+      IvfStore.buckets(spark, root, "emb", "kmeans.v1;k=8")
+    }
+    Files.delete(Paths.get(root, "emb", "_params"))
+    intercept[IllegalArgumentException] {
+      IvfStore.centroids(spark, root, "emb", tag)
+    }
+    // and a rebuild restores service
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    IvfStore.build(e, e.filter(col("vec_id") % mod === 0),
+      "vec_id", "embedding", "vec_id", root, "emb", tag)
+    assert(IvfStore.buckets(spark, root, "emb", tag).count() == e.count())
+  }
+
+  test("build is idempotent per tag") {
+    val root = buildStore()
+    val mtime = Files.getLastModifiedTime(Paths.get(root, "emb", "_params"))
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    IvfStore.build(e, e.filter(col("vec_id") % mod === 0),
+      "vec_id", "embedding", "vec_id", root, "emb", tag)
+    assert(Files.getLastModifiedTime(Paths.get(root, "emb", "_params")) == mtime)
+  }
+}
