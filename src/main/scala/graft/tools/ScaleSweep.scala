@@ -79,6 +79,7 @@ object ScaleSweep {
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"),
       ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
+      ("ann_ivf_stored", "quadratic"), ("ann_ivf_int8_stored", "quadratic"),
       ("emb_neardup", "quadratic"), ("emb_quantize", "linear"),
       ("stream_fql", "linear"), ("stream_fql_sample", "linear"),
       ("stream_windowed", "linear"), ("stream_fql_reduce", "linear"),
