@@ -55,6 +55,23 @@ object PipelineQueries {
         root
       })
 
+  /** Streaming replay fixture for the incremental-dedup row: the NEW batch
+    * (10% slice) as JSON-lines `(doc_id, text)`, split into multiple files
+    * so AvailableNow actually exercises multi-micro-batch replay. Written
+    * once per (sf dir, JVM), charged to the row's harness ledger. */
+  private val docFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def docsStreamFixture(s: SparkSession, d: String): String =
+    docFixtures.computeIfAbsent(d, _ =>
+      Queries.harness("stream_dedup_ref") {
+        val in = Queries.scratchDir("graft_stream_docs_fix")
+        Queries.deleteOnExit(in)
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").json(in)
+        in
+      })
+
   // ---- DuckDB SQL fragments mirroring graft.operators.TextOps ----
 
   /** toks: lowercased whitespace tokens, empties dropped. */
@@ -187,6 +204,44 @@ object PipelineQueries {
         SignatureStore.shingles(s, root, "ref90"),
         shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
         .orderBy("a", "b")
+    }),
+    // the live-crawl shape: NEW documents arrive as a STREAM and dedup
+    // against the frozen corpus's persisted signatures per micro-batch
+    // (foreachBatch — each batch runs the same stored-incremental operator
+    // the batch row uses; stream-side docs appear in exactly one batch and
+    // ref pairs are per-doc independent, so the union of per-batch outputs
+    // equals the batch run bit-for-bit and SHARES its oracle). The replay
+    // is checkpointed AvailableNow over a multi-file fixture, so multiple
+    // micro-batches genuinely execute.
+    "stream_dedup_ref" -> ((s, d) => {
+      import graft.operators.SignatureStore
+      val root = refSigStore(s, d)
+      val in = docsStreamFixture(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val outDir = Queries.scratchDir("graft_stream_dedup_out")
+      val ck = Queries.scratchDir("graft_stream_dedup_ck")
+      Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.minhashPairsAgainstStored(
+            batch, "doc_id", "text",
+            SignatureStore.bands(s, root, "ref90"),
+            SignatureStore.shingles(s, root, "ref90"),
+            shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("a", "b")
     }),
     // deterministic hash-stratified subsampling (training-mix rates):
     // pure function of doc_id, reproducible on any engine/partitioning
@@ -391,7 +446,11 @@ object PipelineQueries {
     // the stored-IVF rows return byte-identical results to their inline
     // twins (same centroids, deterministic assignment) — same oracle
     "ann_ivf_stored" -> oraclesBase("ann_ivf"),
-    "ann_ivf_int8_stored" -> oraclesBase("ann_ivf_int8"))
+    "ann_ivf_int8_stored" -> oraclesBase("ann_ivf_int8"),
+    // the streaming replay unions per-micro-batch runs of the stored
+    // incremental dedup — identical results to the batch row by
+    // construction (each new doc lives in exactly one micro-batch)
+    "stream_dedup_ref" -> oraclesBase("dedup_against_ref_stored"))
 
   private def oraclesBase: Map[String, String] = Map(
     "dedup_exact" -> """
