@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator battery (dedup / similarity search /
   * text analysis / multimodal) exposed through the driver contract, with
@@ -438,6 +438,45 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           col("duration_ms"), col("n_bytes"))
         .orderBy("media_id")),
+    // ---- corpus curation (Curation.scala): eval decontamination, Gopher
+    // repetition rules, mixture resampling, packing, shard shuffle ----
+    // eval set = every 20th doc (the benchmark slice), train = the rest;
+    // 4-word shingles (the synthetic 20-word vocabulary makes 3-grams
+    // near-universal and 5-grams vanishing — 4 flags ~10% of train, the
+    // regime the op exists for)
+    "curate_decontam_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminationHits(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleWords = 4)
+        .orderBy("doc_id")
+    }),
+    "curate_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleWords = 4)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+    "text_gopher" -> ((s, d) =>
+      Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text",
+        maxDupWordE4 = 5500, maxTopBigramE4 = 800)
+        .orderBy("doc_id")),
+    // "2.5 epochs of en, half of zh, one pass of the rest"
+    "sample_mixture" -> ((s, d) =>
+      Curation.mixture(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 25000, "zh" -> 5000), defaultE4 = 10000)
+        .select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")),
+    "pack_sequences" -> ((s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budgetTokens = 128, numShards = 8)
+        .orderBy("doc_id")),
+    "shard_shuffle" -> ((s, d) =>
+      Curation.shardShuffle(Tables.documents(s, d), "doc_id",
+        numShards = 16, salt = "epoch0")
+        .orderBy("shard", "pos")),
   )
 
   // ======================== oracles ================================
@@ -857,5 +896,72 @@ object PipelineQueries {
       |    + (CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
       |                       WHEN 2 THEN 39 ELSE 44 END) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin.trim,
+
+    // ---- corpus curation (mirrors graft.operators.Curation) ----
+    "curate_decontam_hits" -> s"""
+      |WITH $decontamCtes
+      |SELECT doc_id, hits FROM hits ORDER BY doc_id""".stripMargin.trim,
+
+    "curate_decontam" -> s"""
+      |WITH $decontamCtes
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin.trim,
+
+    "text_gopher" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+      |       FROM tok, unnest(range(1, greatest(len(toks)-1, 0)+1)) t(i)),
+      |topbg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot
+      |          FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      |          GROUP BY 1),
+      |st AS (SELECT t.doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  coalesce(CAST(round((len(toks) - len(list_distinct(toks))) * 10000.0
+      |    / nullif(len(toks), 0)) AS BIGINT), 0) AS dup_word_e4,
+      |  coalesce(CAST(round(maxc * 10000.0 / tot) AS BIGINT), 0) AS top_bigram_e4,
+      |  coalesce(CAST(round(list_sum(list_transform(toks, w -> length(w))) * 100.0
+      |    / nullif(len(toks), 0)) AS BIGINT), 0) AS mean_word_len_e2
+      |  FROM tok t LEFT JOIN topbg USING (doc_id))
+      |SELECT *, dup_word_e4 <= 5500 AND top_bigram_e4 <= 800 AS keep
+      |FROM st ORDER BY doc_id""".stripMargin.trim,
+
+    "sample_mixture" -> s"""
+      |SELECT doc_id, lang, epoch FROM (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 25000 WHEN 'zh' THEN 5000 ELSE 10000 END AS w,
+      |    ${bucketE4Sql("doc_id")} AS bkt
+      |  FROM documents) b,
+      |  unnest(range(0, w // 10000 + CASE WHEN bkt < w % 10000 THEN 1 ELSE 0 END)) t(epoch)
+      |ORDER BY doc_id, epoch""".stripMargin.trim,
+
+    "pack_sequences" -> s"""
+      |WITH t AS (SELECT doc_id,
+      |    CAST(${bucketE4Sql("doc_id")} % 8 AS BIGINT) AS shard,
+      |    CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM t)
+      |SELECT doc_id, shard, CAST(tok_before // 128 AS BIGINT) AS seq_ix,
+      |       CAST(tok_before % 128 AS BIGINT) AS tok_offset, n_tokens
+      |FROM c ORDER BY doc_id""".stripMargin.trim,
+
+    "shard_shuffle" -> s"""
+      |WITH t AS (SELECT doc_id,
+      |    CAST(${bucketE4Sql("doc_id")} % 16 AS BIGINT) AS shard,
+      |    md5('epoch0|' || doc_id::VARCHAR) AS k FROM documents)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+      |FROM t ORDER BY shard, pos""".stripMargin.trim,
   )
+
+  /** Shared CTEs for the decontamination rows: distinct 4-word shingles
+    * per doc, eval = every 20th doc, `hits` = per-train-doc count of
+    * distinct shingles shared with the eval set (mirrors
+    * [[graft.operators.Curation.contaminationHits]]). */
+  private def decontamCtes: String = s"""tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+    |sh AS (SELECT doc_id, unnest(${wordShingles("toks", 4)}) AS s FROM tok),
+    |esh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    |hits AS (SELECT t.doc_id, count(*) AS hits
+    |         FROM (SELECT * FROM sh WHERE doc_id % 20 != 0) t
+    |         JOIN esh USING (s) GROUP BY 1)""".stripMargin
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between "raw crawl" and "training shards": eval-set decontamination,
+  * repetition-based quality rules (Gopher-style), mixture resampling with
+  * upsampling, fixed-token-budget sequence packing, and the deterministic
+  * global shuffle that writes the final shards.
+  *
+  * The reference engine has no document-curation surface (its pipeline
+  * operators are `filter|map|reduce|sample`, `docs/grammar.md`); this file
+  * is a SURVEY §2.5 training-pipeline extension, same contract as
+  * [[Sampling]] / [[Dedup]]: pure codegen'd expressions (no UDFs), md5 as
+  * the only hash primitive so every operator has an exact DuckDB oracle
+  * twin, ratios surfaced as `*_e4` integers, deterministic output orders.
+  */
+object Curation {
+
+  /** Train-side docs sharing at least one k-word shingle with the eval
+    * corpus: `(id, hits)` where hits = number of DISTINCT contaminated
+    * shingles in the doc. The membership test an LLM pipeline runs before
+    * training to keep benchmark text out of the train set.
+    *
+    * Scale: eval is benchmark data — thousands of docs against a ~100 TB
+    * train corpus — so its distinct-shingle set is tiny and the join is a
+    * classic broadcast: AQE sizes it (no forced hint — an adversarially
+    * large eval set degrades to a shuffled equi-join instead of an OOM).
+    * The train side explodes to (id, shingle-md5) pairs — fixed-width
+    * 32-char keys, no text through the shuffle — and aggregates hits by
+    * id. No self-join anywhere; cost is linear in train shingle count.
+    */
+  def contaminationHits(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+        .select(col(idCol),
+          explode(TextOps.wordShingles(col("toks"), shingleWords)).as("sh"))
+        .select(col(idCol), md5(col("sh")).as("sh_h"))
+    val evalSh = shingleHashes(eval).select("sh_h").distinct()
+    shingleHashes(train)
+      .join(evalSh, "sh_h")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+  }
+
+  /** The decontaminated train corpus: input rows minus every doc flagged
+    * by [[contaminationHits]]. Left-anti join on the id — the flagged set
+    * is ≤ train row count and usually tiny, so AQE broadcasts it. */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int): DataFrame =
+    train.join(
+      contaminationHits(train, eval, idCol, textCol, shingleWords)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Gopher-style repetition/quality signals per doc (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 — public paper, re-derived here):
+    *   - `n_tokens`
+    *   - `dup_word_e4`: 1 − distinct/total tokens (×10⁴) — word-level
+    *     repetitiveness
+    *   - `top_bigram_e4`: share of all bigram occurrences taken by the
+    *     single most frequent bigram (×10⁴) — loop/boilerplate detector
+    *   - `mean_word_len_e2`: mean token length (×10²)
+    *   - `keep`: the composite rule (thresholds are the caller's contract,
+    *     defaults mirror Gopher's 0.2 / 0.18 bands)
+    *
+    * Scale: per-row narrow map — the bigram histogram is built inside a
+    * single higher-order-function chain over the row's own token array
+    * (aggregate over a sorted bigram list), no explode, no shuffle.
+    */
+  def repetitionStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDupWordE4: Int = 2000, maxTopBigramE4: Int = 1800): DataFrame = {
+    val toksDf = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    // bigrams, sorted: equal bigrams become adjacent, so the longest run
+    // length in the sorted list IS the max bigram frequency. aggregate()
+    // carries (prev, run, best) through one pass — no map state needed.
+    val bigrams = array_sort(
+      when(size(col("toks")) < 2, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("toks")) - lit(1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(2))))))
+    val maxRun = aggregate(
+      col("bgs"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, b) => {
+        val run = when(b === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(b.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+    def e4(num: Column, den: Column): Column =
+      when(den === 0, lit(0L))
+        .otherwise(round(num * 10000.0 / den)).cast("long")
+    toksDf
+      .withColumn("bgs", bigrams)
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        e4(size(col("toks")) - size(array_distinct(col("toks"))),
+          size(col("toks"))).as("dup_word_e4"),
+        e4(maxRun, size(col("bgs"))).as("top_bigram_e4"),
+        when(size(col("toks")) === 0, lit(0L))
+          .otherwise(round(
+            aggregate(col("toks"), lit(0L), (a, t) => a + length(t)) * 100.0
+              / size(col("toks")))).cast("long").as("mean_word_len_e2"))
+      .withColumn("keep",
+        (col("dup_word_e4") <= maxDupWordE4) &&
+          (col("top_bigram_e4") <= maxTopBigramE4))
+  }
+
+  /** Mixture resampling: per-domain weights in parts-per-10⁴ that may
+    * EXCEED 10⁴ — `weight 25000` = every doc appears twice plus a 50%
+    * deterministic chance of a third copy (epochs 0,1[,2]). The op behind
+    * "2 epochs of wiki, 0.3 of crawl" training mixes; downsampling is the
+    * [[Sampling.stratified]] predicate, upsampling replicates rows with an
+    * `epoch` index so downstream packing/shuffling treats copies as
+    * distinct rows.
+    *
+    * Determinism: the fractional copy keeps iff the row's md5 bucket
+    * < frac — same [[Sampling.bucketE4]] primitive, so engine-independent.
+    * Scale: copies = explode of a row-local sequence — no shuffle, and the
+    * blow-up factor is the mixture weight itself (what the user asked for).
+    */
+  def mixture(
+      docs: DataFrame, idCol: String, domainCol: String,
+      weightsE4: Map[String, Int], defaultE4: Int): DataFrame = {
+    require((weightsE4.values ++ Seq(defaultE4)).forall(_ >= 0),
+      s"weights are parts-per-10000, got ${weightsE4.values.toSeq :+ defaultE4}")
+    val w = weightsE4.foldLeft(lit(defaultE4)) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val copies = (w / 10000).cast("long") +
+      when(Sampling.bucketE4(col(idCol)) < w % 10000, 1L).otherwise(0L)
+    docs
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
+  /** Fixed-token-budget sequence packing at document granularity: docs are
+    * concatenated in deterministic order and cut into training sequences
+    * of ~`budgetTokens`, a doc starting a new sequence when the budget is
+    * exceeded. Output: `(id, shard, seq_ix, tok_offset, n_tokens)` — the
+    * exact (sequence, offset) every doc lands at, which is what a
+    * tokenize-and-pack job materializes.
+    *
+    * Scale: ONE shuffle — hash-partition by shard, sort by id within. The
+    * running token count is a window cumsum per shard; `numShards` bounds
+    * each sort (pick shards ≫ executors so a shard's docs fit memory —
+    * the same knob a shard-writing job already has). seq_ix is
+    * `floor(preceding_tokens / budget)`: a pure function of the cumsum,
+    * so packing never needs a second pass or driver state.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, numShards: Int): DataFrame = {
+    require(budgetTokens > 0 && numShards > 0)
+    val shard = Sampling.bucketE4(col(idCol)) % numShards
+    val win = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    docs
+      .select(col(idCol),
+        shard.as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tok_before",
+        coalesce(sum("n_tokens").over(win), lit(0L)))
+      .select(
+        col(idCol), col("shard"),
+        (col("tok_before") / budgetTokens).cast("long").as("seq_ix"),
+        (col("tok_before") % budgetTokens).as("tok_offset"),
+        col("n_tokens"))
+  }
+
+  /** Deterministic global shuffle for shard writing: every doc gets a
+    * `(shard, pos)` — shard by md5 bucket, position by md5(salt‖id) rank
+    * within the shard. Reproducible on any engine/partitioning (same
+    * argument as [[Sampling]]: no RNG), and changing `salt` is a fresh
+    * full reshuffle — the "shuffle per epoch" training loops need.
+    *
+    * Scale: the physical shape IS the work — one hash partition by shard
+    * + per-shard sort, i.e. exactly `repartition(shard).sortWithin
+    * Partitions(key)` that the final shard write performs anyway; the
+    * window adds rank bookkeeping to a sort the job already pays for.
+    */
+  def shardShuffle(
+      docs: DataFrame, idCol: String, numShards: Int, salt: String): DataFrame = {
+    require(numShards > 0)
+    val key = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    docs.select(
+      col(idCol),
+      (Sampling.bucketE4(col(idCol)) % numShards).as("shard"),
+      key.as("__k"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy("shard").orderBy(col("__k"), col(idCol))) - 1)
+          .cast("long"))
+      .drop("__k")
+  }
+}

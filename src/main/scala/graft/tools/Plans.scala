@@ -35,6 +35,17 @@ object Plans {
       "store_roundtrip" -> Seq("PushedFilters", "PartitionFilters"),
       // salted skew join must stay an equi-join on (key, salt)
       "q_join_skew" -> Seq("Join", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // decontamination: shingle-hash equi-join + hits agg — a cartesian
+      // against the eval corpus would be the 100 TB scale-killer
+      "curate_decontam" -> Seq("Join", "HashAggregate",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // mixture resample is a row-local explode — joins would mean the
+      // weight dictionary stopped being a literal CASE
+      "sample_mixture" -> Seq("Generate", "!Join"),
+      // packing/shuffling are one hash partition + per-shard sort (the
+      // Window); anything nested-loop-shaped is wrong
+      "pack_sequences" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
     )
     var failed = 0
     checks.foreach { case (name, wants) =>

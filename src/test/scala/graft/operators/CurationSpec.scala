@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts of the curation family (oracle parity is Verify's
+  * job; these pin the semantics on hand-built corpora where the right
+  * answer is computable by eye).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalDocs = Seq(
+    (100L, "alpha beta gamma delta epsilon")
+  ).toDF("doc_id", "text")
+
+  private val trainDocs = Seq(
+    (1L, "alpha beta gamma delta zeta"),      // shares 1 4-shingle (alpha..delta)
+    (2L, "beta gamma delta epsilon eta"),     // shares 1 (beta..epsilon)
+    (3L, "totally different words entirely here"), // clean
+    (4L, "alpha beta gamma delta epsilon")    // identical → shares both
+  ).toDF("doc_id", "text")
+
+  test("contaminationHits counts distinct shared shingles per train doc") {
+    val hits = Curation.contaminationHits(trainDocs, evalDocs, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("decontaminate drops exactly the flagged docs, keeps full rows") {
+    val out = Curation.decontaminate(trainDocs, evalDocs, "doc_id", "text", 4)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("an empty eval set decontaminates nothing") {
+    val out = Curation.decontaminate(
+      trainDocs, evalDocs.limit(0), "doc_id", "text", 4)
+    assert(out.count() == 4)
+  }
+
+  test("repetitionStats: exact ratios on a constructed doc") {
+    // 6 tokens: "x x x x y z" → distinct 3, dup_word = 3/6 = 5000e4
+    // bigrams: (x x)×3, (x y), (y z) → top = 3/5 = 6000e4
+    // mean word len = 1.00 → 100e2
+    val d = Seq((1L, "x x x x y z")).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("dup_word_e4") == 5000L)
+    assert(r.getAs[Long]("top_bigram_e4") == 6000L)
+    assert(r.getAs[Long]("mean_word_len_e2") == 100L)
+    assert(!r.getAs[Boolean]("keep")) // dup 5000 > 2000 default
+  }
+
+  test("repetitionStats: unique-token doc keeps, degenerate docs are 0s") {
+    // doc 1 has 20 unique tokens → dup 0, top bigram 1/19 ≈ 526 ≤ 1800
+    // (a 5-token doc would FAIL the bigram rule: 1/4 = 2500 — the rule is
+    // calibrated for real documents, short snippets read as repetitive)
+    val d = Seq(
+      (1L, ('a' to 't').map(_.toString).mkString(" ")),
+      (2L, "solo"), (3L, " "))
+      .toDF("doc_id", "text")
+    val rows = Curation.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(rows(1L).getAs[Long]("dup_word_e4") == 0L)
+    // single token: no bigrams → top_bigram 0; empty: all zeros
+    assert(rows(2L).getAs[Long]("top_bigram_e4") == 0L)
+    assert(rows(3L).getAs[Long]("n_tokens") == 0L)
+    assert(rows(3L).getAs[Long]("mean_word_len_e2") == 0L)
+  }
+
+  test("mixture: integer part replicates, epoch indexes copies, zero drops") {
+    val d = Seq((1L, "up"), (2L, "down"), (3L, "flat")).toDF("doc_id", "dom")
+    val out = Curation.mixture(d, "doc_id", "dom",
+      Map("up" -> 30000, "down" -> 0), defaultE4 = 10000)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSeq.sorted
+    // up → exactly 3 copies (no fractional part), down → 0, flat → 1
+    assert(out == Seq((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L)))
+  }
+
+  test("mixture fractional part is the stratified-sampling predicate") {
+    val d = (0L until 1000L).map(i => (i, "d")).toDF("doc_id", "dom")
+    val out = Curation.mixture(d, "doc_id", "dom", Map.empty, defaultE4 = 12500)
+    // every doc ≥1 copy; the +1 copy set == Sampling.stratified at 2500e4
+    val extra = out.filter($"epoch" === 1L).select("doc_id")
+    val expected = Sampling.stratified(d, "doc_id", "dom", Map.empty, 2500)
+      .select("doc_id")
+    assert(extra.except(expected).count() == 0 && expected.except(extra).count() == 0)
+    assert(out.filter($"epoch" > 1L).count() == 0)
+  }
+
+  test("packSequences: budget boundaries at doc granularity") {
+    // one shard (numShards=1): docs in id order, 10 tokens each, budget 25
+    val d = (1L to 5L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Curation.packSequences(d, "doc_id", "text", 25, 1)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_ix", "tok_offset", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 0L, 0L, 10L), (2L, 0L, 10L, 10L), (3L, 0L, 20L, 10L),
+      (4L, 1L, 5L, 10L), (5L, 1L, 15L, 10L)))
+  }
+
+  test("packSequences is deterministic across repartitionings") {
+    val d = (0L until 200L).map(i => (i, s"tok a b c $i")).toDF("doc_id", "text")
+    val a = Curation.packSequences(d.repartition(7), "doc_id", "text", 64, 4)
+    val b = Curation.packSequences(d.coalesce(1), "doc_id", "text", 64, 4)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("shardShuffle: dense positions per shard, salt changes the order") {
+    val d = (0L until 300L).map(i => (i, "x")).toDF("doc_id", "text")
+    val out = Curation.shardShuffle(d, "doc_id", 8, "s1").cache()
+    assert(out.count() == 300)
+    // positions are 0..n-1 within every shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter($"mx" =!= $"n" - 1 || $"mn" =!= 0)
+    assert(bad.count() == 0)
+    // same salt → identical assignment; different salt → same shards
+    // (shard is salt-independent) but a different within-shard order
+    val again = Curation.shardShuffle(d, "doc_id", 8, "s1")
+    assert(out.except(again).count() == 0)
+    val other = Curation.shardShuffle(d, "doc_id", 8, "s2")
+    assert(out.select("doc_id", "shard").except(other.select("doc_id", "shard")).count() == 0)
+    assert(out.except(other).count() > 0)
+    out.unpersist()
+  }
+}
