@@ -477,6 +477,43 @@ object PipelineQueries {
       Curation.shardShuffle(Tables.documents(s, d), "doc_id",
         numShards = 16, salt = "epoch0")
         .orderBy("shard", "pos")),
+    // ---- PII scrub / domain cap / run collapse / paragraph dedup ----
+    // the synthetic docs carry no PII or URLs, so these two rows derive
+    // them deterministically from row values (same expression in the
+    // oracle SQL): every doc except doc_id%5==0 gains an email + IPv4 +
+    // phone tail, and every doc gets a URL under its source's host — the
+    // operators themselves are input-agnostic
+    "curate_pii_scrub" -> ((s, d) => {
+      val tail = concat(
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@m"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com srv "), (col("doc_id") % 250).cast("string"),
+        lit("."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 99).cast("string"),
+        lit(" tel +1 555 0"), (col("doc_id") % 900 + 100).cast("string"))
+      Curation.piiScrub(
+        Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit("")).otherwise(tail))),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+    "curate_domain_cap" -> ((s, d) =>
+      Curation.capPerDomain(
+        Tables.documents(s, d).withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/p/"),
+            col("doc_id").cast("string"))),
+        "doc_id", "url", cap = 10)
+        .withColumnRenamed("rank", "domain_rank")
+        .orderBy("domain", "domain_rank")),
+    "text_collapse_runs" -> ((s, d) =>
+      Curation.collapseRuns(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+    // 3-token chunks: the 20-word synthetic vocabulary makes 3-grams
+    // collide heavily across docs — the regime that exercises the
+    // first-occurrence-wins reconstruction
+    "dedup_paragraphs" -> ((s, d) =>
+      Curation.dedupParagraphs(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 3).orderBy("doc_id")),
   )
 
   // ======================== oracles ================================
@@ -952,6 +989,59 @@ object PipelineQueries {
       |SELECT doc_id, shard,
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
       |FROM t ORDER BY shard, pos""".stripMargin.trim,
+
+    // ---- PII scrub / domain cap / run collapse / paragraph dedup ----
+    "curate_pii_scrub" -> s"""
+      |WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ''
+      |    ELSE ' contact u' || doc_id::VARCHAR || '@m' || (doc_id % 7)::VARCHAR
+      |      || '.example.com srv ' || (doc_id % 250)::VARCHAR || '.'
+      |      || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 99)::VARCHAR
+      |      || ' tel +1 555 0' || (doc_id % 900 + 100)::VARCHAR END AS t0
+      |  FROM documents),
+      |s1 AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t0, '${Curation.EmailRe}')) AS BIGINT) AS n_email,
+      |    regexp_replace(t0, '${Curation.EmailRe}', '<EMAIL>', 'g') AS t1 FROM aug),
+      |s2 AS (SELECT doc_id, n_email,
+      |    CAST(len(regexp_extract_all(t1, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ip,
+      |    regexp_replace(t1, '${Curation.Ipv4Re}', '<IP>', 'g') AS t2 FROM s1)
+      |SELECT doc_id, n_email, n_ip,
+      |  CAST(len(regexp_extract_all(t2, '${Curation.PhoneRe}')) AS BIGINT) AS n_phone,
+      |  regexp_replace(t2, '${Curation.PhoneRe}', '<PHONE>', 'g') AS clean_text
+      |FROM s2 ORDER BY doc_id""".stripMargin.trim,
+
+    "curate_domain_cap" -> s"""
+      |WITH u AS (SELECT doc_id,
+      |    'https://' || source || '.example.com/p/' || doc_id::VARCHAR AS url
+      |  FROM documents),
+      |d AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+      |    md5('cap|' || doc_id::VARCHAR) AS k FROM u),
+      |r AS (SELECT doc_id, domain, CAST(row_number() OVER (
+      |    PARTITION BY domain ORDER BY k, doc_id) AS BIGINT) AS domain_rank FROM d)
+      |SELECT doc_id, domain, domain_rank FROM r
+      |WHERE domain_rank <= 10 ORDER BY domain, domain_rank""".stripMargin.trim,
+
+    "text_collapse_runs" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |k AS (SELECT doc_id, toks,
+      |    list_filter(toks, (t, i) -> i = 1 OR t != toks[greatest(i - 1, 1)]) AS kept
+      |  FROM tok)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  array_to_string(kept, ' ') AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin.trim,
+
+    "dedup_paragraphs" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |ch AS (SELECT doc_id, len(toks) AS nt, i AS chunk_ix,
+      |    array_to_string(toks[i*3+1 : i*3+3], ' ') AS chunk
+      |  FROM tok, unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) t(i)),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY md5(chunk) ORDER BY doc_id, chunk_ix) AS rn FROM ch)
+      |SELECT doc_id, CAST((max(nt) + 2) // 3 AS BIGINT) AS n_chunks,
+      |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_ix), '')
+      |    AS clean_text
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
   )
 
   /** Shared CTEs for the decontamination rows: distinct 4-word shingles

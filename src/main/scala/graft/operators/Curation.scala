@@ -179,6 +179,136 @@ object Curation {
         col("n_tokens"))
   }
 
+  /** PII redaction: emails → `<EMAIL>`, IPv4 → `<IP>`, phone numbers →
+    * `<PHONE>`, with per-category match counts — the scrub a crawl corpus
+    * gets before training. Categories are applied in a FIXED order (email,
+    * ip, phone), each regex running over the previous stage's output, so
+    * an email's host can never double-count as an IP.
+    *
+    * Regexes are written in the Java∩RE2 common subset so the Spark plan
+    * and the DuckDB oracle compile the same automaton. Scale: per-row
+    * narrow map, codegen'd `regexp_replace`/`regexp_extract_all` — no
+    * shuffle, no UDF.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[0-9 -]{6,}\\d"
+
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    docs
+      .select(col(idCol), col(textCol).as("__t0"))
+      .withColumn("n_email", n(col("__t0"), EmailRe))
+      .withColumn("__t1", regexp_replace(col("__t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ip", n(col("__t1"), Ipv4Re))
+      .withColumn("__t2", regexp_replace(col("__t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phone", n(col("__t2"), PhoneRe))
+      .select(col(idCol), col("n_email"), col("n_ip"), col("n_phone"),
+        regexp_replace(col("__t2"), PhoneRe, "<PHONE>").as("clean_text"))
+  }
+
+  /** Per-host page cap: keep at most `cap` docs per URL host, chosen by a
+    * salted deterministic rank (md5 of salt‖id) — the crawl-curation rule
+    * that stops a single domain from dominating the corpus. Output keeps
+    * `(id, domain, rank)` for every survivor.
+    *
+    * Scale: ONE shuffle — hash-partition by domain for the rank window.
+    * Domains are naturally skewed (a 100 TB crawl has megadomains);
+    * row_number still needs each domain's rows co-located, but only
+    * `(id, domain, key)` flows through the shuffle, never the document
+    * body — join survivors back to the corpus by id when the text is
+    * needed (AQE handles the skewed partitions).
+    */
+  def capPerDomain(
+      docs: DataFrame, idCol: String, urlCol: String,
+      cap: Int, salt: String = "cap"): DataFrame = {
+    require(cap > 0)
+    val domain = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
+    val key = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    docs
+      .select(col(idCol), domain.as("domain"), key.as("__k"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("domain").orderBy(col("__k"), col(idCol)))
+          .cast("long"))
+      .filter(col("rank") <= cap)
+      .drop("__k")
+  }
+
+  /** Collapse runs of adjacent repeated tokens ("batch batch batch" →
+    * "batch") — the in-document repetition cleanup (crawl boilerplate,
+    * decoder loops). Returns `(id, n_tokens, n_kept, clean_text)`.
+    *
+    * Scale: per-row narrow map — a single indexed `filter` pass over the
+    * row's own token array; no shuffle, no UDF. The index lambda keeps
+    * token i iff i is first or differs from token i-1 (`element_at` is
+    * 1-based, the lambda index 0-based, so `element_at(toks, i)` IS the
+    * previous token; the `greatest` guard keeps index 0 in-bounds on both
+    * engines' eager evaluation).
+    */
+  def collapseRuns(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) =>
+          i === 0 || t =!= element_at(col("toks"), greatest(i, lit(1)))))
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+
+  /** Corpus-wide exact paragraph dedup (CCNet / RefinedWeb style): docs
+    * are cut into non-overlapping `chunkTokens`-token chunks, each chunk
+    * keeps only its FIRST occurrence corpus-wide (ordered by doc id then
+    * chunk position), and every doc is reconstructed from its surviving
+    * chunks. Returns `(id, n_chunks, n_kept, clean_text)` — docs reduced
+    * to "" lost every paragraph to earlier docs.
+    *
+    * Scale: explode to `(id, chunk_ix, md5, chunk)` — chunk text is
+    * bounded at `chunkTokens` words, so the exploded relation is linear
+    * in corpus token count, the same size class as a reshard. Two
+    * shuffles, both keyed: first-occurrence selection is a min-rank
+    * window hash-partitioned on the chunk md5; reconstruction re-groups
+    * by doc id with an order-preserving sorted collect. No self-join, no
+    * cartesian, no driver state.
+    */
+  def dedupParagraphs(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0)
+    val nChunks = ceil(size(col("toks")) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("__nt"),
+        posexplode(
+          when(size(col("toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), nChunks - 1),
+              i => concat_ws(" ",
+                slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+          .as(Seq("chunk_ix", "chunk")))
+    val firsts = chunks
+      .withColumn("__r",
+        row_number().over(
+          Window.partitionBy(md5(col("chunk")))
+            .orderBy(col(idCol), col("chunk_ix"))))
+    firsts
+      .groupBy(idCol)
+      .agg(
+        floor((max(col("__nt")) + (chunkTokens - 1)) / chunkTokens)
+          .cast("long").as("n_chunks"),
+        count(when(col("__r") === 1, 1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            // collect_list drops the nulls `when` leaves for non-first
+            // occurrences; struct sort = (chunk_ix, chunk) order
+            array_sort(collect_list(
+              when(col("__r") === 1, struct(col("chunk_ix"), col("chunk"))))),
+            s => s.getField("chunk"))).as("clean_text"))
+  }
+
   /** Deterministic global shuffle for shard writing: every doc gets a
     * `(shard, pos)` — shard by md5 bucket, position by md5(salt‖id) rank
     * within the shard. Reproducible on any engine/partitioning (same

@@ -46,6 +46,17 @@ object Plans {
       // Window); anything nested-loop-shaped is wrong
       "pack_sequences" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // PII scrub and run-collapse are per-row narrow maps: no hash
+      // shuffle may appear (the battery row's orderBy adds one RANGE
+      // exchange — harness, not operator) — a hash shuffle here means the
+      // op stopped being embarrassingly parallel
+      "curate_pii_scrub" -> Seq("!Exchange hashpartitioning", "!Join"),
+      "text_collapse_runs" -> Seq("!Exchange hashpartitioning", "!Join"),
+      // domain cap = one hash partition by domain for the rank window
+      "curate_domain_cap" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // paragraph dedup = chunk-hash window + per-doc regroup, both keyed —
+      // never a join at all
+      "dedup_paragraphs" -> Seq("Window", "HashAggregate", "!Join"),
     )
     var failed = 0
     checks.foreach { case (name, wants) =>

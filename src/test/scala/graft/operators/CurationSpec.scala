@@ -110,6 +110,92 @@ class CurationSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("piiScrub: redacts emails/IPs/phones in order, counts per category") {
+    val d = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org ip 10.0.0.1 call +1 555 0100 done"),
+      (2L, "nothing sensitive here"),
+      (3L, "ip-only 192.168.1.255 twice 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE> done")))
+    assert(out(1) == ((2L, 0L, 0L, 0L, "nothing sensitive here")))
+    assert(out(2) == ((3L, 0L, 2L, 0L, "ip-only <IP> twice <IP>")))
+  }
+
+  test("piiScrub: an email's dotted host never double-counts as an IP") {
+    // the host LOOKS like it ends in digits+dots; email redaction runs
+    // first, so the IP pass sees <EMAIL>, not the host
+    val d = Seq((1L, "u@1.2.3.4x.com")).toDF("doc_id", "text")
+    val r = Curation.piiScrub(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_email") == 1L && r.getAs[Long]("n_ip") == 0L)
+  }
+
+  test("capPerDomain: keeps at most cap per host, ranks dense from 1") {
+    val d = (0L until 100L)
+      .map(i => (i, s"https://host${i % 4}.ex.com/page/$i"))
+      .toDF("doc_id", "url")
+    val out = Curation.capPerDomain(d, "doc_id", "url", cap = 7).cache()
+    val per = out.groupBy("domain")
+      .agg(count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(per.size == 4 && per.forall { case (_, n, mn, mx) =>
+      n == 7 && mn == 1 && mx == 7 })
+    // deterministic: same cap twice → identical survivor set
+    val again = Curation.capPerDomain(d, "doc_id", "url", cap = 7)
+    assert(out.except(again).count() == 0)
+    // a cap above the domain size keeps everything
+    assert(Curation.capPerDomain(d, "doc_id", "url", cap = 100).count() == 100)
+    out.unpersist()
+  }
+
+  test("collapseRuns drops only ADJACENT repeats") {
+    val d = Seq(
+      (1L, "a a a b b a c c c c"), // a×3 b×2 a c×4 → "a b a c"
+      (2L, "x y z"),               // nothing adjacent
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.collapseRuns(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 10L, 4L, "a b a c")))
+    assert(out(1) == ((2L, 3L, 3L, "x y z")))
+    assert(out(2) == ((3L, 0L, 0L, "")))
+  }
+
+  test("dedupParagraphs: first occurrence wins corpus-wide, docs rebuild in order") {
+    // chunks of 2: doc1 = [a b][c d], doc2 = [c d][e f], doc3 = [a b][c d]
+    val d = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(d, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 2L, 2L, "a b c d"))) // earliest doc keeps all
+    assert(out(1) == ((2L, 2L, 1L, "e f")))     // [c d] lost to doc 1
+    assert(out(2) == ((3L, 2L, 0L, "")))        // fully duplicated
+  }
+
+  test("dedupParagraphs: a ragged tail chunk is its own unit") {
+    // doc1 = [p q][r], doc2 = [r s] — doc2's [r s] ≠ doc1's tail [r]
+    val d = Seq((1L, "p q r"), (2L, "r s")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(d, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 2L, 2L, "p q r")))
+    assert(out(1) == ((2L, 1L, 1L, "r s")))
+  }
+
+  test("dedupParagraphs is deterministic across repartitionings") {
+    val d = (0L until 300L).map(i => (i, s"w${i % 9} w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = Curation.dedupParagraphs(d.repartition(11), "doc_id", "text", 3)
+    val b = Curation.dedupParagraphs(d.coalesce(1), "doc_id", "text", 3)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("shardShuffle: dense positions per shard, salt changes the order") {
     val d = (0L until 300L).map(i => (i, "x")).toDF("doc_id", "text")
     val out = Curation.shardShuffle(d, "doc_id", 8, "s1").cache()
