@@ -91,7 +91,16 @@ object ScaleSweep {
       // must scale ~linearly in corpus size.
       ("q_percentile_exact", "linear"), ("q_ntile", "linear"),
       ("dedup_against_ref", "linear"), ("dedup_against_ref_stored", "linear"),
-      ("doc_sample_stratified", "linear"))
+      ("doc_sample_stratified", "linear"),
+      // curation family: decontam joins against a FIXED-size eval slice
+      // (the train side grows), gopher/mixture/pii/collapse are per-row
+      // maps, packing/shuffling/cap/paragraph-dedup are one keyed window
+      // each — all must stay ~linear in corpus size
+      ("curate_decontam", "linear"), ("text_gopher", "linear"),
+      ("sample_mixture", "linear"), ("pack_sequences", "linear"),
+      ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
+      ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
+      ("dedup_paragraphs", "linear"))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
