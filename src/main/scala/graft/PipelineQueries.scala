@@ -514,6 +514,27 @@ object PipelineQueries {
     "dedup_paragraphs" -> ((s, d) =>
       Curation.dedupParagraphs(Tables.documents(s, d), "doc_id", "text",
         chunkTokens = 3).orderBy("doc_id")),
+    // docs wrapped in deterministic markup (same expression in the oracle):
+    // nested tags, attributes, and an entity tail on every 3rd doc
+    "text_html_strip" -> ((s, d) =>
+      Curation.htmlStrip(
+        Tables.documents(s, d).withColumn("html",
+          concat(
+            lit("<html><body class=\"c"), (col("doc_id") % 7).cast("string"),
+            lit("\"><h1>Doc "), col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"), lit("</p>"),
+            when(col("doc_id") % 3 === 0,
+              lit("<br/>&nbsp;&amp; more &lt;tail&gt;")).otherwise(lit("")),
+            lit("</body></html>"))),
+        "doc_id", "html").orderBy("doc_id")),
+    "corpus_source_overlap" -> ((s, d) =>
+      Curation.sourceOverlap(Tables.documents(s, d), "source", "text",
+        shingleWords = 3, numHashes = 16)
+        .orderBy("src_a", "src_b")),
+    "pack_assemble" -> ((s, d) =>
+      Curation.assembleSequences(Tables.documents(s, d), "doc_id", "text",
+        budgetTokens = 128, numShards = 8)
+        .orderBy("shard", "seq_ix")),
   )
 
   // ======================== oracles ================================
@@ -1042,6 +1063,52 @@ object PipelineQueries {
       |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_ix), '')
       |    AS clean_text
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+
+    "text_html_strip" -> s"""
+      |WITH h AS (SELECT doc_id,
+      |    '<html><body class="c' || (doc_id % 7)::VARCHAR || '"><h1>Doc ' ||
+      |    doc_id::VARCHAR || '</h1><p>' || text || '</p>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '<br/>&nbsp;&amp; more &lt;tail&gt;'
+      |         ELSE '' END || '</body></html>' AS html
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(html, '${Curation.TagRe}')) AS BIGINT) AS n_tags,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(html, '${Curation.TagRe}', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS dec
+      |  FROM h)
+      |SELECT doc_id, n_tags, trim(regexp_replace(dec, '\\s+', ' ', 'g')) AS clean_text
+      |FROM s ORDER BY doc_id""".stripMargin.trim,
+
+    "corpus_source_overlap" -> {
+      val k = 16
+      val mins = (0 until k)
+        .map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+      val agree = (0 until k)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      |WITH tok AS (SELECT source, $TOKS AS toks FROM documents),
+      |sh AS (SELECT DISTINCT source AS src, s AS sh
+      |       FROM tok, unnest(${wordShingles("toks", 3)}) t(s)),
+      |sig AS (SELECT src, $mins FROM sh GROUP BY src)
+      |SELECT a.src AS src_a, b.src AS src_b,
+      |  CAST(round(($agree) * 10000.0 / $k) AS BIGINT) AS sim_e4
+      |FROM sig a, sig b WHERE a.src < b.src
+      |ORDER BY src_a, src_b""".stripMargin.trim
+    },
+
+    "pack_assemble" -> s"""
+      |WITH t AS (SELECT doc_id,
+      |    CAST(${bucketE4Sql("doc_id")} % 8 AS BIGINT) AS shard,
+      |    CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM t)
+      |SELECT shard, CAST(tok_before // 128 AS BIGINT) AS seq_ix,
+      |  count(*) AS n_docs, min(doc_id) AS first_id, max(doc_id) AS last_id,
+      |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+      |FROM c GROUP BY shard, seq_ix ORDER BY shard, seq_ix""".stripMargin.trim,
   )
 
   /** Shared CTEs for the decontamination rows: distinct 4-word shingles

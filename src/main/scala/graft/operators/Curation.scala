@@ -309,6 +309,100 @@ object Curation {
             s => s.getField("chunk"))).as("clean_text"))
   }
 
+  /** HTML → text extraction: strip tags, decode the common entities, and
+    * squeeze the whitespace the removal leaves behind — the first step a
+    * crawl pipeline runs on raw page bodies. Returns
+    * `(id, n_tags, clean_text)`.
+    *
+    * Tag stripping is regex-based (`<[^>]*>`), the right tool for the
+    * post-parser cleanup this op models (a malformed-markup-tolerant DOM
+    * parse is a library concern, out of scope like the media codecs —
+    * the Spark-side shape is what this operator pins). Entities cover the
+    * five predefined XML entities plus `&nbsp;`; `&amp;` is decoded LAST
+    * so `&amp;lt;` yields the literal `&lt;` rather than double-decoding.
+    * Scale: per-row narrow map, codegen'd regex/replace chain, no UDF.
+    */
+  val TagRe = "<[^>]*>"
+
+  def htmlStrip(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val untagged = regexp_replace(col(htmlCol), TagRe, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(htmlCol), lit(TagRe), lit(0)))
+        .cast("long").as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
+  /** Per-source MinHash signatures → pairwise Jaccard estimates between
+    * every pair of sources: the overlap matrix a mixture designer reads
+    * before weighting domains (two crawls of the same site should not
+    * both get full weight). Returns `(src_a, src_b, sim_e4)` for
+    * src_a < src_b, sim = fraction of the `numHashes` per-source min
+    * hashes that agree (the standard MinHash estimator of Jaccard over
+    * each source's distinct-shingle set).
+    *
+    * Scale: the ONLY corpus-sized stage is the distinct (source,
+    * shingle-md5) projection; the K min-hash aggregation is algebraic, so
+    * partial aggregation reduces each partition to |sources|·K values
+    * before the shuffle — no skew cliff from giant sources. The pairwise
+    * stage runs on |sources|² signature rows (a dashboard-sized
+    * relation; sources are domains/datasets, thousands at most, and AQE
+    * broadcasts the self-join's build side).
+    */
+  def sourceOverlap(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      shingleWords: Int, numHashes: Int): DataFrame = {
+    require(numHashes > 0)
+    val sh = docs
+      .select(col(sourceCol).as("src"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("src"),
+        explode(TextOps.wordShingles(col("toks"), shingleWords)).as("sh"))
+      .distinct()
+    val hashAggs = (0 until numHashes).map(k =>
+      min(md5(concat_ws("|", lit(k.toString), col("sh")))).as(s"h$k"))
+    // scoped cache: BOTH self-join sides read the signature relation, and
+    // without the cache each side re-runs the corpus-sized shingle
+    // explode + aggregation — the one stage here that scales with data
+    val sigs = OperatorCache.scoped(
+      sh.groupBy("src").agg(hashAggs.head, hashAggs.tail: _*))
+    val a = sigs.select(col("src").as("src_a") +:
+      (0 until numHashes).map(k => col(s"h$k").as(s"a$k")): _*)
+    val b = sigs.select(col("src").as("src_b") +:
+      (0 until numHashes).map(k => col(s"h$k").as(s"b$k")): _*)
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    // the pairwise condition is non-equi, so this is nested-loop by
+    // nature — force the broadcast (|sources| rows ≤ a few thousand;
+    // a CartesianProduct fallback on unknown agg stats would shuffle
+    // both sides for nothing)
+    a.crossJoin(broadcast(b))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(matches * 10000.0 / numHashes).cast("long").as("sim_e4"))
+  }
+
+  /** The sequences view of [[packSequences]]: one row per training
+    * sequence — `(shard, seq_ix, n_docs, first_id, last_id, seq_tokens)`
+    * — what the shard writer materializes as its manifest. Pure regroup
+    * of the packing assignment; co-partitioned with it (same shard
+    * hash), so the aggregation reuses the packing shuffle's layout.
+    */
+  def assembleSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, numShards: Int): DataFrame =
+    packSequences(docs, idCol, textCol, budgetTokens, numShards)
+      .groupBy("shard", "seq_ix")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(idCol).as("first_id"),
+        max(idCol).as("last_id"),
+        sum("n_tokens").as("seq_tokens"))
+
   /** Deterministic global shuffle for shard writing: every doc gets a
     * `(shard, pos)` — shard by md5 bucket, position by md5(salt‖id) rank
     * within the shard. Reproducible on any engine/partitioning (same

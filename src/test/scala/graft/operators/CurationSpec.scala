@@ -196,6 +196,66 @@ class CurationSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("htmlStrip: tags out, entities decoded, whitespace squeezed") {
+    val d = Seq(
+      (1L, "<html><body class=\"x\"><p>hello   world</p><br/></body></html>"),
+      (2L, "a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f"),
+      (3L, "plain text, no markup")
+    ).toDF("doc_id", "html")
+    val out = Curation.htmlStrip(d, "doc_id", "html")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 7L, "hello world")))
+    assert(out(1) == ((2L, 0L, "a <b> \"c\" 'd' e f")))
+    assert(out(2) == ((3L, 0L, "plain text, no markup")))
+  }
+
+  test("htmlStrip: &amp; decodes LAST, so double-encoded entities stay literal") {
+    val d = Seq((1L, "x &amp;lt; y &amp; z")).toDF("doc_id", "html")
+    val r = Curation.htmlStrip(d, "doc_id", "html").collect()(0)
+    assert(r.getAs[String]("clean_text") == "x &lt; y & z")
+  }
+
+  test("sourceOverlap: identical 10000, disjoint 0, self-pairs excluded") {
+    val d = Seq(
+      (1L, "a1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "a2", "alpha beta gamma delta epsilon zeta"), // == a1
+      (3L, "b", "one two three four five six seven")     // disjoint
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.sourceOverlap(d, "source", "text", 3, 16)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("a1", "a2") -> 10000L, ("a1", "b") -> 0L, ("a2", "b") -> 0L))
+  }
+
+  test("sourceOverlap estimate tracks true Jaccard within MinHash error") {
+    // two sources sharing half their shingle sets: true J = 1/3; with 64
+    // hashes the estimator's σ = √(J(1−J)/64) ≈ 0.059 — assert ±4σ
+    val shared = (0 until 40).map(i => s"s$i w$i x$i")
+    val aOnly = (0 until 40).map(i => s"a$i b$i c$i")
+    val bOnly = (0 until 40).map(i => s"p$i q$i r$i")
+    val d = ((shared ++ aOnly).zipWithIndex.map { case (t, i) => (i.toLong, "A", t) } ++
+      (shared ++ bOnly).zipWithIndex.map { case (t, i) => (1000L + i, "B", t) })
+      .toDF("doc_id", "source", "text")
+    val sim = Curation.sourceOverlap(d, "source", "text", 3, 64)
+      .as[(String, String, Long)].collect()(0)._3
+    assert(sim > 3333 - 2360 && sim < 3333 + 2360, s"sim_e4=$sim vs true 3333")
+  }
+
+  test("assembleSequences is the exact regroup of packSequences") {
+    val d = (1L to 7L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Curation.assembleSequences(d, "doc_id", "text", 25, 1)
+      .orderBy("seq_ix")
+      .select("seq_ix", "n_docs", "first_id", "last_id", "seq_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // 7 docs × 10 tokens, budget 25: seq 0 gets docs 1-3 (cumsum 0,10,20),
+    // seq 1 docs 4-5 (30,40), seq 2 docs 6-7 (50,60)
+    assert(rows == Seq(
+      (0L, 3L, 1L, 3L, 30L), (1L, 2L, 4L, 5L, 20L), (2L, 2L, 6L, 7L, 20L)))
+  }
+
   test("shardShuffle: dense positions per shard, salt changes the order") {
     val d = (0L until 300L).map(i => (i, "x")).toDF("doc_id", "text")
     val out = Curation.shardShuffle(d, "doc_id", 8, "s1").cache()
