@@ -100,7 +100,9 @@ object ScaleSweep {
       ("sample_mixture", "linear"), ("pack_sequences", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
-      ("dedup_paragraphs", "linear"))
+      ("dedup_paragraphs", "linear"),
+      ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
+      ("pack_assemble", "linear"))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
