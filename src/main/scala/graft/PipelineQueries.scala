@@ -1083,14 +1083,17 @@ object PipelineQueries {
 
     "corpus_source_overlap" -> {
       val k = 16
-      val mins = (0 until k)
-        .map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+      val m = graft.operators.Curation.HashPrime
+      val mins = graft.operators.Curation.hashConstants(k).zipWithIndex
+        .map { case ((a, b), i) => s"min((h * $a + $b) % $m) AS h$i" }
+        .mkString(", ")
       val agree = (0 until k)
         .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""
       |WITH tok AS (SELECT source, $TOKS AS toks FROM documents),
-      |sh AS (SELECT DISTINCT source AS src, s AS sh
+      |sh AS (SELECT source AS src,
+      |         ('0x' || substr(md5(s), 1, 15))::BIGINT % $m AS h
       |       FROM tok, unnest(${wordShingles("toks", 3)}) t(s)),
       |sig AS (SELECT src, $mins FROM sh GROUP BY src)
       |SELECT a.src AS src_a, b.src AS src_b,

@@ -59,14 +59,13 @@ object Plans {
       "dedup_paragraphs" -> Seq("Window", "HashAggregate", "!Join"),
       "text_html_strip" -> Seq("!Exchange hashpartitioning", "!Join"),
       // source overlap: the corpus-sized stage must partial-aggregate
-      // (map-side min per source×hash) BEFORE its shuffle — without it a
-      // giant source serializes through one reducer. min over md5-hex
-      // STRINGS has no mutable hash buffer, so Spark plans SortAggregate;
-      // the partial_ fragment is the property that matters. The pairwise
-      // stage is |sources|² and broadcast by design; the signature
-      // relation is scope-cached so the corpus scan runs ONCE
-      // (InMemoryRelation on both join sides).
-      "corpus_source_overlap" -> Seq("partial_", "InMemoryRelation", "!CartesianProduct"),
+      // (map-side min per source×hash, all-LONG so it stays in
+      // HashAggregate) BEFORE its shuffle — without it a giant source
+      // serializes through one reducer. The pairwise stage is |sources|²
+      // and broadcast by design; the signature relation is scope-cached
+      // so the corpus scan runs ONCE (InMemoryRelation on both sides).
+      "corpus_source_overlap" -> Seq("partial_", "HashAggregate",
+        "InMemoryRelation", "!CartesianProduct", "!SortAggregate"),
       "pack_assemble" -> Seq("Window", "HashAggregate",
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
     )
