@@ -97,16 +97,30 @@ object PipelineQueries {
     * CTEs (`sh$suffix`/`sig$suffix`/`banded$suffix`), `where` restricts
     * the corpus slice. Shared by the self-join and cross-corpus oracles
     * so the scheme constants live in exactly one place. */
+  /** Universal-family MinHash sig over an `hv` BIGINT list column —
+    * mirrors [[graft.operators.TextOps.minhashSignature]]; the (A, B)
+    * constants come from the one Scala definition. */
+  private def minhashSigSql(numHashes: Int): String = {
+    val m = graft.operators.TextOps.HashPrime
+    val pairs = graft.operators.TextOps.hashConstants(numHashes)
+      .map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
+    s"""list_transform($pairs, p ->
+       |    list_min(list_transform(hv, x -> (x * p[1] + p[2]) % $m)))""".stripMargin
+  }
+  private def baseHashSql(s: String): String =
+    s"('0x' || substr(md5($s), 1, 15))::BIGINT % ${graft.operators.TextOps.HashPrime}"
+
   private def minhashSideCtes(suffix: String, where: String): String = s"""sh$suffix AS (
        |  SELECT doc_id, ${wordShingles("toks", 3)} AS sh
        |  FROM (SELECT doc_id, $TOKS AS toks FROM documents WHERE $where)),
        |sig$suffix AS (
-       |  SELECT doc_id, sh, list_transform(range(0, 12),
-       |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-       |  FROM sh$suffix),
+       |  SELECT doc_id, sh, ${minhashSigSql(12)} AS sig
+       |  FROM (SELECT doc_id, sh,
+       |          list_transform(sh, s -> ${baseHashSql("s")}) AS hv
+       |        FROM sh$suffix)),
        |banded$suffix AS (
        |  SELECT doc_id, sh, b AS band_ix,
-       |    md5(sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3]) AS band_h
+       |    md5(sig[3*b+1]::VARCHAR || '|' || sig[3*b+2]::VARCHAR || '|' || sig[3*b+3]::VARCHAR) AS band_h
        |  FROM sig$suffix, range(0, 4) r(b))""".stripMargin
 
   /** Shared CTE chain producing the minhash LSH candidate set `cand`
@@ -646,12 +660,13 @@ object PipelineQueries {
       |    length(lower(trim(text))) AS len
       |  FROM documents),
       |sig AS (
-      |  SELECT doc_id, sh, len, list_transform(range(0, 12),
-      |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-      |  FROM base),
+      |  SELECT doc_id, sh, len, ${minhashSigSql(12)} AS sig
+      |  FROM (SELECT doc_id, sh, len,
+      |          list_transform(sh, s -> ${baseHashSql("s")}) AS hv
+      |        FROM base)),
       |banded AS (
       |  SELECT doc_id, sh, len, b AS band_ix,
-      |    md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS band_h
+      |    md5(sig[4*b+1]::VARCHAR || '|' || sig[4*b+2]::VARCHAR || '|' || sig[4*b+3]::VARCHAR || '|' || sig[4*b+4]::VARCHAR) AS band_h
       |  FROM sig, range(0, 3) r(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sh_a, r.sh AS sh_b
@@ -1083,8 +1098,8 @@ object PipelineQueries {
 
     "corpus_source_overlap" -> {
       val k = 16
-      val m = graft.operators.Curation.HashPrime
-      val mins = graft.operators.Curation.hashConstants(k).zipWithIndex
+      val m = graft.operators.TextOps.HashPrime
+      val mins = graft.operators.TextOps.hashConstants(k).zipWithIndex
         .map { case ((a, b), i) => s"min((h * $a + $b) % $m) AS h$i" }
         .mkString(", ")
       val agree = (0 until k)

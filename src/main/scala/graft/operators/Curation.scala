@@ -353,19 +353,6 @@ object Curation {
     * relation; sources are domains/datasets, thousands at most, and AQE
     * broadcasts the self-join's build side).
     */
-  /** 2-universal hash family over the Mersenne prime 2³¹−1 for
-    * [[sourceOverlap]]: `h_k(x) = (x·A_k + B_k) mod M`. One md5 per
-    * shingle (its 15-hex-digit prefix parsed to a 60-bit int) replaces K
-    * md5s — the products stay < 2⁶² so BOTH engines' 64-bit integer
-    * arithmetic is exact (DuckDB raises on BIGINT overflow rather than
-    * wrapping, so staying in range is correctness, not just parity). */
-  val HashPrime = 2147483647L
-  def hashConstants(numHashes: Int): Seq[(Long, Long)] =
-    (0 until numHashes).map { k =>
-      (((2654435761L * (k + 1)) % HashPrime).max(1L),
-        (40503L * (k + 17)) % HashPrime)
-    }
-
   def sourceOverlap(
       docs: DataFrame, sourceCol: String, textCol: String,
       shingleWords: Int, numHashes: Int): DataFrame = {
@@ -374,11 +361,10 @@ object Curation {
       .select(col(sourceCol).as("src"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("src"),
         explode(TextOps.wordShingles(col("toks"), shingleWords)).as("sh"))
-      .select(col("src"),
-        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % HashPrime)
-          .as("h"))
-    val hashAggs = hashConstants(numHashes).zipWithIndex.map { case ((a, b), k) =>
-      min((col("h") * a + b) % HashPrime).as(s"h$k")
+      .select(col("src"), TextOps.baseHash(col("sh")).as("h"))
+    val hashAggs = TextOps.hashConstants(numHashes).zipWithIndex.map {
+      case ((a, b), k) =>
+        min((col("h") * a + b) % TextOps.HashPrime).as(s"h$k")
     }
     // scoped cache: BOTH self-join sides read the signature relation, and
     // without the cache each side re-runs the corpus-sized shingle

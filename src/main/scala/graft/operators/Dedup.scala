@@ -72,12 +72,23 @@ object Dedup {
   private def withMinhashSig(
       base: DataFrame, numHashes: Int, carry: Seq[String] = Nil): DataFrame = {
     val ex = base.select(col("id") +: carry.map(col) :+ explode_outer(col("sh")).as("s"): _*)
-    val dict = ex.filter(col("s").isNotNull).select("s").distinct()
-      .withColumn("hv", transform(sequence(lit(0), lit(numHashes - 1)),
-        h => md5s(concat(h.cast("string"), lit("|"), col("s")))))
-    val minCols = (0 until numHashes).map(h => min(element_at(col("hv"), h + 1)).as(s"__m$h"))
+    // one md5 per shingle OCCURRENCE + K linear maps (TextOps universal
+    // family) — this replaced the round-7 shingle-DICTIONARY design
+    // (distinct vocab, K salted md5s per vocab entry, join back by
+    // shingle): the dictionary amortized md5s but cost a distinct agg
+    // plus a join that AQE turns into a full shuffle of the exploded
+    // corpus once the open vocabulary outgrows broadcast (the regime a
+    // real crawl is always in). Direct hashing is strictly one pass:
+    // project, partial-aggregate LONG mins, one shuffle by id — and the
+    // md5-per-occurrence it pays is CPU the dictionary's shuffle I/O
+    // dwarfed at every sweep scale.
+    val withH = ex.withColumn("__hv", TextOps.baseHash(col("s")))
+    val minCols = TextOps.hashConstants(numHashes).zipWithIndex.map {
+      case ((a, b), h) =>
+        min((col("__hv") * a + b) % TextOps.HashPrime).as(s"__m$h")
+    }
     val aggs = minCols ++ carry.map(c => min(col(c)).as(c))
-    ex.join(dict, Seq("s"), "left")
+    withH
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id") +: carry.map(col) :+

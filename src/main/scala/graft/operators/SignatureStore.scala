@@ -42,9 +42,12 @@ object SignatureStore {
   /** Banding parameters baked into a persisted store. */
   final case class Params(shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4) {
     require(numBands > 0 && numHashes % numBands == 0, "bands must tile the signature")
-    /** Version-tagged fingerprint; `v1` covers the md5 shingle-hash scheme
-      * ([[TextOps.md5s]]) — bump if the hash family ever changes. */
-    def tag: String = s"minhash.v1;w=$shingleWords;h=$numHashes;b=$numBands"
+    /** Version-tagged fingerprint — bumped whenever the hash family
+      * changes, so stores built under the old family invalidate instead
+      * of silently mismatching fresh signatures. `v1` = K salted md5s per
+      * shingle; `v2` = the [[TextOps.hashConstants]] universal family
+      * over one md5. */
+    def tag: String = s"minhash.v2;w=$shingleWords;h=$numHashes;b=$numBands"
   }
 
   private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)

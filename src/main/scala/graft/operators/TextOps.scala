@@ -58,25 +58,60 @@ object TextOps {
   /** md5 hex of a string column — the cross-engine hash primitive. */
   def md5s(c: Column): Column = md5(c.cast("binary"))
 
-  /** MinHash signature: `numHashes` independent hash functions simulated by
-    * salting (`h|shingle`); each signature element is the lexicographic min
-    * of the salted md5s — identical in any engine with md5.
-    * Returns `array<string>` of length `numHashes` (nulls if no shingles). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** 2-universal hash family over the Mersenne prime 2³¹−1, shared by
+    * every MinHash consumer ([[graft.operators.Dedup]],
+    * [[graft.operators.Curation.sourceOverlap]]): one md5 per shingle,
+    * its 15-hex-digit prefix parsed as a 60-bit int, then K linear maps
+    * `h_k(x) = (x·A_k + B_k) mod M`. Replaces the earlier K-salted-md5s
+    * scheme: 1/K-th the hashing on the corpus-sized stage, LONG-typed
+    * mins (HashAggregate-able, 8-byte shuffle rows), and — because a
+    * shingle's K hashes are derivable from one value — no shingle
+    * DICTIONARY join is ever needed to amortize hashing.
+    * Products stay < 2⁶², exact in both engines' 64-bit arithmetic
+    * (DuckDB raises on BIGINT overflow rather than wrapping).
+    * DuckDB twins: base `('0x' || substr(md5(s), 1, 15))::BIGINT % M`,
+    * then `(hv * A_k + B_k) % M`. */
+  val HashPrime = 2147483647L
+  def hashConstants(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { k =>
+      (((2654435761L * (k + 1)) % HashPrime).max(1L),
+        (40503L * (k + 17)) % HashPrime)
+    }
+
+  /** 60-bit base hash of a shingle for the universal family. */
+  def baseHash(s: Column): Column =
+    conv(substring(md5s(s), 1, 15), 16, 10).cast("long") % HashPrime
+
+  /** MinHash signature from a shingle array: element k is the min of
+    * `h_k(baseHash(s))` over the shingles. Returns `array<long>` of
+    * length `numHashes` (null elements if no shingles). Operators that
+    * explode shingles anyway ([[Dedup]]) should instead project
+    * [[baseHash]] once per shingle row and take `min((hv*A+B)%M)` aggs —
+    * same values, partial-aggregated. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val consts = hashConstants(numHashes)
+    val hv = transform(shingles, s => baseHash(s))
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, s => md5s(concat(h.cast("string"), lit("|"), s)))))
+      k => {
+        val a = element_at(typedLit(consts.map(_._1)), k.cast("int") + 1)
+        val b = element_at(typedLit(consts.map(_._2)), k.cast("int") + 1)
+        array_min(transform(hv, x => (x * a + b) % HashPrime))
+      })
+  }
 
   /** LSH band keys for a minhash signature: `numBands` bands of `rowsPerBand`
     * signature elements hashed together. Returns `array<string>` of band
-    * hashes; element b covers sig[b*r .. b*r+r-1]. */
+    * hashes; element b covers sig[b*r .. b*r+r-1]. Sig elements may be
+    * any type rendered identically by both engines' string cast (long,
+    * string). */
   def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(numBands - 1)),
       b => md5s(concat( // concat, NOT concat_ws: null sig (empty doc) must
         // yield a null band like DuckDB's `||`, never a joinable value
         (0 until rowsPerBand).flatMap(r =>
-          Seq(lit("|"), element_at(sig, b * rowsPerBand + r + 1))).tail: _*)))
+          Seq(lit("|"), element_at(sig, b * rowsPerBand + r + 1).cast("string"))).tail: _*)))
 
   /** Exact Jaccard similarity of two distinct-element arrays, scaled to an
     * exact integer: `round(j * 10000)` as BIGINT (order-independent,

@@ -9,7 +9,13 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   private val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
-  private val nearDup = base.replace("runs", "walks") // 1 token of 16 changed
+  // LAST token changed: only the final 3-shingle differs → J = 13/15 ≈ 0.87.
+  // Banding recall is probabilistic in general but deterministic for a
+  // fixed corpus + hash family; this pair band-collides under the v2
+  // universal family (the earlier mid-word edit gave J ≈ 0.65, which v2's
+  // dice missed where v1's happened to hit — at J near the 0.5 threshold
+  // ~50% recall is the DESIGNED behavior, not a defect to pin tests on)
+  private val nearDup = base.replace("tonight", "today")
   private val docs = Seq(
     (1L, base),
     (2L, nearDup),
