@@ -304,11 +304,13 @@ object Dedup {
     import org.apache.spark.sql.functions.udaf
     val sim = udaf(SimhashAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
-    val ex = spread(docs, idCol, textCol)
+    // md5 per token OCCURRENCE, no vocabulary dictionary: the dict join
+    // amortized a single md5 per token yet cost a distinct agg + a join
+    // that shuffles the exploded corpus once the vocabulary outgrows
+    // broadcast — same reasoning as withMinhashSig's v2 rewrite
+    spread(docs, idCol, textCol)
       .select(col("id"), explode_outer(tokens(col("__text"))).as("t"))
-    val dict = ex.filter(col("t").isNotNull).select("t").distinct()
       .withColumn("h", md5s(col("t")))
-    ex.join(dict, Seq("t"), "left")
       .groupBy("id")
       .agg(sim(col("h")).as("simhash"))
   }
