@@ -549,6 +549,21 @@ object PipelineQueries {
       Curation.assembleSequences(Tables.documents(s, d), "doc_id", "text",
         budgetTokens = 128, numShards = 8)
         .orderBy("shard", "seq_ix")),
+    // four deterministic messy variants of each logical URL (upper-cased
+    // www form, tracked query params, fragment, trailing slash) that must
+    // all canonicalize to the same form and dedup together
+    "dedup_url" -> ((s, d) => {
+      val base = concat(lit("example"), (col("doc_id") % 3).cast("string"),
+        lit(".com/p/"), (col("doc_id") % 50).cast("string"))
+      val messy = when(col("doc_id") % 4 === 0, concat(lit("HTTPS://WWW."), base))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), base, lit("?utm_source=a&utm_campaign=b")))
+        .when(col("doc_id") % 4 === 2, concat(lit("https://"), base, lit("/#frag")))
+        .otherwise(concat(lit("https://"), base, lit("/")))
+      Curation.urlDedup(
+        Tables.documents(s, d).withColumn("url", messy), "doc_id", "url")
+        .orderBy("url_c")
+    }),
   )
 
   // ======================== oracles ================================
@@ -1127,6 +1142,36 @@ object PipelineQueries {
       |  count(*) AS n_docs, min(doc_id) AS first_id, max(doc_id) AS last_id,
       |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
       |FROM c GROUP BY shard, seq_ix ORDER BY shard, seq_ix""".stripMargin.trim,
+
+    // mirrors Curation.canonicalUrl step by step (RE2 \1 replacements
+    // where the Spark chain uses Java's $1)
+    "dedup_url" -> """
+      |WITH u AS (SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTPS://WWW.' || base
+      |      WHEN 1 THEN 'https://' || base || '?utm_source=a&utm_campaign=b'
+      |      WHEN 2 THEN 'https://' || base || '/#frag'
+      |      ELSE 'https://' || base || '/' END AS url
+      |  FROM (SELECT doc_id, 'example' || (doc_id % 3)::VARCHAR || '.com/p/'
+      |          || (doc_id % 50)::VARCHAR AS base FROM documents)),
+      |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u),
+      |hp AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nofrag, '^([A-Za-z]+://[^/]*)', 1)),
+      |      '^([a-z]+://)www\.', '\1', 'g'),
+      |      '^(http://[^/:]+):80$', '\1', 'g'),
+      |      '^(https://[^/:]+):443$', '\1', 'g') AS host,
+      |    regexp_replace(nofrag, '^[A-Za-z]+://[^/]*', '', 'g') AS path
+      |  FROM nf),
+      |c AS (SELECT doc_id, host ||
+      |    regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |        path, '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      |        '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g'),
+      |      '/+$', '', 'g') AS url_c
+      |  FROM hp)
+      |SELECT url_c, count(*) AS n, min(doc_id) AS keep_id
+      |FROM c GROUP BY url_c ORDER BY url_c""".stripMargin.trim,
   )
 
   /** Shared CTEs for the decontamination rows: distinct 4-word shingles

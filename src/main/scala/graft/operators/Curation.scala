@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * The reference engine has no document-curation surface (its pipeline
   * operators are `filter|map|reduce|sample`, `docs/grammar.md`); this file
   * is a SURVEY §2.5 training-pipeline extension, same contract as
-  * [[Sampling]] / [[Dedup]]: pure codegen'd expressions (no UDFs), md5 as
-  * the only hash primitive so every operator has an exact DuckDB oracle
-  * twin, ratios surfaced as `*_e4` integers, deterministic output orders.
+  * [[Sampling]] / [[Dedup]]: pure codegen'd expressions (no UDFs), every
+  * hash rooted in md5 (directly, or through the [[TextOps.hashConstants]]
+  * universal family over an md5 prefix) so every operator has an exact
+  * DuckDB oracle twin, ratios surfaced as `*_e4` integers, deterministic
+  * output orders.
   */
 object Curation {
 
@@ -336,6 +338,44 @@ object Curation {
         .cast("long").as("n_tags"),
       trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
   }
+
+  /** URL canonicalization — the normalization a crawl dedup runs before
+    * grouping by URL: drop the fragment, lowercase scheme+host, strip a
+    * leading `www.`, strip default ports (:80 http / :443 https), remove
+    * tracking query parameters (`utm_*`, `gclid`, `fbclid`) with
+    * separator repair, and trim trailing slashes. Pure per-row regex
+    * chain (codegen'd, no UDF); the oracle mirrors each step with RE2's
+    * `\1` replacement syntax where Spark's Java regex uses `$1`.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/]*)", 1)),
+          "^([a-z]+://)www\\.", "$1"),
+        "^(http://[^/:]+):80$", "$1"),
+      "^(https://[^/:]+):443$", "$1")
+    val path = regexp_replace(noFrag, "^[A-Za-z]+://[^/]*", "")
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(path, "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", "$1"),
+          "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
+    concat(host, regexp_replace(cleaned, "/+$", ""))
+  }
+
+  /** Exact URL dedup over canonical forms: `(url_c, n, keep_id)` — one
+    * row per canonical URL, keeping the smallest id. Scale: a per-row
+    * canonicalization map into one partial-aggregated hash groupBy, the
+    * same embarrassingly-parallel shape as exact text dedup. */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("url_c"))
+      .groupBy("url_c")
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
 
   /** Per-source MinHash signatures → pairwise Jaccard estimates between
     * every pair of sources: the overlap matrix a mixture designer reads

@@ -55,16 +55,11 @@ object Dedup {
     *
     * Output: (a, b, j_e4) with a < b, distinct, where j_e4 = round(J*10000).
     */
-  /** Dictionary-encoded minhash signatures for a caller-CACHED `(id, sh,
-    * carry...)` frame: every DISTINCT shingle is salted-md5-hashed once,
-    * then per-doc signature elements are partial-aggregated mins — the same
-    * value as hashing every occurrence (min over a set), at a fraction of
-    * the hash work. The dictionary join carries NO broadcast hint: the
-    * dict grows with the open vocabulary (the 100× sweep measured a
-    * forced broadcast collecting >1 GB of shingle+hash arrays to the
-    * driver and aborting on maxResultSize), so AQE picks broadcast when
-    * the dict is genuinely small and a plain shuffle join on the shingle
-    * key otherwise — still one pass either way.
+  /** Universal-family minhash signatures for a caller-CACHED `(id, sh,
+    * carry...)` frame: one md5 per shingle occurrence, K hashes derived
+    * via [[TextOps.hashConstants]] linear maps, LONG mins partial-
+    * aggregated per doc — one pass, no shingle dictionary (see the v2
+    * rationale inline below).
     * Returns `(id, carry..., sig)` ONLY — shingle arrays stay behind in the
     * caller's scope-cached base frame and join back by id after candidate
     * dedup.
@@ -249,7 +244,7 @@ object Dedup {
   }
 
   /** Whole-simhash typed Aggregator: input is each token occurrence's md5
-    * hex (joined from the distinct-token dictionary), the buffer is the 64
+    * hex, the buffer is the 64
     * signed bit-weights, finish folds weights to the 16-hex fingerprint —
     * all tight JVM loops, no per-row array columns to encode/exchange.
     * Long sums are exactly commutative, so the result is identical to the
@@ -293,13 +288,9 @@ object Dedup {
     def outputEncoder: org.apache.spark.sql.Encoder[String] = ExpressionEncoder()
   }
 
-  /** Per-document 64-bit SimHash fingerprints (16-char hex), dictionary
-    * encoded: each DISTINCT token is md5-hashed once, occurrences stream
-    * through the partial-aggregating [[SimhashAgg]]. The dictionary join
-    * carries no broadcast hint for the same reason as [[withMinhashSig]]:
-    * a token vocabulary is open-ended, and a forced broadcast turns into
-    * a driver maxResultSize abort at corpus scale — AQE broadcasts small
-    * dicts and shuffle-joins on the token otherwise. */
+  /** Per-document 64-bit SimHash fingerprints (16-char hex): each token
+    * occurrence is md5-hashed and streamed through the partial-
+    * aggregating [[SimhashAgg]] — one pass, no vocabulary dictionary. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.functions.udaf
     val sim = udaf(SimhashAgg,

@@ -68,6 +68,9 @@ object Plans {
         "InMemoryRelation", "!CartesianProduct", "!SortAggregate"),
       "pack_assemble" -> Seq("Window", "HashAggregate",
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // URL dedup = per-row canonicalization map + one partial-agg'd
+      // groupBy — never a join
+      "dedup_url" -> Seq("partial_", "HashAggregate", "!Join"),
     )
     var failed = 0
     checks.foreach { case (name, wants) =>

@@ -243,6 +243,37 @@ class CurationSpec extends SparkSpec {
     assert(sim > 3333 - 2360 && sim < 3333 + 2360, s"sim_e4=$sim vs true 3333")
   }
 
+  test("canonicalUrl: case, www, ports, fragments, tracking params, slashes") {
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/a/" -> "https://ex.com/a",
+      "http://site.com:80/?utm_source=x" -> "http://site.com",
+      "https://a.com/p?utm_a=1&utm_b=2&id=3#x" -> "https://a.com/p?id=3",
+      "https://b.org/x?id=1&utm_c=z" -> "https://b.org/x?id=1",
+      "https://c.net/deep/path///" -> "https://c.net/deep/path",
+      "https://keep.com/q?a=1&b=2" -> "https://keep.com/q?a=1&b=2",
+      // www only strips as a PREFIX label; ports only when default
+      "https://wwwx.com/p" -> "https://wwwx.com/p",
+      "http://odd.com:8080/p" -> "http://odd.com:8080/p")
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("urlDedup groups all messy variants of one URL, keeps min id") {
+    val d = Seq(
+      (5L, "HTTPS://WWW.one.com/p/1"),
+      (2L, "https://one.com/p/1?utm_source=a"),
+      (9L, "https://one.com/p/1/#frag"),
+      (7L, "https://two.com/other")
+    ).toDF("doc_id", "url")
+    val out = Curation.urlDedup(d, "doc_id", "url")
+      .orderBy("url_c").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("https://one.com/p/1", 3L, 2L),
+      ("https://two.com/other", 1L, 7L)))
+  }
+
   test("assembleSequences is the exact regroup of packSequences") {
     val d = (1L to 7L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
       .toDF("doc_id", "text")
