@@ -61,9 +61,11 @@ object PipelineQueries {
     * once per (sf dir, JVM), charged to the row's harness ledger. */
   private val docFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def docsStreamFixture(s: SparkSession, d: String): String =
+  private def docsStreamFixture(
+      s: SparkSession, d: String,
+      chargeKey: String = "stream_dedup_ref"): String =
     docFixtures.computeIfAbsent(d, _ =>
-      Queries.harness("stream_dedup_ref") {
+      Queries.harness(chargeKey) {
         val in = Queries.scratchDir("graft_stream_docs_fix")
         Queries.deleteOnExit(in)
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
@@ -71,6 +73,21 @@ object PipelineQueries {
           .repartition(4).write.mode("overwrite").json(in)
         in
       })
+
+  /** Deterministic PII-bearing text for the scrub rows: every doc except
+    * doc_id%5==0 gains an email + IPv4 + phone tail (the synthetic docs
+    * carry none of their own). Mirrored exactly by [[piiOracleSql]]. */
+  private def piiAugmentedText: org.apache.spark.sql.Column = {
+    val tail = concat(
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@m"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com srv "), (col("doc_id") % 250).cast("string"),
+      lit("."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 99).cast("string"),
+      lit(" tel +1 555 0"), (col("doc_id") % 900 + 100).cast("string"))
+    concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit("")).otherwise(tail))
+  }
 
   // ---- DuckDB SQL fragments mirroring graft.operators.TextOps ----
 
@@ -497,19 +514,34 @@ object PipelineQueries {
     // oracle SQL): every doc except doc_id%5==0 gains an email + IPv4 +
     // phone tail, and every doc gets a URL under its source's host — the
     // operators themselves are input-agnostic
-    "curate_pii_scrub" -> ((s, d) => {
-      val tail = concat(
-        lit(" contact u"), col("doc_id").cast("string"),
-        lit("@m"), (col("doc_id") % 7).cast("string"),
-        lit(".example.com srv "), (col("doc_id") % 250).cast("string"),
-        lit("."), (col("doc_id") % 200).cast("string"),
-        lit(".0."), (col("doc_id") % 99).cast("string"),
-        lit(" tel +1 555 0"), (col("doc_id") % 900 + 100).cast("string"))
+    "curate_pii_scrub" -> ((s, d) =>
       Curation.piiScrub(
-        Tables.documents(s, d).withColumn("text",
-          concat(col("text"),
-            when(col("doc_id") % 5 === 0, lit("")).otherwise(tail))),
-        "doc_id", "text").orderBy("doc_id")
+        Tables.documents(s, d).withColumn("text", piiAugmentedText),
+        "doc_id", "text").orderBy("doc_id")),
+    // the SAME scrub composed onto a 4-micro-batch streaming replay:
+    // stateless narrow maps need no state store or watermark, so the
+    // curation pipeline runs on a live crawl unchanged — append mode,
+    // result ≡ the batch row restricted to the fixture slice
+    "stream_pii_scrub" -> ((s, d) => {
+      val in = docsStreamFixture(s, d, chargeKey = "stream_pii_scrub")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val ck = Queries.scratchDir("graft_stream_pii_ck")
+      Queries.deleteOnExit(ck)
+      val q = Curation.piiScrub(
+          stream.withColumn("text", piiAugmentedText), "doc_id", "text")
+        .writeStream.format("memory").queryName("graft_sink_stream_pii")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_sink_stream_pii").orderBy("doc_id")
     }),
     "curate_domain_cap" -> ((s, d) =>
       Curation.capPerDomain(
@@ -1042,23 +1074,9 @@ object PipelineQueries {
       |FROM t ORDER BY shard, pos""".stripMargin.trim,
 
     // ---- PII scrub / domain cap / run collapse / paragraph dedup ----
-    "curate_pii_scrub" -> s"""
-      |WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ''
-      |    ELSE ' contact u' || doc_id::VARCHAR || '@m' || (doc_id % 7)::VARCHAR
-      |      || '.example.com srv ' || (doc_id % 250)::VARCHAR || '.'
-      |      || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 99)::VARCHAR
-      |      || ' tel +1 555 0' || (doc_id % 900 + 100)::VARCHAR END AS t0
-      |  FROM documents),
-      |s1 AS (SELECT doc_id,
-      |    CAST(len(regexp_extract_all(t0, '${Curation.EmailRe}')) AS BIGINT) AS n_email,
-      |    regexp_replace(t0, '${Curation.EmailRe}', '<EMAIL>', 'g') AS t1 FROM aug),
-      |s2 AS (SELECT doc_id, n_email,
-      |    CAST(len(regexp_extract_all(t1, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ip,
-      |    regexp_replace(t1, '${Curation.Ipv4Re}', '<IP>', 'g') AS t2 FROM s1)
-      |SELECT doc_id, n_email, n_ip,
-      |  CAST(len(regexp_extract_all(t2, '${Curation.PhoneRe}')) AS BIGINT) AS n_phone,
-      |  regexp_replace(t2, '${Curation.PhoneRe}', '<PHONE>', 'g') AS clean_text
-      |FROM s2 ORDER BY doc_id""".stripMargin.trim,
+    "curate_pii_scrub" -> piiOracleSql("TRUE"),
+    // streaming twin: same scrub, fixture slice (doc_id % 10 = 0)
+    "stream_pii_scrub" -> piiOracleSql("doc_id % 10 = 0"),
 
     "curate_domain_cap" -> s"""
       |WITH u AS (SELECT doc_id,
@@ -1173,6 +1191,26 @@ object PipelineQueries {
       |SELECT url_c, count(*) AS n, min(doc_id) AS keep_id
       |FROM c GROUP BY url_c ORDER BY url_c""".stripMargin.trim,
   )
+
+  /** The PII-scrub oracle, parameterized by corpus slice — mirrors
+    * [[piiAugmentedText]] + [[graft.operators.Curation.piiScrub]]. */
+  private def piiOracleSql(where: String): String = s"""
+    |WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ''
+    |    ELSE ' contact u' || doc_id::VARCHAR || '@m' || (doc_id % 7)::VARCHAR
+    |      || '.example.com srv ' || (doc_id % 250)::VARCHAR || '.'
+    |      || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 99)::VARCHAR
+    |      || ' tel +1 555 0' || (doc_id % 900 + 100)::VARCHAR END AS t0
+    |  FROM documents WHERE $where),
+    |s1 AS (SELECT doc_id,
+    |    CAST(len(regexp_extract_all(t0, '${Curation.EmailRe}')) AS BIGINT) AS n_email,
+    |    regexp_replace(t0, '${Curation.EmailRe}', '<EMAIL>', 'g') AS t1 FROM aug),
+    |s2 AS (SELECT doc_id, n_email,
+    |    CAST(len(regexp_extract_all(t1, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ip,
+    |    regexp_replace(t1, '${Curation.Ipv4Re}', '<IP>', 'g') AS t2 FROM s1)
+    |SELECT doc_id, n_email, n_ip,
+    |  CAST(len(regexp_extract_all(t2, '${Curation.PhoneRe}')) AS BIGINT) AS n_phone,
+    |  regexp_replace(t2, '${Curation.PhoneRe}', '<PHONE>', 'g') AS clean_text
+    |FROM s2 ORDER BY doc_id""".stripMargin.trim
 
   /** Shared CTEs for the decontamination rows: distinct 4-word shingles
     * per doc, eval = every 20th doc, `hits` = per-train-doc count of
