@@ -102,7 +102,10 @@ object ScaleSweep {
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),
       ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
-      ("pack_assemble", "linear"), ("dedup_url", "linear"))
+      ("pack_assemble", "linear"), ("dedup_url", "linear"),
+      // streaming curation twin: stateless narrow maps over the replay
+      // fixture — cost is fixture I/O + per-row scrub, both linear
+      ("stream_pii_scrub", "linear"))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
