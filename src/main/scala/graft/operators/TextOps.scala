@@ -69,6 +69,14 @@ object TextOps {
     * DICTIONARY join is ever needed to amortize hashing.
     * Products stay < 2⁶², exact in both engines' 64-bit arithmetic
     * (DuckDB raises on BIGINT overflow rather than wrapping).
+    * M = 2³¹−1 is the largest modulus whose products fit a Long without
+    * split multiplication (2⁶¹−1 would overflow); the cost is a 2³¹ hash
+    * space, so at ≳10⁹ DISTINCT corpus shingles base-hash collisions bias
+    * Jaccard estimates upward by ~n/2M. Every dedup consumer is
+    * insulated — banded keys are re-md5'd and candidates exact-verified —
+    * and [[graft.operators.Curation.sourceOverlap]]'s per-source
+    * estimates tolerate the ~0.1%-at-10⁹ bias; revisit only if a raw
+    * signature ships as a public artifact at that cardinality.
     * DuckDB twins: base `('0x' || substr(md5(s), 1, 15))::BIGINT % M`,
     * then `(hv * A_k + B_k) % M`. */
   val HashPrime = 2147483647L
