@@ -935,6 +935,7 @@ object PipelineQueries {
       |SELECT doc_id AS id,
       |  len($TOKS)::BIGINT AS n_ws_tokens,
       |  len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), x -> x != ''))::BIGINT AS n_word_tokens,
+      |  len(regexp_extract_all(text, '${TextAnalysis.BpeRe.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
       |  length(lower(trim(text)))::BIGINT AS n_chars
       |FROM documents ORDER BY id""".stripMargin.trim,
 

@@ -68,14 +68,27 @@ object TextAnalysis {
         col("n_tokens") >= 10 && col("ttr_e4") >= 2000 && col("alpha_e4") >= 5000)
   }
 
-  /** Token statistics: counts via whitespace and via a word-regex ("BPE-ish"
-    * pre-tokenizer shape: runs of word chars OR single non-space symbols). */
+  /** GPT-2-style pre-tokenizer pattern, in the Java∩RE2 regex subset both
+    * engines share: English contraction suffixes, optionally-space-prefixed
+    * letter runs / digit runs / symbol runs, then whitespace runs. The real
+    * GPT-2 pattern's `\s+(?!\S)` lookahead is dropped (RE2 has no
+    * lookahead), so interior multi-space runs tokenize as one run instead
+    * of splitting before the next word — a fixed ±1-per-run offset, fine
+    * for a token-count statistic. Both engines use ordered (leftmost-first)
+    * alternation, so match sets are identical. */
+  val BpeRe = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token statistics: counts via whitespace, via a word-regex, and via the
+    * [[BpeRe]] BPE-ish pre-tokenizer (the count an LLM token budget tracks,
+    * up to the merge table). All per-row narrow maps. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = lower(trim(col(textCol)))
     docs.select(
       col(idCol).as("id"),
       size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
       size(filter(split(t, "[^a-z0-9]+"), x => x =!= "")).cast("long").as("n_word_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeRe), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
       length(t).cast("long").as("n_chars"))
   }
 

@@ -29,11 +29,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("keep"))           // < 10 tokens
   }
 
-  test("tokenStats counts whitespace and word-regex tokens") {
-    val extra = Seq((9L, "  hello,world  foo--bar baz  ")).toDF("doc_id", "text")
-    val r = TextAnalysis.tokenStats(extra, "doc_id", "text").collect()(0)
-    assert(r.getAs[Long]("n_ws_tokens") == 3L)   // hello,world | foo--bar | baz
-    assert(r.getAs[Long]("n_word_tokens") == 5L) // hello world foo bar baz
+  test("tokenStats counts whitespace, word-regex, and BPE-ish tokens") {
+    val extra = Seq(
+      (9L, "  hello,world  foo--bar baz  "),
+      (10L, "don't stop 42x7")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenStats(extra, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(9L).getAs[Long]("n_ws_tokens") == 3L)   // hello,world | foo--bar | baz
+    assert(out(9L).getAs[Long]("n_word_tokens") == 5L) // hello world foo bar baz
+    // "  ",hello,",",world,"  ",foo,"--",bar," baz","  "
+    assert(out(9L).getAs[Long]("n_bpe_tokens") == 10L)
+    // don | 't | " stop" | " 42" | x | 7 — contraction split + digit runs
+    assert(out(10L).getAs[Long]("n_bpe_tokens") == 6L)
   }
 
   test("fingerprints: identical normalized text → identical prints") {
