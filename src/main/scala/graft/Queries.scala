@@ -816,6 +816,22 @@ object Queries {
           unix_micros(col("click_ts")).as("click_t_us"))
         .orderBy("event_id")
     }),
+    // the tolerance variant: matches staler than 24 hours are nulled out
+    // (pandas merge_asof(tolerance=...) semantics) — same single-shuffle
+    // union+window plan, tolerance applied as a post-window null-out, so
+    // the scale shape is identical to the unbounded row
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.lastOnOrBefore(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          toleranceUs = Some(24L * 3600 * 1000000))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("click_ts")).as("click_t_us"))
+        .orderBy("event_id")
+    }),
     "q_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -1035,6 +1051,15 @@ object Queries {
       |ORDER BY o_custkey, o_orderkey""".stripMargin.trim,
     "q_asof_join" -> """
       |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_us, epoch_us(c.ts) AS click_t_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin.trim,
+    // tolerance ≡ post-CASE on the unbounded ASOF match: the row is kept,
+    // the stale payload is nulled
+    "q_asof_tolerance" -> """
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_us,
+      |  CASE WHEN c.ts >= p.ts - INTERVAL 24 HOUR THEN epoch_us(c.ts) END AS click_t_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
