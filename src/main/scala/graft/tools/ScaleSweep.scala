@@ -105,7 +105,10 @@ object ScaleSweep {
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
       // streaming curation twin: stateless narrow maps over the replay
       // fixture — cost is fixture I/O + per-row scrub, both linear
-      ("stream_pii_scrub", "linear"))
+      ("stream_pii_scrub", "linear"),
+      // as-of tolerance variant: union + one keyed window, same plan as
+      // the unbounded row; events replicas grow each key group linearly
+      ("q_asof_tolerance", "linear"))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does
