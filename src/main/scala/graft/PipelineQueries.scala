@@ -415,21 +415,47 @@ object PipelineQueries {
       TextAnalysis.ngramDocFreq(Tables.documents(s, d), "doc_id", "text", k = 2, topK = 20)),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
-    // sketch aggregates: HLL distinct + quantile sketch. Deliberately NO
-    // oracle entries — sketch internals differ engine to engine, so the
-    // driver records a rows-only check; exactness is covered by the
-    // error-bound spec (SketchSpec) against exact answers.
+    // sketch aggregates: HLL distinct + quantile sketch. Sketch internals
+    // differ engine to engine, so the compared shape is (group, exact side,
+    // within-bound boolean): the exact side and the bound predicate are
+    // DuckDB-expressible and only the boolean consumes the sketch — the
+    // oracle asserts TRUE, so a sketch drifting outside its documented
+    // error bound fails the hash. SketchSpec pins the same bounds in-JVM.
     "q_approx_distinct" -> ((s, d) =>
+      // approx_count_distinct(rsd=0.02) ⇒ stddev 2%; 5σ = 10% relative
+      // error is the asserted envelope (HLL++ tail risk at 5σ is ~1e-6)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"))
+        .agg(countDistinct(col("l_partkey")).as("nd_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_nd_approx"))
+        .select(col("l_returnflag"), col("nd_exact"),
+          (abs(col("_nd_approx") - col("nd_exact")).cast("double")
+            <= col("nd_exact") * lit(0.10)).as("within_bound"))
         .orderBy("l_returnflag")),
-    "q_approx_quantiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    "q_approx_quantiles" -> ((s, d) => {
+      // percentile_approx(accuracy=1000) guarantees rank error ≤ 1/1000;
+      // the row asserts the 10× envelope via rank brackets: for target p,
+      // count(< approx) ≤ (p+ε)·n and count(≤ approx) ≥ (p−ε)·n, ε=0.01.
+      // Rank checks (not value interpolation) keep the predicate immune
+      // to cross-engine interpolation differences and duplicate values.
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"))
+      li.join(broadcast(approx), Seq("l_returnflag"))
         .groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
-        .orderBy("l_returnflag")),
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("l_extendedprice") <= col("a99"), 1L).otherwise(0L)).as("le99"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("lt50") <= col("n_rows") * lit(0.51)
+            && col("le50") >= col("n_rows") * lit(0.49)).as("p50_ok"),
+          (col("lt99") <= col("n_rows")
+            && col("le99") >= col("n_rows") * lit(0.98)).as("p99_ok"))
+        .orderBy("l_returnflag")
+    }),
     // end-to-end curation: quality gate ∧ not a non-survivor duplicate —
     // the composed keep-set a training-data job would materialize
     "pipeline_curate" -> ((s, d) => {
@@ -611,6 +637,20 @@ object PipelineQueries {
     "stream_dedup_ref" -> oraclesBase("dedup_against_ref_stored"))
 
   private def oraclesBase: Map[String, String] = Map(
+    // sketch rows: the exact side is recomputed by DuckDB and the oracle
+    // asserts the within-bound booleans are TRUE — the sketch feeds only
+    // the boolean, so the row is fully hash-comparable despite the
+    // sketch internals being engine-specific
+    "q_approx_distinct" -> """
+      |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_exact,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
+    "q_approx_quantiles" -> """
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
     "dedup_exact" -> """
       |WITH doubled AS (
       |  SELECT doc_id, text FROM documents
