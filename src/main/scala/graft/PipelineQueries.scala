@@ -91,6 +91,11 @@ object PipelineQueries {
 
   // ---- DuckDB SQL fragments mirroring graft.operators.TextOps ----
 
+  /** Per-document BPE token counts from the independent Python replica
+    * (scripts/gen_bpe_fixture.py), keyed by md5(text). */
+  private val BpeCountsPath =
+    "/root/repo/src/main/resources/graft/bpe_counts.parquet"
+
   /** toks: lowercased whitespace tokens, empties dropped. */
   private val TOKS =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
@@ -409,6 +414,16 @@ object PipelineQueries {
       TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    // true merge-table BPE counts (Bpe.tokenCounts) and packing on them;
+    // oracle = the independent Python replica's counts, joined by md5(text)
+    "text_tokens_bpe" -> ((s, d) =>
+      operators.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    "pack_bpe" -> ((s, d) =>
+      Curation.packSequencesCounted(
+        operators.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+        "doc_id", "n_bpe_tokens", budgetTokens = 128, numShards = 8)
+        .orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(Tables.documents(s, d), "doc_id", "text")),
     "text_ngram_freq" -> ((s, d) =>
@@ -1095,6 +1110,26 @@ object PipelineQueries {
       |  FROM documents) b,
       |  unnest(range(0, w // 10000 + CASE WHEN bkt < w % 10000 THEN 1 ELSE 0 END)) t(epoch)
       |ORDER BY doc_id, epoch""".stripMargin.trim,
+
+    // BPE fixture rows: counts computed by the independent Python replica
+    // (scripts/gen_bpe_fixture.py), keyed by md5(text) — an inner join, so
+    // a missing/changed text fails the row-count compare loudly
+    "text_tokens_bpe" -> s"""
+      |SELECT d.doc_id AS id, f.n_pre_tokens, f.n_bpe_tokens
+      |FROM documents d
+      |JOIN '$BpeCountsPath' f ON md5(d.text) = f.text_md5
+      |ORDER BY id""".stripMargin.trim,
+
+    "pack_bpe" -> s"""
+      |WITH t AS (SELECT d.doc_id,
+      |    CAST(${bucketE4Sql("doc_id")} % 8 AS BIGINT) AS shard,
+      |    f.n_bpe_tokens AS n_tokens
+      |  FROM documents d JOIN '$BpeCountsPath' f ON md5(d.text) = f.text_md5),
+      |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before FROM t)
+      |SELECT doc_id, shard, CAST(tok_before // 128 AS BIGINT) AS seq_ix,
+      |       CAST(tok_before % 128 AS BIGINT) AS tok_offset, n_tokens
+      |FROM c ORDER BY doc_id""".stripMargin.trim,
 
     "pack_sequences" -> s"""
       |WITH t AS (SELECT doc_id,

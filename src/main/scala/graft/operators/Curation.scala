@@ -163,15 +163,27 @@ object Curation {
     */
   def packSequences(
       docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, numShards: Int): DataFrame =
+    packSequencesCounted(
+      docs.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, "n_tokens", budgetTokens, numShards)
+
+  /** [[packSequences]] over PRECOMPUTED per-doc token counts — the packing
+    * a real tokenize-and-pack job runs, where `nTokCol` comes from the
+    * actual tokenizer (e.g. [[Bpe.tokenCounts]]) rather than a whitespace
+    * approximation. Same single-shuffle window-cumsum plan. */
+  def packSequencesCounted(
+      counts: DataFrame, idCol: String, nTokCol: String,
       budgetTokens: Int, numShards: Int): DataFrame = {
     require(budgetTokens > 0 && numShards > 0)
     val shard = Sampling.bucketE4(col(idCol)) % numShards
     val win = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    docs
+    counts
       .select(col(idCol),
         shard.as("shard"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+        col(nTokCol).cast("long").as("n_tokens"))
       .withColumn("tok_before",
         coalesce(sum("n_tokens").over(win), lit(0L)))
       .select(

@@ -45,6 +45,10 @@ object Plans {
       // packing/shuffling are one hash partition + per-shard sort (the
       // Window); anything nested-loop-shaped is wrong
       "pack_sequences" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // BPE counts are a narrow mapPartitions — no shuffle, no join may
+      // appear; packing on them keeps pack_sequences' one-window contract
+      "text_tokens_bpe" -> Seq("!Exchange hashpartitioning", "!Join"),
+      "pack_bpe" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Join"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // PII scrub and run-collapse are per-row narrow maps: no hash
       // shuffle may appear (the battery row's orderBy adds one RANGE

@@ -98,6 +98,9 @@ object ScaleSweep {
       // each — all must stay ~linear in corpus size
       ("curate_decontam", "linear"), ("text_gopher", "linear"),
       ("sample_mixture", "linear"), ("pack_sequences", "linear"),
+      // merge-table BPE: per-row narrow mapPartitions + memo; packing on
+      // its counts is the same one-window plan as pack_sequences
+      ("text_tokens_bpe", "linear"), ("pack_bpe", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),
