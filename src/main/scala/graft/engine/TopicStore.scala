@@ -49,7 +49,9 @@ final class ViewStore(df: DataFrame, val catalog: Catalog) extends TopicStore {
   * atomic commit protocol, replacing the reference WAL (`pkg/database/log.go`).
   */
 final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
-  val catalog: Catalog = ParquetStore.loadCatalog(root)
+  // open = version check + migration chain BEFORE anything reads the
+  // layout (see StoreMigration; reference pkg/database/migration.go:30-43)
+  val catalog: Catalog = ParquetStore.openCatalog(root)
 
   private def groupDir(s: SType): String =
     s"$root/data/sgroup=${ParquetStore.schemaKey(s)}"
@@ -301,17 +303,21 @@ object ParquetStore {
   def saveCatalog(root: String, catalog: Catalog): Unit = {
     Files.createDirectories(Paths.get(root))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = catalog.list
-      .map { case (t, s) => s"""  "${esc(t)}": "${esc(s.ddl)}"""" }
-      .mkString("{\n", ",\n", "\n}")
+    val json =
+      (s"""  "${StoreMigration.VersionKey}": "${StoreMigration.CurrentVersion}"""" +:
+        catalog.list.map { case (t, s) => s"""  "${esc(t)}": "${esc(s.ddl)}"""" })
+        .mkString("{\n", ",\n", "\n}")
     val tmp = Paths.get(root, ".catalog.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(root, "catalog.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def loadCatalog(root: String): Catalog = {
+  /** Raw sidecar read: `(catalog, declared format version)`. Stores written
+    * before versioning existed carry no version key → version 1. */
+  def loadCatalog(root: String): (Catalog, Int) = {
     val c = new Catalog
+    var version = 1
     val p = Paths.get(root, "catalog.json")
     if (Files.exists(p)) {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
@@ -319,12 +325,71 @@ object ParquetStore {
       val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       entry.findAllMatchIn(json).foreach { m =>
         def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-        // restore verbatim — replaying create() would re-run inheritance/
-        // conflict logic in sorted order, which can reject or silently
-        // rewrite schemas that were legal in their original creation order
-        c.restore(un(m.group(1)), FossilSchema.parse(un(m.group(2))))
+        if (un(m.group(1)) == StoreMigration.VersionKey)
+          version = un(m.group(2)).trim.toInt
+        else
+          // restore verbatim — replaying create() would re-run inheritance/
+          // conflict logic in sorted order, which can reject or silently
+          // rewrite schemas that were legal in their original creation order
+          c.restore(un(m.group(1)), FossilSchema.parse(un(m.group(2))))
       }
     }
+    (c, version)
+  }
+
+  /** Open a store root with the version gate: refuse a NEWER format with a
+    * named error, auto-upgrade an OLDER one through [[StoreMigration]]. */
+  def openCatalog(root: String): Catalog = {
+    val (c, version) = loadCatalog(root)
+    if (Files.exists(Paths.get(root, "catalog.json")))
+      StoreMigration.migrate(root, c, version)
     c
+  }
+}
+
+/** On-disk format versioning + the migration chain — the analog of the
+  * reference's versioned migration function table
+  * (`pkg/database/migration.go:30-43`: deserialize at the found version,
+  * apply each migrate step, clean up), re-expressed for the Parquet store:
+  * the version lives in the `catalog.json` sidecar, each chain step
+  * upgrades exactly one version on disk, and opening a store stamps the
+  * result — so the FIRST layout change ParquetStore ever ships gets a
+  * working upgrade path instead of silently breaking existing roots.
+  *
+  * History:
+  *   v1 — pre-versioning sidecar (no version key).
+  *   v2 — versioned sidecar; data layout unchanged (the stamp itself is
+  *        the upgrade, establishing the chain mechanism).
+  */
+object StoreMigration {
+  /** Reserved sidecar key — rejected as a topic name by Catalog paths
+    * (topics are `/`-rooted), so it can never collide with user data. */
+  val VersionKey = "__format_version"
+  val CurrentVersion = 2
+
+  /** version → step upgrading a root FROM that version to version+1.
+    * Steps receive the root and the already-parsed catalog; they mutate
+    * the on-disk layout only (the caller persists the stamped sidecar). */
+  private val steps: Map[Int, (String, Catalog) => Unit] = Map(
+    1 -> ((_, _) => ()) // v1→v2: sidecar gains the version key; no data change
+  )
+
+  /** Gate + chain: newer-than-supported refuses with both versions named
+    * (the reference's "database version newer than this binary" behavior);
+    * older runs every step in order and persists the upgraded sidecar. */
+  def migrate(root: String, catalog: Catalog, found: Int): Unit = {
+    if (found > CurrentVersion)
+      throw new IllegalStateException(
+        s"store at $root has format version $found, newer than the " +
+          s"supported version $CurrentVersion — upgrade the library to open it")
+    if (found < CurrentVersion) {
+      (found until CurrentVersion).foreach { v =>
+        steps.getOrElse(v, throw new IllegalStateException(
+          s"no migration step from store format version $v (root: $root)"))
+          .apply(root, catalog)
+      }
+      // persist the stamp so the chain runs once, not on every open
+      ParquetStore.saveCatalog(root, catalog)
+    }
   }
 }

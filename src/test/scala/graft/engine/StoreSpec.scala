@@ -343,4 +343,41 @@ class StoreSpec extends SparkSpec {
     c.append("/g/t", 3L, Timestamp.valueOf("2024-01-01 00:02:00"))
     assert(store.segmentCount > n)
   }
+
+  test("opening a pre-versioning (v1) store auto-upgrades and round-trips") {
+    val root = Files.createTempDirectory("graft_store_v1").toString
+    // build a store with current code, then strip the version key to
+    // synthesize the legacy sidecar a pre-versioning build wrote
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/old/t", "int64")
+    c.append("/old/t", 7L, Timestamp.valueOf("2024-03-01 00:00:00"))
+    val sidecar = java.nio.file.Paths.get(root, "catalog.json")
+    val legacy = new String(Files.readAllBytes(sidecar), "UTF-8")
+      .linesIterator.filterNot(_.contains(StoreMigration.VersionKey))
+      .mkString("\n").replaceFirst("\\{\\n\\s*,", "{")
+    Files.write(sidecar, legacy.getBytes("UTF-8"))
+    assert(ParquetStore.loadCatalog(root)._2 == 1)
+
+    // open runs the v1→v2 chain: version stamped, schemas + data intact
+    val c2 = new LocalClient(spark, root, fixedClock)
+    assert(ParquetStore.loadCatalog(root)._2 == StoreMigration.CurrentVersion)
+    assert(c2.listTopics.toMap.apply("/old/t") == "int64")
+    assert(c2.query("all in /old/t").count() == 1)
+  }
+
+  test("a NEWER store format refuses with both versions named") {
+    val root = Files.createTempDirectory("graft_store_vnew").toString
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/x", "int64")
+    val sidecar = java.nio.file.Paths.get(root, "catalog.json")
+    val bumped = new String(Files.readAllBytes(sidecar), "UTF-8")
+      .replace(s""""${StoreMigration.VersionKey}": "${StoreMigration.CurrentVersion}"""",
+        s""""${StoreMigration.VersionKey}": "99"""")
+    Files.write(sidecar, bumped.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { new ParquetStore(spark, root) }
+    assert(e.getMessage.contains("99") &&
+      e.getMessage.contains(StoreMigration.CurrentVersion.toString))
+    // the refused open must not have rewritten the sidecar
+    assert(ParquetStore.loadCatalog(root)._2 == 99)
+  }
 }
