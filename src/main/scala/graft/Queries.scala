@@ -832,6 +832,22 @@ object Queries {
           unix_micros(col("click_ts")).as("click_t_us"))
         .orderBy("event_id")
     }),
+    // skew-hardened as-of: user_id collapsed to 4 hot keys (every key a
+    // straggler magnet), joined through the salted variant — results must
+    // be IDENTICAL to an unsalted as-of (the oracle never sees the salt)
+    "q_asof_skew" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("hot_key", col("user_id") % 4)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "hot_key", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("hot_key"), col("ts").as("click_ts"))
+      AsOfJoin.lastOnOrBeforeSalted(purchases, clicks, Seq("hot_key"),
+          "ts", "click_ts",
+          leftSalt = graft.operators.Sampling.bucketE4(col("event_id")), buckets = 8)
+        .select(col("event_id"), col("hot_key"), unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("click_ts")).as("click_t_us"))
+        .orderBy("event_id")
+    }),
     "q_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -1063,6 +1079,16 @@ object Queries {
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin.trim,
+    // the salt is engine-internal and cancels out: the oracle is a plain
+    // ASOF join on the collapsed hot key
+    "q_asof_skew" -> """
+      |SELECT p.event_id, p.user_id % 4 AS hot_key, epoch_us(p.ts) AS t_us,
+      |       epoch_us(c.ts) AS click_t_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id % 4 AS hot_key, ts
+      |                FROM events WHERE event_type = 'click') c
+      |  ON p.user_id % 4 = c.hot_key AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin.trim,
     "q_range_join" -> """
       |SELECT e.event_id, COUNT(*) AS n_clicks

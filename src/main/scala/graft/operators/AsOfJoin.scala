@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * Scale design: implemented as union + single window pass — ONE shuffle on
   * the key (both sides co-partitioned), sequential scan per key group, no
   * O(n·m) pairing and no broadcast requirement. At 100 TB this is the
-  * sort-merge-shaped plan you want; skewed keys can be salted upstream.
+  * sort-merge-shaped plan you want; for skewed keys use
+  * [[lastOnOrBeforeSalted]] (built-in deterministic salting).
   */
 object AsOfJoin {
 
@@ -81,5 +82,36 @@ object AsOfJoin {
       leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
       rightPayloadCols.map(c => col("__match").getField(c).as(c))
     withTol.select(out: _*)
+  }
+
+  /** Skew-hardened [[lastOnOrBefore]]: hot keys are split across `buckets`
+    * salt slices so no single key serializes into one straggler task.
+    *
+    * Left rows are spread by `leftSalt % buckets` (pass a DETERMINISTIC
+    * expression of a left column — e.g. `Sampling.bucketE4(col("id"))` —
+    * so results are reproducible across runs/engines; the same salt trick
+    * as [[SkewJoin.saltedInner]]); right rows are replicated to every
+    * slice, so each (key, salt) window still sees the full right history
+    * and per-left-row results are IDENTICAL to the unsalted join.
+    *
+    * Cost model: right side is duplicated ×`buckets` — the intended regime
+    * is the classic skew shape (huge left event stream, bounded right
+    * observation stream per key), where cutting the largest partition by
+    * `buckets`× dominates the replicated-right shuffle volume. */
+  def lastOnOrBeforeSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      leftSalt: Column,
+      buckets: Int,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val l = left.withColumn("__salt", pmod(leftSalt, lit(buckets)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
+    lastOnOrBefore(l, r, keys :+ "__salt", leftTime, rightTime, toleranceUs)
+      .drop("__salt")
   }
 }

@@ -35,6 +35,10 @@ object Plans {
       "store_roundtrip" -> Seq("PushedFilters", "PartitionFilters"),
       // salted skew join must stay an equi-join on (key, salt)
       "q_join_skew" -> Seq("Join", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // salted as-of: the window MUST partition on the salt too (that is
+      // the whole anti-straggler point) and stay join-free union+window
+      "q_asof_skew" -> Seq("Window", "__salt", "!Join",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // decontamination: shingle-hash equi-join + hits agg — a cartesian
       // against the eval corpus would be the 100 TB scale-killer
       "curate_decontam" -> Seq("Join", "HashAggregate",

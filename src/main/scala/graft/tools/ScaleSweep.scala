@@ -111,7 +111,10 @@ object ScaleSweep {
       ("stream_pii_scrub", "linear"),
       // as-of tolerance variant: union + one keyed window, same plan as
       // the unbounded row; events replicas grow each key group linearly
-      ("q_asof_tolerance", "linear"))
+      ("q_asof_tolerance", "linear"),
+      // salted as-of over 4 hot keys: the salt must keep scaling linear
+      // even though every key is a straggler magnet
+      ("q_asof_skew", "linear"))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does

@@ -89,6 +89,25 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.toSeq == Seq(Some(9.0)) && miss.toSeq == Seq(None))
   }
 
+  test("salted as-of ≡ unsalted on a one-hot-key frame (incl. tolerance)") {
+    // every row on ONE key — the straggler shape the salt exists for
+    val trades = (1L to 40L).map(t => (t * 10L, "hot", t.toDouble))
+      .toDF("t_us", "sym", "px").select(timestamp_micros($"t_us").as("t"), $"sym", $"px")
+    val quotes = (1L to 15L).map(q => (q * 25L, "hot", q * 1.5))
+      .toDF("q_us", "sym", "bid").select(timestamp_micros($"q_us").as("qt"), $"sym", $"bid")
+    for (tol <- Seq(None, Some(60L))) {
+      val plain = AsOfJoin.lastOnOrBefore(trades, quotes, Seq("sym"), "t", "qt", tol)
+        .select($"sym", unix_micros($"t"), $"bid")
+        .as[(String, Long, Option[Double])].collect().toSet
+      val salted = AsOfJoin.lastOnOrBeforeSalted(trades, quotes, Seq("sym"),
+          "t", "qt", leftSalt = unix_micros($"t"), buckets = 4, toleranceUs = tol)
+        .select($"sym", unix_micros($"t"), $"bid")
+        .as[(String, Long, Option[Double])].collect().toSet
+      assert(salted == plain, s"tolerance=$tol")
+      assert(plain.size == 40)
+    }
+  }
+
   test("range join pairs points with containing [start,end) intervals across buckets") {
     val points = Seq(5L, 15L, 25L, 999L).toDF("p_us")
       .select(timestamp_micros($"p_us").as("pt"))
