@@ -55,6 +55,30 @@ object PipelineQueries {
         root
       })
 
+  /** Incrementally-built twin of [[refIvfStore]]: 90% of the corpus at
+    * build time, the other 10% via [[graft.operators.IvfStore.append]]
+    * against the frozen centroids — the daily-crawl shape. Probing it must
+    * return results identical to the wholesale-built store (assignment is
+    * a pure function of vector and centroids), which is exactly what the
+    * shared `ann_ivf` oracle asserts. */
+  private val ivfUpsertRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def upsertIvfStore(s: SparkSession, d: String): String =
+    ivfUpsertRoots.computeIfAbsent(d, _ =>
+      Queries.harness("ann_ivf_upsert") {
+        val root = java.nio.file.Files.createTempDirectory("graft_ivfupsert").toString
+        Queries.deleteOnExit(root)
+        val e = Tables.embeddings(s, d)
+        val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+        graft.operators.IvfStore.build(
+          e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % mod === 0),
+          "vec_id", "embedding", "vec_id", root, "emb", IvfTag)
+        graft.operators.IvfStore.append(
+          e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", root, "emb", IvfTag)
+        root
+      })
+
   /** Streaming replay fixture for the incremental-dedup row: the NEW batch
     * (10% slice) as JSON-lines `(doc_id, text)`, split into multiple files
     * so AvailableNow actually exercises multi-micro-batch replay. Written
@@ -408,6 +432,15 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, refine = 4)
         .orderBy("q", "rank")
     }),
+    // incremental-upsert twin: 90% built + 10% appended must probe
+    // IDENTICALLY to the wholesale index (shared ann_ivf oracle)
+    "ann_ivf_upsert" -> ((s, d) => {
+      val root = upsertIvfStore(s, d)
+      Similarity.ivfTopKStored(s, root, "emb", IvfTag,
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3)
+        .orderBy("q", "rank")
+    }),
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_quality" -> ((s, d) =>
@@ -646,6 +679,8 @@ object PipelineQueries {
     // twins (same centroids, deterministic assignment) — same oracle
     "ann_ivf_stored" -> oraclesBase("ann_ivf"),
     "ann_ivf_int8_stored" -> oraclesBase("ann_ivf_int8"),
+    // the upsert-built index probes identically to the wholesale one
+    "ann_ivf_upsert" -> oraclesBase("ann_ivf"),
     // the streaming replay unions per-micro-batch runs of the stored
     // incremental dedup — identical results to the batch row by
     // construction (each new doc lives in exactly one micro-batch)

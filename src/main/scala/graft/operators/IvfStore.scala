@@ -84,6 +84,36 @@ object IvfStore {
     ()
   }
 
+  /** Incremental upsert — the daily-crawl path: assign ONLY the new batch
+    * against the store's FROZEN centroids (the quantizer is part of the
+    * index identity — re-training it would silently shift every existing
+    * bucket boundary) and append the rows into the existing bucket
+    * partitions. Cost ∝ batch size, never corpus size; results after an
+    * append are IDENTICAL to a wholesale rebuild over the union, because
+    * per-row assignment is a pure function of (vector, centroids).
+    *
+    * Crash safety mirrors the build: the `_params` marker is REMOVED
+    * before any data lands and re-written only after the append commits,
+    * so a crash mid-append leaves an unreadable store (next [[build]]
+    * wipes and rebuilds) rather than a silently partial index. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      root: String, corpusId: String, tag: String): Unit = {
+    requireBuilt(root, corpusId, tag)
+    val d = dir(root, corpusId)
+    val persistedCent = batch.sparkSession.read
+      .parquet(d.resolve("centroids.parquet").toString)
+    val m = marker(root, corpusId)
+    Files.delete(m)
+    Similarity.assignBuckets(batch, persistedCent, vecCol, idCol, "bucket", n = 1)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
+      .withColumn("scale", Similarity.scaleE6(col("v")))
+      .withColumn("qv", Similarity.quantize(col("v"), col("scale")))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("bucket")
+      .parquet(d.resolve("buckets.parquet").toString)
+    Files.write(m, tag.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
   /** Persisted centroids `(cid, cv, cn)` — a bare parquet scan. */
   def centroids(spark: SparkSession, root: String, corpusId: String,
       tag: String): DataFrame = {

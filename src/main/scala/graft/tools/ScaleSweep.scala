@@ -259,7 +259,7 @@ object ScaleSweep {
     (total, bits, stats, gt, found, if (gt == 0) 0.0 else found.toDouble / gt)
   }
 
-  private def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+  private[tools] def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val outDir = new java.io.File(out)
     if (new java.io.File(outDir, "_done").exists()) return
     val docs = spark.read.parquet(s"$base/documents.parquet")

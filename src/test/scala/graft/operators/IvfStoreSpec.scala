@@ -68,6 +68,47 @@ class IvfStoreSpec extends SparkSpec {
     assert(IvfStore.buckets(spark, root, "emb", tag).count() == e.count())
   }
 
+  test("incremental append ≡ wholesale rebuild, and probes identically") {
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = e.filter(col("vec_id") % mod === 0)
+    // 90% built + 10% appended
+    val root = Files.createTempDirectory("graft_ivfspec_up").toString
+    IvfStore.build(e.filter(col("vec_id") % 10 =!= 0), cents,
+      "vec_id", "embedding", "vec_id", root, "emb", tag)
+    IvfStore.append(e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", root, "emb", tag)
+    // same (id → bucket) assignment set as the wholesale store
+    val whole = buildStore()
+    def rows(r: String) = IvfStore.buckets(spark, r, "emb", tag)
+      .select("id", "bucket").collect().map(x => (x.getLong(0), x.get(1))).toSet
+    assert(rows(root) == rows(whole) && rows(root).size == e.count())
+    // and the probe results are identical
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    def probe(r: String) = Similarity.ivfTopKStored(spark, r, "emb", tag,
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("q", "rank").collect().toSeq
+    assert(probe(root) == probe(whole) && probe(root).nonEmpty)
+  }
+
+  test("a crashed append (no marker) refuses to serve, then rebuilds") {
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = e.filter(col("vec_id") % mod === 0)
+    val root = Files.createTempDirectory("graft_ivfspec_crash").toString
+    IvfStore.build(e.filter(col("vec_id") % 10 =!= 0), cents,
+      "vec_id", "embedding", "vec_id", root, "emb", tag)
+    // simulate the crash window: marker dropped, data half-landed
+    Files.delete(Paths.get(root, "emb", "_params"))
+    intercept[IllegalArgumentException] {
+      IvfStore.append(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", root, "emb", tag)
+    }
+    intercept[IllegalArgumentException] { IvfStore.buckets(spark, root, "emb", tag) }
+    IvfStore.build(e, cents, "vec_id", "embedding", "vec_id", root, "emb", tag)
+    assert(IvfStore.buckets(spark, root, "emb", tag).count() == e.count())
+  }
+
   test("build is idempotent per tag") {
     val root = buildStore()
     val mtime = Files.getLastModifiedTime(Paths.get(root, "emb", "_params"))
