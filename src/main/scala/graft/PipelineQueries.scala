@@ -617,6 +617,35 @@ object PipelineQueries {
       q.awaitTermination()
       s.table("graft_sink_stream_pii").orderBy("doc_id")
     }),
+    // decontamination composed onto the live-crawl replay: the eval
+    // shingle set is broadcast-sized by nature, so the streaming side is
+    // a stateless narrow map (no join/agg/state) — append mode, result
+    // ≡ the batch hits row restricted to the fixture slice
+    "stream_decontam" -> ((s, d) => {
+      val in = docsStreamFixture(s, d, chargeKey = "stream_decontam")
+      val evalSet = Curation.evalShingles(
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleWords = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val ck = Queries.scratchDir("graft_stream_decontam_ck")
+      Queries.deleteOnExit(ck)
+      val q = Curation.contaminationHitsAgainst(
+          stream.filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text", shingleWords = 4, evalSet)
+        .writeStream.format("memory").queryName("graft_sink_stream_decontam")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_sink_stream_decontam").orderBy("doc_id")
+    }),
     "curate_domain_cap" -> ((s, d) =>
       Curation.capPerDomain(
         Tables.documents(s, d).withColumn("url",
@@ -1117,6 +1146,13 @@ object PipelineQueries {
       |WITH $decontamCtes
       |SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin.trim,
+
+    // streaming twin: same hit counting, fixture slice (doc_id % 10 = 0;
+    // the hits CTE already excludes the eval docs themselves)
+    "stream_decontam" -> s"""
+      |WITH $decontamCtes
+      |SELECT doc_id, hits FROM hits WHERE doc_id % 10 = 0
       |ORDER BY doc_id""".stripMargin.trim,
 
     "text_gopher" -> s"""

@@ -48,6 +48,57 @@ object Curation {
       .groupBy(idCol).agg(count(lit(1)).as("hits"))
   }
 
+  /** Eval-side distinct raw shingles, driver-collected — the seam that
+    * makes decontamination STREAM-composable. Safe by the same argument
+    * that makes the batch join broadcast-shaped: the eval set is a
+    * benchmark corpus, bounded by construction (never crawl-sized), so
+    * its distinct-shingle set ships to every executor as one broadcast. */
+  def evalShingles(
+      eval: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int): Seq[String] =
+    eval.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(explode(TextOps.wordShingles(col("toks"), shingleWords)).as("sh"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** [[contaminationHits]] against a PRE-COLLECTED eval shingle set: a
+    * per-row narrow mapPartitions (distinct shingles → O(1) lookups in
+    * the broadcast set, built once per executor — NOT a literal-array
+    * intersect, which re-hashes the eval set per row and turns linear
+    * into n·|eval|), no join, no aggregation, no state — exactly the
+    * shape Structured Streaming runs in append mode on a live crawl.
+    * Counts are identical to the batch operator (both count DISTINCT
+    * matching shingles per doc; raw-string equality ≡ the batch join's
+    * md5 equality — the hash there exists only to keep shuffle keys
+    * fixed-width, and this path never shuffles). */
+  def contaminationHitsAgainst(
+      train: DataFrame, idCol: String, textCol: String, shingleWords: Int,
+      evalSet: Seq[String]): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(evalSet.toSet)
+    train
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.flatMap { case (id, t) =>
+          // mirrors TextOps.tokens/wordShingles: lowercase whitespace
+          // tokens (trim is subsumed — empty tokens are dropped), distinct
+          // k-word shingles joined by a single space
+          val toks = (if (t == null) "" else t)
+            .toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val n =
+            if (toks.length < shingleWords) 0L
+            else toks.sliding(shingleWords).map(_.mkString(" "))
+              .toSet.count(set.contains).toLong
+          if (n > 0) Some((id, n)) else None
+        }
+      }
+      .toDF(idCol, "hits")
+  }
+
   /** The decontaminated train corpus: input rows minus every doc flagged
     * by [[contaminationHits]]. Left-anti join on the id — the flagged set
     * is ≤ train row count and usually tiny, so AQE broadcasts it. */

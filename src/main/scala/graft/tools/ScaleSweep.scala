@@ -106,9 +106,10 @@ object ScaleSweep {
       ("dedup_paragraphs", "linear"),
       ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
-      // streaming curation twin: stateless narrow maps over the replay
-      // fixture — cost is fixture I/O + per-row scrub, both linear
-      ("stream_pii_scrub", "linear"),
+      // streaming curation twins: stateless narrow maps over the replay
+      // fixture — cost is fixture I/O + per-row work, both linear (the
+      // decontam eval set is collected once, broadcast-sized by nature)
+      ("stream_pii_scrub", "linear"), ("stream_decontam", "linear"),
       // as-of tolerance variant: union + one keyed window, same plan as
       // the unbounded row; events replicas grow each key group linearly
       ("q_asof_tolerance", "linear"),
