@@ -48,15 +48,23 @@ object Sample {
     val tIdx = schema.fieldIndex(T)
     val topicIdx = schema.fieldIndex("topic")
 
+    // The greedy carry is sequential, but the SORT never has to be: the
+    // global variant range-sorts in parallel (sample → range shuffle →
+    // per-partition sort) and the single carry task then just CONCATENATES
+    // the ordered range partitions (coalesce(1) without shuffle reads
+    // parents in partition-index order, which for a range sort IS global
+    // time order) — an O(n) streaming scan, not a single-task full sort
+    // of the whole stream.
     val arranged =
       if (perTopic)
         withT.repartition(col("topic")).sortWithinPartitions(col("topic"), col(T))
+          .rdd
       else
-        withT.repartition(1).sortWithinPartitions(col(T))
+        withT.orderBy(col(T)).rdd.coalesce(1, shuffle = false)
 
     // Sequential greedy scan; partitions are (topic-sorted, time-sorted) so a
     // single pass with a per-topic carry is exact.
-    val rows = arranged.rdd.mapPartitions { it =>
+    val rows = arranged.mapPartitions { it =>
       var lastKept = Map.empty[String, Long]
       it.flatMap { r =>
         val key = if (perTopic) r.getString(topicIdx) else ""

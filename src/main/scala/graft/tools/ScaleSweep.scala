@@ -81,6 +81,10 @@ object ScaleSweep {
       ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
       ("ann_ivf_stored", "quadratic"), ("ann_ivf_int8_stored", "quadratic"),
       ("emb_neardup", "quadratic"), ("emb_quantize", "linear"),
+      // fossil-exact global greedy sample: the carry pass is inherently
+      // one task, but the sort underneath is a parallel range sort — the
+      // single task only streams pre-sorted partitions (round 11)
+      ("fql_sample_global", "linear"),
       ("stream_fql", "linear"), ("stream_fql_sample", "linear"),
       ("stream_windowed", "linear"), ("stream_fql_reduce", "linear"),
       ("stream_session", "linear"), ("stream_dedup_ref", "linear"),
