@@ -79,10 +79,15 @@ object PipelineQueries {
         root
       })
 
-  /** Streaming replay fixture for the incremental-dedup row: the NEW batch
-    * (10% slice) as JSON-lines `(doc_id, text)`, split into multiple files
-    * so AvailableNow actually exercises multi-micro-batch replay. Written
-    * once per (sf dir, JVM), charged to the row's harness ledger. */
+  /** Streaming replay fixture shared by the stream_* curation rows: the
+    * 10% doc slice as JSON-lines `(doc_id, text)`, split into multiple
+    * files so AvailableNow actually exercises multi-micro-batch replay.
+    * Written once per (sf dir, JVM) — FIRST CALLER PAYS: the build cost
+    * lands on whichever consumer row triggers it (its `chargeKey`), and
+    * later consumers get the fixture free. Per-row ledger attribution is
+    * therefore approximate across the sharing rows; what matters for the
+    * bench is only that the one-time write is excluded from ENGINE time,
+    * which holds regardless of which sharer paid. */
   private val docFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private def docsStreamFixture(
@@ -1229,7 +1234,7 @@ object PipelineQueries {
       |WITH u AS (SELECT doc_id,
       |    'https://' || source || '.example.com/p/' || doc_id::VARCHAR AS url
       |  FROM documents),
-      |d AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+      |d AS (SELECT doc_id, lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)) AS domain,
       |    md5('cap|' || doc_id::VARCHAR) AS k FROM u),
       |r AS (SELECT doc_id, domain, CAST(row_number() OVER (
       |    PARTITION BY domain ORDER BY k, doc_id) AS BIGINT) AS domain_rank FROM d)
@@ -1257,7 +1262,11 @@ object PipelineQueries {
       |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
       |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_ix), '')
       |    AS clean_text
-      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+      |FROM r GROUP BY doc_id
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+      |FROM tok WHERE len(toks) = 0
+      |ORDER BY doc_id""".stripMargin.trim,
 
     "text_html_strip" -> s"""
       |WITH h AS (SELECT doc_id,

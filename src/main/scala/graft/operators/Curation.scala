@@ -257,7 +257,10 @@ object Curation {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+\\d[0-9 -]{6,}\\d"
+  // digits joined by AT MOST ONE space/hyphen each (7–16 digits total) —
+  // the earlier greedy [0-9 -]{6,} run swallowed space-separated numbers
+  // AFTER the phone ("+1 555 0100 42 items" redacted the 42 too)
+  val PhoneRe = "\\+\\d(?:[ -]?\\d){6,14}"
 
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def n(c: Column, re: String): Column =
@@ -289,7 +292,9 @@ object Curation {
       docs: DataFrame, idCol: String, urlCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     require(cap > 0)
-    val domain = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
+    // scheme-case-insensitive + lowered host, matching canonicalUrl — an
+    // uppercase-scheme URL must not lump into a phantom '' domain
+    val domain = lower(regexp_extract(col(urlCol), "^[A-Za-z]+://([^/]+)", 1))
     val key = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
     docs
       .select(col(idCol), domain.as("domain"), key.as("__k"))
@@ -344,8 +349,14 @@ object Curation {
       chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0)
     val nChunks = ceil(size(col("toks")) / lit(chunkTokens.toDouble)).cast("int")
-    val chunks = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    val tokenized = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    // zero-token docs have no chunks to explode — retain them explicitly
+    // (n_chunks=0, n_kept=0, clean_text='') so downstream reconstruction
+    // keeps the doc set intact, like the sibling piiScrub/collapseRuns
+    val empties = tokenized.filter(size(col("toks")) === 0)
+      .select(col(idCol), lit(0L).as("n_chunks"), lit(0L).as("n_kept"),
+        lit("").as("clean_text"))
+    val chunks = tokenized.filter(size(col("toks")) > 0)
       .select(col(idCol), size(col("toks")).as("__nt"),
         posexplode(
           when(size(col("toks")) === 0, array().cast("array<string>"))
@@ -372,6 +383,7 @@ object Curation {
             array_sort(collect_list(
               when(col("__r") === 1, struct(col("chunk_ix"), col("chunk"))))),
             s => s.getField("chunk"))).as("clean_text"))
+      .unionByName(empties)
   }
 
   /** HTML → text extraction: strip tags, decode the common entities, and

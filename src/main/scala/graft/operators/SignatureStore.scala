@@ -32,8 +32,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                         them would silently return garbage pairs).
   *
   * 100 TB story: the build is one pass over the corpus (the same
-  * tokenize → shingle → dictionary-minhash → band plan the inline operator
-  * runs), written as partitioned parquet; bands.parquet is ~numHashes rows
+  * tokenize → shingle → universal-family direct-hash → band plan the
+  * inline operator runs: one md5 per shingle, K linear maps over it — no
+  * shingle dictionary), written as partitioned parquet; bands.parquet is ~numHashes rows
   * of (id, two longs) per document — a few percent of corpus text size —
   * and the incremental join reads only the band-key columns it needs.
   */

@@ -151,6 +151,42 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("capPerDomain: scheme case never forges a '' domain; host is lowered") {
+    val d = Seq(
+      (1L, "HTTPS://Host.Ex.com/a"), (2L, "https://host.ex.com/b"),
+      (3L, "FTP://Other.ex/z")
+    ).toDF("doc_id", "url")
+    val out = Curation.capPerDomain(d, "doc_id", "url", cap = 10)
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    assert(out(1L) == "host.ex.com" && out(2L) == "host.ex.com")
+    assert(out(3L) == "other.ex")
+    assert(!out.values.exists(_.isEmpty))
+  }
+
+  test("piiScrub: phone redaction is bounded — no unbounded digit-run swallow") {
+    // 16+ digits (past the {6,14} bound) must not all vanish into one
+    // match, and multi-space runs break the number
+    val d = Seq(
+      (1L, "call +1 555 0100 now"),
+      (2L, "id +12345678901234567890 tail"),
+      (3L, "phone +1 555 0100  42 items")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(d, "doc_id", "text")
+      .orderBy("doc_id").select("clean_text").as[String].collect().toSeq
+    assert(out(0) == "call <PHONE> now")
+    assert(out(1).contains("<PHONE>") && out(1).endsWith("67890 tail"))
+    assert(out(2) == "phone <PHONE>  42 items") // double space stops the run
+  }
+
+  test("dedupParagraphs retains zero-token docs as (0, 0, '')") {
+    val d = Seq((1L, "a b c d"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(d, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out(1) == ((2L, 0L, 0L, "")) && out(2) == ((3L, 0L, 0L, "")))
+    assert(out(0)._2 == 2L && out(0)._4 == "a b c d")
+  }
+
   test("collapseRuns drops only ADJACENT repeats") {
     val d = Seq(
       (1L, "a a a b b a c c c c"), // a×3 b×2 a c×4 → "a b a c"
