@@ -464,6 +464,11 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(Tables.documents(s, d), "doc_id", "text")),
+    // perplexity-filtering shape: per-doc mean NLL under the corpus's own
+    // add-one unigram LM (two hash aggs + one vocab-sized join)
+    "text_unigram_nll" -> ((s, d) =>
+      TextAnalysis.unigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id")),
     "text_ngram_freq" -> ((s, d) =>
       TextAnalysis.ngramDocFreq(Tables.documents(s, d), "doc_id", "text", k = 2, topK = 20)),
     "text_fingerprint" -> ((s, d) =>
@@ -734,6 +739,21 @@ object PipelineQueries {
       |SELECT l_returnflag, COUNT(*) AS n_rows,
       |       TRUE AS p50_ok, TRUE AS p99_ok
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
+    "text_unigram_nll" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |c AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+      |lp AS (SELECT e.doc_id, ln((c.c + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |       FROM ex e JOIN c USING (t) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |        CAST(round(-sum(lp) * 10000.0 / count(*)) AS BIGINT) AS nll_e4
+      |        FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.nll_e4, 0) AS nll_e4
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY id""".stripMargin.trim,
 
     "dedup_exact" -> """
       |WITH doubled AS (

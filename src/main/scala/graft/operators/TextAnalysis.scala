@@ -106,6 +106,41 @@ object TextAnalysis {
         .as("avg_tokens_e2"))
   }
 
+  /** Unigram-LM negative log-likelihood per document — the shape of
+    * perplexity filtering (CCNet / LLaMA-style curation: score each doc
+    * under a language model trained on the corpus, drop the tails). The
+    * "model" here is the corpus's own add-one-smoothed unigram LM:
+    * `lp(t) = ln((c_t + 1) / (N + V))`, scored as the per-doc mean NLL
+    * ×10⁴ (lower = more typical text). Swap the count table for a
+    * pretrained one and the plan is unchanged.
+    *
+    * Scale: pass 1 builds the vocab-sized count table (hash agg on the
+    * token, Zipf-bounded); pass 2 re-joins tokens to their counts (AQE
+    * broadcasts the count side while it fits; degrades to a shuffled
+    * equi-join, never a BNLJ) and aggregates per doc with map-side
+    * partials. Zero-token docs are retained with (0, 0). */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+    val counts = ex.filter(col("t").isNotNull)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(
+      sum(col("c")).as("n_total"), count(lit(1)).as("vocab"))
+    val lp = ex
+      .join(counts, Seq("t"), "left")
+      .crossJoin(broadcast(totals)) // 1 row: corpus N and V
+      .select(col("id"),
+        when(col("t").isNotNull,
+          log((col("c") + lit(1.0)) / (col("n_total") + col("vocab"))))
+          .as("lp"))
+    lp.groupBy("id")
+      .agg(
+        count(col("lp")).as("n_tokens"),
+        coalesce(
+          round(-sum(col("lp")) * lit(10000.0) / count(col("lp")), 0).cast("long"),
+          lit(0L)).as("nll_e4"))
+  }
+
   /** Document frequency of word n-gram shingles: in how many documents each
     * shingle appears, top-k by (df desc, shingle asc). The distinct-per-doc
     * shingle set means one count per containing document. */

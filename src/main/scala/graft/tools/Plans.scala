@@ -52,6 +52,9 @@ object Plans {
       // BPE counts are a narrow mapPartitions — no shuffle, no join may
       // appear; packing on them keeps pack_sequences' one-window contract
       "text_tokens_bpe" -> Seq("!Exchange hashpartitioning", "!Join"),
+      // unigram NLL: token→count equi-join + hash aggs; a nested-loop
+      // anywhere (beyond the 1-row totals broadcast) is wrong
+      "text_unigram_nll" -> Seq("HashAggregate", "!CartesianProduct"),
       "pack_bpe" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Join"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // PII scrub and run-collapse are per-row narrow maps: no hash

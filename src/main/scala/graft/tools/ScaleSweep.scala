@@ -105,6 +105,9 @@ object ScaleSweep {
       // merge-table BPE: per-row narrow mapPartitions + memo; packing on
       // its counts is the same one-window plan as pack_sequences
       ("text_tokens_bpe", "linear"), ("pack_bpe", "linear"),
+      // perplexity-filtering shape: two token-keyed hash aggs + one
+      // vocab-sized join — vocab grows sublinearly, so ~linear
+      ("text_unigram_nll", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),

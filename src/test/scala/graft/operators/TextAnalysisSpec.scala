@@ -43,6 +43,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10L).getAs[Long]("n_bpe_tokens") == 6L)
   }
 
+  test("unigramNll: rarer tokens score higher NLL; empty docs retained at 0") {
+    // corpus: "a" ×6, "b" ×2, "z" ×1 → N=9, V=3; lp(t) = ln((c+1)/12)
+    val d = Seq((1L, "a a a"), (2L, "a a a b b"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    def nll(cs: Seq[Long]): Long =
+      math.round(cs.map(c => -math.log((c + 1.0) / 12.0)).sum / cs.size * 10000)
+    assert(out(1L) == ((3L, nll(Seq(6, 6, 6)))))
+    assert(out(2L) == ((5L, nll(Seq(6, 6, 6, 2, 2)))))
+    assert(out(3L) == ((1L, nll(Seq(1)))))
+    assert(out(4L) == ((0L, 0L)))
+    // the all-common doc is more "typical" than the rare-token doc
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
   test("fingerprints: identical normalized text → identical prints") {
     val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
       .toDF("doc_id", "text")
