@@ -627,6 +627,30 @@ object PipelineQueries {
       q.awaitTermination()
       s.table("graft_sink_stream_pii").orderBy("doc_id")
     }),
+    // the merge-table tokenizer composed onto the live-crawl replay: the
+    // broadcast-ranks mapPartitions is stateless, so true token counting
+    // runs in append mode unchanged — result ≡ the batch counts
+    // restricted to the fixture slice (same md5(text)-joined oracle)
+    "stream_tokens_bpe" -> ((s, d) => {
+      val in = docsStreamFixture(s, d, chargeKey = "stream_tokens_bpe")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val ck = Queries.scratchDir("graft_stream_bpe_ck")
+      Queries.deleteOnExit(ck)
+      val q = operators.Bpe.tokenCounts(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName("graft_sink_stream_bpe")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_sink_stream_bpe").orderBy("id")
+    }),
     // decontamination composed onto the live-crawl replay: the eval
     // shingle set is broadcast-sized by nature, so the streaming side is
     // a stateless narrow map (no join/agg/state) — append mode, result
@@ -1214,6 +1238,14 @@ object PipelineQueries {
       |SELECT d.doc_id AS id, f.n_pre_tokens, f.n_bpe_tokens
       |FROM documents d
       |JOIN '$BpeCountsPath' f ON md5(d.text) = f.text_md5
+      |ORDER BY id""".stripMargin.trim,
+
+    // streaming twin: same counts, fixture slice (doc_id % 10 = 0)
+    "stream_tokens_bpe" -> s"""
+      |SELECT d.doc_id AS id, f.n_pre_tokens, f.n_bpe_tokens
+      |FROM documents d
+      |JOIN '$BpeCountsPath' f ON md5(d.text) = f.text_md5
+      |WHERE d.doc_id % 10 = 0
       |ORDER BY id""".stripMargin.trim,
 
     "pack_bpe" -> s"""

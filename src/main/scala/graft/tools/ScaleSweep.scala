@@ -117,6 +117,7 @@ object ScaleSweep {
       // fixture — cost is fixture I/O + per-row work, both linear (the
       // decontam eval set is collected once, broadcast-sized by nature)
       ("stream_pii_scrub", "linear"), ("stream_decontam", "linear"),
+      ("stream_tokens_bpe", "linear"),
       // as-of tolerance variant: union + one keyed window, same plan as
       // the unbounded row; events replicas grow each key group linearly
       ("q_asof_tolerance", "linear"),
