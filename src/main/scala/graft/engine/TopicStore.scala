@@ -377,19 +377,29 @@ object StoreMigration {
   /** Gate + chain: newer-than-supported refuses with both versions named
     * (the reference's "database version newer than this binary" behavior);
     * older runs every step in order and persists the upgraded sidecar. */
-  def migrate(root: String, catalog: Catalog, found: Int): Unit = {
-    if (found > CurrentVersion)
+  def migrate(root: String, catalog: Catalog, found: Int): Unit =
+    migrateChain(root, catalog, found, CurrentVersion, steps)(
+      ParquetStore.saveCatalog(root, catalog))
+
+  /** The chain mechanics, parameterized so multi-step chains are testable
+    * before a second real step ever ships (StoreSpec drives a synthetic
+    * 3-version chain through this seam). `persist` runs once after a
+    * successful chain — never on the refuse path. */
+  private[engine] def migrateChain(
+      root: String, catalog: Catalog, found: Int, current: Int,
+      chain: Map[Int, (String, Catalog) => Unit])(persist: => Unit): Unit = {
+    if (found > current)
       throw new IllegalStateException(
         s"store at $root has format version $found, newer than the " +
-          s"supported version $CurrentVersion — upgrade the library to open it")
-    if (found < CurrentVersion) {
-      (found until CurrentVersion).foreach { v =>
-        steps.getOrElse(v, throw new IllegalStateException(
+          s"supported version $current — upgrade the library to open it")
+    if (found < current) {
+      (found until current).foreach { v =>
+        chain.getOrElse(v, throw new IllegalStateException(
           s"no migration step from store format version $v (root: $root)"))
           .apply(root, catalog)
       }
       // persist the stamp so the chain runs once, not on every open
-      ParquetStore.saveCatalog(root, catalog)
+      persist
     }
   }
 }

@@ -365,6 +365,29 @@ class StoreSpec extends SparkSpec {
     assert(c2.query("all in /old/t").count() == 1)
   }
 
+  test("a multi-step migration chain runs every step in order, once") {
+    val root = Files.createTempDirectory("graft_store_chain").toString
+    val ran = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var persisted = 0
+    val chain: Map[Int, (String, Catalog) => Unit] = Map(
+      1 -> ((_, _) => ran += 1), 2 -> ((_, _) => ran += 2), 3 -> ((_, _) => ran += 3))
+    StoreMigration.migrateChain(root, new Catalog, found = 1, current = 4, chain) {
+      persisted += 1
+    }
+    assert(ran.toSeq == Seq(1, 2, 3) && persisted == 1)
+    // already-current: nothing runs, nothing persists
+    StoreMigration.migrateChain(root, new Catalog, found = 4, current = 4, chain) {
+      persisted += 1
+    }
+    assert(ran.size == 3 && persisted == 1)
+    // a hole in the chain is a named failure, and nothing persists
+    val e = intercept[IllegalStateException] {
+      StoreMigration.migrateChain(root, new Catalog, found = 1, current = 4,
+        chain - 2) { persisted += 1 }
+    }
+    assert(e.getMessage.contains("version 2") && persisted == 1)
+  }
+
   test("a NEWER store format refuses with both versions named") {
     val root = Files.createTempDirectory("graft_store_vnew").toString
     val c = new LocalClient(spark, root, fixedClock)
