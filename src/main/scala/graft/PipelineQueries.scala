@@ -378,6 +378,14 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
         .orderBy("q", "rank")
     }),
+    // product quantization: 8×256 subset codebooks, ADC candidate scan on
+    // 8-byte codes (1/32nd the scan bytes of the floats), exact re-rank
+    "ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", numSub = 8, numCodes = 256, k = 3, refine = 8)
+        .orderBy("q", "rank")
+    }),
     // centroid count grows with the corpus as k ≈ √n (the standard IVF
     // geometry: probe cost n/k per query, assignment cost n·k — both
     // balance at k = √n), via a √n-derived id modulus the oracle mirrors
@@ -959,6 +967,41 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
       |  FROM s)
       |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin.trim,
+
+    // PQ: every distance/LUT entry is an ordered double fold mirrored by
+    // list_dot_product; the candidate cut is on the e6-rounded ADC score
+    // with id tie-breaks, so both engines cut identically; survivors
+    // re-rank exactly with the shared cosE6 contract
+    "ann_pq" -> s"""
+      |WITH par AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sel AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS j
+      |        FROM (SELECT id, v FROM par ORDER BY id LIMIT 256)),
+      |cb AS (SELECT m, j, v[m*8+1 : m*8+8] AS cw FROM sel, range(0, 8) t(m)),
+      |dists AS (SELECT p.id, c.m, c.j,
+      |    list_dot_product(list_transform(range(1, 9), i -> p.v[c.m*8+i] - c.cw[i]),
+      |                     list_transform(range(1, 9), i -> p.v[c.m*8+i] - c.cw[i])) AS dist
+      |  FROM par p, cb c),
+      |codes AS (SELECT id, m, j AS code FROM (
+      |    SELECT id, m, j, row_number() OVER (PARTITION BY id, m ORDER BY dist, j) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |q AS (SELECT id AS q, v AS qv FROM par WHERE id % 50 = 0),
+      |lut AS (SELECT q.q, c.m, c.j,
+      |    list_dot_product(q.qv[c.m*8+1 : c.m*8+8], c.cw) AS lp
+      |  FROM q, cb c),
+      |adc AS (SELECT l.q, cd.id,
+      |    CAST(round(list_sum(list(l.lp ORDER BY l.m)) * 1e6) AS BIGINT) AS iscore
+      |  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.j
+      |  WHERE cd.id != l.q
+      |  GROUP BY l.q, cd.id),
+      |cand AS (SELECT q, id FROM (
+      |    SELECT q, id, row_number() OVER (PARTITION BY q ORDER BY iscore DESC, id) AS rn
+      |    FROM adc) WHERE rn <= 24),
+      |rescored AS (SELECT c.q, c.id, ${cosE6("p.v", "qq.qv")} AS sim_e6
+      |  FROM cand c JOIN par p ON p.id = c.id JOIN q qq ON qq.q = c.q),
+      |ranked AS (SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM rescored)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
 
     "ann_ivf" -> s"""
       |WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings

@@ -22,6 +22,9 @@ object Plans {
       "q_join_broadcast" -> Seq("BroadcastHashJoin"),
       "q_join_large" -> Seq("Join"),
       "ann_topk" -> Seq("BroadcastNestedLoopJoin"), // its contract: small query set broadcast
+      // PQ ADC scan: query LUTs broadcast against the codes-only scan —
+      // the full-precision vectors must NOT appear before the re-rank join
+      "ann_pq" -> Seq("BroadcastNestedLoopJoin", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a

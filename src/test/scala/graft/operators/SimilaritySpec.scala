@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: re-ranked scores are exact, recall vs brute force is high, " +
+      "and recall rises with refine") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+      .select("q", "rank", "id", "sim_e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    def pq(refine: Int) = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      numSub = 8, numCodes = 256, k = 3, refine = refine)
+      .select("q", "rank", "id", "sim_e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val r1 = pq(1); val r8 = pq(8)
+    // any (q, id) the PQ path returns carries the EXACT sim_e6 (re-rank
+    // contract): the exact score for that pair must agree with brute force
+    val exactPairs = exact.map(t => (t._1, t._3) -> t._4).toMap
+    assert(r8.forall { case (qq, _, id, s) =>
+      exactPairs.get((qq, id)).forall(_ == s) })
+    def recall(s: Set[(Long, Int, Long, Long)]) =
+      exact.map(t => (t._1, t._3)).intersect(s.map(t => (t._1, t._3))).size.toDouble /
+        exact.size
+    assert(recall(r8) >= recall(r1))
+    assert(recall(r8) >= 0.85, s"pq recall@refine=8 = ${recall(r8)}")
+  }
+
   test("kmeansCentroids: k kept, dims kept, assignment quality not worse than init") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def meanBestCos(cent: org.apache.spark.sql.DataFrame): Double = {
