@@ -386,6 +386,17 @@ object PipelineQueries {
         "vec_id", "embedding", numSub = 8, numCodes = 256, k = 3, refine = 8)
         .orderBy("q", "rank")
     }),
+    // IVF+PQ composition: √n coarse buckets prune the scan AND the pruned
+    // scan reads 8-byte codes only — the production FAISS-style geometry
+    "ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+      Similarity.ivfTopKPq(
+        e, e.filter(col("vec_id") % 50 === 0), e.filter(col("vec_id") % mod === 0),
+        "vec_id", "embedding", "vec_id",
+        numSub = 8, numCodes = 256, k = 3, nprobe = 1, refine = 8)
+        .orderBy("q", "rank")
+    }),
     // centroid count grows with the corpus as k ≈ √n (the standard IVF
     // geometry: probe cost n/k per query, assignment cost n·k — both
     // balance at k = √n), via a √n-derived id modulus the oracle mirrors
@@ -998,6 +1009,55 @@ object PipelineQueries {
       |    FROM adc) WHERE rn <= 24),
       |rescored AS (SELECT c.q, c.id, ${cosE6("p.v", "qq.qv")} AS sim_e6
       |  FROM cand c JOIN par p ON p.id = c.id JOIN q qq ON qq.q = c.q),
+      |ranked AS (SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM rescored)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
+
+    // IVF+PQ: the ann_ivf bucketing CTEs composed with the ann_pq
+    // code/LUT CTEs — candidates are bucket-mates scored by ADC, then
+    // the shared exact re-rank
+    "ann_ivfpq" -> s"""
+      |WITH par AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+      |assigned AS (
+      |  SELECT vec_id AS id, cid AS bucket FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c) WHERE rn = 1),
+      |qprobed AS (
+      |  SELECT vec_id AS q, cid AS bucket FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM embeddings e, cent c WHERE e.vec_id % 50 = 0) WHERE rn = 1),
+      |sel AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS j
+      |        FROM (SELECT id, v FROM par ORDER BY id LIMIT 256)),
+      |cb AS (SELECT m, j, v[m*8+1 : m*8+8] AS cw FROM sel, range(0, 8) t(m)),
+      |dists AS (SELECT p.id, c.m, c.j,
+      |    list_dot_product(list_transform(range(1, 9), i -> p.v[c.m*8+i] - c.cw[i]),
+      |                     list_transform(range(1, 9), i -> p.v[c.m*8+i] - c.cw[i])) AS dist
+      |  FROM par p, cb c),
+      |codes AS (SELECT id, m, j AS code FROM (
+      |    SELECT id, m, j, row_number() OVER (PARTITION BY id, m ORDER BY dist, j) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |lut AS (SELECT qp.q, c.m, c.j,
+      |    list_dot_product(p.v[c.m*8+1 : c.m*8+8], c.cw) AS lp
+      |  FROM qprobed qp JOIN par p ON p.id = qp.q, cb c),
+      |adc AS (SELECT qp.q, a.id,
+      |    CAST(round(list_sum(list(l.lp ORDER BY l.m)) * 1e6) AS BIGINT) AS iscore
+      |  FROM qprobed qp
+      |  JOIN assigned a ON a.bucket = qp.bucket AND a.id != qp.q
+      |  JOIN codes cd ON cd.id = a.id
+      |  JOIN lut l ON l.q = qp.q AND l.m = cd.m AND l.j = cd.code
+      |  GROUP BY qp.q, a.id),
+      |cand AS (SELECT q, id FROM (
+      |    SELECT q, id, row_number() OVER (PARTITION BY q ORDER BY iscore DESC, id) AS rn
+      |    FROM adc) WHERE rn <= 24),
+      |rescored AS (SELECT c.q, c.id, ${cosE6("p.v", "pq.v")} AS sim_e6
+      |  FROM cand c JOIN par p ON p.id = c.id JOIN par pq ON pq.id = c.q),
       |ranked AS (SELECT q, id, sim_e6,
       |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
       |  FROM rescored)

@@ -580,6 +580,72 @@ object Similarity {
     * every distance bit-for-bit; SimilaritySpec measures recall@k against
     * [[bruteForceTopK]]. Compose with IVF bucketing to prune the scan
     * when n·q itself is the bottleneck. Output: (q, rank, id, sim_e6). */
+  /** Deterministic subset codebooks (numCodes lowest-id corpus rows,
+    * driver-collected — vocabulary-sized, not corpus-sized): flattened
+    * `[mi·numCodes + j] → subvector`, plus the subspace width. */
+  private def pqCodebook(
+      cd: DataFrame, numSub: Int, numCodes: Int): (Array[Array[Double]], Int) = {
+    val cbRows = cd.orderBy("id").limit(numCodes)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(cbRows.length == numCodes, s"corpus smaller than numCodes=$numCodes")
+    val dim = cbRows.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub=$numSub")
+    val w = dim / numSub
+    ((for {
+      mi <- 0 until numSub; j <- 0 until numCodes
+    } yield cbRows(j).slice(mi * w, (mi + 1) * w)).toArray, w)
+  }
+
+  /** Argmin-L2 codeword per subspace, strict < (ties to the smallest
+    * code); ascending loops = the oracle's fold order, bit-identical. */
+  private[operators] def pqEncode(
+      cb: Array[Array[Double]], numSub: Int, numCodes: Int, w: Int)(
+      v: Array[Double]): Array[Int] = {
+    val codes = new Array[Int](numSub)
+    var mi = 0
+    while (mi < numSub) {
+      var bestD = Double.MaxValue
+      var bestJ = 0
+      var j = 0
+      while (j < numCodes) {
+        val cw = cb(mi * numCodes + j)
+        var dAcc = 0.0
+        var wi = 0
+        while (wi < w) {
+          val diff = v(mi * w + wi) - cw(wi); dAcc += diff * diff; wi += 1
+        }
+        if (dAcc < bestD) { bestD = dAcc; bestJ = j }
+        j += 1
+      }
+      codes(mi) = bestJ; mi += 1
+    }
+    codes
+  }
+
+  /** Per-query ADC table: lut[mi·numCodes + j] = qsub·cw, ordered. */
+  private[operators] def pqLutOf(
+      cb: Array[Array[Double]], numCodes: Int, w: Int)(
+      v: Array[Double]): Array[Double] = {
+    val lut = new Array[Double](cb.length)
+    var ix = 0
+    while (ix < lut.length) {
+      val cw = cb(ix)
+      val off = (ix / numCodes) * w
+      var acc = 0.0
+      var wi = 0
+      while (wi < w) { acc += v(off + wi) * cw(wi); wi += 1 }
+      lut(ix) = acc; ix += 1
+    }
+    lut
+  }
+
+  private def l2normOf(v: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
@@ -587,18 +653,7 @@ object Similarity {
     require(numSub >= 1 && numCodes >= 2 && k >= 1 && refine >= 1)
     val cd = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    // deterministic subset codebooks: numCodes lowest-id corpus rows,
-    // driver-collected (numCodes·dim doubles — vocabulary-sized, not
-    // corpus-sized) and shipped as one literal
-    val cbRows = cd.orderBy("id").limit(numCodes)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(cbRows.length == numCodes, s"corpus smaller than numCodes=$numCodes")
-    val dim = cbRows.head.length
-    require(dim % numSub == 0, s"dim $dim not divisible by numSub=$numSub")
-    val w = dim / numSub
-    val cbArr: Array[Array[Double]] = (for {
-      mi <- 0 until numSub; j <- 0 until numCodes
-    } yield cbRows(j).slice(mi * w, (mi + 1) * w)).toArray
+    val (cbArr, w) = pqCodebook(cd, numSub, numCodes)
 
     // Encode and LUT-build run as primitive-loop mapPartitions kernels
     // with the codebook broadcast once per executor — the FAISS-style
@@ -619,28 +674,7 @@ object Similarity {
         val cb = bcCb.value
         it.map { case (id, vSeq) =>
           val v = vSeq.toArray
-          var nAcc = 0.0
-          var i = 0
-          while (i < v.length) { nAcc += v(i) * v(i); i += 1 }
-          val codes = new Array[Int](numSub)
-          var mi = 0
-          while (mi < numSub) {
-            var bestD = Double.MaxValue
-            var bestJ = 0
-            var j = 0
-            while (j < numCodes) {
-              val cw = cb(mi * numCodes + j)
-              var dAcc = 0.0
-              var wi = 0
-              while (wi < w) {
-                val diff = v(mi * w + wi) - cw(wi); dAcc += diff * diff; wi += 1
-              }
-              if (dAcc < bestD) { bestD = dAcc; bestJ = j }
-              j += 1
-            }
-            codes(mi) = bestJ; mi += 1
-          }
-          (id, v, math.sqrt(nAcc), codes)
+          (id, v, l2normOf(v), pqEncode(cb, numSub, numCodes, w)(v))
         }
       }.toDF("id", "v", "n", "codes"))
 
@@ -651,20 +685,7 @@ object Similarity {
           val cb = bcCb.value
           it.map { case (id, vSeq) =>
             val v = vSeq.toArray
-            var nAcc = 0.0
-            var i = 0
-            while (i < v.length) { nAcc += v(i) * v(i); i += 1 }
-            val lut = new Array[Double](numSub * numCodes)
-            var ix = 0
-            while (ix < lut.length) {
-              val cw = cb(ix)
-              val off = (ix / numCodes) * w
-              var acc = 0.0
-              var wi = 0
-              while (wi < w) { acc += v(off + wi) * cw(wi); wi += 1 }
-              lut(ix) = acc; ix += 1
-            }
-            (id, v, math.sqrt(nAcc), lut)
+            (id, v, l2normOf(v), pqLutOf(cb, numCodes, w)(v))
           }
         }.toDF("q", "qv", "qn", "lut"))
 
@@ -683,6 +704,71 @@ object Similarity {
     val rescored = cand
       .join(coded.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(q.select(col("q"), col("qv"), col("qn")), Seq("q"))
+      .select(col("q"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+    topKPerGroup(rescored, "q", k)
+  }
+
+  /** IVF + PQ — the production FAISS-style composition: the coarse
+    * quantizer prunes the scan to `nprobe` buckets AND the pruned scan
+    * itself reads only 8-byte PQ codes, so probe cost is
+    * (n/√n buckets)·numSub lookups with ~1/32nd the I/O, followed by the
+    * same exact re-rank as every other ANN path. The bucket probe is a
+    * plain equi-join on the centroid id (shuffle keyed on `bucket`,
+    * ids+codes only — no vectors cross it); encode/LUT reuse the
+    * [[pqTopK]] kernels, so the two operators cannot drift.
+    * Output: (q, rank, id, sim_e6). */
+  def ivfTopKPq(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String,
+      numSub: Int, numCodes: Int, k: Int,
+      nprobe: Int = 1, refine: Int = 8): DataFrame = {
+    require(numSub >= 1 && numCodes >= 2 && k >= 1 && nprobe >= 1 && refine >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cd = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val (cbArr, w) = pqCodebook(cd, numSub, numCodes)
+    val bcCb = spark.sparkContext.broadcast(cbArr)
+    val cent = centFrame(centroids, centroidIdCol, vecCol)
+    val coded = OperatorCache.scoped(
+      assignBuckets(corpus, cent, vecCol, idCol, "bucket", n = 1)
+        .select(col(idCol).cast("long").as("id"), col("__v").as("v"),
+          col("__n").as("n"), col("bucket").cast("long").as("bucket"))
+        .as[(Long, Seq[Double], Double, Long)]
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          it.map { case (id, vSeq, n, b) =>
+            val v = vSeq.toArray
+            (id, v, n, b, pqEncode(cb, numSub, numCodes, w)(v))
+          }
+        }.toDF("id", "v", "n", "bucket", "codes"))
+    val probed = OperatorCache.scoped(
+      assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
+        .select(col(idCol).cast("long").as("q"), col("__v").as("qv"),
+          col("__n").as("qn"), col("bucket").cast("long").as("bucket"))
+        .as[(Long, Seq[Double], Double, Long)]
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          it.map { case (id, vSeq, n, b) =>
+            val v = vSeq.toArray
+            (id, v, n, b, pqLutOf(cb, numCodes, w)(v))
+          }
+        }.toDF("q", "qv", "qn", "bucket", "lut"))
+    val adc = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
+      (acc, mi) => acc + element_at(col("lut"),
+        mi * numCodes + element_at(col("codes"), mi + 1) + 1))
+    val iscored = coded.select(col("id"), col("bucket"), col("codes"))
+      .join(probed.select(col("q"), col("bucket"), col("lut")), Seq("bucket"))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("id"), round(adc * 1e6, 0).cast("long").as("iscore"))
+    val cand = topNPerGroup(iscored, "q", k * refine,
+      orderCols = Seq(col("iscore").desc, col("id").asc))
+      .select("q", "id")
+    val rescored = cand
+      .join(coded.select(col("id"), col("v"), col("n")), Seq("id"))
+      .join(probed.select(col("q"), col("qv"), col("qn")).dropDuplicates("q"), Seq("q"))
       .select(col("q"), col("id"),
         round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
           .cast("long").as("sim_e6"))

@@ -25,6 +25,9 @@ object Plans {
       // PQ ADC scan: query LUTs broadcast against the codes-only scan —
       // the full-precision vectors must NOT appear before the re-rank join
       "ann_pq" -> Seq("BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // IVF+PQ: the probe must be an EQUI-join on the bucket (never a
+      // nested loop over the corpus — that would undo the IVF pruning)
+      "ann_ivfpq" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a

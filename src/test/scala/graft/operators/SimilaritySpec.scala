@@ -87,6 +87,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(r8) >= 0.85, s"pq recall@refine=8 = ${recall(r8)}")
   }
 
+  test("ivfTopKPq: candidates are bucket-mates with exact re-ranked scores; " +
+      "high refine recovers the IVF top-k") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val cents = emb.filter($"vec_id" % 23 === 0)
+    // every bucket-mate with its exact score = the PQ path's universe
+    val all = Similarity.ivfTopK(emb, q, cents, "vec_id", "embedding", "vec_id",
+      k = 1000000).select("q", "id", "sim_e6")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf3 = Similarity.ivfTopK(emb, q, cents, "vec_id", "embedding", "vec_id",
+      k = 3).select("q", "id").as[(Long, Long)].collect().toSet
+    val pq3 = Similarity.ivfTopKPq(emb, q, cents, "vec_id", "embedding", "vec_id",
+      numSub = 8, numCodes = 256, k = 3, refine = 8)
+      .select("q", "id", "sim_e6").as[(Long, Long, Long)].collect()
+    // bucket containment + exact-score contract
+    assert(pq3.nonEmpty && pq3.forall { case (qq, id, s) => all.get((qq, id)).contains(s) })
+    val recall = ivf3.intersect(pq3.map(t => (t._1, t._2)).toSet).size.toDouble / ivf3.size
+    assert(recall >= 0.85, s"ivfpq recall vs ivf top-3 = $recall")
+  }
+
   test("kmeansCentroids: k kept, dims kept, assignment quality not worse than init") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def meanBestCos(cent: org.apache.spark.sql.DataFrame): Double = {
