@@ -456,6 +456,16 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, refine = 4)
         .orderBy("q", "rank")
     }),
+    // stored IVF+PQ: the probe reads only (id, bucket, codes) from the
+    // index — IVF pruning × 1/32nd PQ bytes — identical results to the
+    // inline composition (same centroids, same persisted codebook)
+    "ann_ivfpq_stored" -> ((s, d) => {
+      val root = refIvfStore(s, d)
+      Similarity.ivfTopKPqStored(s, root, "emb", IvfTag,
+        Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 1, refine = 8)
+        .orderBy("q", "rank")
+    }),
     // incremental-upsert twin: 90% built + 10% appended must probe
     // IDENTICALLY to the wholesale index (shared ann_ivf oracle)
     "ann_ivf_upsert" -> ((s, d) => {
@@ -763,6 +773,8 @@ object PipelineQueries {
     "ann_ivf_int8_stored" -> oraclesBase("ann_ivf_int8"),
     // the upsert-built index probes identically to the wholesale one
     "ann_ivf_upsert" -> oraclesBase("ann_ivf"),
+    // the stored IVF+PQ probe is result-identical to the inline one
+    "ann_ivfpq_stored" -> oraclesBase("ann_ivfpq"),
     // the streaming replay unions per-micro-batch runs of the stored
     // incremental dedup — identical results to the batch row by
     // construction (each new doc lives in exactly one micro-batch)

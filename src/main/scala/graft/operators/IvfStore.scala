@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index for approximate-nearest-neighbor search — the ANN
@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `root/corpusId/`:
   *   - `centroids.parquet` (cid, cv array&lt;double&gt;, cn)
+  *   - `codebook.parquet`  (ix, cw array&lt;double&gt;) — the flattened PQ
+  *                         codebook (`ix = mi·numCodes + j`), persisted so
+  *                         probes and incremental appends encode against
+  *                         the EXACT codebook the corpus was coded with
   *   - `buckets.parquet`   (id, v array&lt;double&gt;, n, bucket,
-  *                          scale, qv array&lt;int&gt;) — full-precision
-  *                          vectors for exact scoring/re-rank plus the
-  *                          symmetric-int8 form for the quantized probe
+  *                          scale, qv array&lt;int&gt;, codes array&lt;int&gt;)
+  *                          — full-precision vectors for exact
+  *                          scoring/re-rank, the symmetric-int8 form for
+  *                          the quantized probe, and the PQ codes for the
+  *                          ADC probe
   *   - `_params`           the caller's centroid-recipe tag
   *
   * 100 TB story: the build is ONE broadcast-join pass over the corpus
@@ -63,25 +69,77 @@ object IvfStore {
     *            probes routed by the same centroids. */
   def build(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String, root: String, corpusId: String,
-      tag: String): Unit = {
+      tag: String, pqSub: Int = 8, pqCodes: Int = 256): Unit = {
     if (isBuilt(root, corpusId, tag)) return
     val d = dir(root, corpusId)
     if (Files.exists(d)) rmTree(d)
     Files.createDirectories(d)
+    val spark = corpus.sparkSession
     val cent = Similarity.centFrame(centroids, centroidIdCol, vecCol)
     cent.write.mode("overwrite").parquet(d.resolve("centroids.parquet").toString)
-    // bucket from the JUST-PERSISTED centroids so both artifacts are
+    // PQ codebook from this corpus (the deterministic subset recipe),
+    // persisted FIRST so probes/appends encode against the exact table
+    Similarity.pqCodebookFrame(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), pqSub, pqCodes)
+      .write.mode("overwrite").parquet(d.resolve("codebook.parquet").toString)
+    // bucket from the JUST-PERSISTED artifacts so all three are
     // guaranteed consistent; partitionBy(bucket) → probe-side pruning
-    val persistedCent = centroids.sparkSession.read
+    val persistedCent = spark.read
       .parquet(d.resolve("centroids.parquet").toString)
-    Similarity.assignBuckets(corpus, persistedCent, vecCol, idCol, "bucket", n = 1)
-      .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
-      .withColumn("scale", Similarity.scaleE6(col("v")))
-      .withColumn("qv", Similarity.quantize(col("v"), col("scale")))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(d.resolve("buckets.parquet").toString)
+    val cb = readCodebook(spark, root, corpusId)
+    writeBuckets(
+      Similarity.assignBuckets(corpus, persistedCent, vecCol, idCol, "bucket", n = 1)
+        .select(col(idCol).cast("long").as("id"), col("__v").as("v"),
+          col("__n").as("n"), col("bucket").cast("long").as("bucket")),
+      cb, d, overwrite = true)
     Files.write(marker(root, corpusId), tag.getBytes(StandardCharsets.UTF_8))
     ()
+  }
+
+  /** Encode (int8 + PQ codes) and land an assigned `(id, v, n, bucket)`
+    * frame into the bucket tree — ONE code path for build and append so
+    * encodings cannot drift. The PQ geometry is recovered from the
+    * codebook itself (w = |cw|, numSub = dim/w, numCodes = |cb|/numSub). */
+  private def writeBuckets(assigned: DataFrame, cb: Array[Array[Double]],
+      d: Path, overwrite: Boolean): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    assigned
+      .as[(Long, Seq[Double], Double, Long)]
+      .mapPartitions { it =>
+        val cbv = bcCb.value
+        val w = cbv.head.length
+        it.map { case (id, vSeq, n, b) =>
+          val v = vSeq.toArray
+          val numSub = v.length / w
+          val numCodes = cbv.length / numSub
+          (id, v, n, b, Similarity.pqEncode(cbv, numSub, numCodes, w)(v))
+        }
+      }
+      .toDF("id", "v", "n", "bucket", "codes")
+      .withColumn("scale", Similarity.scaleE6(col("v")))
+      .withColumn("qv", Similarity.quantize(col("v"), col("scale")))
+      .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(d.resolve("buckets.parquet").toString)
+  }
+
+  /** The persisted PQ codebook, flattened `[mi·numCodes + j] → subvector`
+    * (no marker gate: also read mid-build/mid-append by the store's own
+    * write paths — external probes go through [[codebook]]). */
+  private def readCodebook(spark: SparkSession, root: String,
+      corpusId: String): Array[Array[Double]] =
+    spark.read.parquet(dir(root, corpusId).resolve("codebook.parquet").toString)
+      .orderBy("ix").select("cw")
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Persisted PQ codebook for probes — marker-gated like the others. */
+  def codebook(spark: SparkSession, root: String, corpusId: String,
+      tag: String): Array[Array[Double]] = {
+    requireBuilt(root, corpusId, tag)
+    readCodebook(spark, root, corpusId)
   }
 
   /** Incremental upsert — the daily-crawl path: assign ONLY the new batch
@@ -100,16 +158,20 @@ object IvfStore {
       root: String, corpusId: String, tag: String): Unit = {
     requireBuilt(root, corpusId, tag)
     val d = dir(root, corpusId)
-    val persistedCent = batch.sparkSession.read
+    val spark = batch.sparkSession
+    val persistedCent = spark.read
       .parquet(d.resolve("centroids.parquet").toString)
+    // encode against the PERSISTED codebook: the appended rows' codes must
+    // be comparable to every existing row's, so the codebook is as frozen
+    // as the centroids are
+    val cb = readCodebook(spark, root, corpusId)
     val m = marker(root, corpusId)
     Files.delete(m)
-    Similarity.assignBuckets(batch, persistedCent, vecCol, idCol, "bucket", n = 1)
-      .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"), col("bucket"))
-      .withColumn("scale", Similarity.scaleE6(col("v")))
-      .withColumn("qv", Similarity.quantize(col("v"), col("scale")))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("bucket")
-      .parquet(d.resolve("buckets.parquet").toString)
+    writeBuckets(
+      Similarity.assignBuckets(batch, persistedCent, vecCol, idCol, "bucket", n = 1)
+        .select(col(idCol).cast("long").as("id"), col("__v").as("v"),
+          col("__n").as("n"), col("bucket").cast("long").as("bucket")),
+      cb, d, overwrite = false)
     Files.write(m, tag.getBytes(StandardCharsets.UTF_8))
     ()
   }

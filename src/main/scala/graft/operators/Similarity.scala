@@ -596,6 +596,16 @@ object Similarity {
     } yield cbRows(j).slice(mi * w, (mi + 1) * w)).toArray, w)
   }
 
+  /** The deterministic subset codebook as a persistable frame `(ix, cw)`,
+    * `ix = mi·numCodes + j` — [[IvfStore]]'s codebook artifact. */
+  private[operators] def pqCodebookFrame(
+      cd: DataFrame, numSub: Int, numCodes: Int): DataFrame = {
+    val (cb, _) = pqCodebook(cd, numSub, numCodes)
+    val spark = cd.sparkSession
+    import spark.implicits._
+    cb.zipWithIndex.map { case (cw, ix) => (ix, cw.toSeq) }.toSeq.toDF("ix", "cw")
+  }
+
   /** Argmin-L2 codeword per subspace, strict < (ties to the smallest
     * code); ascending loops = the oracle's fold order, bit-identical. */
   private[operators] def pqEncode(
@@ -768,6 +778,63 @@ object Similarity {
       .select("q", "id")
     val rescored = cand
       .join(coded.select(col("id"), col("v"), col("n")), Seq("id"))
+      .join(probed.select(col("q"), col("qv"), col("qn")).dropDuplicates("q"), Seq("q"))
+      .select(col("q"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+    topKPerGroup(rescored, "q", k)
+  }
+
+  /** IVF+PQ against a PERSISTED index ([[IvfStore]]): the probe reads
+    * ONLY the index's `(id, bucket, codes)` columns — at 8×256 PQ that is
+    * ~1/32nd the probe I/O of the float vectors, on top of the IVF
+    * partition pruning — and encodes the query batch against the store's
+    * persisted codebook, so results are identical to [[ivfTopKPq]] on the
+    * centroids+codebook the store was built with. Full-precision vectors
+    * join back only for the exact re-rank of the survivors. */
+  def ivfTopKPqStored(
+      spark: SparkSession, root: String, corpusId: String, tag: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1, refine: Int = 8): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && refine >= 1)
+    val cbArr = IvfStore.codebook(spark, root, corpusId, tag)
+    val numCodesTotal = cbArr.length
+    val w = cbArr.head.length
+    val bcCb = spark.sparkContext.broadcast(cbArr)
+    val cent = IvfStore.centroids(spark, root, corpusId, tag)
+    val store = IvfStore.buckets(spark, root, corpusId, tag)
+    import spark.implicits._
+    val probed = OperatorCache.scoped(
+      assignBuckets(queries, cent, vecCol, idCol, "bucket", n = nprobe)
+        .select(col(idCol).cast("long").as("q"), col("__v").as("qv"),
+          col("__n").as("qn"), col("bucket").cast("long").as("bucket"))
+        .as[(Long, Seq[Double], Double, Long)]
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          it.map { case (id, vSeq, n, b) =>
+            val v = vSeq.toArray
+            val numSub = v.length / cb.head.length
+            (id, v, n, b, pqLutOf(cb, cb.length / numSub, cb.head.length)(v))
+          }
+        }.toDF("q", "qv", "qn", "bucket", "lut"))
+    // geometry from a probe row: numSub = dim/w (dim known on the query)
+    val dim = queries.select(col(vecCol)).limit(1)
+      .collect().headOption.map(_.getSeq[Any](0).length)
+      .getOrElse(throw new IllegalArgumentException("empty query batch"))
+    val numSub = dim / w
+    val numCodes = numCodesTotal / numSub
+    val adc = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
+      (acc, mi) => acc + element_at(col("lut"),
+        mi * numCodes + element_at(col("codes"), mi + 1) + 1))
+    val iscored = store.select(col("id"), col("bucket"), col("codes"))
+      .join(probed.select(col("q"), col("bucket"), col("lut")), Seq("bucket"))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("id"), round(adc * 1e6, 0).cast("long").as("iscore"))
+    val cand = topNPerGroup(iscored, "q", k * refine,
+      orderCols = Seq(col("iscore").desc, col("id").asc))
+      .select("q", "id")
+    val rescored = cand
+      .join(store.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(probed.select(col("q"), col("qv"), col("qn")).dropDuplicates("q"), Seq("q"))
       .select(col("q"), col("id"),
         round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)

@@ -28,6 +28,7 @@ object Plans {
       // IVF+PQ: the probe must be an EQUI-join on the bucket (never a
       // nested loop over the corpus — that would undo the IVF pruning)
       "ann_ivfpq" -> Seq("Join", "!CartesianProduct"),
+      "ann_ivfpq_stored" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a

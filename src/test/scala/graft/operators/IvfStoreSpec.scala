@@ -109,6 +109,41 @@ class IvfStoreSpec extends SparkSpec {
     assert(IvfStore.buckets(spark, root, "emb", tag).count() == e.count())
   }
 
+  test("stored IVF+PQ probe == inline composition; appended rows encode " +
+      "with the PERSISTED codebook") {
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = e.filter(col("vec_id") % mod === 0)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val root = buildStore()
+    val stored = Similarity.ivfTopKPqStored(spark, root, "emb", tag,
+      queries, "vec_id", "embedding", k = 3, refine = 8)
+      .orderBy("q", "rank").collect().toSeq
+    val inline = Similarity.ivfTopKPq(e, queries, cents,
+      "vec_id", "embedding", "vec_id",
+      numSub = 8, numCodes = 256, k = 3, refine = 8)
+      .orderBy("q", "rank").collect().toSeq
+    assert(stored.nonEmpty && stored == inline)
+
+    // appended rows must carry codes from the persisted codebook, not a
+    // re-derived one (the batch corpus would give a different subset)
+    val up = Files.createTempDirectory("graft_ivfspec_pqup").toString
+    IvfStore.build(e.filter(col("vec_id") % 10 =!= 0), cents,
+      "vec_id", "embedding", "vec_id", up, "emb", tag)
+    IvfStore.append(e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", up, "emb", tag)
+    val cb = IvfStore.codebook(spark, up, "emb", tag)
+    val w = cb.head.length
+    val got = IvfStore.buckets(spark, up, "emb", tag)
+      .filter(col("id") % 10 === 0).select("id", "v", "codes")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getSeq[Int](2).toArray))
+    assert(got.nonEmpty && got.forall { case (_, v, codes) =>
+      codes.sameElements(
+        Similarity.pqEncode(cb, v.length / w, cb.length / (v.length / w), w)(v))
+    })
+  }
+
   test("build is idempotent per tag") {
     val root = buildStore()
     val mtime = Files.getLastModifiedTime(Paths.get(root, "emb", "_params"))
