@@ -656,6 +656,100 @@ object Similarity {
     math.sqrt(acc)
   }
 
+  /** Per-subspace Lloyd training of PQ codebooks — the production upgrade
+    * over the subset recipe: initialize from the deterministic subset,
+    * then `iters` rounds of assign (the [[pqEncode]] kernel) + mean
+    * update, with empty clusters keeping their previous codeword (the
+    * [[kmeansCentroids]] convention). Distributed as per-partition
+    * accumulator arrays reduced on the driver — the state is
+    * codebook-sized (numSub·numCodes·(w+1) doubles), never corpus-sized.
+    *
+    * Like [[kmeansCentroids]], the trained table is spec-verified rather
+    * than oracle-paired: float means accumulate in partition order, so
+    * the trainer is deterministic per partitioning but not bit-portable
+    * across engines; the CONSUMER ([[pqTopK]] on a given codebook) is the
+    * oracle-paired part. PqSpec asserts Lloyd's monotone-error guarantee. */
+  def pqTrainCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, numCodes: Int, iters: Int): Array[Array[Double]] = {
+    require(iters >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cd = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var (cb, w) = pqCodebook(cd, numSub, numCodes)
+    val ds = cd.as[(Long, Seq[Double])]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val sums = ds.rdd.mapPartitions { it =>
+        val cbv = bc.value
+        // [codeword][0..w-1] = component sums, [w] = count
+        val acc = Array.fill(numSub * numCodes)(new Array[Double](w + 1))
+        it.foreach { case (_, vSeq) =>
+          val v = vSeq.toArray
+          val codes = pqEncode(cbv, numSub, numCodes, w)(v)
+          var mi = 0
+          while (mi < numSub) {
+            val slot = acc(mi * numCodes + codes(mi))
+            var wi = 0
+            while (wi < w) { slot(wi) += v(mi * w + wi); wi += 1 }
+            slot(w) += 1
+            mi += 1
+          }
+        }
+        Iterator.single(acc)
+      }.reduce { (a, b) =>
+        var ix = 0
+        while (ix < a.length) {
+          var i = 0
+          while (i <= w) { a(ix)(i) += b(ix)(i); i += 1 }
+          ix += 1
+        }
+        a
+      }
+      cb = cb.zipWithIndex.map { case (old, ix) =>
+        val slot = sums(ix)
+        if (slot(w) == 0) old
+        else Array.tabulate(w)(i => slot(i) / slot(w))
+      }
+    }
+    cb
+  }
+
+  /** Mean PQ quantization error (sum over subspaces of min-L2² to the
+    * codebook, averaged over rows) — the quantity Lloyd minimizes. */
+  def pqQuantError(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], numSub: Int, numCodes: Int): Double = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = cb.head.length
+    val bc = spark.sparkContext.broadcast(cb)
+    val (tot, n) = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].rdd.mapPartitions { it =>
+        val cbv = bc.value
+        var acc = 0.0
+        var cnt = 0L
+        it.foreach { case (_, vSeq) =>
+          val v = vSeq.toArray
+          val codes = pqEncode(cbv, numSub, numCodes, w)(v)
+          var mi = 0
+          while (mi < numSub) {
+            val cw = cbv(mi * numCodes + codes(mi))
+            var wi = 0
+            while (wi < w) {
+              val d = v(mi * w + wi) - cw(wi); acc += d * d; wi += 1
+            }
+            mi += 1
+          }
+          cnt += 1
+        }
+        Iterator.single((acc, cnt))
+      }.reduce { (a, b) => (a._1 + b._1, a._2 + b._2) }
+    if (n == 0) 0.0 else tot / n
+  }
+
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
@@ -663,7 +757,23 @@ object Similarity {
     require(numSub >= 1 && numCodes >= 2 && k >= 1 && refine >= 1)
     val cd = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val (cbArr, w) = pqCodebook(cd, numSub, numCodes)
+    val (cbArr, _) = pqCodebook(cd, numSub, numCodes)
+    pqTopKWith(corpus, queries, idCol, vecCol, cbArr, numSub, numCodes, k, refine)
+  }
+
+  /** [[pqTopK]] with a CALLER-SUPPLIED codebook (e.g. the output of
+    * [[pqTrainCodebooks]], or a pretrained table loaded from storage) —
+    * the same ADC scan + exact re-rank, nothing about the plan changes. */
+  def pqTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      cbArr: Array[Array[Double]],
+      numSub: Int, numCodes: Int, k: Int, refine: Int = 4): DataFrame = {
+    require(cbArr.length == numSub * numCodes,
+      s"codebook has ${cbArr.length} entries, expected ${numSub * numCodes}")
+    val cd = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val w = cbArr.head.length
 
     // Encode and LUT-build run as primitive-loop mapPartitions kernels
     // with the codebook broadcast once per executor — the FAISS-style

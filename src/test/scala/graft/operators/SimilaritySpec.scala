@@ -107,6 +107,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"ivfpq recall vs ivf top-3 = $recall")
   }
 
+  test("pqTrainCodebooks: Lloyd error is monotone non-increasing and the " +
+      "trained table beats the subset init; pqTopKWith consumes it") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def err(it: Int): Double = Similarity.pqQuantError(
+      emb, "vec_id", "embedding",
+      Similarity.pqTrainCodebooks(emb, "vec_id", "embedding", 8, 64, it), 8, 64)
+    val e0 = err(0); val e1 = err(1); val e3 = err(3)
+    assert(e1 <= e0 && e3 <= e1, s"Lloyd error not monotone: $e0, $e1, $e3")
+    assert(e3 < e0, s"training never improved on the subset init: $e0 -> $e3")
+    // the trained table drops into the same consumer unchanged
+    val trained = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding", 8, 64, 3)
+    val out = Similarity.pqTopKWith(emb, emb.filter($"vec_id" % 50 === 0),
+      "vec_id", "embedding", trained, 8, 64, k = 3, refine = 8)
+    assert(out.count() > 0)
+  }
+
   test("kmeansCentroids: k kept, dims kept, assignment quality not worse than init") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def meanBestCos(cent: org.apache.spark.sql.DataFrame): Double = {
