@@ -369,6 +369,25 @@ object PipelineQueries {
         minCosineE6 = 990000)
         .orderBy("a", "b")
     }),
+    // SemDeDup: cluster-pruned semantic dedup — √n deterministic centroids
+    // (the ann_ivf geometry), intra-cluster pairs only (n^1.5 pair space,
+    // bucket-local equi-join), drop the higher id at cos ≥ 0.99. The same
+    // 2·v planted-duplicate fixture as emb_neardup_srp: colinear copies
+    // land in the SAME cluster (cosine to every centroid is bit-identical —
+    // ×2 is exact in IEEE — and the cid-asc tie-break is shared), so every
+    // doubled id is dropped with its original as witness; background
+    // intra-cluster cosines sit far below the cut.
+    "emb_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val off = e.agg(max("vec_id")).first().getLong(0) + 1
+      val doubled = e.select((col("vec_id") + off).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+      val all = e.unionByName(doubled)
+      val mod = math.ceil(math.sqrt(2.0 * e.count())).toLong
+      Similarity.semDedup(all, all.filter(col("vec_id") % mod === 0),
+        "vec_id", "embedding", "vec_id", minCosineE6 = 990000)
+        .orderBy("id")
+    }),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy("id", "i")),
@@ -964,6 +983,38 @@ object PipelineQueries {
       |  a.vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS b,
       |  ${cosE6("a.embedding", "list_transform(a.embedding::DOUBLE[], x -> x * 2)")} AS sim_e6
       |FROM embeddings a ORDER BY a, b""".stripMargin.trim,
+
+    // SemDeDup: the oracle replays the exact plan — doubled union, √(2n)
+    // modulus as a scalar subquery, the shared cosE6 assignment with the
+    // (cs desc, cid asc) tie-break, intra-cluster pairs, lowest-witness cut
+    "emb_semdedup" -> s"""
+      |WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |allv AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+      |    list_transform(embedding::DOUBLE[], x -> x * 2)
+      |  FROM base),
+      |m AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS md FROM allv),
+      |cent AS (SELECT id AS cid, v AS cv FROM allv
+      |         WHERE id % (SELECT md FROM m) = 0),
+      |scored AS (
+      |  SELECT a.id, a.v, c.cid, ${cosE6("a.v", "c.cv")} AS cs
+      |  FROM allv a, cent c),
+      |assigned AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT id, v, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT l.cid, l.id AS a, r.id AS b, ${cosE6("l.v", "r.v")} AS cos_e6
+      |  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.id < r.id
+      |  WHERE ${cosE6("l.v", "r.v")} >= 990000)
+      |SELECT b AS id, cid, a AS witness, cos_e6 FROM (
+      |  SELECT cid, a, b, cos_e6,
+      |    row_number() OVER (PARTITION BY b ORDER BY a) AS rn
+      |  FROM pairs) WHERE rn = 1
+      |ORDER BY id""".stripMargin.trim,
 
     "emb_quantize" -> """
       |WITH v AS (

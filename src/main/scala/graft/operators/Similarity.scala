@@ -364,6 +364,58 @@ object Similarity {
       .filter(col("sim_e6") >= minCosineE6)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper,
+    * re-derived here): semantic deduplication by CLUSTER-PRUNED cosine.
+    * Where [[nearDupPairsSrp]] catches near-identical vectors via sign
+    * collisions, SemDeDup targets *semantic* duplicates: assign every
+    * vector to its nearest centroid (the same deterministic cosine
+    * assignment [[ivfTopK]] uses — cosine desc, cid asc), then compare
+    * pairs ONLY within a cluster and drop the higher id of every pair at
+    * `cos ≥ minCosineE6`.
+    *
+    * Scale design: with the standard k ≈ √n centroid geometry the
+    * pair-space collapses from n² to k·(n/k)² = n^1.5 — the published
+    * SemDeDup cost — and the pair stage is a bucket-local equi-join on
+    * `cid` (shuffle-hash per bucket, no cartesian, no corpus broadcast).
+    * Assignment is one broadcast join over a streaming corpus scan.
+    * Skewed clusters bound the worst task at (max bucket)²; cap cluster
+    * radius by raising k, exactly as the paper does.
+    *
+    * Output, one row per DROPPED vector: (id, cid, witness, cos_e6) where
+    * `witness` is the LOWEST same-cluster id that supersedes it and
+    * `cos_e6` the e6-rounded cosine to that witness — deterministic in
+    * both engines because the struct-min tie-break is on the witness id. */
+  def semDedup(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String,
+      minCosineE6: Long): DataFrame = {
+    val cent = centFrame(centroids, centroidIdCol, vecCol)
+    // scoped cache: BOTH pair-join sides read the assignment relation —
+    // without it each side re-runs the one corpus-sized pass (the
+    // broadcast-centroid assignment scan), doubling the full-data cost
+    val bucketed = OperatorCache.scoped(
+      assignBuckets(corpus, cent, vecCol, idCol, "cid", n = 1)
+        .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"),
+          col("cid")))
+    val lo = bucketed.select(col("cid"), col("id").as("a"),
+      col("v").as("va"), col("n").as("na"))
+    val hi = bucketed.select(col("cid"), col("id").as("b"),
+      col("v").as("vb"), col("n").as("nb"))
+    val pairs = lo.join(hi, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .select(col("cid"), col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= minCosineE6)
+    // drop the higher side of every qualifying pair; witness = the lowest
+    // superseding id (struct min is lexicographic on (a, cos_e6) and `a`
+    // is unique within the group, so the min pins both fields)
+    pairs.groupBy(col("b").as("id"), col("cid"))
+      .agg(min(struct(col("a"), col("cos_e6"))).as("__w"))
+      .select(col("id"), col("cid"),
+        col("__w.a").as("witness"), col("__w.cos_e6").as("cos_e6"))
+  }
+
   /** Exact brute-force top-k: for every query row, the k nearest corpus
     * rows by (sim_e6 desc, id asc), self-matches excluded.
     * Output: (q, rank, id, sim_e6). */

@@ -29,6 +29,9 @@ object Plans {
       // nested loop over the corpus — that would undo the IVF pruning)
       "ann_ivfpq" -> Seq("Join", "!CartesianProduct"),
       "ann_ivfpq_stored" -> Seq("Join", "!CartesianProduct"),
+      // SemDeDup: pair space must be the intra-cluster equi-join — the
+      // only nested-loop allowed is the broadcast centroid assignment
+      "emb_semdedup" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
@@ -197,6 +200,25 @@ object Plans {
       if (!ok) failed += 1
       println(s"[check] ann_ivf_stored probe is store-scan + query-assign only: $ok " +
         s"(assign joins inline=${assigns(inline)} stored=${assigns(stored)}, store scans=$storeScans)")
+    }
+    // SemDeDup contract: the pair stage is an EQUI-join keyed on the
+    // cluster id (bucket-local n^1.5 pair space); exactly one broadcast
+    // nested-loop is allowed — the centroid assignment over the corpus.
+    locally {
+      val df = graft.SparkEntry.queries("emb_semdedup")(spark, sfDir)
+      val plan = df.queryExecution.sparkPlan
+      val cidJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.nonEmpty &&
+              j.leftKeys.exists(_.references.exists(_.name == "cid")) => j
+      }.size
+      val bnlj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.size
+      val ok = cidJoins >= 1 && bnlj <= 1
+      if (!ok) failed += 1
+      println(s"[check] emb_semdedup pair stage is cid equi-join, single " +
+        s"assignment BNLJ: $ok (cid joins=$cidJoins, bnlj=$bnlj)")
     }
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }

@@ -82,6 +82,9 @@ object ScaleSweep {
       ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
       ("ann_ivf_stored", "quadratic"), ("ann_ivf_int8_stored", "quadratic"),
       ("emb_neardup", "quadratic"), ("emb_quantize", "linear"),
+      // SemDeDup: √n centroids → n^1.5 assignment + intra-cluster pair
+      // space — super-linear by the published design, inside the n² bound
+      ("emb_semdedup", "quadratic"),
       // fossil-exact global greedy sample: the carry pass is inherently
       // one task, but the sort underneath is a parallel range sort — the
       // single task only streams pre-sorted partitions (round 11)

@@ -36,6 +36,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).head == 1L) // nearest in own bucket
   }
 
+  test("semDedup drops the higher id of intra-cluster pairs only") {
+    // centroids 1 and 3: cluster(1) = {1, 2, 5}, cluster(3) = {3, 4-ish}.
+    // 5 ≈ 1 ≈ 2 are mutual near-dups inside cluster 1; 4 = -1 is in
+    // cluster 3 (cos(4,1) = -1) so the (1,4) anti-pair never surfaces.
+    val withDup = vecs.union(Seq((5L, Array(0.995f, 0.05f, 0.0f))).toDF)
+    val out = Similarity.semDedup(withDup,
+      withDup.filter($"vec_id" === 1L || $"vec_id" === 3L),
+      "vec_id", "embedding", "vec_id", minCosineE6 = 990000)
+      .select("id", "witness").as[(Long, Long)].collect().toSet
+    // 2 and 5 both supersede to the LOWEST witness 1; 1 itself survives
+    assert(out == Set((2L, 1L), (5L, 1L)))
+  }
+
+  test("semDedup never pairs across clusters") {
+    // 1 and 4 are exact opposites (cos = -1) but also: put a 4-dup in
+    // cluster 3's orbit — pairs must stay within assigned clusters even
+    // when a cross-cluster cosine would clear the threshold
+    val twin = Seq((6L, Array(0.0f, 0.99f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs.union(twin),
+      vecs.filter($"vec_id" === 1L || $"vec_id" === 3L),
+      "vec_id", "embedding", "vec_id", minCosineE6 = 980000)
+      .select("id", "cid", "witness").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 1L), (6L, 3L, 3L)))
+  }
+
   test("ivfTopKInt8: exact re-rank matches ivfTopK on the recalled set; recall rises with refine") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" % 50 === 0)
