@@ -207,6 +207,17 @@ object PipelineQueries {
        | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
        |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))) * 1e6) AS BIGINT)""".stripMargin
 
+  /** One BM25 term's score expression (k1 = 1.2, b = 0.75) — exactly the
+    * double tree the Spark side builds, constants forced ::DOUBLE (a bare
+    * 2.2 literal is DECIMAL in DuckDB and would change the arithmetic). */
+  private def bm25Term(i: Int): String =
+    s"""(ln((CAST(g.n - g.df$i AS DOUBLE) + 0.5::DOUBLE) /
+       | (CAST(g.df$i AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)
+       | * (CAST(tf$i AS DOUBLE) * 2.2::DOUBLE)
+       | / (CAST(tf$i AS DOUBLE) + 1.2::DOUBLE *
+       |    (0.25::DOUBLE + 0.75::DOUBLE *
+       |     (CAST(dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / g.n)))))""".stripMargin
+
   // ======================== queries ================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -494,6 +505,13 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3)
         .orderBy("q", "rank")
     }),
+    // BM25 ranked retrieval: bounded query → row-local tf counts + one
+    // broadcast stats row + distributed TakeOrdered top-k (no index, no
+    // hash shuffle); score is a fixed-order term sum both engines spell
+    // out identically, cut at round(score·1e4) with id tie-breaks
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "window"), k = 10)),
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_quality" -> ((s, d) =>
@@ -1227,6 +1245,28 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
       |  FROM rescored)
       |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
+
+    // BM25: the oracle spells out the same fixed-order 3-term double sum
+    // (see bm25Term — all constants ::DOUBLE), the same exact-long Σdl/N
+    // avgdl, and the same (score_e4 desc, id) cut
+    "text_bm25" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |base AS (SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS dl,
+      |  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |  CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+      |  CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf2
+      |  FROM tok),
+      |g AS (SELECT count(*) AS n, sum(dl) AS sum_dl,
+      |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM base),
+      |sc AS (SELECT id, dl,
+      |  CAST(round((${bm25Term(0)} + ${bm25Term(1)} + ${bm25Term(2)})
+      |    * 10000.0::DOUBLE) AS BIGINT) AS score_e4
+      |  FROM base, g)
+      |SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, id) AS INT) AS rank,
+      |  id, dl, score_e4
+      |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
 
     "text_langid" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>

@@ -141,6 +141,57 @@ object TextAnalysis {
           lit(0L)).as("nll_e4"))
   }
 
+  /** BM25 top-k keyword retrieval (Robertson et al., public Okapi BM25;
+    * k1 = 1.2, b = 0.75 defaults) — the ranked-search shape a corpus
+    * exploration pipeline needs. Scoring a BOUNDED query term list needs
+    * no inverted index at all in Spark: per-doc term frequencies are
+    * row-local array counts (one narrow pass, no explode/shuffle), the
+    * corpus statistics (N, Σdl, per-term df) are ONE partial-aggregated
+    * row broadcast back, and the top-k is a distributed
+    * TakeOrderedAndProject — the only single-partition work is the k-row
+    * rank window. Two corpus scans total (stats + scoring), zero hash
+    * shuffles.
+    *
+    * Cross-engine exactness: the per-doc score is a FIXED-ORDER sum over
+    * the literal term list (left-assoc `+`, same tree the oracle spells
+    * out), idf = ln((N − df + 0.5)/(df + 0.5) + 1) is always positive
+    * (the "+1" Lucene form), avgdl is the exact long Σdl divided once,
+    * and the cut surfaces as round(score·10⁴) with id tie-breaks.
+    * Output: (rank, id, dl, score_e4). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+    }
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id") +: size(col("__toks")).cast("long").as("dl") +: tfCols: _*)
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl") +: terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _)
+    val cut = base.crossJoin(broadcast(g))
+      .select(col("id"), col("dl"), round(score * 1e4, 0).cast("long").as("score_e4"))
+      .orderBy(col("score_e4").desc, col("id"))
+      .limit(k)
+    cut
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e4").desc, col("id"))))
+      .select("rank", "id", "dl", "score_e4")
+  }
+
   /** Document frequency of word n-gram shingles: in how many documents each
     * shingle appears, top-k by (df desc, shingle asc). The distinct-per-doc
     * shingle set means one count per containing document. */

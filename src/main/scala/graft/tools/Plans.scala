@@ -65,6 +65,11 @@ object Plans {
       // unigram NLL: token→count equi-join + hash aggs; a nested-loop
       // anywhere (beyond the 1-row totals broadcast) is wrong
       "text_unigram_nll" -> Seq("HashAggregate", "!CartesianProduct"),
+      // BM25: row-local tf counts + ONE partial-agg'd stats row + a
+      // distributed TakeOrdered top-k — a hash shuffle or cartesian here
+      // means the no-index design degraded to an exploded join
+      "text_bm25" -> Seq("TakeOrderedAndProject", "HashAggregate",
+        "!Exchange hashpartitioning", "!CartesianProduct"),
       "pack_bpe" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Join"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // PII scrub and run-collapse are per-row narrow maps: no hash

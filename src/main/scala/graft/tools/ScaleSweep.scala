@@ -112,6 +112,8 @@ object ScaleSweep {
       // perplexity-filtering shape: two token-keyed hash aggs + one
       // vocab-sized join — vocab grows sublinearly, so ~linear
       ("text_unigram_nll", "linear"),
+      // BM25: two narrow corpus scans + a k-row tail — must stay linear
+      ("text_bm25", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),

@@ -59,6 +59,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("bm25TopK: tf monotonicity, length normalization, rank tie-breaks") {
+    // "cat" appears in 3 of 4 docs; doc 1 has it twice, docs 2 and 3 once;
+    // doc 3 is much longer → length normalization must rank 2 above 3
+    val d = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat dog bird"),
+      (3L, "cat dog bird fish mouse horse goat sheep cow hen"),
+      (4L, "dog bird fish")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("cat"), k = 4)
+      .select("rank", "id", "score_e4").as[(Int, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L)) // tf=2 first, short beats long
+    assert(out(3)._3 == 0L)                       // no hit → score 0
+    // hand-check doc 2's score: N=4, df=3, dl=3, avgdl=19/4
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    val exp = math.round(
+      idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (3.0 / (19.0 / 4)))) * 1e4)
+    assert(out(1)._3 == exp)
+  }
+
+  test("bm25TopK: multi-term scores sum in term-list order") {
+    val d = Seq((1L, "x y"), (2L, "x x"), (3L, "y y z")).toDF("doc_id", "text")
+    val both = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("x", "y"), k = 3)
+      .select("id", "score_e4").as[(Long, Long)].collect().toMap
+    val x = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("x"), k = 3)
+      .select("id", "score_e4").as[(Long, Long)].collect().toMap
+    // doc 1 holds both terms → its two-term score strictly exceeds x-only
+    assert(both(1L) > x(1L))
+    // doc 2 has no y → identical score under either query (same e4 cut)
+    assert(both(2L) == x(2L))
+  }
+
   test("fingerprints: identical normalized text → identical prints") {
     val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
       .toDF("doc_id", "text")
