@@ -80,4 +80,37 @@ class BpeSpec extends SparkSpec {
       }
     assert(got.toSeq == want)
   }
+
+  test("trainMerges reproduces the independent Python replica's fixture bit-for-bit") {
+    // the strongest cross-implementation check available: the committed
+    // merge table was trained by scripts/gen_bpe_fixture.py (a from-scratch
+    // Python replica) over the sf0.001 corpus; the in-engine trainer must
+    // derive the IDENTICAL 384 merges in the identical order
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = Bpe.trainMerges(docs, "text", numMerges = 384)
+    val fixture = Bpe.mergeRanks.toSeq.sortBy(_._2).map(_._1)
+    assert(trained.size == fixture.size)
+    assert(trained == fixture)
+  }
+
+  test("trainMergesLocal: frequency weighting, lexicographic ties, stop below 2") {
+    // "ab" ×3 vs "cd" ×3: tie on count → ('a','b') < ('c','d') merges first
+    val m1 = Bpe.trainMergesLocal(Seq(("ab", 3L), ("cd", 3L)), numMerges = 10)
+    assert(m1 == Seq(("a", "b"), ("c", "d")))
+    // a pair seen only once never merges (the replica's < 2 stop)
+    assert(Bpe.trainMergesLocal(Seq(("xy", 1L)), numMerges = 10).isEmpty)
+    // weighting: "zz" ×5 beats "ab" ×2 despite lexicographic order
+    val m2 = Bpe.trainMergesLocal(Seq(("zz", 5L), ("ab", 2L)), numMerges = 1)
+    assert(m2 == Seq(("z", "z")))
+  }
+
+  test("tokenCountsWith on a trained table equals the fixture path when tables agree") {
+    import spark.implicits._
+    val docs = Seq((1L, "the fast key order the fast"), (2L, "a key a key"))
+      .toDF("doc_id", "text")
+    val viaFixture = Bpe.tokenCounts(docs, "doc_id", "text").collect().toSeq
+    val viaWith = Bpe.tokenCountsWith(docs, "doc_id", "text", Bpe.mergeRanks)
+      .collect().toSeq
+    assert(viaFixture == viaWith)
+  }
 }
