@@ -512,6 +512,12 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "join", "window"), k = 10)),
+    // TF-IDF keyword extraction: the full inverted-index plan (explode →
+    // tf agg → df agg → equi-join → per-doc top-k window), score a single
+    // double product — no float summation to diverge on
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("id", "rank")),
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
     "text_quality" -> ((s, d) =>
@@ -1267,6 +1273,24 @@ object PipelineQueries {
       |SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, id) AS INT) AS rank,
       |  id, dl, score_e4
       |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
+
+    "text_tfidf" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |ex AS (SELECT doc_id AS id, unnest(toks) AS t FROM tok),
+      |tf AS (SELECT id, t, count(*) AS tf FROM ex GROUP BY id, t),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT tf.id, tf.t AS term, tf.tf,
+      |  CAST(round(CAST(tf.tf AS DOUBLE)
+      |    * ln(CAST(n.n AS DOUBLE) / df.df) * 10000.0::DOUBLE) AS BIGINT)
+      |    AS score_e4
+      |  FROM tf JOIN df USING (t), n)
+      |SELECT id, rank, term, tf, score_e4 FROM (
+      |  SELECT id, term, tf, score_e4,
+      |    CAST(row_number() OVER (PARTITION BY id
+      |      ORDER BY score_e4 DESC, term) AS INT) AS rank
+      |  FROM sc)
+      |WHERE rank <= 3 ORDER BY id, rank""".stripMargin.trim,
 
     "text_langid" -> {
       val scores = TextAnalysis.stopwords.map { case (l, ws) =>

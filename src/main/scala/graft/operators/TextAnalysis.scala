@@ -192,6 +192,35 @@ object TextAnalysis {
       .select("rank", "id", "dl", "score_e4")
   }
 
+  /** TF-IDF top-k terms per document — keyword extraction over the whole
+    * corpus, the inverted-index-shaped workload ([[bm25TopK]] deliberately
+    * avoids the index for bounded queries; this is the dual: ALL terms, so
+    * the explode is the right plan). Stages, each partial-aggregated:
+    * token explode → (doc, term) tf hash agg → term df hash agg (posting
+    * sizes, vocab-bounded) → tf×df equi-join (AQE broadcasts the df side
+    * while it fits) → per-doc top-k window on (score desc, term asc).
+    * Score = tf · ln(N/df) as a single double product (no float
+    * summation anywhere), surfaced ×10⁴. Output:
+    * (id, rank, term, tf, score_e4). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val tf = ex.groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val sc = tf.join(df, Seq("t"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("t").as("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df")) * 1e4, 0)
+          .cast("long").as("score_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score_e4").desc, col("term").asc)
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "term", "tf", "score_e4")
+  }
+
   /** Document frequency of word n-gram shingles: in how many documents each
     * shingle appears, top-k by (df desc, shingle asc). The distinct-per-doc
     * shingle set means one count per containing document. */

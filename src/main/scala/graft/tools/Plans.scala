@@ -70,6 +70,10 @@ object Plans {
       // means the no-index design degraded to an exploded join
       "text_bm25" -> Seq("TakeOrderedAndProject", "HashAggregate",
         "!Exchange hashpartitioning", "!CartesianProduct"),
+      // TF-IDF: the inverted-index plan — partial-agg'd tf/df hash aggs,
+      // term equi-join, per-doc window; never a nested loop over terms
+      "text_tfidf" -> Seq("partial_", "HashAggregate", "Window",
+        "!CartesianProduct", "!SortAggregate"),
       "pack_bpe" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Join"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // PII scrub and run-collapse are per-row narrow maps: no hash

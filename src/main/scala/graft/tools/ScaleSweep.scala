@@ -114,6 +114,8 @@ object ScaleSweep {
       ("text_unigram_nll", "linear"),
       // BM25: two narrow corpus scans + a k-row tail — must stay linear
       ("text_bm25", "linear"),
+      // TF-IDF: explode + two hash aggs + vocab join + per-doc window
+      ("text_tfidf", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),

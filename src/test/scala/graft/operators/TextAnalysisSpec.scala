@@ -92,6 +92,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(both(2L) == x(2L))
   }
 
+  test("tfidfTopTerms: corpus-wide terms score 0, distinctive terms rank first") {
+    val d = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common rare2 rare2")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .select("id", "rank", "term", "score_e4")
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // "common" is in every doc → idf = ln(3/3) = 0 → score 0, ranks last
+    assert(out(1L).head._1 == "rare1")
+    assert(out(1L).head._2 == math.round(math.log(3.0 / 1) * 1e4)) // tf=1
+    assert(out(1L)(1) == ("common", 0L))
+    // doc 3: rare2 tf=2, df=2 → 2·ln(3/2)
+    assert(out(3L).head == ("rare2", math.round(2.0 * math.log(3.0 / 2) * 1e4)))
+  }
+
   test("fingerprints: identical normalized text → identical prints") {
     val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
       .toDF("doc_id", "text")
