@@ -42,6 +42,29 @@ object PipelineQueries {
   private val IvfTag = "subset-sqrtn.v1"
   private val ivfStoreRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Build-once IVF store over the DOUBLED emb_semdedup fixture corpus
+    * (same √(2n) centroid geometry as the inline row) — the stored
+    * SemDeDup twin reads its bucket partitions instead of re-running the
+    * assignment; build charged to the harness ledger like [[refIvfStore]]. */
+  private val semStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def semDedupStore(s: SparkSession, d: String): String =
+    semStoreRoots.computeIfAbsent(d, _ =>
+      Queries.harness("emb_semdedup_stored") {
+        val root = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+        Queries.deleteOnExit(root)
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val off = e.agg(max("vec_id")).first().getLong(0) + 1
+        val doubled = e.select((col("vec_id") + off).as("vec_id"),
+          expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+        val all = e.unionByName(doubled)
+        val mod = math.ceil(math.sqrt(2.0 * e.count())).toLong
+        graft.operators.IvfStore.build(
+          all, all.filter(col("vec_id") % mod === 0),
+          "vec_id", "embedding", "vec_id", root, "embdup", IvfTag)
+        root
+      })
   private def refIvfStore(s: SparkSession, d: String): String =
     ivfStoreRoots.computeIfAbsent(d, _ =>
       Queries.harness("ann_ivf_stored") {
@@ -397,6 +420,15 @@ object PipelineQueries {
       val mod = math.ceil(math.sqrt(2.0 * e.count())).toLong
       Similarity.semDedup(all, all.filter(col("vec_id") % mod === 0),
         "vec_id", "embedding", "vec_id", minCosineE6 = 990000)
+        .orderBy("id")
+    }),
+    // stored SemDeDup twin: the assignment pass was paid at index-build
+    // time — the row reads bucket-partitioned store scans on both pair
+    // sides and must produce results IDENTICAL to the inline row (shared
+    // oracle), while the same index serves the ANN probes
+    "emb_semdedup_stored" -> ((s, d) => {
+      val root = semDedupStore(s, d)
+      Similarity.semDedupStored(s, root, "embdup", IvfTag, minCosineE6 = 990000)
         .orderBy("id")
     }),
     "emb_quantize" -> ((s, d) =>
@@ -814,6 +846,8 @@ object PipelineQueries {
     // twins (same centroids, deterministic assignment) — same oracle
     "ann_ivf_stored" -> oraclesBase("ann_ivf"),
     "ann_ivf_int8_stored" -> oraclesBase("ann_ivf_int8"),
+    // the stored SemDeDup pair stage is result-identical to the inline row
+    "emb_semdedup_stored" -> oraclesBase("emb_semdedup"),
     // the upsert-built index probes identically to the wholesale one
     "ann_ivf_upsert" -> oraclesBase("ann_ivf"),
     // the stored IVF+PQ probe is result-identical to the inline one

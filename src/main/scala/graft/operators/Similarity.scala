@@ -397,6 +397,28 @@ object Similarity {
       assignBuckets(corpus, cent, vecCol, idCol, "cid", n = 1)
         .select(col(idCol).as("id"), col("__v").as("v"), col("__n").as("n"),
           col("cid")))
+    semDedupPairs(bucketed, minCosineE6)
+  }
+
+  /** SemDeDup against a PERSISTED IVF index ([[IvfStore]]): the
+    * corpus-sized assignment pass was paid at build time — this reads
+    * (id, v, n, bucket) as bare bucket-partitioned parquet scans on both
+    * pair-join sides and pays only the intra-cluster pair stage. Results
+    * are identical to [[semDedup]] on the centroids the store was built
+    * with (assignment is the same deterministic cosine/cid-asc function),
+    * and the same index serves the ANN probes — the build-once,
+    * dedup-AND-search daily-crawl story. */
+  def semDedupStored(spark: SparkSession, root: String, corpusId: String,
+      tag: String, minCosineE6: Long): DataFrame = {
+    val bucketed = IvfStore.buckets(spark, root, corpusId, tag)
+      .select(col("id"), col("v"), col("n"), col("bucket").as("cid"))
+    semDedupPairs(bucketed, minCosineE6)
+  }
+
+  /** Shared SemDeDup pair stage over an assigned `(id, v, n, cid)` frame —
+    * one path for the inline and stored variants, so their semantics
+    * cannot drift (see [[ivfProbe]] for the same pattern on the ANN side). */
+  private def semDedupPairs(bucketed: DataFrame, minCosineE6: Long): DataFrame = {
     val lo = bucketed.select(col("cid"), col("id").as("a"),
       col("v").as("va"), col("n").as("na"))
     val hi = bucketed.select(col("cid"), col("id").as("b"),

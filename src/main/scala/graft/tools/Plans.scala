@@ -213,8 +213,10 @@ object Plans {
     // SemDeDup contract: the pair stage is an EQUI-join keyed on the
     // cluster id (bucket-local n^1.5 pair space); exactly one broadcast
     // nested-loop is allowed — the centroid assignment over the corpus.
-    locally {
-      val df = graft.SparkEntry.queries("emb_semdedup")(spark, sfDir)
+    // The STORED twin must pay no assignment at all: zero BNLJs, and both
+    // pair sides read the persisted index (≥2 store scans).
+    Seq("emb_semdedup", "emb_semdedup_stored").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.sparkPlan
       val cidJoins = plan.collect {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -224,10 +226,17 @@ object Plans {
       val bnlj = plan.collect {
         case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
       }.size
-      val ok = cidJoins >= 1 && bnlj <= 1
+      val storeScans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfstore")) => s
+      }.size
+      val ok =
+        if (name == "emb_semdedup") cidJoins >= 1 && bnlj <= 1
+        else cidJoins >= 1 && bnlj == 0 && storeScans >= 2
       if (!ok) failed += 1
-      println(s"[check] emb_semdedup pair stage is cid equi-join, single " +
-        s"assignment BNLJ: $ok (cid joins=$cidJoins, bnlj=$bnlj)")
+      println(s"[check] $name pair stage is cid equi-join with the right " +
+        s"assignment source: $ok (cid joins=$cidJoins, bnlj=$bnlj, " +
+        s"store scans=$storeScans)")
     }
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }

@@ -84,7 +84,7 @@ object ScaleSweep {
       ("emb_neardup", "quadratic"), ("emb_quantize", "linear"),
       // SemDeDup: √n centroids → n^1.5 assignment + intra-cluster pair
       // space — super-linear by the published design, inside the n² bound
-      ("emb_semdedup", "quadratic"),
+      ("emb_semdedup", "quadratic"), ("emb_semdedup_stored", "quadratic"),
       // fossil-exact global greedy sample: the carry pass is inherently
       // one task, but the sort underneath is a parallel range sort — the
       // single task only streams pre-sorted partitions (round 11)

@@ -51,6 +51,21 @@ class IvfStoreSpec extends SparkSpec {
     assert(inline8.nonEmpty && inline8 == stored8)
   }
 
+  test("stored SemDeDup == inline SemDeDup on the store's centroids") {
+    val root = buildStore()
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = e.filter(col("vec_id") % mod === 0)
+    // a loose threshold so real intra-cluster pairs exist in the fixture
+    val inline = Similarity.semDedup(e, cents,
+      "vec_id", "embedding", "vec_id", minCosineE6 = 450000)
+      .orderBy("id").collect().toSeq
+    val stored = Similarity.semDedupStored(spark, root, "emb", tag,
+      minCosineE6 = 450000)
+      .orderBy("id").collect().toSeq
+    assert(inline.nonEmpty && inline == stored)
+  }
+
   test("missing marker (crashed build) and tag mismatch both refuse to serve") {
     val root = buildStore()
     intercept[IllegalArgumentException] {
