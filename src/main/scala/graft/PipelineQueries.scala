@@ -544,6 +544,14 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "join", "window"), k = 10)),
+    // fastText-shape hashed-feature classifier scoring: md5-nibble feature
+    // buckets, EXACT long Σc·w (integer weights — no float summation),
+    // sigmoid only at the surface; weights = the deterministic fixture
+    // model (swap in a trained table unchanged)
+    "text_classifier" -> ((s, d) =>
+      TextAnalysis.linearScore(Tables.documents(s, d), "doc_id", "text",
+        TextAnalysis.fixtureWeights(s, 1024), dim = 1024)
+        .orderBy("id")),
     // TF-IDF keyword extraction: the full inverted-index plan (explode →
     // tf agg → df agg → equi-join → per-doc top-k window), score a single
     // double product — no float summation to diverge on
@@ -1307,6 +1315,29 @@ object PipelineQueries {
       |SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, id) AS INT) AS rank,
       |  id, dl, score_e4
       |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
+
+    "text_classifier" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |ex AS (SELECT doc_id AS id, unnest(toks) AS t FROM tok),
+      |f AS (SELECT id,
+      |  (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
+      |   ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
+      |  FROM (SELECT id, md5(t) AS h FROM ex)),
+      |c AS (SELECT id, j, count(*) AS c FROM f GROUP BY id, j),
+      |w AS (SELECT j, (j * 2654435761) % 2000001 - 1000000 AS w_e6
+      |      FROM range(0, 1024) r(j)),
+      |d AS (SELECT id, sum(c * w_e6) AS dot_e6, sum(c) AS n_tokens
+      |      FROM c JOIN w USING (j) GROUP BY id),
+      |o AS (SELECT doc.doc_id AS id,
+      |  CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(d.dot_e6, 0) AS BIGINT) AS dot_e6
+      |  FROM documents doc LEFT JOIN d ON doc.doc_id = d.id)
+      |SELECT id, n_tokens, dot_e6,
+      |  CAST(round(1e6 / (1.0::DOUBLE + exp(-(CASE WHEN n_tokens = 0
+      |    THEN 0.0::DOUBLE
+      |    ELSE (CAST(dot_e6 AS DOUBLE) / 1e6) / n_tokens END))))
+      |    AS BIGINT) AS prob_e6
+      |FROM o ORDER BY id""".stripMargin.trim,
 
     "text_tfidf" -> s"""
       |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -192,6 +192,48 @@ object TextAnalysis {
       .select("rank", "id", "dl", "score_e4")
   }
 
+  /** Hashed-feature linear text classifier — the fastText / quality-model
+    * scoring shape (Joulin et al. 2016, public paper): tokens hash into
+    * `dim` feature buckets (the md5-nibble idiom every sampling oracle
+    * shares), the document's score is the mean bucket weight, surfaced as
+    * a sigmoid probability. `weights` is any (j, w_e6) table — a trained
+    * model in production, a deterministic fixture in the battery — with
+    * INTEGER e6 weights so the per-doc reduction is an exact long
+    * Σ c_j·w_j: order-independent, no float-summation divergence; doubles
+    * appear only in the final sigmoid.
+    *
+    * Scale: explode → (doc, bucket) hash agg (partial'd) → broadcast join
+    * against the dim-bounded weight table → per-doc long-sum agg. Zero-
+    * token docs retained at sigmoid(0). Output:
+    * (id, n_tokens, dot_e6, prob_e6). */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+    val feats = ex.filter(col("t").isNotNull)
+      .select(col("id"),
+        (conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % dim).as("j"))
+      .groupBy("id", "j").agg(count(lit(1)).as("c"))
+    val dotted = feats
+      .join(broadcast(weights.select(col("j"), col("w_e6"))), Seq("j"))
+      .groupBy("id").agg(
+        sum(col("c") * col("w_e6")).as("dot_e6"), sum(col("c")).as("n_tokens"))
+    val s = when(col("n_tokens") === 0, lit(0.0))
+      .otherwise(col("dot_e6").cast("double") / 1e6 / col("n_tokens"))
+    docs.select(col(idCol).as("id")).join(dotted, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dot_e6"), lit(0L)).as("dot_e6"))
+      .withColumn("prob_e6",
+        round(lit(1e6) / (lit(1.0) + exp(negate(s))), 0).cast("long"))
+  }
+
+  /** The battery's deterministic weight fixture: w_e6(j) = a Knuth-hash
+    * spread over ±1e6 — stands in for a trained model, reproducible in
+    * integer SQL on both engines. */
+  def fixtureWeights(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("j"),
+      ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_e6"))
+
   /** TF-IDF top-k terms per document — keyword extraction over the whole
     * corpus, the inverted-index-shaped workload ([[bm25TopK]] deliberately
     * avoids the index for bounded queries; this is the dual: ALL terms, so

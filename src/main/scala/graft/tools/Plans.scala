@@ -74,6 +74,10 @@ object Plans {
       // term equi-join, per-doc window; never a nested loop over terms
       "text_tfidf" -> Seq("partial_", "HashAggregate", "Window",
         "!CartesianProduct", "!SortAggregate"),
+      // classifier scoring: feature hash aggs partial'd, the dim-bounded
+      // weight table must BROADCAST into its equi-join
+      "text_classifier" -> Seq("partial_", "HashAggregate", "BroadcastHashJoin",
+        "!CartesianProduct", "!SortAggregate"),
       "pack_bpe" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Join"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // PII scrub and run-collapse are per-row narrow maps: no hash

@@ -116,6 +116,8 @@ object ScaleSweep {
       ("text_bm25", "linear"),
       // TF-IDF: explode + two hash aggs + vocab join + per-doc window
       ("text_tfidf", "linear"),
+      // classifier: explode + hash aggs + dim-bounded broadcast join
+      ("text_classifier", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),

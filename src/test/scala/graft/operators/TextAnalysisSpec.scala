@@ -110,6 +110,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).head == ("rare2", math.round(2.0 * math.log(3.0 / 2) * 1e4)))
   }
 
+  test("linearScore: exact integer dot, sigmoid surface, empty docs at 0.5") {
+    val d = Seq((1L, "aa aa bb"), (2L, "")).toDF("doc_id", "text")
+    val w = TextAnalysis.fixtureWeights(spark, 1024)
+    val out = TextAnalysis.linearScore(d, "doc_id", "text", w, dim = 1024)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // recompute doc 1 by hand through the same md5-bucket + fixture formula
+    def bucket(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 1024
+    }
+    def wOf(j: Long): Long = (j * 2654435761L) % 2000001L - 1000000L
+    val dot = 2 * wOf(bucket("aa")) + wOf(bucket("bb"))
+    assert(out(1L)._2 == 3L && out(1L)._3 == dot)
+    assert(out(1L)._4 ==
+      math.round(1e6 / (1.0 + math.exp(-(dot / 1e6 / 3)))))
+    // empty doc: retained, sigmoid(0) = 0.5
+    assert(out(2L) == ((2L, 0L, 0L, 500000L)))
+  }
+
   test("fingerprints: identical normalized text → identical prints") {
     val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
       .toDF("doc_id", "text")
