@@ -230,6 +230,36 @@ object PipelineQueries {
        | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
        |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))) * 1e6) AS BIGINT)""".stripMargin
 
+  /** The hashed-feature classifier oracle (see
+    * [[graft.operators.TextAnalysis.linearScore]]): md5-nibble buckets,
+    * exact integer Σc·w over the deterministic fixture weights, sigmoid
+    * only at the surface. `where` restricts the corpus slice (the
+    * streaming row scores the replay fixture's doc_id%10 slice). */
+  private def classifierOracleSql(where: String): String = s"""
+    |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents
+    |             WHERE $where),
+    |ex AS (SELECT doc_id AS id, unnest(toks) AS t FROM tok),
+    |f AS (SELECT id,
+    |  (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
+    |   ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
+    |  FROM (SELECT id, md5(t) AS h FROM ex)),
+    |c AS (SELECT id, j, count(*) AS c FROM f GROUP BY id, j),
+    |w AS (SELECT j, (j * 2654435761) % 2000001 - 1000000 AS w_e6
+    |      FROM range(0, 1024) r(j)),
+    |d AS (SELECT id, sum(c * w_e6) AS dot_e6, sum(c) AS n_tokens
+    |      FROM c JOIN w USING (j) GROUP BY id),
+    |o AS (SELECT doc.doc_id AS id,
+    |  CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+    |  CAST(coalesce(d.dot_e6, 0) AS BIGINT) AS dot_e6
+    |  FROM (SELECT doc_id FROM documents WHERE $where) doc
+    |  LEFT JOIN d ON doc.doc_id = d.id)
+    |SELECT id, n_tokens, dot_e6,
+    |  CAST(round(1e6 / (1.0::DOUBLE + exp(-(CASE WHEN n_tokens = 0
+    |    THEN 0.0::DOUBLE
+    |    ELSE (CAST(dot_e6 AS DOUBLE) / 1e6) / n_tokens END))))
+    |    AS BIGINT) AS prob_e6
+    |FROM o ORDER BY id""".stripMargin.trim
+
   /** One BM25 term's score expression (k1 = 1.2, b = 0.75) — exactly the
     * double tree the Spark side builds, constants forced ::DOUBLE (a bare
     * 2.2 literal is DECIMAL in DuckDB and would change the arithmetic). */
@@ -718,6 +748,32 @@ object PipelineQueries {
     // stateless narrow maps need no state store or watermark, so the
     // curation pipeline runs on a live crawl unchanged — append mode,
     // result ≡ the batch row restricted to the fixture slice
+    // model-based quality scoring composed onto the live crawl replay:
+    // the row-local classifier twin (broadcast weights, no shuffle/state)
+    // runs per micro-batch in append mode — bit-identical to the batch
+    // agg path on the same slice (shared restricted oracle)
+    "stream_classifier" -> ((s, d) => {
+      val in = docsStreamFixture(s, d, chargeKey = "stream_classifier")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val ck = Queries.scratchDir("graft_stream_cls_ck")
+      Queries.deleteOnExit(ck)
+      val q = TextAnalysis.linearScoreRowLocal(
+          stream, "doc_id", "text",
+          TextAnalysis.fixtureWeights(s, 1024), dim = 1024)
+        .writeStream.format("memory").queryName("graft_sink_stream_cls")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_sink_stream_cls").orderBy("id")
+    }),
     "stream_pii_scrub" -> ((s, d) => {
       val in = docsStreamFixture(s, d, chargeKey = "stream_pii_scrub")
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1316,28 +1372,10 @@ object PipelineQueries {
       |  id, dl, score_e4
       |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
 
-    "text_classifier" -> s"""
-      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
-      |ex AS (SELECT doc_id AS id, unnest(toks) AS t FROM tok),
-      |f AS (SELECT id,
-      |  (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
-      |   ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
-      |  FROM (SELECT id, md5(t) AS h FROM ex)),
-      |c AS (SELECT id, j, count(*) AS c FROM f GROUP BY id, j),
-      |w AS (SELECT j, (j * 2654435761) % 2000001 - 1000000 AS w_e6
-      |      FROM range(0, 1024) r(j)),
-      |d AS (SELECT id, sum(c * w_e6) AS dot_e6, sum(c) AS n_tokens
-      |      FROM c JOIN w USING (j) GROUP BY id),
-      |o AS (SELECT doc.doc_id AS id,
-      |  CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  CAST(coalesce(d.dot_e6, 0) AS BIGINT) AS dot_e6
-      |  FROM documents doc LEFT JOIN d ON doc.doc_id = d.id)
-      |SELECT id, n_tokens, dot_e6,
-      |  CAST(round(1e6 / (1.0::DOUBLE + exp(-(CASE WHEN n_tokens = 0
-      |    THEN 0.0::DOUBLE
-      |    ELSE (CAST(dot_e6 AS DOUBLE) / 1e6) / n_tokens END))))
-      |    AS BIGINT) AS prob_e6
-      |FROM o ORDER BY id""".stripMargin.trim,
+    "text_classifier" -> classifierOracleSql("1 = 1"),
+    // the streaming replay scores the fixture slice row-locally — same
+    // integer math, so the batch oracle restricted to the slice matches
+    "stream_classifier" -> classifierOracleSql("doc_id % 10 = 0"),
 
     "text_tfidf" -> s"""
       |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),

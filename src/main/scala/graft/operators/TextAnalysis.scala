@@ -227,6 +227,47 @@ object TextAnalysis {
         round(lit(1e6) / (lit(1.0) + exp(negate(s))), 0).cast("long"))
   }
 
+  /** Row-local twin of [[linearScore]]: the identical integer math folded
+    * over each row's own tokens with the weight table broadcast — no
+    * shuffle, no aggregation, so it composes unchanged onto a live stream
+    * in append mode (results are bit-identical to the agg path: both are
+    * exact long sums of the same per-token weights). The in-JVM
+    * tokenizer/md5-bucket replica of the `tokens()`/`md5()` Catalyst pair
+    * is pinned against the agg path on real data by TextAnalysisSpec.
+    * mapPartitions is the documented exception pattern here (a per-token
+    * table lookup as a Catalyst literal map would re-hash the literal per
+    * row — the measured stream_decontam trap). */
+  def linearScoreRowLocal(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wArr = new Array[Long](dim)
+    weights.select(col("j").cast("long"), col("w_e6").cast("long"))
+      .collect().foreach(r => wArr(r.getLong(0).toInt) = r.getLong(1))
+    val bc = spark.sparkContext.broadcast(wArr)
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val w = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t0) =>
+          val t = if (t0 == null) "" else t0
+          var n = 0L
+          var dot = 0L
+          t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            .iterator.filter(_.nonEmpty).foreach { tok =>
+              val h = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              dot += w((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % dim)
+              n += 1
+            }
+          val s = if (n == 0L) 0.0 else dot.toDouble / 1e6 / n
+          (id, n, dot, math.round(1e6 / (1.0 + math.exp(-s))))
+        }
+      }
+      .toDF("id", "n_tokens", "dot_e6", "prob_e6")
+  }
+
   /** The battery's deterministic weight fixture: w_e6(j) = a Knuth-hash
     * spread over ±1e6 — stands in for a trained model, reproducible in
     * integer SQL on both engines. */

@@ -116,8 +116,9 @@ object ScaleSweep {
       ("text_bm25", "linear"),
       // TF-IDF: explode + two hash aggs + vocab join + per-doc window
       ("text_tfidf", "linear"),
-      // classifier: explode + hash aggs + dim-bounded broadcast join
-      ("text_classifier", "linear"),
+      // classifier: explode + hash aggs + dim-bounded broadcast join;
+      // the streaming twin is a stateless row-local map per micro-batch
+      ("text_classifier", "linear"), ("stream_classifier", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),

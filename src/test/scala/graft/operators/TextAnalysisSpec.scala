@@ -130,6 +130,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0L, 500000L)))
   }
 
+  test("linearScoreRowLocal ≡ linearScore agg path on real corpus data") {
+    // pins the in-JVM tokenizer/md5-bucket replica against the Catalyst
+    // pair on every sf0.001 document — any divergence breaks equality
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = TextAnalysis.fixtureWeights(spark, 1024)
+    val a = TextAnalysis.linearScore(docs, "doc_id", "text", w, 1024)
+      .orderBy("id").collect().toSeq
+    val b = TextAnalysis.linearScoreRowLocal(docs, "doc_id", "text", w, 1024)
+      .orderBy("id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("fingerprints: identical normalized text → identical prints") {
     val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
       .toDF("doc_id", "text")
