@@ -470,6 +470,16 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
         .orderBy("q", "rank")
     }),
+    // Matryoshka-style truncated pre-rank: candidate scan reads the first
+    // 16 of 64 dims (1/4 bandwidth), exact full-dim re-rank on the
+    // e6-deterministic cut — the third member of the bandwidth family
+    // (int8, PQ, truncation)
+    "ann_truncated" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.truncatedTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, subDim = 16, refine = 8)
+        .orderBy("q", "rank")
+    }),
     // product quantization: 8×256 subset codebooks, ADC candidate scan on
     // 8-byte codes (1/32nd the scan bytes of the floats), exact re-rank
     "ann_pq" -> ((s, d) => {
@@ -1163,6 +1173,26 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
       |  FROM s)
       |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin.trim,
+
+    // truncated pre-rank: both engines slice the same 16-dim prefix,
+    // cut on the e6-rounded truncated cosine with id tie-breaks, and
+    // re-rank the survivors through the shared cosE6 contract
+    "ann_truncated" -> s"""
+      |WITH par AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT id AS q, v AS qv FROM par WHERE id % 50 = 0),
+      |pre AS (SELECT q.q, p.id,
+      |  ${cosE6("p.v[1:16]", "q.qv[1:16]")} AS tsim_e6
+      |  FROM par p, q WHERE p.id != q.q),
+      |cand AS (SELECT q, id FROM (
+      |  SELECT q, id,
+      |    row_number() OVER (PARTITION BY q ORDER BY tsim_e6 DESC, id) AS rn
+      |  FROM pre) WHERE rn <= 24),
+      |rescored AS (SELECT c.q, c.id, ${cosE6("p.v", "qq.qv")} AS sim_e6
+      |  FROM cand c JOIN par p ON p.id = c.id JOIN q qq ON qq.q = c.q)
+      |SELECT q, rank, id, sim_e6 FROM (
+      |  SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM rescored) WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
 
     // PQ: every distance/LUT entry is an ordered double fold mirrored by
     // list_dot_product; the candidate cut is on the e6-rounded ADC score

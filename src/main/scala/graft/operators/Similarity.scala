@@ -456,6 +456,51 @@ object Similarity {
     topKPerGroup(scored, "q", k)
   }
 
+  /** Dimension-truncated pre-rank top-k — the Matryoshka-representation
+    * retrieval pattern (Kusupati et al. 2022, arXiv:2205.13147 — public
+    * paper, re-derived): the candidate scan scores only the FIRST
+    * `subDim` dimensions (subDim/d of the scan bandwidth — the property
+    * MRL embeddings are trained for; on generic embeddings it is a cheap
+    * biased pre-rank), then the exact full-dimension cosine re-ranks the
+    * surviving `refine·k`. Completes the bandwidth-reduction family next
+    * to int8 ([[ivfTopKInt8]]) and PQ ([[pqTopK]]), with the same
+    * exact-re-rank contract: the truncated score surfaces e6-rounded with
+    * id tie-breaks, so both engines cut identical candidate sets and every
+    * surfaced sim_e6 is exact. */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, subDim: Int,
+      refine: Int = 4): DataFrame = {
+    require(subDim >= 1 && refine >= 1,
+      s"need subDim/refine >= 1, got $subDim/$refine")
+    // scoped: the prepped corpus feeds the pre-rank scan AND the rescore
+    // join-back
+    val cd = OperatorCache.scoped(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", norm(col("v")))
+        .withColumn("tv", slice(col("v"), 1, subDim))
+        .withColumn("tn", norm(col("tv"))))
+    val q = queries
+      .select(col(idCol).as("q"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("tqv", slice(col("qv"), 1, subDim))
+      .withColumn("tqn", norm(col("tqv")))
+    val pre = cd.select(col("id"), col("tv"), col("tn"))
+      .join(broadcast(q.select(col("q"), col("tqv"), col("tqn"))),
+        col("id") =!= col("q"))
+      .select(col("q"), col("id"),
+        round(dot(col("tv"), col("tqv")) / (col("tn") * col("tqn")) * 1e6, 0)
+          .cast("long").as("tsim_e6"))
+    val cand = topNPerGroup(pre, "q", k * refine,
+      orderCols = Seq(col("tsim_e6").desc, col("id").asc)).select("q", "id")
+    val rescored = cand
+      .join(cd.select(col("id"), col("v"), col("n")), Seq("id"))
+      .join(broadcast(q.select(col("q"), col("qv"), col("qn"))), Seq("q"))
+      .select(col("q"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
+          .cast("long").as("sim_e6"))
+    topKPerGroup(rescored, "q", k)
+  }
+
   /** IVF (inverted-file) approximate top-k.
     *
     * `centroids` plays the role of the trained coarse quantizer (for tests a

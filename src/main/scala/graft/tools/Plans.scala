@@ -32,6 +32,8 @@ object Plans {
       // SemDeDup: pair space must be the intra-cluster equi-join — the
       // only nested-loop allowed is the broadcast centroid assignment
       "emb_semdedup" -> Seq("Join", "!CartesianProduct"),
+      // truncated pre-rank: broadcast query side, no cartesian fallback
+      "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a

@@ -78,6 +78,8 @@ object ScaleSweep {
       ("dedup_clusters_dist", "linear"), ("pipeline_curate", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
+      // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes
+      ("ann_truncated", "quadratic"),
       ("ann_ivfpq", "quadratic"), ("ann_ivfpq_stored", "quadratic"),
       ("ann_ivf", "quadratic"), ("ann_ivf_int8", "quadratic"),
       ("ann_ivf_stored", "quadratic"), ("ann_ivf_int8_stored", "quadratic"),
