@@ -292,6 +292,19 @@ object PipelineQueries {
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
           shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
         .orderBy("id")),
+    // canonical selection: after clustering, keep the LONGEST member per
+    // duplicate cluster (argmax token count, ties to lowest id) — the
+    // quality-aware replacement for blind keep-lowest-id
+    "dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+      val scores = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_ws_tokens"))
+      Dedup.canonicalPerCluster(clusters, scores, "doc_id", "n_ws_tokens")
+        .orderBy("survivor")
+    }),
     // the SAME clustering forced down the distributed label-propagation
     // path (localThreshold = 0): at bench scale the duplicate graph sits
     // far below the union-find cap, so without this entry the big-graph
@@ -987,6 +1000,33 @@ object PipelineQueries {
       |SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
       |FROM nodes n JOIN reach r ON r.x = n.id
       |GROUP BY n.id ORDER BY n.id""".stripMargin.trim,
+
+    // canonical selection replays the clustering CTEs, then the argmax by
+    // (token count desc, id) per survivor group
+    "dedup_canonical" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |memb AS (
+      |  SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |  FROM nodes n JOIN reach r ON r.x = n.id GROUP BY n.id),
+      |tc AS (SELECT doc_id AS id, CAST(len($TOKS) AS BIGINT) AS s
+      |       FROM documents),
+      |sel AS (
+      |  SELECT m.survivor, m.id, tc.s,
+      |    row_number() OVER (PARTITION BY m.survivor
+      |      ORDER BY tc.s DESC, m.id) AS rn,
+      |    count(*) OVER (PARTITION BY m.survivor) AS n_members
+      |  FROM memb m JOIN tc USING (id))
+      |SELECT survivor, id AS canonical, CAST(n_members AS BIGINT) AS n_members,
+      |  s AS best_score
+      |FROM sel WHERE rn = 1 ORDER BY survivor""".stripMargin.trim,
 
     // the distributed path must produce the identical clustering
     "dedup_clusters_dist" -> s"""

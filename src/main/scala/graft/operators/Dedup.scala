@@ -349,6 +349,33 @@ object Dedup {
     * components are solved with driver-side union-find in one collect —
     * the iterative join loop exists for the rare corpus whose duplicate
     * graph itself is big. Same output either way. */
+  /** Canonical-member selection per duplicate cluster — the step after
+    * clustering in a real dedup pipeline: instead of blindly keeping the
+    * lowest id, keep the member with the best quality signal (longest,
+    * highest classifier score, …) and tie to the lowest id. `clusters` is
+    * [[connectedComponents]] output (id, survivor); `scores` any
+    * (id, score) frame. The argmax runs as TWO all-primitive passes —
+    * per-cluster (count, max score), then min id among the max-score
+    * members — because a struct-keyed min_by buffers a struct and Spark
+    * demotes that to SortAggregate (the per-partition-sort slow path);
+    * primitive aggs stay in HashAggregate with map-side partials, and the
+    * join-back shares the `survivor` hash partitioning with the first
+    * pass, so no third shuffle appears.
+    * Output: (survivor, canonical, n_members, best_score). */
+  def canonicalPerCluster(clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val joined = OperatorCache.scoped(
+      clusters.join(scores.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("long").as("__s")), Seq("id")))
+    val best = joined.groupBy("survivor").agg(
+      count(lit(1)).as("n_members"), max(col("__s")).as("best_score"))
+    joined.join(best, Seq("survivor"))
+      .filter(col("__s") === col("best_score"))
+      .groupBy("survivor", "n_members", "best_score")
+      .agg(min(col("id")).as("canonical"))
+      .select("survivor", "canonical", "n_members", "best_score")
+  }
+
   def connectedComponents(
       pairs: DataFrame, maxIters: Int = 20, localThreshold: Long = 2000000): DataFrame = {
     val cached = pairs.select(col("a").cast("long"), col("b").cast("long")).cache()

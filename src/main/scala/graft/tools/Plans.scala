@@ -35,6 +35,11 @@ object Plans {
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
+      // canonical selection: equi-join + the two-pass all-primitive argmax
+      // — must stay in HashAggregate (a struct-buffered min_by demotes to
+      // SortAggregate, the measured per-partition-sort slow path)
+      "dedup_canonical" -> Seq("HashAggregate", "partial_",
+        "!SortAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

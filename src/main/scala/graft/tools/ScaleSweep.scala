@@ -75,7 +75,8 @@ object ScaleSweep {
     val ops = Seq(
       ("dedup_minhash", "linear"), ("dedup_ngram", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
-      ("dedup_clusters_dist", "linear"), ("pipeline_curate", "linear"),
+      ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),
+      ("pipeline_curate", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes

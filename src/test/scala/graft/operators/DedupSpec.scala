@@ -160,6 +160,18 @@ class DedupSpec extends SparkSpec {
     assert(dropped == 3)
   }
 
+  test("canonicalPerCluster: argmax score per cluster, ties to lowest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val clusters = Dedup.connectedComponents(pairs)
+    // cluster {1,2,3}: doc 2 longest → canonical; {5,6}: tie → lowest id 5
+    val scores = Seq((1L, 4L), (2L, 9L), (3L, 7L), (5L, 3L), (6L, 3L))
+      .toDF("doc_id", "len")
+    val out = Dedup.canonicalPerCluster(clusters, scores, "doc_id", "len")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 3L, 9L)))
+    assert(out(5L) == ((5L, 5L, 2L, 3L)))
+  }
+
   test("distributedComponents converges on a deep path graph (>3 rounds)") {
     // path 0-1-2-...-11: min-label needs 11 propagation rounds to reach the
     // far end — exercises the multi-round loop, per-round re-caching, and
