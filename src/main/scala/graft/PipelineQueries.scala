@@ -597,6 +597,14 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "join", "window"), k = 10)),
+    // in-engine TRAINED Naive Bayes language classifier: training is pure
+    // counting (two hash aggs, C·dim model broadcast back), scoring an
+    // exact integer prior + Σcnt·L over e6-rounded log-likelihoods —
+    // train AND apply verified end-to-end by the oracle
+    "text_nb_lang" -> ((s, d) =>
+      TextAnalysis.nbTrainScore(Tables.documents(s, d), "doc_id", "text",
+        "lang", dim = 1024)
+        .orderBy("id")),
     // fastText-shape hashed-feature classifier scoring: md5-nibble feature
     // buckets, EXACT long Σc·w (integer weights — no float summation),
     // sigmoid only at the surface; weights = the deterministic fixture
@@ -1441,6 +1449,39 @@ object PipelineQueries {
       |SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, id) AS INT) AS rank,
       |  id, dl, score_e4
       |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
+
+    // NB: the oracle replays training (counts → smoothed e6 log-liks +
+    // priors) and scoring (exact integer sums, argmax with class-asc ties)
+    "text_nb_lang" -> s"""
+      |WITH tok AS (SELECT doc_id AS id, lang AS c, $TOKS AS toks FROM documents),
+      |ex0 AS (SELECT id, c, unnest(toks) AS t FROM tok),
+      |ex AS (SELECT id, c,
+      |  (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
+      |   ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
+      |  FROM (SELECT id, c, md5(t) AS h FROM ex0)),
+      |ct AS (SELECT c, j, count(*) AS m FROM ex GROUP BY c, j),
+      |cm AS (SELECT c, sum(m) AS mc FROM ct GROUP BY c),
+      |nd AS (SELECT lang AS c, count(*) AS ndocs FROM documents GROUP BY lang),
+      |tot AS (SELECT count(*) AS n FROM documents),
+      |pri AS (SELECT c,
+      |  CAST(round(ln(CAST(ndocs AS DOUBLE) / n) * 1e6) AS BIGINT) AS prior_e6
+      |  FROM nd, tot),
+      |grid AS (SELECT cm.c, r.j,
+      |  CAST(round(ln((CAST(coalesce(ct.m, 0) AS DOUBLE) + 1.0::DOUBLE) /
+      |    (CAST(cm.mc AS DOUBLE) + 1024.0::DOUBLE)) * 1e6) AS BIGINT) AS l_e6
+      |  FROM cm CROSS JOIN range(0, 1024) r(j)
+      |  LEFT JOIN ct ON ct.c = cm.c AND ct.j = r.j),
+      |feats AS (SELECT id, j, count(*) AS cnt FROM ex GROUP BY id, j),
+      |sums AS (SELECT f.id, g.c, sum(f.cnt * g.l_e6) AS fsum_e6
+      |  FROM feats f JOIN grid g ON g.j = f.j GROUP BY f.id, g.c),
+      |scored AS (SELECT d.doc_id AS id, d.lang AS actual, p.c,
+      |  p.prior_e6 + CAST(coalesce(s.fsum_e6, 0) AS BIGINT) AS score_e6
+      |  FROM documents d CROSS JOIN pri p
+      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.c = p.c)
+      |SELECT id, actual, pred, correct FROM (
+      |  SELECT id, actual, c AS pred, (c = actual) AS correct,
+      |    row_number() OVER (PARTITION BY id ORDER BY score_e6 DESC, c) AS rn
+      |  FROM scored) WHERE rn = 1 ORDER BY id""".stripMargin.trim,
 
     "text_classifier" -> classifierOracleSql("1 = 1"),
     // the streaming replay scores the fixture slice row-locally — same

@@ -268,6 +268,68 @@ object TextAnalysis {
       .toDF("id", "n_tokens", "dot_e6", "prob_e6")
   }
 
+  /** In-engine TRAINED multinomial Naive Bayes text classifier — train
+    * and apply in one distributed plan (the complement of [[linearScore]],
+    * whose weights arrive pretrained). NB is the one classical text model
+    * whose training is PURE COUNTING, so the whole loop is Spark-native
+    * and oracle-expressible: no gradient state, no iteration.
+    *
+    *  - train: per-(class, bucket) token counts + class totals + doc
+    *    priors — two partial-aggregated hash aggs, output bounded by
+    *    C·dim (the model, broadcast back);
+    *  - model: add-one-smoothed log-likelihoods L(c,j) = ln((m+1)/(M_c +
+    *    dim)) and priors ln(n_c/N), both e6-rounded to LONGS — so every
+    *    document score is an EXACT integer prior + Σ cnt·L
+    *    (order-independent; no float-summation divergence);
+    *  - score: doc features join the broadcast model grid, one hash agg
+    *    per (doc, class), argmax with (score desc, class asc) ties.
+    *
+    * Zero-token docs rank by priors alone. Output:
+    * (id, actual, pred, correct). */
+  def nbTrainScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(labelCol).as("actual"),
+      col(textCol).as("__text"))
+    val ex = base
+      .select(col("id"), col("actual").as("c"),
+        explode_outer(tokens(col("__text"))).as("t"))
+      .withColumn("j", when(col("t").isNotNull,
+        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % dim))
+      .filter(col("j").isNotNull)
+    // ---- train (counting only; model is C·dim rows, broadcast-sized)
+    val classTok = ex.groupBy("c", "j").agg(count(lit(1)).as("m"))
+    val classTot = classTok.groupBy("c").agg(sum(col("m")).as("mc"))
+    val nd = base.groupBy("actual").agg(count(lit(1)).as("ndocs"))
+    val total = base.agg(count(lit(1)).as("n"))
+    val priors = nd.crossJoin(broadcast(total))
+      .select(col("actual").as("c"),
+        round(log(col("ndocs").cast("double") / col("n")) * 1e6, 0)
+          .cast("long").as("prior_e6"))
+    // full (class × bucket) grid so unseen buckets score the smoothed floor
+    val grid = classTot
+      .crossJoin(docs.sparkSession.range(dim).select(col("id").cast("long").as("j")))
+      .join(classTok, Seq("c", "j"), "left")
+      .select(col("c"), col("j"),
+        round(log((coalesce(col("m"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("mc").cast("double") + lit(dim.toDouble))) * 1e6, 0)
+          .cast("long").as("l_e6"))
+    // ---- score: exact integer Σ cnt·L per (doc, class), plus prior
+    val feats = ex.groupBy("id", "j").agg(count(lit(1)).as("cnt"))
+    val sums = feats
+      .join(broadcast(grid), Seq("j"))
+      .groupBy("id", "c").agg(sum(col("cnt") * col("l_e6")).as("fsum_e6"))
+    val scored = base.select(col("id"), col("actual"))
+      .crossJoin(broadcast(priors))
+      .join(sums, Seq("id", "c"), "left")
+      .select(col("id"), col("actual"), col("c"),
+        (col("prior_e6") + coalesce(col("fsum_e6"), lit(0L))).as("score_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score_e6").desc, col("c").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id"), col("actual"), col("c").as("pred"),
+        (col("c") === col("actual")).as("correct"))
+  }
+
   /** The battery's deterministic weight fixture: w_e6(j) = a Knuth-hash
     * spread over ±1e6 — stands in for a trained model, reproducible in
     * integer SQL on both engines. */

@@ -85,6 +85,10 @@ object Plans {
       // weight table must BROADCAST into its equi-join
       "text_classifier" -> Seq("partial_", "HashAggregate", "BroadcastHashJoin",
         "!CartesianProduct", "!SortAggregate"),
+      // NB train+score: counting aggs partial'd, the C·dim model grid
+      // broadcasts into the scoring join; no sort-agg fallback
+      "text_nb_lang" -> Seq("partial_", "HashAggregate", "BroadcastHashJoin",
+        "!SortAggregate"),
       "pack_bpe" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Join"),
       "shard_shuffle" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // PII scrub and run-collapse are per-row narrow maps: no hash

@@ -122,6 +122,8 @@ object ScaleSweep {
       // classifier: explode + hash aggs + dim-bounded broadcast join;
       // the streaming twin is a stateless row-local map per micro-batch
       ("text_classifier", "linear"), ("stream_classifier", "linear"),
+      // NB train+score: counting aggs + C·dim broadcast model grid
+      ("text_nb_lang", "linear"),
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),

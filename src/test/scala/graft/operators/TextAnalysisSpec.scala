@@ -142,6 +142,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("nbTrainScore learns separable classes and tie-breaks deterministically") {
+    // two classes with disjoint vocabularies → NB must classify all docs
+    // correctly despite the 'b' class being the prior-favored majority
+    val d = Seq(
+      (1L, "apfel birne apfel kirsche", "a"),
+      (2L, "birne apfel apfel", "a"),
+      (3L, "mango papaya guava mango", "b"),
+      (4L, "papaya mango guava", "b"),
+      (5L, "guava papaya papaya mango", "b"),
+      (6L, "", "b") // zero tokens → priors only → majority class 'b'
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbTrainScore(d, "doc_id", "text", "lang", dim = 256)
+      .select("id", "pred", "correct").as[(Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert((1L to 5L).forall(out(_)._3), s"misclassified: $out")
+    assert(out(6L)._2 == "b") // prior argmax (4/6 vs 2/6)
+  }
+
   test("fingerprints: identical normalized text → identical prints") {
     val d = Seq((1L, "Same Text Here"), (2L, "same text here   "), (3L, "other stuff"))
       .toDF("doc_id", "text")
