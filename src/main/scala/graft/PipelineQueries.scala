@@ -305,6 +305,29 @@ object PipelineQueries {
       Dedup.canonicalPerCluster(clusters, scores, "doc_id", "n_ws_tokens")
         .orderBy("survivor")
     }),
+    // the END-TO-END dedup pipeline a production run executes: minhash
+    // candidates → connected components → quality-aware canonical per
+    // cluster → drop non-canonical members → per-source survival stats.
+    // Composes four already-verified operators into one plan.
+    "pipeline_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+      val scores = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_ws_tokens"))
+      val canon = Dedup.canonicalPerCluster(clusters, scores,
+        "doc_id", "n_ws_tokens")
+      val drops = clusters
+        .join(canon.select(col("survivor"), col("canonical")), Seq("survivor"))
+        .filter(col("id") =!= col("canonical"))
+        .select(col("id").as("__drop_id"), lit(1L).as("__d"))
+      docs.join(drops, docs("doc_id") === drops("__drop_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__d").isNull, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
     // the SAME clustering forced down the distributed label-propagation
     // path (localThreshold = 0): at bench scale the duplicate graph sits
     // far below the union-find cap, so without this entry the big-graph
@@ -1035,6 +1058,37 @@ object PipelineQueries {
       |SELECT survivor, id AS canonical, CAST(n_members AS BIGINT) AS n_members,
       |  s AS best_score
       |FROM sel WHERE rn = 1 ORDER BY survivor""".stripMargin.trim,
+
+    // end-to-end pipeline: clustering + canonical CTEs, then the drop
+    // list and per-source survival counts
+    "pipeline_dedup" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |memb AS (
+      |  SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |  FROM nodes n JOIN reach r ON r.x = n.id GROUP BY n.id),
+      |tc AS (SELECT doc_id AS id, CAST(len($TOKS) AS BIGINT) AS s
+      |       FROM documents),
+      |sel AS (
+      |  SELECT m.survivor, m.id, tc.s,
+      |    row_number() OVER (PARTITION BY m.survivor
+      |      ORDER BY tc.s DESC, m.id) AS rn
+      |  FROM memb m JOIN tc USING (id)),
+      |canon AS (SELECT survivor, id AS canonical FROM sel WHERE rn = 1),
+      |drops AS (
+      |  SELECT m.id FROM memb m JOIN canon c ON c.survivor = m.survivor
+      |  WHERE m.id != c.canonical)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents d LEFT JOIN drops dr ON dr.id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin.trim,
 
     // the distributed path must produce the identical clustering
     "dedup_clusters_dist" -> s"""

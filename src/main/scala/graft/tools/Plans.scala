@@ -35,6 +35,10 @@ object Plans {
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
+      // end-to-end dedup pipeline: same invariants as its stages — banded
+      // candidates, hash aggs, no nested loops over the corpus
+      "pipeline_dedup" -> Seq("HashAggregate", "partial_",
+        "!SortAggregate", "!CartesianProduct"),
       // canonical selection: equi-join + the two-pass all-primitive argmax
       // — must stay in HashAggregate (a struct-buffered min_by demotes to
       // SortAggregate, the measured per-partition-sort slow path)

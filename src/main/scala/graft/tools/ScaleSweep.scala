@@ -76,7 +76,7 @@ object ScaleSweep {
       ("dedup_minhash", "linear"), ("dedup_ngram", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),
-      ("pipeline_curate", "linear"),
+      ("pipeline_dedup", "linear"), ("pipeline_curate", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes
