@@ -43,6 +43,19 @@ object PipelineQueries {
   private val ivfStoreRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** The SemDeDup fixture geometry — the 2·v planted-duplicate union and
+    * its √(2n) centroid modulus — shared by the inline `emb_semdedup` row
+    * and the stored twin's index build, so the two paths (and their
+    * shared identical-result oracle) cannot drift. */
+  private def semDedupFixture(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Long) = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = e.agg(max("vec_id")).first().getLong(0) + 1
+    val doubled = e.select((col("vec_id") + off).as("vec_id"),
+      expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+    (e.unionByName(doubled), math.ceil(math.sqrt(2.0 * e.count())).toLong)
+  }
+
   /** Build-once IVF store over the DOUBLED emb_semdedup fixture corpus
     * (same √(2n) centroid geometry as the inline row) — the stored
     * SemDeDup twin reads its bucket partitions instead of re-running the
@@ -54,12 +67,7 @@ object PipelineQueries {
       Queries.harness("emb_semdedup_stored") {
         val root = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
         Queries.deleteOnExit(root)
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val off = e.agg(max("vec_id")).first().getLong(0) + 1
-        val doubled = e.select((col("vec_id") + off).as("vec_id"),
-          expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
-        val all = e.unionByName(doubled)
-        val mod = math.ceil(math.sqrt(2.0 * e.count())).toLong
+        val (all, mod) = semDedupFixture(s, d)
         graft.operators.IvfStore.build(
           all, all.filter(col("vec_id") % mod === 0),
           "vec_id", "embedding", "vec_id", root, "embdup", IvfTag)
@@ -478,12 +486,7 @@ object PipelineQueries {
     // doubled id is dropped with its original as witness; background
     // intra-cluster cosines sit far below the cut.
     "emb_semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val off = e.agg(max("vec_id")).first().getLong(0) + 1
-      val doubled = e.select((col("vec_id") + off).as("vec_id"),
-        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
-      val all = e.unionByName(doubled)
-      val mod = math.ceil(math.sqrt(2.0 * e.count())).toLong
+      val (all, mod) = semDedupFixture(s, d)
       Similarity.semDedup(all, all.filter(col("vec_id") % mod === 0),
         "vec_id", "embedding", "vec_id", minCosineE6 = 990000)
         .orderBy("id")

@@ -73,15 +73,7 @@ object Bpe {
       }
       if (cand.isEmpty) done = true
       else {
-        val best = cand.minBy(_._1)._2
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < parts.length) {
-          if (i + 1 < parts.length && (parts(i), parts(i + 1)) == best) {
-            out += parts(i) + parts(i + 1); i += 2
-          } else { out += parts(i); i += 1 }
-        }
-        parts = out.result()
+        parts = mergeOnce(parts, cand.minBy(_._1)._2)
         done = parts.length < 2
       }
     }

@@ -349,6 +349,18 @@ object Dedup {
     * components are solved with driver-side union-find in one collect —
     * the iterative join loop exists for the rare corpus whose duplicate
     * graph itself is big. Same output either way. */
+  def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 20, localThreshold: Long = 2000000): DataFrame = {
+    val cached = pairs.select(col("a").cast("long"), col("b").cast("long")).cache()
+    val nEdges = cached.count()
+    val out =
+      if (nEdges <= localThreshold) localComponents(cached)
+      else distributedComponents(cached, maxIters, nEdges)
+    cached.unpersist()
+    out
+  }
+
+  /** Driver-side union-find over a collected edge list. */
   /** Canonical-member selection per duplicate cluster — the step after
     * clustering in a real dedup pipeline: instead of blindly keeping the
     * lowest id, keep the member with the best quality signal (longest,
@@ -376,18 +388,6 @@ object Dedup {
       .select("survivor", "canonical", "n_members", "best_score")
   }
 
-  def connectedComponents(
-      pairs: DataFrame, maxIters: Int = 20, localThreshold: Long = 2000000): DataFrame = {
-    val cached = pairs.select(col("a").cast("long"), col("b").cast("long")).cache()
-    val nEdges = cached.count()
-    val out =
-      if (nEdges <= localThreshold) localComponents(cached)
-      else distributedComponents(cached, maxIters, nEdges)
-    cached.unpersist()
-    out
-  }
-
-  /** Driver-side union-find over a collected edge list. */
   private def localComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -208,8 +208,8 @@ object TextAnalysis {
     * (id, n_tokens, dot_e6, prob_e6). */
   def linearScore(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, dim: Int): DataFrame = {
-    val ex = docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
-    val feats = ex.filter(col("t").isNotNull)
+    val feats = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .select(col("id"),
         (conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % dim).as("j"))
       .groupBy("id", "j").agg(count(lit(1)).as("c"))
@@ -233,10 +233,15 @@ object TextAnalysis {
     * in append mode (results are bit-identical to the agg path: both are
     * exact long sums of the same per-token weights). The in-JVM
     * tokenizer/md5-bucket replica of the `tokens()`/`md5()` Catalyst pair
-    * is pinned against the agg path on real data by TextAnalysisSpec.
-    * mapPartitions is the documented exception pattern here (a per-token
-    * table lookup as a Catalyst literal map would re-hash the literal per
-    * row — the measured stream_decontam trap). */
+    * is pinned against the agg path on real data by TextAnalysisSpec —
+    * and normalization goes through UTF8String.trim/toLowerCase, the
+    * LITERAL implementation Catalyst's `trim`/`lower` call, so the two
+    * paths cannot diverge on control characters or locale-sensitive case
+    * (Java String.trim strips all chars ≤ U+0020 where SQL trim strips
+    * spaces only — a measured divergence channel). mapPartitions is the
+    * documented exception pattern here (a per-token table lookup as a
+    * Catalyst literal map would re-hash the literal per row — the
+    * measured stream_decontam trap). */
   def linearScoreRowLocal(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, dim: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -255,7 +260,8 @@ object TextAnalysis {
           val t = if (t0 == null) "" else t0
           var n = 0L
           var dot = 0L
-          t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .trim().toLowerCase().toString.split("\\s+")
             .iterator.filter(_.nonEmpty).foreach { tok =>
               val h = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               dot += w((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % dim)
@@ -292,10 +298,9 @@ object TextAnalysis {
       col(textCol).as("__text"))
     val ex = base
       .select(col("id"), col("actual").as("c"),
-        explode_outer(tokens(col("__text"))).as("t"))
-      .withColumn("j", when(col("t").isNotNull,
-        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % dim))
-      .filter(col("j").isNotNull)
+        explode(tokens(col("__text"))).as("t"))
+      .withColumn("j",
+        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % dim)
     // ---- train (counting only; model is C·dim rows, broadcast-sized)
     val classTok = ex.groupBy("c", "j").agg(count(lit(1)).as("m"))
     val classTot = classTok.groupBy("c").agg(sum(col("m")).as("mc"))

@@ -133,8 +133,17 @@ class TextAnalysisSpec extends SparkSpec {
   test("linearScoreRowLocal ≡ linearScore agg path on real corpus data") {
     // pins the in-JVM tokenizer/md5-bucket replica against the Catalyst
     // pair on every sf0.001 document — any divergence breaks equality
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val w = TextAnalysis.fixtureWeights(spark, 1024)
+    // adversarial normalization cases: leading control char (Java
+    // String.trim would strip it, SQL trim must NOT), tabs, Unicode case
+    val adversarial = Seq(
+      (900001L, "hello\tworld "),
+      (900002L, " STRASSE İstanbulx"),
+      (900003L, "   "),
+      (900004L, "\u0001ctrl x")) // Java String.trim would strip \u0001
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").unionByName(adversarial)
     val a = TextAnalysis.linearScore(docs, "doc_id", "text", w, 1024)
       .orderBy("id").collect().toSeq
     val b = TextAnalysis.linearScoreRowLocal(docs, "doc_id", "text", w, 1024)
