@@ -623,6 +623,11 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "join", "window"), k = 10)),
+    // bigram-LM perplexity scoring: the context-aware upgrade of
+    // text_unigram_nll — same filtering shape, one extra vocab join
+    "text_bigram_nll" -> ((s, d) =>
+      TextAnalysis.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id")),
     // in-engine TRAINED Naive Bayes language classifier: training is pure
     // counting (two hash aggs, C·dim model broadcast back), scoring an
     // exact integer prior + Σcnt·L over e6-rounded log-likelihoods —
@@ -1506,6 +1511,29 @@ object PipelineQueries {
       |SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, id) AS INT) AS rank,
       |  id, dl, score_e4
       |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
+
+    "text_bigram_nll" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |bgx AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(toks) - 1, 0) + 1),
+      |    i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      |  FROM tok),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bgx GROUP BY bg),
+      |ex1 AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |c1 AS (SELECT t, count(*) AS c1 FROM ex1 GROUP BY t),
+      |vv AS (SELECT count(*) AS v FROM c1),
+      |lp AS (SELECT b.doc_id,
+      |    ln((c2.c2 + 1.0) / (c1.c1 + vv.v)) AS lp
+      |  FROM bgx b JOIN c2 USING (bg)
+      |  JOIN c1 ON c1.t = string_split(b.bg, ' ')[1]
+      |  CROSS JOIN vv),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(round(-sum(lp) * 10000.0 / count(*)) AS BIGINT) AS nll_e4
+      |  FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(a.nll_e4, 0) AS nll_e4
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY id""".stripMargin.trim,
 
     // NB: the oracle replays training (counts → smoothed e6 log-liks +
     // priors) and scoring (exact integer sums, argmax with class-asc ties)

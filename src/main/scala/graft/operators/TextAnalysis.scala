@@ -371,6 +371,47 @@ object TextAnalysis {
       .select("id", "rank", "term", "tf", "score_e4")
   }
 
+  /** Bigram-LM negative log-likelihood per document — the context-aware
+    * upgrade of [[unigramNll]] (same CCNet-style filtering shape; a
+    * repetitive doc scores low under a bigram LM even when its unigram
+    * distribution looks typical). Add-one smoothing over the corpus's own
+    * bigrams: `lp(w_i | w_{i-1}) = ln((c2(w_{i-1} w_i) + 1) /
+    * (c1(w_{i-1}) + V))`, surfaced as mean NLL ×10⁴ over the doc's
+    * bigram positions; docs with < 2 tokens retained at (0, 0).
+    *
+    * Scale: bigram construction is a row-local transform (no
+    * explode-join); the count tables are hash aggs bounded by the bigram
+    * vocabulary (Zipf-bounded); scoring is two equi-joins (AQE broadcasts
+    * the count sides while they fit) + one per-doc agg with map-side
+    * partials — the unigramNll plan with one extra vocab join. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksDf = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val bgx = toksDf
+      .withColumn("bgs",
+        when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2))))))
+      .select(col("id"), explode(col("bgs")).as("bg"))
+    val c2 = bgx.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val ex1 = toksDf.select(col("id"), explode(col("toks")).as("t"))
+    val c1 = ex1.groupBy("t").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val lp = bgx
+      .join(c2, Seq("bg"))
+      .join(c1, split(col("bg"), " ").getItem(0) === col("t"))
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+    val agg = lp.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      round(-sum(col("lp")) * lit(10000.0) / count(lit(1)), 0)
+        .cast("long").as("nll_e4"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e4"), lit(0L)).as("nll_e4"))
+  }
+
   /** Document frequency of word n-gram shingles: in how many documents each
     * shingle appears, top-k by (df desc, shingle asc). The distinct-per-doc
     * shingle set means one count per containing document. */

@@ -76,6 +76,9 @@ object Plans {
       // unigram NLL: token→count equi-join + hash aggs; a nested-loop
       // anywhere (beyond the 1-row totals broadcast) is wrong
       "text_unigram_nll" -> Seq("HashAggregate", "!CartesianProduct"),
+      // bigram NLL: same contract with one extra vocab equi-join
+      "text_bigram_nll" -> Seq("HashAggregate", "!CartesianProduct",
+        "!SortAggregate"),
       // BM25: row-local tf counts + ONE partial-agg'd stats row + a
       // distributed TakeOrdered top-k — a hash shuffle or cartesian here
       // means the no-index design degraded to an exploded join

@@ -59,6 +59,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("bigramNll: context-aware scoring, short docs at (0,0)") {
+    // corpus bigrams: "a b" ×2, "b a" ×1, "b c" ×1; unigrams a×3 b×3 c×1
+    // → V = 3
+    val d = Seq((1L, "a b a b"), (2L, "b c"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    def lp(c2: Long, c1: Long): Double = math.log((c2 + 1.0) / (c1 + 3.0))
+    // doc 1: bigrams "a b"(2), "b a"(1), "a b"(2); contexts a, b, a
+    val nll1 = math.round(
+      -(lp(2, 3) + lp(1, 3) + lp(2, 3)) * 10000.0 / 3)
+    assert(out(1L) == ((3L, nll1)))
+    assert(out(2L) == ((1L, math.round(-lp(1, 3) * 10000.0 / 1))))
+    assert(out(3L) == ((0L, 0L))) // single token → no bigrams
+    assert(out(4L) == ((0L, 0L)))
+    // the common-bigram doc is more typical than the rare-bigram doc
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("bm25TopK: tf monotonicity, length normalization, rank tie-breaks") {
     // "cat" appears in 3 of 4 docs; doc 1 has it twice, docs 2 and 3 once;
     // doc 3 is much longer → length normalization must rank 2 above 3
