@@ -623,6 +623,11 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "join", "window"), k = 10)),
+    // char-entropy boilerplate signal: distribution-level repetition
+    // measure complementing the Gopher rules
+    "text_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id")),
     // bigram-LM perplexity scoring: the context-aware upgrade of
     // text_unigram_nll — same filtering shape, one extra vocab join
     "text_bigram_nll" -> ((s, d) =>
@@ -1511,6 +1516,23 @@ object PipelineQueries {
       |SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, id) AS INT) AS rank,
       |  id, dl, score_e4
       |FROM sc ORDER BY score_e4 DESC, id LIMIT 10""".stripMargin.trim,
+
+    "text_entropy" -> s"""
+      |WITH ex AS (
+      |  SELECT doc_id AS id,
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), ''),
+      |      c -> c != '')) AS ch
+      |  FROM documents),
+      |counts AS (SELECT id, ch, count(*) AS c FROM ex GROUP BY id, ch),
+      |agg AS (SELECT id, sum(c) AS n,
+      |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+      |  FROM counts GROUP BY id)
+      |SELECT d.doc_id AS id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(
+      |    round((ln(CAST(a.n AS DOUBLE)) - a.clc / a.n) * 1e4), 0)
+      |    AS BIGINT) AS entropy_e4
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+      |ORDER BY id""".stripMargin.trim,
 
     "text_bigram_nll" -> s"""
       |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -412,6 +412,33 @@ object TextAnalysis {
         coalesce(col("nll_e4"), lit(0L)).as("nll_e4"))
   }
 
+  /** Character-entropy quality signal per document — the
+    * compression-ratio-style boilerplate detector (low-entropy text is
+    * repetitive/templated; complements the Gopher repetition rules with a
+    * distribution-level measure). `H = ln(n) − (Σ_c count_c·ln count_c)/n`
+    * over the characters of `lower(trim(text))`, surfaced ×10⁴; empty
+    * docs retained at (0, 0).
+    *
+    * Scale: char explode → per-(doc, char) hash agg (alphabet-bounded
+    * fan-in per doc) → per-doc partial-agg'd reduction — the unigramNll
+    * summation pattern. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(trim(col(textCol)))
+    val ex = docs.select(col(idCol).as("id"),
+      explode(filter(split(t, ""), c => c =!= "")).as("ch"))
+    val counts = ex.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy("id").agg(
+      sum(col("c")).as("n"),
+      sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        coalesce(
+          round((log(col("n").cast("double")) - col("clc") / col("n"))
+            * 1e4, 0).cast("long"),
+          lit(0L)).as("entropy_e4"))
+  }
+
   /** Document frequency of word n-gram shingles: in how many documents each
     * shingle appears, top-k by (df desc, shingle asc). The distinct-per-doc
     * shingle set means one count per containing document. */

@@ -79,6 +79,9 @@ object Plans {
       // bigram NLL: same contract with one extra vocab equi-join
       "text_bigram_nll" -> Seq("HashAggregate", "!CartesianProduct",
         "!SortAggregate"),
+      // char entropy: two partial-agg'd hash aggs, join-free scoring
+      "text_entropy" -> Seq("HashAggregate", "partial_",
+        "!CartesianProduct", "!SortAggregate"),
       // BM25: row-local tf counts + ONE partial-agg'd stats row + a
       // distributed TakeOrdered top-k — a hash shuffle or cartesian here
       // means the no-index design degraded to an exploded join

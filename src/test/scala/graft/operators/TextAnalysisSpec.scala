@@ -59,6 +59,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("charEntropy: uniform text maxes, constant text zeroes, empty at (0,0)") {
+    val d = Seq((1L, "abcd"), (2L, "aaaa"), (3L, ""), (4L, "aabb"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == ((4L, math.round(math.log(4.0) * 1e4)))) // ln 4: uniform
+    assert(out(2L) == ((4L, math.round(
+      (math.log(4.0) - 4 * math.log(4.0) / 4) * 1e4)))) // 0: constant
+    assert(out(2L)._2 == 0L)
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(4L) == ((4L, math.round(
+      (math.log(4.0) - (2 * math.log(2.0) + 2 * math.log(2.0)) / 4) * 1e4))))
+    assert(out(4L)._2 == math.round(math.log(2.0) * 1e4)) // 1 bit in nats
+  }
+
   test("bigramNll: context-aware scoring, short docs at (0,0)") {
     // corpus bigrams: "a b" ×2, "b a" ×1, "b c" ×1; unigrams a×3 b×3 c×1
     // → V = 3
