@@ -832,6 +832,20 @@ object Queries {
           unix_micros(col("click_ts")).as("click_t_us"))
         .orderBy("event_id")
     }),
+    // nearest-direction as-of (pandas merge_asof direction='nearest'):
+    // |Δt|-minimizing match, equidistant ties to the earlier click — one
+    // sorted window pass serves both directions
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.nearest(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("click_ts")).as("click_t_us"))
+        .orderBy("event_id")
+    }),
     // skew-hardened as-of: user_id collapsed to 4 hot keys (every key a
     // straggler magnet), joined through the salted variant — results must
     // be IDENTICAL to an unsalted as-of (the oracle never sees the salt)
@@ -1079,6 +1093,20 @@ object Queries {
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin.trim,
+    // nearest: two directed ASOF matches, the CASE picks the smaller
+    // |Δ| with ties to the backward (earlier) row — exactly the engine's
+    // choice rule
+    "q_asof_nearest" -> """
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_us,
+      |  CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+      |         epoch_us(p.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(p.ts))
+      |       THEN epoch_us(b.ts) ELSE epoch_us(f.ts) END AS click_t_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') b
+      |  ON p.user_id = b.user_id AND p.ts >= b.ts
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') f
+      |  ON p.user_id = f.user_id AND p.ts <= f.ts
       |ORDER BY p.event_id""".stripMargin.trim,
     // the salt is engine-internal and cancels out: the oracle is a plain
     // ASOF join on the collapsed hot key

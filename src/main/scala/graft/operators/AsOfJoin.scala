@@ -84,6 +84,82 @@ object AsOfJoin {
     withTol.select(out: _*)
   }
 
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for
+    * each left row, the right row minimizing `|rightTime − leftTime|`
+    * within the key group; equidistant ties take the EARLIER right row
+    * (deterministic, engine-replayable). Same union + ONE-shuffle design
+    * as [[lastOnOrBefore]]: a single key-partitioned time sort serves both
+    * the backward `last()` frame and the forward `first()` frame (Spark
+    * reuses the exchange and sort across the two Window nodes), so the
+    * cost is identical to the backward join plus one windowed projection.
+    * `toleranceUs` bounds |Δ| when set (unmatched → right payload nulls). */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+
+    val leftPayloadCols = left.columns.filterNot(keys.contains)
+    val rightPayloadCols = right.columns.filterNot(keys.contains)
+
+    val keyCols = keys.map(col)
+    val lTagged = left.select(
+      keyCols :+
+        unix_micros(col(leftTime).cast("timestamp")).as("__t") :+
+        lit(1).as("__tag") :+
+        struct(leftPayloadCols.map(col): _*).as("__l") :+
+        lit(null).cast(
+          right.select(struct(rightPayloadCols.map(col): _*).as("__rp"))
+            .schema("__rp").dataType
+        ).as("__r") :+
+        lit(null).cast("long").as("__rt"): _*)
+    val rTagged = right.select(
+      keyCols :+
+        unix_micros(col(rightTime).cast("timestamp")).as("__t") :+
+        lit(0).as("__tag") :+
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
+        struct(rightPayloadCols.map(col): _*).as("__r") :+
+        unix_micros(col(rightTime).cast("timestamp")).as("__rt"): _*)
+
+    // right rows sort before left rows at equal time (tag 0 < 1):
+    // backward frame is inclusive ≤; the forward frame therefore excludes
+    // equal-time rights, which is safe — Δ = 0 already wins backward
+    val ord = Seq(col("__t"), col("__tag"))
+    val wb = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val joined = lTagged.unionByName(rTagged)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wf))
+      .withColumn("__ft", first(col("__rt"), ignoreNulls = true).over(wf))
+      .filter(col("__tag") === 1)
+
+    val db = col("__t") - col("__bt")
+    val df = col("__ft") - col("__t")
+    val takeBackward = col("__bt").isNotNull &&
+      (col("__ft").isNull || db <= df)
+    val chosen = joined
+      .withColumn("__match", when(takeBackward, col("__b")).otherwise(col("__f")))
+      .withColumn("__match_t", when(takeBackward, col("__bt")).otherwise(col("__ft")))
+    val withTol = toleranceUs match {
+      case Some(tol) =>
+        chosen.withColumn("__match",
+          when(col("__match_t").isNotNull &&
+            abs(col("__match_t") - col("__t")) <= lit(tol), col("__match")))
+      case None => chosen
+    }
+
+    val out = keyCols ++
+      leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__match").getField(c).as(c))
+    withTol.select(out: _*)
+  }
+
   /** Skew-hardened [[lastOnOrBefore]]: hot keys are split across `buckets`
     * salt slices so no single key serializes into one straggler task.
     *

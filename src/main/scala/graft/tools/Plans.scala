@@ -60,6 +60,10 @@ object Plans {
       // the whole anti-straggler point) and stay join-free union+window
       "q_asof_skew" -> Seq("Window", "__salt", "!Join",
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // nearest as-of: both direction frames off ONE sorted window pass —
+      // still join-free union+window
+      "q_asof_nearest" -> Seq("Window", "!Join",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // decontamination: shingle-hash equi-join + hits agg — a cartesian
       // against the eval corpus would be the 100 TB scale-killer
       "curate_decontam" -> Seq("Join", "HashAggregate",

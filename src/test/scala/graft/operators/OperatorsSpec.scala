@@ -77,6 +77,37 @@ class OperatorsSpec extends SparkSpec {
       ("y", 5L, None)))         // no quote for y → left join semantics
   }
 
+  test("nearest as-of picks the |Δt|-minimizing side, ties to earlier, tolerance bounds |Δ|") {
+    val trades = Seq((10L, "x", 1.0), (100L, "x", 2.0), (5L, "y", 3.0))
+      .toDF("t_us", "sym", "px").select(timestamp_micros($"t_us").as("t"), $"sym", $"px")
+    val quotes = Seq((7L, "x", 99.0), (12L, "x", 100.0), (90L, "x", 101.0), (106L, "x", 102.0))
+      .toDF("q_us", "sym", "bid").select(timestamp_micros($"q_us").as("qt"), $"sym", $"bid")
+    val out = AsOfJoin.nearest(trades, quotes, Seq("sym"), "t", "qt")
+      .select($"sym", unix_micros($"t"), $"bid").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      ("x", 10L, Some(100.0)), // Δb=3 (q@7) vs Δf=2 (q@12) → forward wins
+      ("x", 100L, Some(102.0)), // Δb=10 (q@90) vs Δf=6 (q@106) → forward
+      ("y", 5L, None)))        // no quotes for y
+    // equidistant: q@7 and q@13 around t=10 → earlier (backward) wins
+    val tie = AsOfJoin.nearest(
+      Seq((10L, "x", 1.0)).toDF("t_us", "sym", "px")
+        .select(timestamp_micros($"t_us").as("t"), $"sym", $"px"),
+      Seq((7L, "x", 99.0), (13L, "x", 100.0)).toDF("q_us", "sym", "bid")
+        .select(timestamp_micros($"q_us").as("qt"), $"sym", $"bid"),
+      Seq("sym"), "t", "qt")
+      .select($"bid").as[Option[Double]].collect()
+    assert(tie.toSeq == Seq(Some(99.0)))
+    // tolerance: nearest match at Δ=3 passes tol=3, nulls at tol=2
+    val l1 = Seq((10L, "k", 1.0)).toDF("t_us", "g", "v")
+      .select(timestamp_micros($"t_us").as("t"), $"g", $"v")
+    val r1 = Seq((13L, "k", 9.0)).toDF("q_us", "g", "p")
+      .select(timestamp_micros($"q_us").as("qt"), $"g", $"p")
+    def tolAt(t: Long) = AsOfJoin.nearest(l1, r1, Seq("g"), "t", "qt",
+      toleranceUs = Some(t)).select($"p").as[Option[Double]].collect().toSeq
+    assert(tolAt(3L) == Seq(Some(9.0)) && tolAt(2L) == Seq(None))
+  }
+
   test("as-of join honors tolerance") {
     val l = Seq((100L, "k", 1.0)).toDF("t_us", "g", "v")
       .select(timestamp_micros($"t_us").as("t"), $"g", $"v")
