@@ -832,6 +832,19 @@ object Queries {
           unix_micros(col("click_ts")).as("click_t_us"))
         .orderBy("event_id")
     }),
+    // forward-direction as-of: the "next observation" complement —
+    // smallest click_ts >= ts, inclusive of equal times
+    "q_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      AsOfJoin.firstOnOrAfter(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+          unix_micros(col("click_ts")).as("click_t_us"))
+        .orderBy("event_id")
+    }),
     // nearest-direction as-of (pandas merge_asof direction='nearest'):
     // |Δt|-minimizing match, equidistant ties to the earlier click — one
     // sorted window pass serves both directions
@@ -1093,6 +1106,12 @@ object Queries {
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin.trim,
+    "q_asof_forward" -> """
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_us, epoch_us(c.ts) AS click_t_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts
       |ORDER BY p.event_id""".stripMargin.trim,
     // nearest: two directed ASOF matches, the CASE picks the smaller
     // |Δ| with ties to the backward (earlier) row — exactly the engine's

@@ -84,6 +84,68 @@ object AsOfJoin {
     withTol.select(out: _*)
   }
 
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`): for
+    * each left row, the right row with the SMALLEST `rightTime >=
+    * leftTime` in the key group — the "next observation" complement of
+    * [[lastOnOrBefore]], same union + single-shuffle window design. The
+    * union orders left rows BEFORE right rows at equal time (tag desc),
+    * so the forward frame is inclusive ≥. `toleranceUs` nulls matches
+    * farther than `leftTime + tolerance`. */
+  def firstOnOrAfter(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+
+    val leftPayloadCols = left.columns.filterNot(keys.contains)
+    val rightPayloadCols = right.columns.filterNot(keys.contains)
+
+    val keyCols = keys.map(col)
+    val lTagged = left.select(
+      keyCols :+
+        unix_micros(col(leftTime).cast("timestamp")).as("__t") :+
+        lit(1).as("__tag") :+
+        struct(leftPayloadCols.map(col): _*).as("__l") :+
+        lit(null).cast(
+          right.select(struct(rightPayloadCols.map(col): _*).as("__rp"))
+            .schema("__rp").dataType
+        ).as("__r") :+
+        lit(null).cast("long").as("__rt"): _*)
+    val rTagged = right.select(
+      keyCols :+
+        unix_micros(col(rightTime).cast("timestamp")).as("__t") :+
+        lit(0).as("__tag") :+
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
+        struct(rightPayloadCols.map(col): _*).as("__r") :+
+        unix_micros(col(rightTime).cast("timestamp")).as("__rt"): _*)
+
+    // left rows sort before right rows at equal time (tag 1 desc-first) →
+    // the forward frame includes equal-time observations (inclusive >=)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), col("__tag").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val joined = lTagged.unionByName(rTagged)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match_t", first(col("__rt"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val withTol = toleranceUs match {
+      case Some(tol) =>
+        joined.withColumn("__match",
+          when(col("__match_t").isNotNull &&
+            col("__match_t") <= col("__t") + lit(tol), col("__match")))
+      case None => joined
+    }
+
+    val out = keyCols ++
+      leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
+      rightPayloadCols.map(c => col("__match").getField(c).as(c))
+    withTol.select(out: _*)
+  }
+
   /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for
     * each left row, the right row minimizing `|rightTime − leftTime|`
     * within the key group; equidistant ties take the EARLIER right row

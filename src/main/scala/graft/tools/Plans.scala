@@ -64,6 +64,8 @@ object Plans {
       // still join-free union+window
       "q_asof_nearest" -> Seq("Window", "!Join",
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      "q_asof_forward" -> Seq("Window", "!Join",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // decontamination: shingle-hash equi-join + hits agg — a cartesian
       // against the eval corpus would be the 100 TB scale-killer
       "curate_decontam" -> Seq("Join", "HashAggregate",

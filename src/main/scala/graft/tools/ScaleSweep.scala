@@ -140,7 +140,8 @@ object ScaleSweep {
       ("q_asof_tolerance", "linear"),
       // salted as-of over 4 hot keys: the salt must keep scaling linear
       // even though every key is a straggler magnet
-      ("q_asof_skew", "linear"), ("q_asof_nearest", "linear"))
+      ("q_asof_skew", "linear"), ("q_asof_nearest", "linear"),
+      ("q_asof_forward", "linear"))
       .filter { case (n, _) => subset.forall(_.contains(n)) }
 
     // warm-up pass at the smallest SF (JIT/codegen), as Bench does

@@ -77,6 +77,25 @@ class OperatorsSpec extends SparkSpec {
       ("y", 5L, None)))         // no quote for y → left join semantics
   }
 
+  test("forward as-of attaches first right row at or after left time") {
+    val trades = Seq((10L, "x", 1.0), (20L, "x", 2.0), (5L, "y", 3.0))
+      .toDF("t_us", "sym", "px").select(timestamp_micros($"t_us").as("t"), $"sym", $"px")
+    val quotes = Seq((8L, "x", 99.0), (15L, "x", 100.5), (20L, "x", 101.5))
+      .toDF("q_us", "sym", "bid").select(timestamp_micros($"q_us").as("qt"), $"sym", $"bid")
+    val out = AsOfJoin.firstOnOrAfter(trades, quotes, Seq("sym"), "t", "qt")
+      .select($"sym", unix_micros($"t"), $"bid").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      ("x", 10L, Some(100.5)), // next quote after 10 is @15
+      ("x", 20L, Some(101.5)), // equal time matches (inclusive >=)
+      ("y", 5L, None)))
+    // tolerance: next match at Δ=5 nulls at tol=4
+    val tol = AsOfJoin.firstOnOrAfter(trades.filter($"sym" === "x"), quotes,
+      Seq("sym"), "t", "qt", toleranceUs = Some(4L))
+      .select(unix_micros($"t"), $"bid").as[(Long, Option[Double])].collect().toMap
+    assert(tol(10L).isEmpty && tol(20L) == Some(101.5))
+  }
+
   test("nearest as-of picks the |Δt|-minimizing side, ties to earlier, tolerance bounds |Δ|") {
     val trades = Seq((10L, "x", 1.0), (100L, "x", 2.0), (5L, "y", 3.0))
       .toDF("t_us", "sym", "px").select(timestamp_micros($"t_us").as("t"), $"sym", $"px")
