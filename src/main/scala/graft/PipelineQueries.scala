@@ -254,8 +254,8 @@ object PipelineQueries {
     |c AS (SELECT id, j, count(*) AS c FROM f GROUP BY id, j),
     |w AS (SELECT j, (j * 2654435761) % 2000001 - 1000000 AS w_e6
     |      FROM range(0, 1024) r(j)),
-    |d AS (SELECT id, sum(c * w_e6) AS dot_e6, sum(c) AS n_tokens
-    |      FROM c JOIN w USING (j) GROUP BY id),
+    |d AS (SELECT id, sum(c * coalesce(w_e6, 0)) AS dot_e6, sum(c) AS n_tokens
+    |      FROM c LEFT JOIN w USING (j) GROUP BY id),
     |o AS (SELECT doc.doc_id AS id,
     |  CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
     |  CAST(coalesce(d.dot_e6, 0) AS BIGINT) AS dot_e6
@@ -622,7 +622,8 @@ object PipelineQueries {
     // out identically, cut at round(score·1e4) with id tie-breaks
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        terms = Seq("spark", "join", "window"), k = 10)),
+        terms = Seq("spark", "join", "window"), k = 10)
+        .orderBy("rank")),
     // char-entropy boilerplate signal: distribution-level repetition
     // measure complementing the Gopher rules
     "text_entropy" -> ((s, d) =>
@@ -1008,10 +1009,11 @@ object PipelineQueries {
       |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
       |c AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
       |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
-      |lp AS (SELECT e.doc_id, ln((c.c + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |lp AS (SELECT e.doc_id, e.t, ln((c.c + 1.0) / (tot.n_total + tot.vocab)) AS lp
       |       FROM ex e JOIN c USING (t) CROSS JOIN tot),
       |agg AS (SELECT doc_id, count(*) AS n_tokens,
-      |        CAST(round(-sum(lp) * 10000.0 / count(*)) AS BIGINT) AS nll_e4
+      |        CAST(round(-list_sum(list(lp ORDER BY t)) * 10000.0 / count(*))
+      |          AS BIGINT) AS nll_e4
       |        FROM lp GROUP BY doc_id)
       |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
       |       coalesce(a.nll_e4, 0) AS nll_e4
@@ -1525,7 +1527,8 @@ object PipelineQueries {
       |  FROM documents),
       |counts AS (SELECT id, ch, count(*) AS c FROM ex GROUP BY id, ch),
       |agg AS (SELECT id, sum(c) AS n,
-      |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+      |    list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      |      ORDER BY ch)) AS clc
       |  FROM counts GROUP BY id)
       |SELECT d.doc_id AS id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
       |  CAST(coalesce(
@@ -1544,13 +1547,14 @@ object PipelineQueries {
       |ex1 AS (SELECT doc_id, unnest(toks) AS t FROM tok),
       |c1 AS (SELECT t, count(*) AS c1 FROM ex1 GROUP BY t),
       |vv AS (SELECT count(*) AS v FROM c1),
-      |lp AS (SELECT b.doc_id,
+      |lp AS (SELECT b.doc_id, b.bg,
       |    ln((c2.c2 + 1.0) / (c1.c1 + vv.v)) AS lp
       |  FROM bgx b JOIN c2 USING (bg)
       |  JOIN c1 ON c1.t = string_split(b.bg, ' ')[1]
       |  CROSS JOIN vv),
       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-      |    CAST(round(-sum(lp) * 10000.0 / count(*)) AS BIGINT) AS nll_e4
+      |    CAST(round(-list_sum(list(lp ORDER BY bg)) * 10000.0 / count(*))
+      |      AS BIGINT) AS nll_e4
       |  FROM lp GROUP BY doc_id)
       |SELECT d.doc_id AS id, coalesce(a.n_bigrams, 0) AS n_bigrams,
       |  coalesce(a.nll_e4, 0) AS nll_e4

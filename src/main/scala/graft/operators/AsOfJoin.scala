@@ -17,27 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param right must contain `keys`, `rightTime`, and payload columns whose
-    *              names don't collide with `left`'s (alias them beforehand).
-    *              `rightTime` itself is part of the right payload — it comes
-    *              back in the output (the matched observation's timestamp),
-    *              so its NAME must also not collide with any left column;
-    *              alias it (e.g. `click_ts`) if both sides call it `ts`.
-    * @param toleranceUs if set, matches older than `leftTime - tolerance` are
-    *                    nulled out. */
-  def lastOnOrBefore(
-      left: DataFrame,
-      right: DataFrame,
-      keys: Seq[String],
-      leftTime: String,
-      rightTime: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
 
+  /** Shared union scaffolding for every direction: left rows tagged 1 and
+    * right rows 0, payload structs carried whole, the right timestamp
+    * duplicated as `__rt` — ONE definition so the three directions (and
+    * the salted variant built on them) cannot drift. */
+  private case class Tagged(
+      unioned: DataFrame, keyCols: Seq[Column],
+      leftPayloadCols: Seq[String], rightPayloadCols: Seq[String]) {
+    /** Final projection: keys + left payload + matched right payload. */
+    def project(df: DataFrame): DataFrame = {
+      val out = keyCols ++
+        leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
+        rightPayloadCols.map(c => col("__match").getField(c).as(c))
+      df.select(out: _*)
+    }
+  }
+
+  private def tagUnion(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): Tagged = {
     val leftPayloadCols = left.columns.filterNot(keys.contains)
     // rightTime rides along in the payload struct so callers get the
     // matched observation's own timestamp back (e.g. click_ts).
     val rightPayloadCols = right.columns.filterNot(keys.contains)
-
     val keyCols = keys.map(col)
     val lTagged = left.select(
       keyCols :+
@@ -59,13 +62,31 @@ object AsOfJoin {
         lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
         struct(rightPayloadCols.map(col): _*).as("__r") :+
         unix_micros(col(rightTime).cast("timestamp")).as("__rt"): _*)
+    Tagged(lTagged.unionByName(rTagged), keyCols, leftPayloadCols, rightPayloadCols)
+  }
 
+  /** @param right must contain `keys`, `rightTime`, and payload columns whose
+    *              names don't collide with `left`'s (alias them beforehand).
+    *              `rightTime` itself is part of the right payload — it comes
+    *              back in the output (the matched observation's timestamp),
+    *              so its NAME must also not collide with any left column;
+    *              alias it (e.g. `click_ts`) if both sides call it `ts`.
+    * @param toleranceUs if set, matches older than `leftTime - tolerance` are
+    *                    nulled out. */
+  def lastOnOrBefore(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val t = tagUnion(left, right, keys, leftTime, rightTime)
     // right rows sort before left rows at equal time (tag 0 < 1) → inclusive ≤
-    val w = Window.partitionBy(keyCols: _*)
+    val w = Window.partitionBy(t.keyCols: _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = lTagged.unionByName(rTagged)
+    val joined = t.unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .withColumn("__match_t", last(col("__rt"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
@@ -77,11 +98,7 @@ object AsOfJoin {
           .withColumn("__match", when(col("__ok"), col("__match")))
       case None => joined
     }
-
-    val out = keyCols ++
-      leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
-      rightPayloadCols.map(c => col("__match").getField(c).as(c))
-    withTol.select(out: _*)
+    t.project(withTol)
   }
 
   /** Forward as-of join (pandas `merge_asof(direction='forward')`): for
@@ -98,36 +115,14 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       toleranceUs: Option[Long] = None): DataFrame = {
-
-    val leftPayloadCols = left.columns.filterNot(keys.contains)
-    val rightPayloadCols = right.columns.filterNot(keys.contains)
-
-    val keyCols = keys.map(col)
-    val lTagged = left.select(
-      keyCols :+
-        unix_micros(col(leftTime).cast("timestamp")).as("__t") :+
-        lit(1).as("__tag") :+
-        struct(leftPayloadCols.map(col): _*).as("__l") :+
-        lit(null).cast(
-          right.select(struct(rightPayloadCols.map(col): _*).as("__rp"))
-            .schema("__rp").dataType
-        ).as("__r") :+
-        lit(null).cast("long").as("__rt"): _*)
-    val rTagged = right.select(
-      keyCols :+
-        unix_micros(col(rightTime).cast("timestamp")).as("__t") :+
-        lit(0).as("__tag") :+
-        lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
-        struct(rightPayloadCols.map(col): _*).as("__r") :+
-        unix_micros(col(rightTime).cast("timestamp")).as("__rt"): _*)
-
+    val t = tagUnion(left, right, keys, leftTime, rightTime)
     // left rows sort before right rows at equal time (tag 1 desc-first) →
     // the forward frame includes equal-time observations (inclusive >=)
-    val w = Window.partitionBy(keyCols: _*)
+    val w = Window.partitionBy(t.keyCols: _*)
       .orderBy(col("__t"), col("__tag").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val joined = lTagged.unionByName(rTagged)
+    val joined = t.unioned
       .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
       .withColumn("__match_t", first(col("__rt"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
@@ -139,11 +134,7 @@ object AsOfJoin {
             col("__match_t") <= col("__t") + lit(tol), col("__match")))
       case None => joined
     }
-
-    val out = keyCols ++
-      leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
-      rightPayloadCols.map(c => col("__match").getField(c).as(c))
-    withTol.select(out: _*)
+    t.project(withTol)
   }
 
   /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for
@@ -162,39 +153,17 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       toleranceUs: Option[Long] = None): DataFrame = {
-
-    val leftPayloadCols = left.columns.filterNot(keys.contains)
-    val rightPayloadCols = right.columns.filterNot(keys.contains)
-
-    val keyCols = keys.map(col)
-    val lTagged = left.select(
-      keyCols :+
-        unix_micros(col(leftTime).cast("timestamp")).as("__t") :+
-        lit(1).as("__tag") :+
-        struct(leftPayloadCols.map(col): _*).as("__l") :+
-        lit(null).cast(
-          right.select(struct(rightPayloadCols.map(col): _*).as("__rp"))
-            .schema("__rp").dataType
-        ).as("__r") :+
-        lit(null).cast("long").as("__rt"): _*)
-    val rTagged = right.select(
-      keyCols :+
-        unix_micros(col(rightTime).cast("timestamp")).as("__t") :+
-        lit(0).as("__tag") :+
-        lit(null).cast(lTagged.schema("__l").dataType).as("__l") :+
-        struct(rightPayloadCols.map(col): _*).as("__r") :+
-        unix_micros(col(rightTime).cast("timestamp")).as("__rt"): _*)
-
+    val t = tagUnion(left, right, keys, leftTime, rightTime)
     // right rows sort before left rows at equal time (tag 0 < 1):
     // backward frame is inclusive ≤; the forward frame therefore excludes
     // equal-time rights, which is safe — Δ = 0 already wins backward
     val ord = Seq(col("__t"), col("__tag"))
-    val wb = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+    val wb = Window.partitionBy(t.keyCols: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+    val wf = Window.partitionBy(t.keyCols: _*).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val joined = lTagged.unionByName(rTagged)
+    val joined = t.unioned
       .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wb))
       .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
       .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wf))
@@ -215,11 +184,7 @@ object AsOfJoin {
             abs(col("__match_t") - col("__t")) <= lit(tol), col("__match")))
       case None => chosen
     }
-
-    val out = keyCols ++
-      leftPayloadCols.map(c => col("__l").getField(c).as(c)) ++
-      rightPayloadCols.map(c => col("__match").getField(c).as(c))
-    withTol.select(out: _*)
+    t.project(withTol)
   }
 
   /** Skew-hardened [[lastOnOrBefore]]: hot keys are split across `buckets`

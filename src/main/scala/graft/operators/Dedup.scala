@@ -360,7 +360,6 @@ object Dedup {
     out
   }
 
-  /** Driver-side union-find over a collected edge list. */
   /** Canonical-member selection per duplicate cluster — the step after
     * clustering in a real dedup pipeline: instead of blindly keeping the
     * lowest id, keep the member with the best quality signal (longest,
@@ -388,6 +387,7 @@ object Dedup {
       .select("survivor", "canonical", "n_members", "best_score")
   }
 
+  /** Driver-side union-find over a collected edge list. */
   private def localComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

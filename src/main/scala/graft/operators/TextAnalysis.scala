@@ -129,15 +129,23 @@ object TextAnalysis {
     val lp = ex
       .join(counts, Seq("t"), "left")
       .crossJoin(broadcast(totals)) // 1 row: corpus N and V
-      .select(col("id"),
+      .select(col("id"), col("t"),
         when(col("t").isNotNull,
           log((col("c") + lit(1.0)) / (col("n_total") + col("vocab"))))
           .as("lp"))
+    // ordered fold (token-sorted) instead of a bare double sum() — the
+    // partition-combine-order parity trap at a rounding cut; equal tokens
+    // carry identical lp, so the t sort pins the order (see charEntropy)
     lp.groupBy("id")
       .agg(
         count(col("lp")).as("n_tokens"),
+        array_sort(collect_list(
+          when(col("lp").isNotNull, struct(col("t"), col("lp"))))).as("__ls"))
+      .select(col("id"), col("n_tokens"),
         coalesce(
-          round(-sum(col("lp")) * lit(10000.0) / count(col("lp")), 0).cast("long"),
+          round(-aggregate(col("__ls"), lit(0.0),
+            (acc, s) => acc + s.getField("lp"))
+            * lit(10000.0) / col("n_tokens"), 0).cast("long"),
           lit(0L)).as("nll_e4"))
   }
 
@@ -213,10 +221,16 @@ object TextAnalysis {
       .select(col("id"),
         (conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % dim).as("j"))
       .groupBy("id", "j").agg(count(lit(1)).as("c"))
+    // LEFT join + coalesce(0): a SPARSE trained table (zero-weight buckets
+    // omitted) must still count the token in n_tokens and score it 0 —
+    // exactly what the row-local twin's zero-default array does, keeping
+    // the bit-identity contract for any weight table, not just the
+    // all-buckets fixture
     val dotted = feats
-      .join(broadcast(weights.select(col("j"), col("w_e6"))), Seq("j"))
+      .join(broadcast(weights.select(col("j"), col("w_e6"))), Seq("j"), "left")
       .groupBy("id").agg(
-        sum(col("c") * col("w_e6")).as("dot_e6"), sum(col("c")).as("n_tokens"))
+        sum(col("c") * coalesce(col("w_e6"), lit(0L))).as("dot_e6"),
+        sum(col("c")).as("n_tokens"))
     val s = when(col("n_tokens") === 0, lit(0.0))
       .otherwise(col("dot_e6").cast("double") / 1e6 / col("n_tokens"))
     docs.select(col(idCol).as("id")).join(dotted, Seq("id"), "left")
@@ -400,12 +414,19 @@ object TextAnalysis {
       .join(c2, Seq("bg"))
       .join(c1, split(col("bg"), " ").getItem(0) === col("t"))
       .crossJoin(broadcast(v))
-      .select(col("id"),
+      .select(col("id"), col("bg"),
         log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+    // ordered fold over (bg-sorted) lp values — see charEntropy: a bare
+    // double sum() at a rounding cut is the documented parity trap; equal
+    // bigrams carry identical lp, so the bg sort pins the order fully
     val agg = lp.groupBy("id").agg(
       count(lit(1)).as("n_bigrams"),
-      round(-sum(col("lp")) * lit(10000.0) / count(lit(1)), 0)
-        .cast("long").as("nll_e4"))
+      array_sort(collect_list(struct(col("bg"), col("lp")))).as("__ls"))
+      .select(col("id"), col("n_bigrams"),
+        round(-aggregate(col("__ls"), lit(0.0),
+          (acc, s) => acc + s.getField("lp"))
+          * lit(10000.0) / col("n_bigrams"), 0)
+          .cast("long").as("nll_e4"))
     docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -427,9 +448,19 @@ object TextAnalysis {
     val ex = docs.select(col(idCol).as("id"),
       explode(filter(split(t, ""), c => c =!= "")).as("ch"))
     val counts = ex.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    // ORDERED fold for the per-doc double sum: a bare sum() of doubles
+    // accumulates in partition-combine order (not guaranteed, and not
+    // DuckDB's order) — at a ×1e4 rounding cut that is the documented
+    // parity trap. The char alphabet per doc is bounded, so the sorted
+    // collect + left-to-right fold (mirrored by list_sum(list(x ORDER BY
+    // ch)) in the oracle) costs nothing and is bit-deterministic.
     val agg = counts.groupBy("id").agg(
       sum(col("c")).as("n"),
-      sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+      array_sort(collect_list(struct(col("ch"), col("c")))).as("__cs"))
+      .select(col("id"), col("n"),
+        aggregate(col("__cs"), lit(0.0), (acc, s) =>
+          acc + s.getField("c").cast("double") *
+            log(s.getField("c").cast("double"))).as("clc"))
     docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n"), lit(0L)).as("n_chars"),
