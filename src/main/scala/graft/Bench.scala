@@ -194,17 +194,36 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_final.json"),
       finalLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // headline FIRST (total_s/harness_s/calib_s/io_calib_s before the
-    // 87-row queries map) AND repeated as trailing fields: the driver
-    // tail-captures stdout and has truncated the head (r7) — duplicated
-    // keys with identical values parse identically whichever end
-    // survives. harness_s = fixture I/O excluded from the query walls;
-    // calib_s / io_calib_s = this window's ambient CPU / disk probes
-    // (compare across rounds to separate engine movement from sandbox
-    // load — and from each other: a CPU-quiet window can still be
-    // disk-loud, which is exactly what round 8 could not see).
-    println(finalLine.dropRight(1) +
-      s""","total_s":$total,"harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed}""")
+    // The driver tail-captures the LAST 2000 chars of stdout and parses a
+    // JSON line out of them. The 131-row queries map alone is ~3 KB (the
+    // names sum to 1.7 KB), so a line carrying it can NEVER survive the
+    // capture — r10 and r11 both recorded parsed:null and lost the
+    // alphabetically-early half of the battery from the official
+    // artifact. The stdout line is therefore COMPACT ONLY (totals +
+    // ambient probes + failure count + artifact pointers; ~350 chars,
+    // complete inside any 2000-char tail); the full per-query medians
+    // live in target/bench_final.json and per-run arrays in
+    // target/bench_runs.json. harness_s = fixture I/O excluded from the
+    // query walls; calib_s / io_calib_s = this window's ambient CPU /
+    // disk probes (compare across rounds to separate engine movement
+    // from sandbox load). The failed list is capped so a mass breakage
+    // cannot re-inflate the line past the capture budget.
+    val failedCapped = errors.keys.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // keep the line's "queries" map but only as many of the SLOWEST rows
+    // as fit a hard 1200-char budget — those are the rows a reader of the
+    // official artifact needs first; the rest are in queries_file
+    val slowestEntries = results.sortBy(-_._2).iterator
+      .map { case (k, v, _) => "\"" + k + "\":" + f(v) }
+      .scanLeft(("", 0)) { case ((_, n), e) => (e, n + e.length + 1) }
+      .drop(1).takeWhile(_._2 <= 1200).map(_._1).toSeq
+    val qsCapped = slowestEntries.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,""" +
+      s""""harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed,""" +
+      s""""n_queries":${results.size},"n_failed":${errors.size},""" +
+      s""""failed":$failedCapped,"sf":"$sfDir",""" +
+      s""""queries":$qsCapped,"queries_shown":${slowestEntries.size},""" +
+      s""""queries_file":"target/bench_final.json","runs_file":"target/bench_runs.json"}""")
     // a battery with dead rows must not exit 0 — "fast" and "broken" have
     // to be distinguishable from the exit code alone (r9: 39 crashed rows
     // read as a 30% speedup). The JSON line above is already printed and

@@ -679,6 +679,16 @@ object PipelineQueries {
     "text_unigram_nll" -> ((s, d) =>
       TextAnalysis.unigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id")),
+    // ANSI empty-doc regression row: deterministically blank 1-in-7 docs
+    // before scoring, so the oracle itself exercises the n_tokens = 0
+    // group the sf corpora lack (the r11 DIVIDE_BY_ZERO was spec-only;
+    // a crawl-scale corpus guarantees empty docs, so the gate should too)
+    "text_unigram_nll_empty" -> ((s, d) =>
+      TextAnalysis.unigramNll(
+        Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 7 === 0, lit("")).otherwise(col("text"))),
+        "doc_id", "text")
+        .orderBy("id")),
     "text_ngram_freq" -> ((s, d) =>
       TextAnalysis.ngramDocFreq(Tables.documents(s, d), "doc_id", "text", k = 2, topK = 20)),
     "text_fingerprint" -> ((s, d) =>
@@ -1018,6 +1028,25 @@ object PipelineQueries {
       |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
       |       coalesce(a.nll_e4, 0) AS nll_e4
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY id""".stripMargin.trim,
+
+    "text_unigram_nll_empty" -> s"""
+      |WITH docs2 AS (SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text
+      |       FROM documents),
+      |tok AS (SELECT doc_id, $TOKS AS toks FROM docs2),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |c AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+      |lp AS (SELECT e.doc_id, e.t, ln((c.c + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |       FROM ex e JOIN c USING (t) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |        CAST(round(-list_sum(list(lp ORDER BY t)) * 10000.0 / count(*))
+      |          AS BIGINT) AS nll_e4
+      |        FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.nll_e4, 0) AS nll_e4
+      |FROM docs2 d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY id""".stripMargin.trim,
 
     "dedup_exact" -> """

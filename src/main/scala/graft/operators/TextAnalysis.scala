@@ -102,8 +102,11 @@ object TextAnalysis {
       countDistinct(col("id")).as("n_docs"),
       count(col("t")).as("total_tokens"),
       countDistinct(col("t")).as("vocab"),
-      round(count(col("t")) * lit(100.0) / countDistinct(col("id")), 0).cast("long")
-        .as("avg_tokens_e2"))
+      // ANSI guard: an empty corpus still yields one agg row with
+      // n_docs = 0 — the mean must not execute the division on it
+      when(countDistinct(col("id")) > 0,
+        round(count(col("t")) * lit(100.0) / countDistinct(col("id")), 0).cast("long"))
+        .otherwise(lit(0L)).as("avg_tokens_e2"))
   }
 
   /** Unigram-LM negative log-likelihood per document — the shape of
@@ -142,11 +145,15 @@ object TextAnalysis {
         array_sort(collect_list(
           when(col("lp").isNotNull, struct(col("t"), col("lp"))))).as("__ls"))
       .select(col("id"), col("n_tokens"),
-        coalesce(
+        // ANSI guard: empty docs survive explode_outer as t=null rows, so
+        // their group reaches this projection with n_tokens = 0 — the
+        // division must not EXECUTE on that row (ANSI DIVIDE_BY_ZERO
+        // throws; it does not yield the null a coalesce could absorb)
+        when(col("n_tokens") > 0,
           round(-aggregate(col("__ls"), lit(0.0),
             (acc, s) => acc + s.getField("lp"))
-            * lit(10000.0) / col("n_tokens"), 0).cast("long"),
-          lit(0L)).as("nll_e4"))
+            * lit(10000.0) / col("n_tokens"), 0).cast("long"))
+          .otherwise(lit(0L)).as("nll_e4"))
   }
 
   /** BM25 top-k keyword retrieval (Robertson et al., public Okapi BM25;
@@ -181,12 +188,18 @@ object TextAnalysis {
       sum(col("dl")).as("sum_dl") +: terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
     val avgdl = col("sum_dl").cast("double") / col("n")
+    // ANSI guard: a corpus of all-empty docs has sum_dl = 0, so avgdl = 0
+    // and dl/avgdl would EXECUTE 0/0 per row (ANSI throws). The length
+    // norm degenerates to 0 there, leaving the tf + k1·(1−b) denominator
+    // strictly positive.
+    val lenNorm = when(col("sum_dl") > 0, col("dl").cast("double") / avgdl)
+      .otherwise(lit(0.0))
     def termScore(i: Int): Column = {
       val tf = col(s"tf$i").cast("double")
       val idf = log(((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
         (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
       idf * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * lenNorm))
     }
     val score = terms.indices.map(termScore).reduce(_ + _)
     val cut = base.crossJoin(broadcast(g))
