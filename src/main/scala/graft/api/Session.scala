@@ -22,6 +22,13 @@ final class Session(val spark: SparkSession, clock: Compiler.Clock = Compiler.sy
   private val stores = mutable.LinkedHashMap.empty[String, LocalClient]
   private var active: Option[String] = None
 
+  /** Fire-and-forget: the write-only collection mode of
+    * `docs/overview.md:45-53` — a connection that declares it is limited
+    * to write commands (APPEND/CREATE/USE plus the VERSION handshake) so
+    * ingest paths can never stall behind reads. Per-connection state like
+    * the USE database; flipped by the wire `MODE` command. */
+  var fireAndForget: Boolean = false
+
   /** Resolve a connection string to a filesystem store root via the shared
     * [[ConnectionString]] dispatch (serverless subset of
     * `pkg/proto/connectionstring.go:34-74`): `file://` and bare paths are

@@ -171,9 +171,31 @@ final class WireServer(
     finally { conns.remove(sock); sock.close() }
   }
 
+  /** Commands a fire-and-forget (write-only) connection may issue —
+    * `docs/overview.md:45-53`: "limited to write only commands … to
+    * ensure performant writes". VERSION stays (the connect handshake),
+    * USE stays (selecting WHERE to write is part of writing), MODE stays
+    * (the client may switch back to active). */
+  private val writeOnlyCommands = Set("VERSION", "USE", "CREATE", "APPEND", "MODE")
+
   private def serve(
       cmd: String, payload: Array[Byte], session: Session, out: DataOutputStream): Unit =
-    cmd match {
+    if (session.fireAndForget && !writeOnlyCommands(cmd))
+      writeMessage(out, "ERR", errPayload(403,
+        s"command not allowed on a fire-and-forget connection: $cmd"))
+    else cmd match {
+      case "MODE" =>
+        new String(payload, StandardCharsets.UTF_8).trim.toLowerCase match {
+          case "fire-and-forget" | "ff" =>
+            session.fireAndForget = true
+            writeMessage(out, "OK", okPayload(200, "fire-and-forget"))
+          case "active" =>
+            session.fireAndForget = false
+            writeMessage(out, "OK", okPayload(200, "active"))
+          case other =>
+            writeMessage(out, "ERR", errPayload(400,
+              s"unknown mode: $other (expected fire-and-forget | active)"))
+        }
       case "VERSION" =>
         writeMessage(out, "OK", okPayload(200, Version))
       case "USE" =>

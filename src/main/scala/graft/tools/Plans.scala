@@ -54,6 +54,9 @@ object Plans {
       // store path: the time predicate must prune at the parquet scan of
       // the store's own files, and topic must be a partition filter
       "store_roundtrip" -> Seq("PushedFilters", "PartitionFilters"),
+      // fossil import: distributed gob decode over segment files + one
+      // per-row wire decode — no join anywhere in the plan
+      "fossil_import" -> Seq("!CartesianProduct", "!Join"),
       // salted skew join must stay an equi-join on (key, salt)
       "q_join_skew" -> Seq("Join", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // salted as-of: the window MUST partition on the salt too (that is

@@ -120,6 +120,57 @@ class WireServerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("fire-and-forget mode: appends succeed, reads rejected, per-connection") {
+    val root = Files.createTempDirectory("graft_wire_ff").toString
+    val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
+    try {
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+
+      send(out, "MODE", "fire-and-forget".getBytes(StandardCharsets.UTF_8))
+      assert(codeOf(recv(in)._2) == 200)
+
+      // write path stays open: CREATE + APPEND land
+      send(out, "CREATE", withTopic("/ff/t", "float64".getBytes(StandardCharsets.UTF_8)))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "APPEND", withTopic("/ff/t", Codec.encode(FossilSchema.SFloat64, 7.5)))
+      assert(codeOf(recv(in)._2) == 200)
+
+      // read commands rejected with the reference ERR shape (code + text)
+      for (read <- Seq("QUERY" -> "all in /ff/t", "LIST" -> "", "STATS" -> "",
+          "METRICS" -> "")) {
+        send(out, read._1, read._2.getBytes(StandardCharsets.UTF_8))
+        val (c, p) = recv(in)
+        assert(c == "ERR", s"${read._1} should be rejected")
+        assert(codeOf(p) == 403)
+        assert(new String(p.drop(4), StandardCharsets.UTF_8)
+          .contains("fire-and-forget"))
+      }
+
+      // the mode is per-CONNECTION: a second active connection still reads
+      val sock2 = new Socket("127.0.0.1", server.port)
+      val out2 = new DataOutputStream(sock2.getOutputStream)
+      val in2 = new DataInputStream(sock2.getInputStream)
+      send(out2, "QUERY", "all in /ff/t".getBytes(StandardCharsets.UTF_8))
+      val (qc, qp) = recv(in2)
+      assert(qc == "OK" && ByteBuffer.wrap(qp).getInt == 1)
+      sock2.close()
+
+      // switching back to active re-opens reads on the same connection
+      send(out, "MODE", "active".getBytes(StandardCharsets.UTF_8))
+      assert(codeOf(recv(in)._2) == 200)
+      send(out, "LIST", Array.emptyByteArray)
+      assert(recv(in)._1 == "OK")
+
+      // unknown mode → 400
+      send(out, "MODE", "turbo".getBytes(StandardCharsets.UTF_8))
+      val (mc, mp) = recv(in)
+      assert(mc == "ERR" && codeOf(mp) == 400)
+      sock.close()
+    } finally server.close()
+  }
+
   test("array values round-trip over the wire with per-row resolved length") {
     val root = Files.createTempDirectory("graft_wire_arr").toString
     val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)
