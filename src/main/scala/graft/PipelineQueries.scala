@@ -430,6 +430,24 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 5, maxLenDiff = 16, minJaccardE4 = 5000)
         .orderBy("a", "b")),
+    // EXACT substring dedup (Lee et al. 2021 suffix-array family): pairs
+    // sharing a verbatim ≥10-token run at ANY offset. The corpus is
+    // augmented with planted cross-boundary duplicates — every 5th doc
+    // spawns a synthetic doc wrapping a 12-token span copied verbatim
+    // from its middle in unique noise tokens — exactly the cross-chunk
+    // overlap shape the fixed-window paragraph dedup cannot see.
+    "dedup_substring" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toksDf = base.select(col("doc_id"),
+        operators.TextOps.tokens(col("text")).as("toks"))
+      val planted = toksDf.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat(lit("p"), col("doc_id"), lit(" "),
+            concat_ws(" ", slice(col("toks"), 5, 12)),
+            lit(" q"), col("doc_id")).as("text"))
+      Dedup.substringPairs(base.unionByName(planted), "doc_id", "text", k = 10)
+        .orderBy("a", "b")
+    }),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCosineE6 = 450000)
@@ -1219,6 +1237,29 @@ object PipelineQueries {
       |SELECT DISTINCT a, b, ${jaccardE4("sh_a", "sh_b")} AS j_e4
       |FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000
       |ORDER BY a, b""".stripMargin.trim,
+
+    // exact-substring pairs: window equality IS the semantics, so the
+    // oracle replays it verbatim — planted cross-boundary spans included
+    "dedup_substring" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, toks FROM tok
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    list_filter(string_split_regex(lower(trim(
+      |      'p' || doc_id || ' ' || array_to_string(toks[5:16], ' ')
+      |        || ' q' || doc_id)), '\\s+'), t -> t != '')
+      |  FROM tok WHERE doc_id % 5 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, md5(g) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct(list_transform(
+      |            range(1, greatest(len(toks)-9, 0)+1),
+      |            i -> array_to_string(toks[i:i+9], ' ')))) AS g
+      |        FROM corpus))
+      |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY a, b""".stripMargin.trim,
 
     "emb_neardup" -> s"""
       |SELECT a.vec_id AS a, b.vec_id AS b,

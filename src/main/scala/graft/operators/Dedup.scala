@@ -511,4 +511,53 @@ object Dedup {
       .filter(col("j_e4") >= minJaccardE4)
       .distinct() // duplicate-id inputs: same narrow-output contract as minhashPairs
   }
+
+  /** EXACT-substring duplicate pairs — the suffix-array dedup family (Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better") re-expressed for Spark: two documents pair when they share a
+    * VERBATIM run of ≥ `k` tokens. This is the published dedup flavor the
+    * fixed-window paragraph dedup misses: a duplicated span that straddles
+    * a chunk boundary never hashes equal per chunk, but its stride-1
+    * k-token windows do — window equality at ANY offset is exactly
+    * "shares a k-token substring".
+    *
+    * Plan (never all-pairs): stride-1 k-token windows per doc (distinct),
+    * one md5 per window, one hash-shuffled self-equi-join on the window
+    * hash, per-pair count of shared windows. Unlike the LSH families there
+    * is NO verify stage — the join key IS the exact content (md5 collision
+    * odds only), so candidate volume = Σ df(window)², linear for natural
+    * text. `n_shared` = the number of distinct shared windows (a single
+    * shared run of length L contributes L−k+1 of them).
+    *
+    * Boilerplate guard for crawl-scale corpora: `maxDocsPerWindow > 0`
+    * drops windows shared by more documents than the cap BEFORE the
+    * self-join (one extra window-keyed agg) — the df² blowup lives
+    * entirely in those header/footer windows, and the pairs they would
+    * add are boilerplate, not content, duplication. The cap is a
+    * SEMANTICS CHANGE (capped windows pair nothing), so it defaults off
+    * and the oracle row runs uncapped. */
+  def substringPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocsPerWindow: Int = 0): DataFrame = {
+    require(k >= 2, s"substring window must be at least 2 tokens, got $k")
+    val windows0 = spread(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__text")).as("__toks"))
+      .select(col("id"), explode(wordShingles(col("__toks"), k)).as("g"))
+      .select(col("id"), md5s(col("g")).as("h"))
+    val windows =
+      if (maxDocsPerWindow <= 0) windows0
+      else {
+        val keep = windows0.groupBy("h")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocsPerWindow)
+          .select("h")
+        windows0.join(keep, Seq("h"), "left_semi")
+      }
+    val cached = OperatorCache.scoped(windows)
+    cached.select(col("id").as("a"), col("h"))
+      .join(cached.select(col("id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -35,6 +35,10 @@ object Plans {
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
+      // exact-substring pairs: ONE equi-join on the window hash (the key
+      // IS the content — no verify stage), hash aggs only, no nested loop
+      "dedup_substring" -> Seq("HashAggregate", "Join", "!CartesianProduct",
+        "!SortAggregate"),
       // end-to-end dedup pipeline: same invariants as its stages — banded
       // candidates, hash aggs, no nested loops over the corpus
       "pipeline_dedup" -> Seq("HashAggregate", "partial_",

@@ -74,6 +74,11 @@ object ScaleSweep {
     // replays, and the rest must stay ~linear.
     val ops = Seq(
       ("dedup_minhash", "linear"), ("dedup_ngram", "linear"),
+      // stride-1 window explode + hash-keyed self-join: window volume and
+      // true-pair volume both scale with the corpus (replica construction
+      // is a char bijection, so within-replica window equality is
+      // preserved exactly and cross-replica equality needs every char)
+      ("dedup_substring", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),
       ("pipeline_dedup", "linear"), ("pipeline_curate", "linear"),

@@ -193,4 +193,43 @@ class DedupSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
     assert(got.collectFirst { case (1L, 4L, j) => j }.contains(10000L)) // identical
   }
+
+  test("substringPairs: cross-boundary verbatim runs found at any offset; " +
+      "k−1-token overlaps and capped boilerplate windows are not") {
+    // doc 11 shares an EXACT 6-token run with doc 10 at a different
+    // offset (the cross-chunk shape); doc 12 shares only 4 consecutive
+    // tokens (< k); doc 13 is unrelated
+    val c = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "noise one two gamma delta epsilon zeta eta theta"),
+      (12L, "alpha beta gamma delta completely different tail here"),
+      (13L, "unrelated words that never overlap with anything else")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringPairs(c, "doc_id", "text", k = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    // 10↔11 share the run [gamma..theta] of 6 tokens → exactly 1 window
+    assert(got == Set((10L, 11L, 1L)))
+
+    // a single shared run of length L yields L−k+1 windows
+    val run = Seq(
+      (1L, "p1 a b c d e f g h q1"),
+      (2L, "p2 x a b c d e f g h q2")).toDF("doc_id", "text")
+    val n = Dedup.substringPairs(run, "doc_id", "text", k = 6)
+      .as[(Long, Long, Long)].collect()
+    assert(n.toSeq == Seq((1L, 2L, 3L))) // 8-token run, k=6 → 3 windows
+
+    // boilerplate cap: a window shared by 3 docs disappears at cap 2
+    val boiler = Seq(
+      (1L, "shared header line one two three four tail-a"),
+      (2L, "shared header line one two three four tail-b"),
+      (3L, "shared header line one two three four tail-c")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.substringPairs(boiler, "doc_id", "text", k = 7)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.length == 3) // all three pairs
+    val capped = Dedup.substringPairs(boiler, "doc_id", "text", k = 7,
+      maxDocsPerWindow = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.isEmpty)
+  }
 }
