@@ -452,6 +452,17 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCosineE6 = 450000)
         .orderBy("a", "b")),
+    // cluster-balanced mixture resampling (DoReMi shape): nearest-centroid
+    // assignment over √n deterministic centroids, per-cluster weight
+    // toward the uniform n/k share, the mixture copy predicate per doc —
+    // the oracle replays assignment, sizing, and the bucket predicate
+    "curate_cluster_balance" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val m = math.ceil(math.sqrt(base.count().toDouble)).toLong
+      Curation.clusterBalance(base, "vec_id", "embedding",
+        base.filter(col("vec_id") % m === 0), "vec_id")
+        .orderBy("id", "epoch")
+    }),
     // tight-threshold near-dup via the sign-bit LSH path: candidates are
     // pairs sharing ≥1 band key, then EXACT cosine verification — both
     // stages deterministic, so the DuckDB twin mirrors candidate
@@ -1334,6 +1345,36 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY b ORDER BY a) AS rn
       |  FROM pairs) WHERE rn = 1
       |ORDER BY id""".stripMargin.trim,
+
+    "curate_cluster_balance" -> s"""
+      |WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS md FROM v),
+      |cent AS (SELECT id AS cid, v AS cv FROM v
+      |         WHERE id % (SELECT md FROM m) = 0),
+      |scored AS (
+      |  SELECT a.id, c.cid, ${cosE6("a.v", "c.cv")} AS cs FROM v a, cent c),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c
+      |          FROM assigned GROUP BY cid),
+      |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+      |               CAST(count(*) AS BIGINT) AS k FROM sizes),
+      |w AS (
+      |  SELECT a.id, a.cid,
+      |    CAST(least((t.n * 10000) // (t.k * s.n_c), 80000) AS BIGINT) AS w_e4
+      |  FROM assigned a JOIN sizes s USING (cid) CROSS JOIN tot t),
+      |cp AS (
+      |  SELECT id, cid, w_e4,
+      |    w_e4 // 10000 +
+      |      CASE WHEN ${bucketE4Sql("id")} < w_e4 % 10000 THEN 1 ELSE 0 END
+      |      AS copies
+      |  FROM w)
+      |SELECT id, cid, w_e4, unnest(range(0, copies)) AS epoch
+      |FROM cp WHERE copies > 0
+      |ORDER BY id, epoch""".stripMargin.trim,
 
     "emb_quantize" -> """
       |WITH v AS (

@@ -198,6 +198,53 @@ object Curation {
       .drop("__copies")
   }
 
+  /** Cluster-balanced mixture resampling — the embedding-space cousin of
+    * [[mixture]] (the DoReMi / cluster-balancing shape): documents are
+    * assigned to their nearest embedding centroid, each cluster gets a
+    * resampling weight that moves the cluster-share distribution toward
+    * UNIFORM (an n/k-doc target per cluster), and every doc replays the
+    * deterministic per-copy predicate. Over-represented clusters
+    * downsample (w < 1), tail clusters upsample (w > 1, capped at
+    * `maxCopiesE4`/10⁴ copies so a tiny cluster cannot explode the
+    * corpus).
+    *
+    * Exact-integer contract: w_e4 = (n·10⁴) div (k·n_c) — pure integer
+    * arithmetic, so both engines agree bit-for-bit — and the copy
+    * predicate is [[mixture]]'s: `w div 10⁴` whole copies plus one more
+    * iff md5-bucket(id) < w mod 10⁴.
+    *
+    * Scale: one broadcast-centroid assignment scan (no corpus shuffle),
+    * one k-row cluster-size agg, one AQE-broadcast join back, a row-local
+    * copy explode. Centroids come from the caller — [[Similarity.kmeansCentroids]]
+    * for trained buckets or any deterministic selection — so the
+    * assignment geometry is shared with the IVF/SemDeDup index family.
+    * Output: `(id, cid, w_e4, epoch)`. */
+  def clusterBalance(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String,
+      maxCopiesE4: Long = 80000L): DataFrame = {
+    require(maxCopiesE4 >= 10000L,
+      s"maxCopiesE4 below 10000 would cap every cluster under one copy: $maxCopiesE4")
+    val cent = Similarity.centFrame(centroids, centroidIdCol, vecCol)
+    val assigned = OperatorCache.scoped(
+      Similarity.assignBuckets(vecs, cent, vecCol, idCol, "cid", n = 1)
+        .select(col(idCol).as("id"), col("cid")))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_c"))
+    val totals = sizes.agg(sum(col("n_c")).as("n"), count(lit(1)).as("k"))
+    assigned
+      .join(sizes, Seq("cid")) // k rows — AQE broadcasts
+      .crossJoin(broadcast(totals)) // 1 row
+      .withColumn("w_e4",
+        least(expr("(n * 10000) div (k * n_c)"), lit(maxCopiesE4)))
+      .withColumn("__copies",
+        expr("w_e4 div 10000") +
+          when(Sampling.bucketE4(col("id")) < col("w_e4") % 10000, 1L)
+            .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .select("id", "cid", "w_e4", "epoch")
+  }
+
   /** Fixed-token-budget sequence packing at document granularity: docs are
     * concatenated in deterministic order and cut into training sequences
     * of ~`budgetTokens`, a doc starting a new sequence when the budget is

@@ -32,6 +32,10 @@ object Plans {
       // SemDeDup: pair space must be the intra-cluster equi-join — the
       // only nested-loop allowed is the broadcast centroid assignment
       "emb_semdedup" -> Seq("Join", "!CartesianProduct"),
+      // cluster balance: broadcast-centroid assignment + k-row size join;
+      // the corpus itself never cartesians
+      "curate_cluster_balance" -> Seq("Join", "HashAggregate",
+        "!CartesianProduct"),
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),

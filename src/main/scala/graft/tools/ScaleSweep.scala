@@ -74,6 +74,9 @@ object ScaleSweep {
     // replays, and the rest must stay ~linear.
     val ops = Seq(
       ("dedup_minhash", "linear"), ("dedup_ngram", "linear"),
+      // broadcast-centroid assignment + k-row joins; centroid count grows
+      // as √n so the assignment scan is n·√n — "quadratic" bound class
+      ("curate_cluster_balance", "quadratic"),
       // stride-1 window explode + hash-keyed self-join: window volume and
       // true-pair volume both scale with the corpus (replica construction
       // is a char bijection, so within-replica window equality is

@@ -90,6 +90,41 @@ class CurationSpec extends SparkSpec {
     assert(out.filter($"epoch" > 1L).count() == 0)
   }
 
+  test("clusterBalance: uniform target — majority cluster downsamples, " +
+      "tail cluster upsamples, weights exact-integer") {
+    // two well-separated directions in 2-d; ids 1-6 point +x (majority),
+    // ids 7-8 point +y (tail). Centroids = one from each direction.
+    val vecs = (Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(1.0, -0.1)), (3L, Seq(0.9, 0.0)),
+      (4L, Seq(1.0, 0.05)), (5L, Seq(0.95, 0.02)), (6L, Seq(1.0, 0.0)),
+      (7L, Seq(0.0, 1.0)), (8L, Seq(0.1, 1.0)))).toDF("vec_id", "embedding")
+    val cent = Seq((6L, Seq(1.0, 0.0)), (7L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Curation.clusterBalance(vecs, "vec_id", "embedding", cent, "vec_id")
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = out.groupBy(_._1)
+    // n=8, k=2 → target 4/cluster. +x cluster (6 docs): w = 80000/60000
+    // → 6666 e4 (int div); +y cluster (2 docs): w = 80000/20000 → 20000 e4
+    assert(out.filter(_._2 == 6L).forall(_._3 == 6666L))
+    assert(out.filter(_._2 == 7L).forall(_._3 == 20000L))
+    // tail docs get exactly 2 copies each (no fractional part)
+    assert(byId(7L).map(_._4).sorted.toSeq == Seq(0L, 1L))
+    assert(byId(8L).map(_._4).sorted.toSeq == Seq(0L, 1L))
+    // majority docs get 0 or 1 copies via the md5-bucket predicate —
+    // identical to the mixture predicate at rate 6666
+    val kept = out.filter(_._2 == 6L).map(_._1).toSet
+    val expected = (1L to 6L).filter { id =>
+      vecs.sparkSession.range(1).select(
+        Sampling.bucketE4(lit(id)).as("b")).head().getLong(0) < 6666L
+    }.toSet
+    assert(kept == expected)
+    // cap: maxCopiesE4 clamps the tail weight
+    val capped = Curation.clusterBalance(vecs, "vec_id", "embedding",
+      cent, "vec_id", maxCopiesE4 = 10000L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(capped.filter(_._2 == 7L).forall(_._3 == 10000L))
+  }
+
   test("packSequences: budget boundaries at doc granularity") {
     // one shard (numShards=1): docs in id order, 10 tokens each, budget 25
     val d = (1L to 5L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
