@@ -820,9 +820,10 @@ object Queries {
             }
         }
       }
-      def pass(): Unit = {
+      def pass(maxFilesPerTrigger: Int): Unit = {
         val out = graft.streaming.StreamingIngest.sessionStats(
-          graft.streaming.StreamingIngest.fileSource(s, in), "30 minutes", "30 minutes")
+          graft.streaming.StreamingIngest.fileSource(s, in, maxFilesPerTrigger),
+          "30 minutes", "30 minutes")
         val q = out.writeStream.format("parquet")
           .option("path", outDir)
           .option("checkpointLocation", ck)
@@ -836,9 +837,17 @@ object Queries {
           lit("/sentinel/x").as("topic"), lit(0.0).as("value"))
           .coalesce(1).write.mode("append").json(in)
       }
-      pass() // real clicks
-      sentinel(365L * 86400L * 1000000L); pass() // watermark past all real ends
-      sentinel(730L * 86400L * 1000000L); pass() // emit even without no-data batches
+      pass(64) // real clicks; open sessions held back in state
+      // ONE checkpointed restart carrying BOTH sentinels, sequenced into
+      // separate micro-batches (maxFilesPerTrigger=1): batch 1 advances
+      // the watermark past every real session's end, batch 2 is a DATA
+      // batch running under that watermark — so all real sessions emit by
+      // the last data batch even if no no-data batch runs. Same proof as
+      // the former two-restart staging (restart-from-checkpoint,
+      // watermark advance, data-batch emission) at one restart's cost.
+      sentinel(365L * 86400L * 1000000L)
+      sentinel(730L * 86400L * 1000000L)
+      pass(1)
       s.read.parquet(outDir)
         .filter(col("topic").startsWith("/u/"))
         .select(substring_index(col("topic"), "/", -1).cast("bigint").as("user_id"),

@@ -31,10 +31,13 @@ object StreamingIngest {
   /** File-drop ingest source: JSON-lines files appearing under `inPath`.
     * (The wire-protocol analog of fossil's APPEND firehose; socket sources
     * plug in identically.) */
-  def fileSource(spark: SparkSession, inPath: String): DataFrame =
+  def fileSource(spark: SparkSession, inPath: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
     spark.readStream
       .schema(entrySchema)
-      .option("maxFilesPerTrigger", 64) // bounded micro-batches under burst
+      // bounded micro-batches under burst; callers needing one-file-per-
+      // batch sequencing (watermark staging) pass 1
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inPath)
 
   /** Append sink: topic-root-partitioned Parquet with checkpointed
