@@ -72,8 +72,14 @@ object ServeConfig {
       .filter(_.contains("."))
       .map(_.takeWhile(_ != '.'))
       .toSet
-    val plainDbKeys = kv.keys.exists(k =>
-      k.startsWith("database.") && !k.stripPrefix("database.").contains("."))
+    // a BARE `[database]` header (no keys) emits the empty marker
+    // "database." whose stripped remainder is "" — that must not read as
+    // a plain key, or an empty section would declare a phantom "default"
+    // database alongside the named blocks
+    val plainDbKeys = kv.keys.exists { k =>
+      val rest = k.stripPrefix("database.")
+      k.startsWith("database.") && rest.nonEmpty && !rest.contains(".")
+    }
     val names =
       if (blockNames.isEmpty || plainDbKeys) blockNames + "default"
       else blockNames

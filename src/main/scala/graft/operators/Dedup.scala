@@ -364,8 +364,12 @@ object Dedup {
     * clustering in a real dedup pipeline: instead of blindly keeping the
     * lowest id, keep the member with the best quality signal (longest,
     * highest classifier score, …) and tie to the lowest id. `clusters` is
-    * [[connectedComponents]] output (id, survivor); `scores` any
-    * (id, score) frame. The argmax runs as TWO all-primitive passes —
+    * [[connectedComponents]] output (id, survivor); `scores` an
+    * (id, score) frame whose score column must be INTEGRAL — fractional
+    * quality signals (a classifier probability in [0, 1]) must be scaled
+    * to integers first (e6-rounded longs, the battery-wide convention),
+    * and a non-integral column is rejected rather than silently truncated
+    * to a keep-lowest-id argmax. The argmax runs as TWO all-primitive passes —
     * per-cluster (count, max score), then min id among the max-score
     * members — because a struct-keyed min_by buffers a struct and Spark
     * demotes that to SortAggregate (the per-partition-sort slow path);
@@ -375,6 +379,12 @@ object Dedup {
     * Output: (survivor, canonical, n_members, best_score). */
   def canonicalPerCluster(clusters: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val st = scores.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+      s"canonicalPerCluster needs an integral score column, got " +
+        s"${st.simpleString} — scale fractional scores to integers first " +
+        "(e.g. round(p * 1e6) as a long)")
     val joined = OperatorCache.scoped(
       clusters.join(scores.select(col(idCol).cast("long").as("id"),
         col(scoreCol).cast("long").as("__s")), Seq("id")))

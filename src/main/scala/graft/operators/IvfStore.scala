@@ -66,7 +66,13 @@ object IvfStore {
     *
     * @param tag identifies the CENTROID RECIPE (e.g. "subset-sqrtn.v1" or
     *            "kmeans.v1;k=64;it=5") — the store is only comparable to
-    *            probes routed by the same centroids. */
+    *            probes routed by the same centroids.
+    * @param pqSub PQ subspace count; `0` builds WITHOUT a PQ artifact
+    *              (float/int8 probes only — small or odd-dimension corpora
+    *              where codebook training cannot hold: fewer rows than
+    *              `pqCodes`, or a dimension not divisible by `pqSub`).
+    *              PQ probes against a PQ-less store fail with a typed
+    *              error instead of producing wrong codes. */
   def build(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String, root: String, corpusId: String,
       tag: String, pqSub: Int = 8, pqCodes: Int = 256): Unit = {
@@ -79,15 +85,22 @@ object IvfStore {
     cent.write.mode("overwrite").parquet(d.resolve("centroids.parquet").toString)
     // PQ codebook from this corpus (the deterministic subset recipe),
     // persisted FIRST so probes/appends encode against the exact table
-    Similarity.pqCodebookFrame(
-      corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v")), pqSub, pqCodes)
-      .write.mode("overwrite").parquet(d.resolve("codebook.parquet").toString)
+    if (pqSub > 0) {
+      try Similarity.pqCodebookFrame(
+        corpus.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v")), pqSub, pqCodes)
+        .write.mode("overwrite").parquet(d.resolve("codebook.parquet").toString)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"IvfStore.build: PQ codebook training failed for corpusId=$corpusId " +
+            s"(pass pqSub = 0 to build a float/int8-only store): ${e.getMessage}", e)
+      }
+    }
     // bucket from the JUST-PERSISTED artifacts so all three are
     // guaranteed consistent; partitionBy(bucket) → probe-side pruning
     val persistedCent = spark.read
       .parquet(d.resolve("centroids.parquet").toString)
-    val cb = readCodebook(spark, root, corpusId)
+    val cb = readCodebookOpt(spark, root, corpusId)
     writeBuckets(
       Similarity.assignBuckets(corpus, persistedCent, vecCol, idCol, "bucket", n = 1)
         .select(col(idCol).cast("long").as("id"), col("__v").as("v"),
@@ -100,22 +113,28 @@ object IvfStore {
   /** Encode (int8 + PQ codes) and land an assigned `(id, v, n, bucket)`
     * frame into the bucket tree — ONE code path for build and append so
     * encodings cannot drift. The PQ geometry is recovered from the
-    * codebook itself (w = |cw|, numSub = dim/w, numCodes = |cb|/numSub). */
-  private def writeBuckets(assigned: DataFrame, cb: Array[Array[Double]],
+    * codebook itself (w = |cw|, numSub = dim/w, numCodes = |cb|/numSub);
+    * a PQ-less store (built with pqSub = 0) lands empty code arrays. */
+  private def writeBuckets(assigned: DataFrame, cb: Option[Array[Array[Double]]],
       d: Path, overwrite: Boolean): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCb = spark.sparkContext.broadcast(cb.orNull)
     assigned
       .as[(Long, Seq[Double], Double, Long)]
       .mapPartitions { it =>
         val cbv = bcCb.value
-        val w = cbv.head.length
         it.map { case (id, vSeq, n, b) =>
           val v = vSeq.toArray
-          val numSub = v.length / w
-          val numCodes = cbv.length / numSub
-          (id, v, n, b, Similarity.pqEncode(cbv, numSub, numCodes, w)(v))
+          val codes =
+            if (cbv == null) Array.empty[Int]
+            else {
+              val w = cbv.head.length
+              val numSub = v.length / w
+              val numCodes = cbv.length / numSub
+              Similarity.pqEncode(cbv, numSub, numCodes, w)(v)
+            }
+          (id, v, n, b, codes)
         }
       }
       .toDF("id", "v", "n", "bucket", "codes")
@@ -126,45 +145,78 @@ object IvfStore {
       .parquet(d.resolve("buckets.parquet").toString)
   }
 
-  /** The persisted PQ codebook, flattened `[mi·numCodes + j] → subvector`
-    * (no marker gate: also read mid-build/mid-append by the store's own
-    * write paths — external probes go through [[codebook]]). */
-  private def readCodebook(spark: SparkSession, root: String,
-      corpusId: String): Array[Array[Double]] =
-    spark.read.parquet(dir(root, corpusId).resolve("codebook.parquet").toString)
+  /** The persisted PQ codebook, flattened `[mi·numCodes + j] → subvector`,
+    * or None for a store built with pqSub = 0 (no marker gate: also read
+    * mid-build/mid-append by the store's own write paths — external
+    * probes go through [[codebook]]). */
+  private def readCodebookOpt(spark: SparkSession, root: String,
+      corpusId: String): Option[Array[Array[Double]]] = {
+    val p = dir(root, corpusId).resolve("codebook.parquet")
+    if (!Files.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
       .orderBy("ix").select("cw")
-      .collect().map(_.getSeq[Double](0).toArray)
+      .collect().map(_.getSeq[Double](0).toArray))
+  }
 
-  /** Persisted PQ codebook for probes — marker-gated like the others. */
+  /** Persisted PQ codebook for probes — marker-gated like the others.
+    * Typed error for PQ-less stores, so a PQ probe cannot silently run
+    * against absent codes. */
   def codebook(spark: SparkSession, root: String, corpusId: String,
       tag: String): Array[Array[Double]] = {
     requireBuilt(root, corpusId, tag)
-    readCodebook(spark, root, corpusId)
+    readCodebookOpt(spark, root, corpusId).getOrElse(
+      throw new IllegalStateException(
+        s"IVF store corpusId=$corpusId was built without a PQ codebook " +
+          "(pqSub = 0) — rebuild with pqSub > 0 for PQ probes"))
   }
 
-  /** Incremental upsert — the daily-crawl path: assign ONLY the new batch
-    * against the store's FROZEN centroids (the quantizer is part of the
-    * index identity — re-training it would silently shift every existing
-    * bucket boundary) and append the rows into the existing bucket
-    * partitions. Cost ∝ batch size, never corpus size; results after an
-    * append are IDENTICAL to a wholesale rebuild over the union, because
-    * per-row assignment is a pure function of (vector, centroids).
+  /** Incremental INSERT-ONLY append — the daily-crawl path: assign ONLY
+    * the new batch against the store's FROZEN centroids (the quantizer is
+    * part of the index identity — re-training it would silently shift
+    * every existing bucket boundary) and append the rows into the
+    * existing bucket partitions. Ids must be NEW — re-sent ids are
+    * rejected (see `assertDisjoint`), not replaced. Write cost ∝ batch
+    * size, never corpus size; results after an append are IDENTICAL to a
+    * wholesale rebuild over the union, because per-row assignment is a
+    * pure function of (vector, centroids).
     *
     * Crash safety mirrors the build: the `_params` marker is REMOVED
     * before any data lands and re-written only after the append commits,
     * so a crash mid-append leaves an unreadable store (next [[build]]
     * wipes and rebuilds) rather than a silently partial index. */
+  /** @param assertDisjoint verify the batch's ids are absent from the
+    *        store before landing anything (one id-column anti-join over
+    *        the bucket scan — columnar, but still corpus-proportional):
+    *        a duplicate id would land a SECOND row and silently corrupt
+    *        every downstream consumer (double-counted pairs in
+    *        semDedupStored, duplicate (q, id) probe hits). Callers that
+    *        can GUARANTEE disjoint ids (e.g. monotone crawl ids) may pass
+    *        false to skip the scan — the unique-id precondition is then
+    *        theirs to uphold. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
-      root: String, corpusId: String, tag: String): Unit = {
+      root: String, corpusId: String, tag: String,
+      assertDisjoint: Boolean = true): Unit = {
     requireBuilt(root, corpusId, tag)
     val d = dir(root, corpusId)
     val spark = batch.sparkSession
+    if (assertDisjoint) {
+      val existing = spark.read
+        .parquet(d.resolve("buckets.parquet").toString).select("id")
+      val clash = existing
+        .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"IvfStore.append: batch re-uses ids already in corpusId=$corpusId " +
+          s"(e.g. ${clash.mkString(", ")}) — appends are insert-only; " +
+          "delete/rebuild for true upserts, or pass assertDisjoint = false " +
+          "only when ids are guaranteed fresh")
+    }
     val persistedCent = spark.read
       .parquet(d.resolve("centroids.parquet").toString)
     // encode against the PERSISTED codebook: the appended rows' codes must
     // be comparable to every existing row's, so the codebook is as frozen
     // as the centroids are
-    val cb = readCodebook(spark, root, corpusId)
+    val cb = readCodebookOpt(spark, root, corpusId)
     val m = marker(root, corpusId)
     Files.delete(m)
     writeBuckets(

@@ -472,17 +472,26 @@ object Similarity {
       refine: Int = 4): DataFrame = {
     require(subDim >= 1 && refine >= 1,
       s"need subDim/refine >= 1, got $subDim/$refine")
+    // subDim must actually truncate: slice() past the end silently returns
+    // the full vector, quietly turning the "bandwidth-reduced pre-rank"
+    // into a full-dimension scan — fail the row loudly instead (the check
+    // is codegen'd, one branch per row)
+    def truncated(v: Column): Column =
+      when(size(v) >= subDim, slice(v, 1, subDim))
+        .otherwise(raise_error(concat(
+          lit(s"truncatedTopK: subDim=$subDim exceeds vector dimension "),
+          size(v).cast("string"))))
     // scoped: the prepped corpus feeds the pre-rank scan AND the rescore
     // join-back
     val cd = OperatorCache.scoped(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
         .withColumn("n", norm(col("v")))
-        .withColumn("tv", slice(col("v"), 1, subDim))
+        .withColumn("tv", truncated(col("v")))
         .withColumn("tn", norm(col("tv"))))
     val q = queries
       .select(col(idCol).as("q"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("tqv", slice(col("qv"), 1, subDim))
+      .withColumn("tqv", truncated(col("qv")))
       .withColumn("tqn", norm(col("tqv")))
     val pre = cd.select(col("id"), col("tv"), col("tn"))
       .join(broadcast(q.select(col("q"), col("tqv"), col("tqn"))),
