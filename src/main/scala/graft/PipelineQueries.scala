@@ -47,6 +47,24 @@ object PipelineQueries {
     * its √(2n) centroid modulus — shared by the inline `emb_semdedup` row
     * and the stored twin's index build, so the two paths (and their
     * shared identical-result oracle) cannot drift. */
+  /** The exact-substring battery corpus: documents plus planted
+    * cross-boundary duplicates — every 5th doc spawns a synthetic doc
+    * wrapping a 12-token span copied verbatim from its middle in unique
+    * noise tokens. The DuckDB oracles replay the identical construction
+    * (see `substringCorpusCtes`). */
+  private def substringFixture(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val toksDf = base.select(col("doc_id"),
+      operators.TextOps.tokens(col("text")).as("toks"))
+    val planted = toksDf.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(200000L)).as("doc_id"),
+        concat(lit("p"), col("doc_id"), lit(" "),
+          concat_ws(" ", slice(col("toks"), 5, 12)),
+          lit(" q"), col("doc_id")).as("text"))
+    base.unionByName(planted)
+  }
+
   private def semDedupFixture(
       s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Long) = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -233,6 +251,25 @@ object PipelineQueries {
   }
 
   /** cosine ×1e6 as BIGINT over two FLOAT[] columns (double accumulation). */
+  /** The substring-dedup battery corpus (documents + planted
+    * cross-boundary copies) — the SQL twin of `substringFixture`. */
+  private def substringCorpusCtes: String = s"""tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, toks FROM tok
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    list_filter(string_split_regex(lower(trim(
+      |      'p' || doc_id || ' ' || array_to_string(toks[5:16], ' ') ||
+      |      ' q' || doc_id)), '\\s+'), t -> t != '')
+      |  FROM tok WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Positioned (per-occurrence) stride-1 10-token windows over `corpus`. */
+  private def positionedWindowsCte: String = """w AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+9], ' ')) AS h
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks)-9, 0)+1)) AS i
+      |        FROM corpus))""".stripMargin
+
   private def cosE6(a: String, b: String): String =
     s"""CAST(round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
        | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
@@ -436,18 +473,22 @@ object PipelineQueries {
     // spawns a synthetic doc wrapping a 12-token span copied verbatim
     // from its middle in unique noise tokens — exactly the cross-chunk
     // overlap shape the fixed-window paragraph dedup cannot see.
-    "dedup_substring" -> ((s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val toksDf = base.select(col("doc_id"),
-        operators.TextOps.tokens(col("text")).as("toks"))
-      val planted = toksDf.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + lit(200000L)).as("doc_id"),
-          concat(lit("p"), col("doc_id"), lit(" "),
-            concat_ws(" ", slice(col("toks"), 5, 12)),
-            lit(" q"), col("doc_id")).as("text"))
-      Dedup.substringPairs(base.unionByName(planted), "doc_id", "text", k = 10)
-        .orderBy("a", "b")
-    }),
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringPairs(substringFixture(s, d), "doc_id", "text", k = 10)
+        .orderBy("a", "b")),
+    // run-length report on the same planted corpus: the paper's removal
+    // decisions key on SPAN length, not window count — consecutive shared
+    // windows on one alignment diagonal chain into max_run tokens (the
+    // planted 12-token copies must surface as max_run = 12)
+    "dedup_substring_runs" -> ((s, d) =>
+      Dedup.substringRuns(substringFixture(s, d), "doc_id", "text", k = 10)
+        .orderBy("a", "b")),
+    // span REMOVAL — the remediation step: every position of the LATER
+    // doc covered by a window shared with an earlier doc is dropped and
+    // the survivors reassemble in token order
+    "curate_drop_spans" -> ((s, d) =>
+      Dedup.dropSharedSpans(substringFixture(s, d), "doc_id", "text", k = 10)
+        .orderBy("id")),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCosineE6 = 450000)
@@ -1252,15 +1293,7 @@ object PipelineQueries {
     // exact-substring pairs: window equality IS the semantics, so the
     // oracle replays it verbatim — planted cross-boundary spans included
     "dedup_substring" -> s"""
-      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
-      |corpus AS (
-      |  SELECT doc_id, toks FROM tok
-      |  UNION ALL
-      |  SELECT doc_id + 200000,
-      |    list_filter(string_split_regex(lower(trim(
-      |      'p' || doc_id || ' ' || array_to_string(toks[5:16], ' ')
-      |        || ' q' || doc_id)), '\\s+'), t -> t != '')
-      |  FROM tok WHERE doc_id % 5 = 0),
+      |WITH $substringCorpusCtes,
       |sh AS (
       |  SELECT DISTINCT doc_id, md5(g) AS h
       |  FROM (SELECT doc_id,
@@ -1271,6 +1304,54 @@ object PipelineQueries {
       |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
       |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin.trim,
+
+    // run lengths: islands of consecutive shared windows per alignment
+    // diagonal; max island + k − 1 = the longest verbatim run in tokens
+    "dedup_substring_runs" -> s"""
+      |WITH $substringCorpusCtes,
+      |$positionedWindowsCte,
+      |m AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa,
+      |         a.pos - b.pos AS diag
+      |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT a, b, diag, pa,
+      |    pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa)
+      |      AS island
+      |  FROM m),
+      |runs AS (
+      |  SELECT a, b, diag, island, count(*) AS len
+      |  FROM isl GROUP BY 1, 2, 3, 4)
+      |SELECT a, b, CAST(max(len) + 9 AS BIGINT) AS max_run,
+      |       CAST(sum(len) AS BIGINT) AS n_windows
+      |FROM runs GROUP BY a, b ORDER BY a, b""".stripMargin.trim,
+
+    // span removal: later-doc positions covered by any shared window are
+    // dropped; survivors reassemble in token order (single-space joined)
+    "curate_drop_spans" -> s"""
+      |WITH $substringCorpusCtes,
+      |$positionedWindowsCte,
+      |cont0 AS (
+      |  SELECT DISTINCT b.doc_id AS id, b.pos AS pb
+      |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |cont AS (
+      |  SELECT DISTINCT id, pb + unnest(range(0, 10)) AS pos FROM cont0),
+      |tp AS (
+      |  SELECT doc_id AS id, unnest(range(1, len(toks)+1)) AS pos,
+      |         unnest(toks) AS t
+      |  FROM corpus),
+      |kept AS (
+      |  SELECT tp.id, tp.pos, tp.t FROM tp
+      |  ANTI JOIN cont ON tp.id = cont.id AND tp.pos = cont.pos),
+      |agg AS (
+      |  SELECT id, count(*) AS n_kept,
+      |         array_to_string(list(t ORDER BY pos), ' ') AS clean
+      |  FROM kept GROUP BY id)
+      |SELECT c.doc_id AS id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(c.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+      |       coalesce(a.clean, '') AS clean_text
+      |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.id
+      |ORDER BY id""".stripMargin.trim,
 
     "emb_neardup" -> s"""
       |SELECT a.vec_id AS a, b.vec_id AS b,

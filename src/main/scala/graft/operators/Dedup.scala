@@ -570,4 +570,102 @@ object Dedup {
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Positioned stride-1 k-token windows `(id, pos, h)` from an
+    * `(id, toks)` frame — pos is 1-based, one row per OCCURRENCE (no
+    * per-doc distinct: run reconstruction needs every position). Shared
+    * front half of [[substringRuns]] and [[dropSharedSpans]]. */
+  private def positionedWindows(base: DataFrame, k: Int): DataFrame =
+    base
+      .select(col("id"), posexplode(
+        when(size(col("toks")) < k, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("toks")) - lit(k - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        .as(Seq("__p0", "g")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), md5s(col("g")).as("h"))
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__text")).as("toks"))
+
+  /** Longest shared verbatim RUN per pair — the span-length report the
+    * suffix-array dedup family acts on (Lee et al. 2021 deduplicate by
+    * span length, not window count): consecutive shared k-windows on one
+    * alignment diagonal chain into a single run of `count + k − 1`
+    * tokens. Output `(a, b, max_run, n_windows)` with `max_run` in
+    * tokens.
+    *
+    * Plan: positioned windows (volume ≈ token count) → the same
+    * hash-keyed equi-join as [[substringPairs]] keeping both positions →
+    * islands per (pair, diagonal pa−pb): consecutive pa values share
+    * `pa − row_number()`, so one window partitioned by (a, b, diag)
+    * reconstructs every run without materializing spans. The window
+    * partitions are per-pair-per-diagonal — bounded by the shorter doc's
+    * length, never corpus-sized. */
+  def substringRuns(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"substring window must be at least 2 tokens, got $k")
+    val w = OperatorCache.scoped(
+      positionedWindows(tokenized(docs, idCol, textCol), k))
+    val matches = w.select(col("id").as("a"), col("pos").as("pa"), col("h"))
+      .join(w.select(col("id").as("b"), col("pos").as("pb"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val islands = matches
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a", "b", "diag").orderBy("pa")))
+      .withColumn("__island", col("pa") - col("__rn"))
+    islands
+      .groupBy("a", "b", "diag", "__island")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("a", "b")
+      .agg(
+        (max(col("__len")) + lit(k - 1)).as("max_run"),
+        sum(col("__len")).as("n_windows"))
+  }
+
+  /** Span REMOVAL — the remediation step of the suffix-array dedup paper:
+    * every token position of doc `b` covered by a k-window also present
+    * in a LOWER-id doc is dropped (first occurrence wins, like the
+    * paragraph dedup), and the survivors reassemble in order. Output
+    * `(id, n_tokens, n_dropped, clean_text)` for EVERY input doc —
+    * untouched docs pass through with `n_dropped = 0`.
+    *
+    * Plan: the [[substringRuns]] match join, then contaminated positions
+    * explode row-locally (pb … pb+k−1 per shared window — volume bounded
+    * by match volume × k), distinct per (id, pos), and one left anti
+    * join back onto the positioned token list before an ordered per-doc
+    * reassembly (sorted collect — per-doc bounded, the charEntropy
+    * pattern). Reassembled text is single-space joined: the operator's
+    * contract is token-level, not byte-level, fidelity. */
+  def dropSharedSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"substring window must be at least 2 tokens, got $k")
+    val base = OperatorCache.scoped(tokenized(docs, idCol, textCol))
+    val w = OperatorCache.scoped(positionedWindows(base, k))
+    val contaminated = w.select(col("id").as("a"), col("h"))
+      .join(w.select(col("id").as("b"), col("pos").as("pb"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .select(col("b").as("id"),
+        explode(sequence(col("pb"), col("pb") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("toks")).as(Seq("__p0", "t")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("t"))
+    val kept = toks.join(contaminated, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("t")))).as("__ts"))
+      .select(col("id"), col("__n_kept"),
+        concat_ws(" ",
+          transform(col("__ts"), s => s.getField("t"))).as("clean_text"))
+    base.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -43,6 +43,12 @@ object Plans {
       // IS the content — no verify stage), hash aggs only, no nested loop
       "dedup_substring" -> Seq("HashAggregate", "Join", "!CartesianProduct",
         "!SortAggregate"),
+      // run reconstruction: same equi-join + a (pair, diagonal)-partitioned
+      // window — bounded by the shorter doc, never corpus-wide
+      "dedup_substring_runs" -> Seq("HashAggregate", "Join", "Window",
+        "!CartesianProduct"),
+      // span removal: match join + anti join back; no nested loop
+      "curate_drop_spans" -> Seq("Join", "!CartesianProduct"),
       // end-to-end dedup pipeline: same invariants as its stages — banded
       // candidates, hash aggs, no nested loops over the corpus
       "pipeline_dedup" -> Seq("HashAggregate", "partial_",

@@ -82,6 +82,7 @@ object ScaleSweep {
       // is a char bijection, so within-replica window equality is
       // preserved exactly and cross-replica equality needs every char)
       ("dedup_substring", "linear"),
+      ("dedup_substring_runs", "linear"), ("curate_drop_spans", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),
       ("pipeline_dedup", "linear"), ("pipeline_curate", "linear"),

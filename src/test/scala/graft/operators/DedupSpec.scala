@@ -232,4 +232,34 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(capped.isEmpty)
   }
+
+  test("substringRuns: consecutive windows chain into token run lengths; " +
+      "separate runs don't merge") {
+    // docs share one 8-token run AND one disjoint 6-token run: with k=6
+    // the 8-token run spans 3 windows (max_run = 8), the 6-token run 1
+    val c = Seq(
+      (1L, "a b c d e f g h x1 y1 z1 m n o p q r"),
+      (2L, "x2 a b c d e f g h y2 w2 m n o p q r")).toDF("doc_id", "text")
+    val got = Dedup.substringRuns(c, "doc_id", "text", k = 6)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 8L, 4L))) // max(3,1)+5=8; 3+1 windows
+  }
+
+  test("dropSharedSpans: later doc loses the covered span, earlier doc " +
+      "and bystanders untouched, reassembly ordered") {
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta keep1 keep2"),
+      (2L, "pre alpha beta gamma delta epsilon zeta post tail"),
+      (3L, "totally unrelated words live here peacefully today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropSharedSpans(c, "doc_id", "text", k = 6)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // doc 1 (earlier) keeps everything
+    assert(got(1L) == ((8L, 0L,
+      "alpha beta gamma delta epsilon zeta keep1 keep2")))
+    // doc 2 loses the 6-token shared span (positions 2-7), keeps the rest
+    assert(got(2L) == ((9L, 6L, "pre post tail")))
+    assert(got(3L)._2 == 0L)
+  }
 }

@@ -168,4 +168,50 @@ class IvfStoreSpec extends SparkSpec {
       "vec_id", "embedding", "vec_id", root, "emb", tag)
     assert(Files.getLastModifiedTime(Paths.get(root, "emb", "_params")) == mtime)
   }
+
+  test("pqSub=0 builds a PQ-less store: float/int8 probes serve, PQ " +
+      "probes fail typed; an impossible codebook carries build context") {
+    val root = Files.createTempDirectory("graft_ivfspec_nopq").toString
+    val e = corpus
+    val mod = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    IvfStore.build(e, e.filter(col("vec_id") % mod === 0),
+      "vec_id", "embedding", "vec_id", root, "emb", tag, pqSub = 0)
+    // float probe serves (bucket scans carry empty code arrays)
+    val q = e.limit(3)
+    val stored = Similarity.ivfTopKStored(spark, root, "emb", tag,
+      q, "vec_id", "embedding", k = 2)
+    assert(stored.count() > 0)
+    // PQ probe path is refused with the pqSub=0 explanation
+    val err = intercept[IllegalStateException] {
+      IvfStore.codebook(spark, root, "emb", tag)
+    }
+    assert(err.getMessage.contains("pqSub = 0"))
+    // corpus smaller than the code count → typed build-context error
+    val tiny = e.limit(8)
+    val bad = intercept[IllegalArgumentException] {
+      IvfStore.build(tiny, tiny.limit(2), "vec_id", "embedding", "vec_id",
+        Files.createTempDirectory("graft_ivfspec_tiny").toString,
+        "emb", tag, pqSub = 8, pqCodes = 256)
+    }
+    assert(bad.getMessage.contains("pqSub = 0"))
+  }
+
+  test("append rejects re-used ids before landing anything") {
+    val root = buildStore()
+    val clash = corpus.limit(2) // ids already in the store
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.append(clash, "vec_id", "embedding", root, "emb", tag)
+    }
+    assert(e.getMessage.contains("re-uses ids"))
+    // nothing landed and the marker survived — the store still serves
+    assert(IvfStore.isBuilt(root, "emb", tag))
+    val n = IvfStore.buckets(spark, root, "emb", tag).count()
+    assert(n == corpus.count())
+    // disjoint ids still append
+    val off = corpus.agg(max("vec_id")).first().getLong(0) + 1
+    IvfStore.append(
+      corpus.limit(2).select((col("vec_id") + off).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", root, "emb", tag)
+    assert(IvfStore.buckets(spark, root, "emb", tag).count() == n + 2)
+  }
 }

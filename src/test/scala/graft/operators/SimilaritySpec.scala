@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
       exactScores.get((q, id)).foreach(e => assert(e == s)) }
   }
 
+  test("truncatedTopK: subDim past the vector dimension fails loudly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val e = intercept[Exception] {
+      Similarity.truncatedTopK(emb, queries, "vec_id", "embedding",
+        k = 3, subDim = 100000).collect()
+    }
+    // raise_error surfaces through Spark's job-failure wrapping
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds vector dimension")))
+  }
+
   test("truncatedTopK: high recall on MRL-shaped embeddings (prefix carries the signal)") {
     // simulate Matryoshka-trained vectors: tail dims carry 5% of their
     // original scale, so the 16-dim prefix dominates the full cosine —

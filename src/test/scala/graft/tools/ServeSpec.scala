@@ -49,6 +49,15 @@ class ServeSpec extends AnyFunSuite {
     assert(c.port == 8001 && c.promPort == 2112 && c.verbose == 0 && !c.local)
   }
 
+  test("a bare empty [database] header does not conjure a default db " +
+      "next to named blocks") {
+    val c = ServeConfig.parse("[database]\n[database.only]\n")
+    assert(c.databases.keySet == Set("only"))
+    // plain keys under [database] DO declare the default database
+    val c2 = ServeConfig.parse("[database]\ndirectory = \"/d\"\n[database.x]\n")
+    assert(c2.databases.keySet == Set("default", "x"))
+  }
+
   test("comments and quoted # survive; malformed lines are named loudly") {
     val c = ServeConfig.parse(
       "[fossil]\nport = 9 # override\nhost = \"f#ragment\"\n")
