@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Quantiles, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator battery (dedup / similarity search /
   * text analysis / multimodal) exposed through the driver contract, with
@@ -759,6 +759,24 @@ object PipelineQueries {
           when(col("doc_id") % 7 === 0, lit("")).otherwise(col("text"))),
         "doc_id", "text")
         .orderBy("id")),
+    // the perplexity-filtering END USE (CCNet/LLaMA curation): score every
+    // doc under the corpus LM, find the exact p90 NLL with the
+    // distributed bracket+refine quantile (no value-buffering Percentile
+    // aggregate), keep the docs at or below it — scoring, thresholding,
+    // and the cut verified as ONE composed plan
+    "curate_perplexity_filter" -> ((s, d) => {
+      val scored = TextAnalysis.unigramNll(
+        Tables.documents(s, d), "doc_id", "text")
+        // NB: quantileCont reserves "__g" internally — any other name
+        .withColumn("__all", lit("all"))
+      val thr = Quantiles.quantileCont(
+        scored.select(col("__all"), col("nll_e4")), "__all", "nll_e4", Seq(0.9))
+        .select(col("q").as("__thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("nll_e4") <= col("__thr"))
+        .select("id", "n_tokens", "nll_e4")
+        .orderBy("id")
+    }),
     "text_ngram_freq" -> ((s, d) =>
       TextAnalysis.ngramDocFreq(Tables.documents(s, d), "doc_id", "text", k = 2, topK = 20)),
     "text_fingerprint" -> ((s, d) =>
@@ -1099,6 +1117,29 @@ object PipelineQueries {
       |       coalesce(a.nll_e4, 0) AS nll_e4
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY id""".stripMargin.trim,
+
+    // composed scoring + exact-quantile threshold + cut: quantile_cont
+    // over BIGINT NLLs is bit-identical to the engine's bracket+refine
+    // interpolation (the q_percentile_exact contract), so the kept set
+    // matches row-for-row
+    "curate_perplexity_filter" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |c AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+      |lp AS (SELECT e.doc_id, e.t, ln((c.c + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |       FROM ex e JOIN c USING (t) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |        CAST(round(-list_sum(list(lp ORDER BY t)) * 10000.0 / count(*))
+      |          AS BIGINT) AS nll_e4
+      |        FROM lp GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |         coalesce(a.nll_e4, 0) AS nll_e4
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+      |thr AS (SELECT quantile_cont(nll_e4, 0.9) AS t FROM scored)
+      |SELECT id, n_tokens, nll_e4 FROM scored, thr
+      |WHERE nll_e4 <= t ORDER BY id""".stripMargin.trim,
 
     "text_unigram_nll_empty" -> s"""
       |WITH docs2 AS (SELECT doc_id,

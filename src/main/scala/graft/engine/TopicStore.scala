@@ -123,6 +123,27 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     } finally cached.unpersist()
   }
 
+  /** Entries of EXACTLY one topic, typed by that topic's OWN schema — no
+    * prefix semantics, no cross-schema combine (a `/` query over mixed
+    * schemas is deliberately Ambiguous; per-topic tooling like the fossil
+    * exporter needs the typed view regardless of sibling schemas).
+    * Empty frame with the topic's schema when nothing has landed. */
+  def topicEntries(topic: String): DataFrame = {
+    val t = catalog.normalize(topic)
+    val schema = catalog.schemaOf(t).getOrElse(
+      throw new IllegalArgumentException(s"unknown topic $t"))
+    val d = groupDir(schema)
+    if (!Files.exists(Paths.get(d)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("time", TimestampType), StructField("topic", StringType),
+          StructField("value", schema.sparkType))))
+    else spark.read.parquet(d)
+      .filter(col("topic") === t) // partition-column prune
+      .select(col("time"), col("topic").cast(StringType).as("topic"), col("value"))
+  }
+
   def entries(prefix: String): DataFrame = {
     val wanted = catalog.topicsUnder(prefix)
     val schemas = wanted.flatMap(catalog.schemaOf).distinct

@@ -53,15 +53,25 @@ object FossilWriter {
     * the metadata file. */
   def writeV2(dir: String, topics: Seq[String], schemas: Seq[String],
       segments: Seq[Segment], sTimeNs: Long, segmentSize: Int = 10000): Unit = {
-    require(topics.length == schemas.length, "topics/schemas must align")
     val root = Paths.get(dir)
     Files.createDirectories(root.resolve("segments"))
     segments.zipWithIndex.foreach { case (seg, i) =>
       Files.write(root.resolve("segments").resolve(i.toString),
         segmentBytes(seg, segmentSize))
     }
+    writeV2Catalog(dir, topics, schemas, segments.length, sTimeNs)
+  }
+
+  /** The v2 catalog half alone — metadata header + zlib/JSON topic and
+    * schema tables — for writers ([[FossilExport]]) that stream the
+    * segment files themselves. */
+  def writeV2Catalog(dir: String, topics: Seq[String], schemas: Seq[String],
+      segmentCount: Int, sTimeNs: Long): Unit = {
+    require(topics.length == schemas.length, "topics/schemas must align")
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
     val meta = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    meta.putInt(2).putInt(segments.length).putInt(math.max(0, segments.length - 1))
+    meta.putInt(2).putInt(segmentCount).putInt(math.max(0, segmentCount - 1))
     val rfc3339 = java.time.format.DateTimeFormatter.ISO_INSTANT
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.ofEpochSecond(

@@ -49,6 +49,10 @@ object Plans {
         "!CartesianProduct"),
       // span removal: match join + anti join back; no nested loop
       "curate_drop_spans" -> Seq("Join", "!CartesianProduct"),
+      // perplexity filter: scoring aggs + the bracket/refine quantile —
+      // the value-buffering Percentile aggregate must never appear
+      "curate_perplexity_filter" -> Seq("HashAggregate", "!Percentile",
+        "!CartesianProduct"),
       // end-to-end dedup pipeline: same invariants as its stages — banded
       // candidates, hash aggs, no nested loops over the corpus
       "pipeline_dedup" -> Seq("HashAggregate", "partial_",

@@ -153,6 +153,34 @@ class FossilImportSpec extends SparkSpec {
     assert(raw(2).getAs[String]("ddl") == "float64")
   }
 
+  test("export round-trip: store → fossil v2 dir → re-import preserves " +
+      "every (time, topic, value)") {
+    // hydrate a store from the v2 fixture (segments + WAL tail), export
+    // it back out as a fossil directory, and re-open THAT: every row must
+    // survive both directions (times at the store's µs precision; export
+    // re-sorts globally and re-segments, so compare as ordered sets)
+    val root = Files.createTempDirectory("graft_fossil_exp_store").toString
+    val store = new ParquetStore(spark, root)
+    FossilDatabase.importInto(spark, s"$fixtures/v2", store)
+    val out = Files.createTempDirectory("graft_fossil_exp_dir").toString
+    val (nTopics, nEntries) = FossilExport.export(spark, store, out)
+    assert(nTopics == 6 && nEntries == 17L)
+
+    val back = FossilDatabase.rawEntries(spark, out).collect().toSeq
+      .map { r =>
+        val ddl = r.getAs[String]("ddl")
+        val v = graft.engine.Codec.decode(
+          graft.engine.FossilSchema.parse(ddl), r.getAs[Array[Byte]]("data"))
+        (r.getAs[Long]("t_ns"), r.getAs[String]("topic"), render(v))
+      }.sortBy(t => (t._1, t._2))
+    assert(back == usTruncate(expected("v2")))
+    // and the exported directory carries the schema table faithfully
+    val db2 = FossilDatabase.open(out)
+    assert(db2.topics.zip(db2.schemas).toMap ==
+      FossilDatabase.open(s"$fixtures/v2").topics
+        .zip(FossilDatabase.open(s"$fixtures/v2").schemas).toMap)
+  }
+
   test("corrupt WAL: events before any segment are skipped, not fatal") {
     import FossilDatabase.Datum
     val dir = Files.createTempDirectory("graft_fossil_corrupt").toString
