@@ -65,6 +65,23 @@ object PipelineQueries {
     base.unionByName(planted)
   }
 
+  /** Per-JVM persisted window store over the substring fixture's BASE
+    * (unplanted) documents — same build-once/harness-charged pattern as
+    * [[refSigStore]]. */
+  private val windowStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def refWindowStore(s: SparkSession, d: String): String =
+    windowStoreRoots.computeIfAbsent(d, _ =>
+      Queries.harness("dedup_substring_ref_stored") {
+        val root = java.nio.file.Files.createTempDirectory("graft_winstore").toString
+        Queries.deleteOnExit(root)
+        operators.SubstringWindowStore.build(
+          substringFixture(s, d).filter(col("doc_id") < 200000),
+          "doc_id", "text", root, "base",
+          operators.SubstringWindowStore.Params(k = 10))
+        root
+      })
+
   private def semDedupFixture(
       s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Long) = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -262,6 +279,23 @@ object PipelineQueries {
       |      'p' || doc_id || ' ' || array_to_string(toks[5:16], ' ') ||
       |      ' q' || doc_id)), '\\s+'), t -> t != '')
       |  FROM tok WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Cross-corpus substring pairs: planted docs (ids ≥ 200000) are the
+    * new batch, originals the frozen reference — shared by the inline and
+    * stored battery rows (identical results by contract). */
+  private def substringRefOracle: String = s"""
+      |WITH $substringCorpusCtes,
+      |sh AS (
+      |  SELECT DISTINCT doc_id, md5(g) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct(list_transform(
+      |            range(1, greatest(len(toks)-9, 0)+1),
+      |            i -> array_to_string(toks[i:i+9], ' ')))) AS g
+      |        FROM corpus))
+      |SELECT n.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sh n JOIN sh r ON n.h = r.h
+      |WHERE n.doc_id >= 200000 AND r.doc_id < 200000
+      |GROUP BY 1, 2 ORDER BY a, b""".stripMargin.trim
 
   /** Positioned (per-occurrence) stride-1 10-token windows over `corpus`. */
   private def positionedWindowsCte: String = """w AS (
@@ -489,6 +523,30 @@ object PipelineQueries {
     "curate_drop_spans" -> ((s, d) =>
       Dedup.dropSharedSpans(substringFixture(s, d), "doc_id", "text", k = 10)
         .orderBy("id")),
+    // incremental exact-substring dedup: the planted docs play the NEW
+    // batch, the originals the frozen reference — each planted doc must
+    // surface its source's copied span (no self-joins of either side)
+    "dedup_substring_ref" -> ((s, d) => {
+      val fx = substringFixture(s, d)
+      Dedup.substringPairsAgainst(
+        fx.filter(col("doc_id") >= 200000),
+        fx.filter(col("doc_id") < 200000),
+        "doc_id", "text", k = 10)
+        .orderBy("a", "b")
+    }),
+    // stored twin: the reference corpus's windows were persisted at
+    // build time (SubstringWindowStore) — this row pays the batch's own
+    // windows plus one narrow hash join against a bare store scan, and
+    // must produce results IDENTICAL to the inline row
+    "dedup_substring_ref_stored" -> ((s, d) => {
+      val root = refWindowStore(s, d)
+      Dedup.substringPairsAgainstStored(
+        substringFixture(s, d).filter(col("doc_id") >= 200000),
+        "doc_id", "text",
+        operators.SubstringWindowStore.windows(s, root, "base"),
+        k = 10)
+        .orderBy("a", "b")
+    }),
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCosineE6 = 450000)
@@ -1366,6 +1424,11 @@ object PipelineQueries {
       |SELECT a, b, CAST(max(len) + 9 AS BIGINT) AS max_run,
       |       CAST(sum(len) AS BIGINT) AS n_windows
       |FROM runs GROUP BY a, b ORDER BY a, b""".stripMargin.trim,
+
+    // cross-corpus: new (planted) windows × reference (original) windows,
+    // one oracle for BOTH the inline and stored engine paths
+    "dedup_substring_ref" -> substringRefOracle,
+    "dedup_substring_ref_stored" -> substringRefOracle,
 
     // span removal: later-doc positions covered by any shared window are
     // dropped; survivors reassemble in token order (single-space joined)

@@ -546,14 +546,21 @@ object Dedup {
     * add are boilerplate, not content, duplication. The cap is a
     * SEMANTICS CHANGE (capped windows pair nothing), so it defaults off
     * and the oracle row runs uncapped. */
+  /** Distinct `(id, h)` k-token window frame — the shared front half of
+    * the exact-substring family, exposed so [[SubstringWindowStore]] can
+    * persist exactly the frame the inline operators compute. */
+  private[operators] def windowFrame(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    spread(docs, idCol, textCol)
+      .select(col("id"), tokens(col("__text")).as("__toks"))
+      .select(col("id"), explode(wordShingles(col("__toks"), k)).as("g"))
+      .select(col("id"), md5s(col("g")).as("h"))
+
   def substringPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocsPerWindow: Int = 0): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    val windows0 = spread(docs, idCol, textCol)
-      .select(col("id"), tokens(col("__text")).as("__toks"))
-      .select(col("id"), explode(wordShingles(col("__toks"), k)).as("g"))
-      .select(col("id"), md5s(col("g")).as("h"))
+    val windows0 = windowFrame(docs, idCol, textCol, k)
     val windows =
       if (maxDocsPerWindow <= 0) windows0
       else {
@@ -570,6 +577,36 @@ object Dedup {
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Cross-corpus exact-substring pairs — the incremental twin of
+    * [[substringPairs]] (the [[minhashPairsAgainst]] shape): windows of
+    * the NEW batch against windows of a frozen REFERENCE corpus, one
+    * hash-keyed equi-join, no self-joins of either side. Output
+    * `(a, b, n_shared)` with `a` = new-batch id, `b` = reference id. */
+  def substringPairsAgainst(
+      newDocs: DataFrame, refDocs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    substringCrossPairs(
+      OperatorCache.scoped(windowFrame(newDocs, idCol, textCol, k)),
+      OperatorCache.scoped(windowFrame(refDocs, idCol, textCol, k)))
+
+  /** [[substringPairsAgainst]] with the reference side PRE-COMPUTED: the
+    * persisted `(id, h)` frame a [[SubstringWindowStore]] serves as one
+    * bare parquet scan — the new batch pays only its own windows plus the
+    * narrow hash join. Identical output to the inline variant for the
+    * same k (window hashing is a pure function of the text). */
+  def substringPairsAgainstStored(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      refWindows: DataFrame, k: Int): DataFrame =
+    substringCrossPairs(
+      OperatorCache.scoped(windowFrame(newDocs, idCol, textCol, k)),
+      refWindows)
+
+  private def substringCrossPairs(newW: DataFrame, refW: DataFrame): DataFrame =
+    newW.select(col("id").as("a"), col("h"))
+      .join(refW.select(col("id").as("b"), col("h")), Seq("h"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
 
   /** Positioned stride-1 k-token windows `(id, pos, h)` from an
     * `(id, toks)` frame — pos is 1-based, one row per OCCURRENCE (no

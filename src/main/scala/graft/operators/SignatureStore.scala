@@ -115,3 +115,63 @@ object SignatureStore {
     }
   }
 }
+
+/** Persisted stride-1 substring WINDOWS of a frozen corpus — the
+  * exact-substring analog of [[SignatureStore]] for the daily-crawl
+  * shape: "does today's batch duplicate yesterday's corpus VERBATIM".
+  * The reference side of [[Dedup.substringPairsAgainstStored]] reads as
+  * one bare parquet scan (zero tokenize/window/hash recompute on the
+  * frozen corpus); the window count is exact content, so there is no
+  * parameter beyond k — baked into the commit tag like the minhash
+  * params. */
+object SubstringWindowStore {
+
+  final case class Params(k: Int = 10) {
+    require(k >= 2, s"substring window must be at least 2 tokens, got $k")
+    def tag: String = s"substring.v1;k=$k"
+  }
+
+  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
+  private def marker(root: String, corpusId: String): Path =
+    dir(root, corpusId).resolve("_params")
+
+  def isBuilt(root: String, corpusId: String, params: Params): Boolean = {
+    val m = marker(root, corpusId)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == params.tag
+  }
+
+  /** Persist `docs`' distinct `(id, h)` windows; idempotent per
+    * (corpusId, params), wiped and rebuilt on any mismatch — the same
+    * commit-marker protocol as the other stores. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      root: String, corpusId: String, params: Params = Params()): Unit = {
+    if (isBuilt(root, corpusId, params)) return
+    val d = dir(root, corpusId)
+    if (Files.exists(d)) rmTree(d)
+    Files.createDirectories(d)
+    Dedup.windowFrame(docs, idCol, textCol, params.k)
+      .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
+    Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Distinct windows `(id, h)` of a persisted corpus — a bare scan. */
+  def windows(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpusId: String, params: Params = Params()): DataFrame = {
+    require(isBuilt(root, corpusId, params),
+      s"substring window store $root/$corpusId is missing, incomplete, or " +
+        s"was built with different parameters than ${params.tag} — run " +
+        "SubstringWindowStore.build")
+    spark.read.parquet(dir(root, corpusId).resolve("windows.parquet").toString)
+  }
+
+  private def rmTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    Using.resource(Files.walk(p)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

@@ -47,6 +47,9 @@ object Plans {
       // window — bounded by the shorter doc, never corpus-wide
       "dedup_substring_runs" -> Seq("HashAggregate", "Join", "Window",
         "!CartesianProduct"),
+      "dedup_substring_ref" -> Seq("HashAggregate", "Join", "!CartesianProduct"),
+      "dedup_substring_ref_stored" -> Seq("HashAggregate", "Join",
+        "!CartesianProduct"),
       // span removal: match join + anti join back; no nested loop
       "curate_drop_spans" -> Seq("Join", "!CartesianProduct"),
       // perplexity filter: scoring aggs + the bracket/refine quantile —
@@ -220,6 +223,22 @@ object Plans {
       if (!ok) failed += 1
       println(s"[check] dedup_against_ref_stored ref side is scan-only: $ok " +
         s"(store scans: $hasStoreScans, generates inline=$gInline stored=$gStored)")
+      // same contract for the substring window store: the stored row must
+      // scan windows.parquet and carry half the inline row's Generates
+      // (the window explode exists only on the NEW side)
+      val sStored = graft.SparkEntry.queries("dedup_substring_ref_stored")(spark, sfDir)
+      val sScans = sStored.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      val sHasStore = sScans.exists(_.contains("windows.parquet"))
+      val sgInline = gens("dedup_substring_ref")
+      val sgStored = gens("dedup_substring_ref_stored")
+      val sHalved = sgStored * 2 == sgInline && sgStored > 0
+      val sOk = sHasStore && sHalved
+      if (!sOk) failed += 1
+      println(s"[check] dedup_substring_ref_stored ref side is scan-only: $sOk " +
+        s"(store scan: $sHasStore, generates inline=$sgInline stored=$sgStored)")
     }
     // ann_ivf_int8's probe contract: joins keyed on the IVF bucket must
     // carry only the int8-quantized arrays — a full-precision double array

@@ -83,6 +83,7 @@ object ScaleSweep {
       // preserved exactly and cross-replica equality needs every char)
       ("dedup_substring", "linear"),
       ("dedup_substring_runs", "linear"), ("curate_drop_spans", "linear"),
+      ("dedup_substring_ref", "linear"),
       ("curate_perplexity_filter", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),

@@ -233,6 +233,38 @@ class DedupSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("substringPairsAgainst: cross-corpus only; stored variant identical " +
+      "to inline and reads the persisted windows") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "another reference document with its own words here now")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "prefix tokens the quick brown fox jumps over the lazy dog today suffix"),
+      // 102 and 103 share a run with EACH OTHER but not with ref — a
+      // cross-corpus operator must not surface intra-batch pairs
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (103L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val inline = Dedup.substringPairsAgainst(fresh, ref, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inline.map(t => (t._1, t._2)) == Set((101L, 1L)))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_winstore_spec").toString
+    SubstringWindowStore.build(ref, "doc_id", "text", root, "ref",
+      SubstringWindowStore.Params(k = 8))
+    val stored = Dedup.substringPairsAgainstStored(fresh, "doc_id", "text",
+      SubstringWindowStore.windows(spark, root, "ref",
+        SubstringWindowStore.Params(k = 8)), k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored == inline)
+    // param mismatch refuses to serve
+    assertThrows[IllegalArgumentException] {
+      SubstringWindowStore.windows(spark, root, "ref",
+        SubstringWindowStore.Params(k = 9))
+    }
+  }
+
   test("substringRuns: consecutive windows chain into token run lengths; " +
       "separate runs don't merge") {
     // docs share one 8-token run AND one disjoint 6-token run: with k=6
