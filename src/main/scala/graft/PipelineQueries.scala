@@ -169,6 +169,21 @@ object PipelineQueries {
         in
       })
 
+  /** Streaming replay fixture for the substring family's PLANTED new
+    * batch (ids ≥ 200000), multi-file so AvailableNow replays multiple
+    * micro-batches. */
+  private val plantedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def plantedStreamFixture(s: SparkSession, d: String): String =
+    plantedFixtures.computeIfAbsent(d, _ =>
+      Queries.harness("stream_dedup_substring") {
+        val in = Queries.scratchDir("graft_stream_planted_fix")
+        Queries.deleteOnExit(in)
+        substringFixture(s, d).filter(col("doc_id") >= 200000)
+          .repartition(4).write.mode("overwrite").json(in)
+        in
+      })
+
   /** Deterministic PII-bearing text for the scrub rows: every doc except
     * doc_id%5==0 gains an email + IPv4 + phone tail (the synthetic docs
     * carry none of their own). Mirrored exactly by [[piiOracleSql]]. */
@@ -478,6 +493,39 @@ object PipelineQueries {
             SignatureStore.bands(s, root, "ref90"),
             SignatureStore.shingles(s, root, "ref90"),
             shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("a", "b")
+    }),
+    // streaming incremental SUBSTRING dedup: each micro-batch of the
+    // planted-doc replay joins its own windows against the persisted
+    // reference window store (per-doc independence ⇒ per-batch union ≡
+    // the batch row bit-for-bit, like stream_dedup_ref)
+    "stream_dedup_substring" -> ((s, d) => {
+      val root = refWindowStore(s, d)
+      val in = plantedStreamFixture(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val outDir = Queries.scratchDir("graft_stream_substr_out")
+      val ck = Queries.scratchDir("graft_stream_substr_ck")
+      Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.substringPairsAgainstStored(
+            batch, "doc_id", "text",
+            operators.SubstringWindowStore.windows(s, root, "base",
+              operators.SubstringWindowStore.Params(k = 10)),
+            k = 10)
             .write.mode("append").parquet(outDir)
           ()
         }
@@ -1143,7 +1191,8 @@ object PipelineQueries {
     // the streaming replay unions per-micro-batch runs of the stored
     // incremental dedup — identical results to the batch row by
     // construction (each new doc lives in exactly one micro-batch)
-    "stream_dedup_ref" -> oraclesBase("dedup_against_ref_stored"))
+    "stream_dedup_ref" -> oraclesBase("dedup_against_ref_stored"),
+    "stream_dedup_substring" -> substringRefOracle)
 
   private def oraclesBase: Map[String, String] = Map(
     // sketch rows: the exact side is recomputed by DuckDB and the oracle
