@@ -345,7 +345,64 @@ object Queries {
           graft.functions.FossilDecode("float64", col("data")).as("value"))
         .orderBy("t_us", "topic")
     }),
+    // WARC ingestion — the raw-crawl format (Common Crawl ships WARC;
+    // ISO 28500 record layout): the documents table round-trips through
+    // four crawl-style files (plain AND per-record-gzipped members, both
+    // sniffed) as HTTP response records; executors parse their own files
+    // (the driver never touches record bytes), the HTTP header block
+    // splits off at the first blank line, and the recovered
+    // (id, date, text) must match the source table exactly
+    "warc_import" -> ((s, d) => {
+      import s.implicits._
+      val dir = warcFixture(s, d)
+      graft.sources.Warc.read(s, dir)
+        .filter(col("warc_type") === "response")
+        .as[(String, Int, String, String, Long, Array[Byte])]
+        .map { case (_, _, _, url, dateUs, payload) =>
+          val (_, body) = graft.sources.Warc.httpBody(payload)
+          (url.substring(url.lastIndexOf('/') + 1).toLong, dateUs,
+            new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("id", "date_us", "text")
+        .orderBy("id")
+    }),
   )
+
+  /** One WARC fixture dir per (JVM, sf dir): the documents table written
+    * as crawl-style response records across four `.warc`/`.warc.gz`
+    * files (alternating plain and per-record-gzipped members — both
+    * layouts the reader must sniff), charged to the harness ledger like
+    * every import fixture. */
+  private val warcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def warcFixture(s: SparkSession, d: String): String =
+    warcDirs.computeIfAbsent(d, _ => harness("warc_import") {
+      import graft.sources.Warc
+      val out = scratchDir("graft_warc_fix")
+      deleteOnExit(out)
+      val baseUs = 1717200000000000L // 2024-06-01T00:00:00Z
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      (0 until 4).foreach { f =>
+        val recs = docs.iterator.filter(_.getLong(0) % 4 == f).map { r =>
+          val id = r.getLong(0)
+          val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+          Warc.Record(Map(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"http://corpus.example/doc/$id",
+            "WARC-Date" -> java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+              java.time.Instant.ofEpochSecond(baseUs / 1000000L + id)),
+            "WARC-Record-ID" -> s"<urn:graft:$id>"), http)
+        }.toSeq
+        val gz = f % 2 == 0
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, s"crawl-$f.warc" + (if (gz) ".gz" else "")),
+          Warc.writeRecords(recs, gzip = gz))
+      }
+      out
+    })
 
   /** One fossil-format database per (JVM, sf dir), built from the events
     * table through [[graft.sources.FossilWriter]] and charged to the
@@ -508,6 +565,12 @@ object Queries {
       // import) is lossless for (time µs, topic, value), so the oracle is
       // the source table scan — identical to fql_scan_all's shape
       "fossil_import" -> ev("value"),
+      // the WARC round trip is lossless for (doc id, date, text): the
+      // oracle is the documents table with the fixture's deterministic
+      // date arithmetic replayed
+      "warc_import" -> ("SELECT doc_id AS id, " +
+        "(1717200000 + doc_id) * 1000000 AS date_us, text " +
+        "FROM documents ORDER BY id"),
     )
   }
 

@@ -78,6 +78,9 @@ object Plans {
       // fossil import: distributed gob decode over segment files + one
       // per-row wire decode — no join anywhere in the plan
       "fossil_import" -> Seq("!CartesianProduct", "!Join"),
+      // WARC ingestion: per-file executor parse + row-local HTTP split —
+      // no join, no shuffle beyond the output sort
+      "warc_import" -> Seq("!CartesianProduct", "!Join"),
       // salted skew join must stay an equi-join on (key, salt)
       "q_join_skew" -> Seq("Join", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // salted as-of: the window MUST partition on the salt too (that is
