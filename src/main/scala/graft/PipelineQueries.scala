@@ -871,10 +871,14 @@ object PipelineQueries {
     // aggregate), keep the docs at or below it — scoring, thresholding,
     // and the cut verified as ONE composed plan
     "curate_perplexity_filter" -> ((s, d) => {
-      val scored = TextAnalysis.unigramNll(
+      // scope-cached: the scored frame feeds BOTH the quantile threshold
+      // and the filter side of the cut — without the cache the whole
+      // scoring subtree (explode + two hash aggs + vocab join) runs twice
+      // inside the one composed plan
+      val scored = operators.OperatorCache.scoped(TextAnalysis.unigramNll(
         Tables.documents(s, d), "doc_id", "text")
         // NB: quantileCont reserves "__g" internally — any other name
-        .withColumn("__all", lit("all"))
+        .withColumn("__all", lit("all")))
       val thr = Quantiles.quantileCont(
         scored.select(col("__all"), col("nll_e4")), "__all", "nll_e4", Seq(0.9))
         .select(col("q").as("__thr"))
