@@ -985,6 +985,19 @@ object PipelineQueries {
         "doc_id", "text", shingleWords = 4)
         .orderBy("doc_id")
     }),
+    // same hit counting through the Bloom pre-filter path: sketch the
+    // eval shingles (distributed build, fixed-size binary broadcast),
+    // cut the train shingle stream BEFORE the shuffle, exact-verify
+    // survivors — identical results, crawl-scale plan (the oracle twin
+    // IS curate_decontam_hits' SQL: the sketch must be invisible)
+    "curate_decontam_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminationHitsBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleWords = 4)
+        .orderBy("doc_id")
+    }),
     "curate_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.decontaminate(
@@ -2092,6 +2105,11 @@ object PipelineQueries {
 
     // ---- corpus curation (mirrors graft.operators.Curation) ----
     "curate_decontam_hits" -> s"""
+      |WITH $decontamCtes
+      |SELECT doc_id, hits FROM hits ORDER BY doc_id""".stripMargin.trim,
+
+    // the Bloom path must be result-invisible: same oracle as the exact row
+    "curate_decontam_bloom" -> s"""
       |WITH $decontamCtes
       |SELECT doc_id, hits FROM hits ORDER BY doc_id""".stripMargin.trim,
 

@@ -37,14 +37,56 @@ object Curation {
   def contaminationHits(
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, shingleWords: Int): DataFrame = {
-    def shingleHashes(df: DataFrame): DataFrame =
-      df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-        .select(col(idCol),
-          explode(TextOps.wordShingles(col("toks"), shingleWords)).as("sh"))
-        .select(col(idCol), md5(col("sh")).as("sh_h"))
-    val evalSh = shingleHashes(eval).select("sh_h").distinct()
-    shingleHashes(train)
+    val evalSh = shingleHashes(eval, idCol, textCol, shingleWords)
+      .select("sh_h").distinct()
+    shingleHashes(train, idCol, textCol, shingleWords)
       .join(evalSh, "sh_h")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+  }
+
+  /** (id, md5(shingle)) pairs — fixed-width 32-char keys so no document
+    * text ever enters a shuffle. */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        explode(TextOps.wordShingles(col("toks"), shingleWords)).as("sh"))
+      .select(col(idCol), md5(col("sh")).as("sh_h"))
+
+  /** [[contaminationHits]] with a Bloom-filter pre-filter on the train
+    * side — the GPT-3/Pile-scale decontamination shape. Results are
+    * IDENTICAL to [[contaminationHits]] (the sketch only pre-filters;
+    * survivors are exact-verified by the same equi-join), but the plan
+    * changes where it matters at 100 TB: the broadcast artifact is a
+    * fixed-size bit array (`-n·ln(fpp)/ln2²` bits — ~1.2 MB at a million
+    * eval shingles, fpp 1e-3) instead of the eval shingle set itself, and
+    * the train→join shuffle carries only bloom-positive shingles
+    * (true hits + fpp·volume) instead of EVERY train shingle. At crawl
+    * scale where hit rates are ~1e-4, that is a ~1000× shuffle-volume
+    * cut; the eval side never needs to fit in a driver Set (contrast
+    * [[evalShingles]], which is bounded-by-construction broadcast).
+    *
+    * Build is distributed (partial sketches OR-merge in the aggregate);
+    * the one driver-side object is the merged sketch, whose size is fixed
+    * by `(n, fpp)` and independent of corpus size. Probe is Catalyst's
+    * codegen'd `BloomFilterMightContain` — the same expression Spark's
+    * injected runtime filters use — embedded as a binary literal. */
+  def contaminationHitsBloom(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int,
+      fpp: Double = 0.001): DataFrame = {
+    import graft.functions.BloomSketch
+    val evalSh = shingleHashes(eval, idCol, textCol, shingleWords)
+      .select("sh_h").distinct()
+    // two eval-side actions (count, sketch build) — eval is the small
+    // side by construction; both are full-parallel aggregates
+    val n = math.max(evalSh.count(), 1L)
+    val sketch = evalSh
+      .agg(BloomSketch.bloomAgg(col("sh_h"), n, BloomSketch.optimalNumBits(n, fpp)))
+      .head().getAs[Array[Byte]](0)
+    shingleHashes(train, idCol, textCol, shingleWords)
+      .filter(BloomSketch.mightContain(sketch, col("sh_h")))
+      .join(evalSh, "sh_h") // exact verify: false positives die here
       .groupBy(idCol).agg(count(lit(1)).as("hits"))
   }
 

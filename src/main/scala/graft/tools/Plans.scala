@@ -97,6 +97,11 @@ object Plans {
       // against the eval corpus would be the 100 TB scale-killer
       "curate_decontam" -> Seq("Join", "HashAggregate",
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // bloom variant: the codegen'd sketch probe must sit in the plan
+      // (the shuffle-volume cut is the operator's whole point) ahead of
+      // the same exact-verify join
+      "curate_decontam_bloom" -> Seq("might_contain", "Join",
+        "HashAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // mixture resample is a row-local explode — joins would mean the
       // weight dictionary stopped being a literal CASE
       "sample_mixture" -> Seq("Generate", "!Join"),

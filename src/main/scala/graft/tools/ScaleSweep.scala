@@ -120,6 +120,9 @@ object ScaleSweep {
       // maps, packing/shuffling/cap/paragraph-dedup are one keyed window
       // each — all must stay ~linear in corpus size
       ("curate_decontam", "linear"), ("text_gopher", "linear"),
+      // bloom decontam: sketch build is eval-side (fixed slice share),
+      // probe+verify linear in train shingles
+      ("curate_decontam_bloom", "linear"),
       ("sample_mixture", "linear"), ("pack_sequences", "linear"),
       // merge-table BPE: per-row narrow mapPartitions + memo; packing on
       // its counts is the same one-window plan as pack_sequences

@@ -27,6 +27,30 @@ class CurationSpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
   }
 
+  test("contaminationHitsBloom matches the exact path bit-for-bit") {
+    val exact = Curation.contaminationHits(trainDocs, evalDocs, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Curation.contaminationHitsBloom(trainDocs, evalDocs, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+  }
+
+  test("bloom false positives die at the verify join, even at fpp ~ 1") {
+    // fpp 0.99 → optimalNumBits floors at 64 bits for 2 eval shingles:
+    // nearly every train shingle is a sketch positive, so the result is
+    // exact ONLY if the verify join does its job
+    val bloom = Curation.contaminationHitsBloom(
+      trainDocs, evalDocs, "doc_id", "text", 4, fpp = 0.99)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("bloom path: empty eval set flags nothing") {
+    val out = Curation.contaminationHitsBloom(
+      trainDocs, evalDocs.limit(0), "doc_id", "text", 4)
+    assert(out.count() == 0)
+  }
+
   test("decontaminate drops exactly the flagged docs, keeps full rows") {
     val out = Curation.decontaminate(trainDocs, evalDocs, "doc_id", "text", 4)
     assert(out.columns.toSeq == Seq("doc_id", "text"))
