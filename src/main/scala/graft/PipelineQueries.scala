@@ -1154,6 +1154,18 @@ object PipelineQueries {
     "dedup_paragraphs" -> ((s, d) =>
       Curation.dedupParagraphs(Tables.documents(s, d), "doc_id", "text",
         chunkTokens = 3).orderBy("doc_id")),
+    // per-source boilerplate: every doc gets a planted 4-token site
+    // header ("site <src> nav menu" = exactly two 2-token chunks, so the
+    // body chunking stays aligned) at 100% within-source frequency —
+    // both header chunks must die at the 50% cut in every doc (no
+    // keep-first), while the corpus's organic bigrams top out ~20% and
+    // must all survive
+    "curate_boilerplate" -> ((s, d) =>
+      Curation.dropBoilerplate(
+        Tables.documents(s, d).withColumn("text",
+          concat(lit("site "), col("source"), lit(" nav menu "), col("text"))),
+        "doc_id", "text", "source", chunkTokens = 2, maxDfE4 = 5000)
+        .orderBy("doc_id")),
     // docs wrapped in deterministic markup (same expression in the oracle):
     // nested tags, attributes, and an entity tail on every 3rd doc
     "text_html_strip" -> ((s, d) =>
@@ -2224,6 +2236,32 @@ object PipelineQueries {
       |  CAST(len(kept) AS BIGINT) AS n_kept,
       |  array_to_string(kept, ' ') AS clean_text
       |FROM k ORDER BY doc_id""".stripMargin.trim,
+
+    // planted header + per-source document-frequency cut; the exact
+    // integer boundary (df·10⁴ > 5000·n) must agree between engines
+    "curate_boilerplate" -> s"""
+      |WITH doc2 AS (SELECT doc_id, source,
+      |    'site ' || source || ' nav menu ' || text AS text FROM documents),
+      |tok AS (SELECT doc_id, source, $TOKS AS toks FROM doc2),
+      |ch AS (SELECT doc_id, source, len(toks) AS nt, i AS chunk_ix,
+      |    array_to_string(toks[i*2+1 : i*2+2], ' ') AS chunk
+      |  FROM tok, unnest(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT))) t(i)),
+      |tot AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |bp AS (SELECT ch.source, md5(chunk) AS h
+      |  FROM ch JOIN tot ON ch.source = tot.source
+      |  GROUP BY ch.source, md5(chunk), tot.n
+      |  HAVING count(DISTINCT doc_id) * 10000 > 5000 * tot.n AND tot.n >= 2),
+      |fl AS (SELECT ch.*, (bp.h IS NOT NULL) AS is_bp
+      |  FROM ch LEFT JOIN bp ON ch.source = bp.source AND md5(ch.chunk) = bp.h)
+      |SELECT doc_id, CAST((max(nt) + 1) // 2 AS BIGINT) AS n_chunks,
+      |  count(CASE WHEN NOT is_bp THEN 1 END) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN NOT is_bp THEN chunk END, ' '
+      |    ORDER BY chunk_ix), '') AS clean_text
+      |FROM fl GROUP BY doc_id
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+      |FROM tok WHERE len(toks) = 0
+      |ORDER BY doc_id""".stripMargin.trim,
 
     "dedup_paragraphs" -> s"""
       |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),

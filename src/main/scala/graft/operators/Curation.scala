@@ -475,6 +475,74 @@ object Curation {
       .unionByName(empties)
   }
 
+  /** Per-source boilerplate removal (RefinedWeb / CCNet line-dedup shape):
+    * a chunk appearing in MORE than `maxDfE4`/10⁴ of one source's docs is
+    * boilerplate (site header / footer / nav) and is dropped from EVERY
+    * doc of that source — unlike [[dedupParagraphs]], which keeps a
+    * chunk's first occurrence corpus-wide; boilerplate has no first
+    * occurrence worth keeping. The frequency cut is exact integer
+    * arithmetic (`df · 10⁴ > maxDfE4 · n_docs`), so both engines agree at
+    * the boundary. Docs are assumed id-unique (as everywhere in this
+    * file). Returns `(id, n_chunks, n_kept, clean_text)`.
+    *
+    * Scale: the chunk explode is linear in corpus token count; the
+    * per-(source, chunk) document-frequency table is a hash agg bounded
+    * by the per-source chunk vocabulary (Zipf-bounded); the boilerplate
+    * set is a tiny high-frequency slice of that (AQE broadcasts it — at
+    * any threshold worth running, few chunks clear it); reconstruction
+    * is the same doc-keyed ordered collect as [[dedupParagraphs]]. No
+    * self-join, no cartesian, no driver state.
+    *
+    * Sources with fewer than `minDocs` docs are exempt from the cut —
+    * in a 1-doc source EVERY chunk has df 100%, so an ungated ratio
+    * would empty the doc; frequency means nothing without a denominator.
+    */
+  def dropBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      chunkTokens: Int, maxDfE4: Long, minDocs: Int = 2): DataFrame = {
+    require(chunkTokens > 0)
+    require(maxDfE4 >= 0 && maxDfE4 <= 10000, s"maxDfE4 in [0, 10000], got $maxDfE4")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val nChunks = ceil(size(col("toks")) / lit(chunkTokens.toDouble)).cast("int")
+    val tokenized = docs.select(col(idCol), col(sourceCol).as("__src"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val empties = tokenized.filter(size(col("toks")) === 0)
+      .select(col(idCol), lit(0L).as("n_chunks"), lit(0L).as("n_kept"),
+        lit("").as("clean_text"))
+    val chunks = tokenized.filter(size(col("toks")) > 0)
+      .select(col(idCol), col("__src"), size(col("toks")).as("__nt"),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ",
+            slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_ix", "chunk")))
+      .withColumn("__h", md5(col("chunk")))
+    // per-source doc totals straight off the input (one narrow agg; the
+    // ratio denominator counts every doc of the source, empty ones too)
+    val totals = docs.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val bp = chunks
+      .groupBy("__src", "__h")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .join(totals, "__src")
+      .filter(col("__df") * lit(10000L) > lit(maxDfE4) * col("__n") &&
+        col("__n") >= minDocs)
+      .select(col("__src"), col("__h"), lit(true).as("__bp"))
+    chunks
+      .join(bp, Seq("__src", "__h"), "left")
+      .groupBy(idCol)
+      .agg(
+        floor((max(col("__nt")) + (chunkTokens - 1)) / chunkTokens)
+          .cast("long").as("n_chunks"),
+        count(when(col("__bp").isNull, 1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("__bp").isNull, struct(col("chunk_ix"), col("chunk"))))),
+            s => s.getField("chunk"))).as("clean_text"))
+      .unionByName(empties)
+  }
+
   /** HTML → text extraction: strip tags, decode the common entities, and
     * squeeze the whitespace the removal leaves behind — the first step a
     * crawl pipeline runs on raw page bodies. Returns

@@ -151,6 +151,10 @@ object Plans {
       // paragraph dedup = chunk-hash window + per-doc regroup, both keyed —
       // never a join at all
       "dedup_paragraphs" -> Seq("Window", "HashAggregate", "!Join"),
+      // boilerplate: chunk explode + df hash aggs + the tiny high-df set
+      // joined back (equi, AQE-broadcastable) — no window, no nested loop
+      "curate_boilerplate" -> Seq("Generate", "HashAggregate", "Join",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       "text_html_strip" -> Seq("!Exchange hashpartitioning", "!Join"),
       // source overlap: the corpus-sized stage must partial-aggregate
       // (map-side min per source×hash, all-LONG so it stays in

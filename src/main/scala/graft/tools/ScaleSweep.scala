@@ -144,6 +144,8 @@ object ScaleSweep {
       ("shard_shuffle", "linear"), ("curate_pii_scrub", "linear"),
       ("curate_domain_cap", "linear"), ("text_collapse_runs", "linear"),
       ("dedup_paragraphs", "linear"),
+      // boilerplate: chunk explode + per-source df aggs, all keyed
+      ("curate_boilerplate", "linear"),
       ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
       // streaming curation twins: stateless narrow maps over the replay

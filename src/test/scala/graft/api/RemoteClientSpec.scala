@@ -110,8 +110,18 @@ class RemoteClientSpec extends SparkSpec {
       // the client must notice the dead socket, re-handshake VERSION+USE,
       // and resend the request transparently
       server1.close()
-      val server2 = new WireServer(spark, Map("a" -> root), "a", fixedClock,
-        bindPort = port)
+      // the freed ephemeral port can be stolen by any concurrent bind in
+      // the window before the replacement grabs it — retry briefly, like
+      // a real replacement process would (rare; seen once in CI-style
+      // full-suite runs as a BindException flake)
+      def rebind(attempts: Int): WireServer =
+        try new WireServer(spark, Map("a" -> root), "a", fixedClock,
+          bindPort = port)
+        catch {
+          case _: java.net.BindException if attempts > 1 =>
+            Thread.sleep(100); rebind(attempts - 1)
+        }
+      val server2 = rebind(20)
       try {
         val entries = client.query("all in /rec/t")
         assert(entries.length == 1 && entries.head.decoded == 1.0)

@@ -63,6 +63,44 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("dropBoilerplate: per-source df cut, strict boundary, no keep-first") {
+    // source A: 4 docs, header "hdr a" in all 4 (df 100%), "mid x" in
+    // exactly 2 of 4 (df 50% — NOT > 50%, must survive at maxDfE4=5000)
+    // source B: 1 doc sharing A's header chunk — below minDocs=2, so B is
+    // exempt from the cut entirely (a 1-doc source has df 100% for every
+    // chunk; A's verdict on the shared chunk must not leak across)
+    val docs = Seq(
+      (1L, "A", "hdr a mid x one two"),
+      (2L, "A", "hdr a mid x three four"),
+      (3L, "A", "hdr a five six"),
+      (4L, "A", "hdr a seven eight"),
+      (5L, "B", "hdr a nine ten")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.dropBoilerplate(docs, "doc_id", "text", "source",
+      chunkTokens = 2, maxDfE4 = 5000)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "mid x one two"),   // header dead, 50% chunk alive
+      (2L, 3L, 2L, "mid x three four"),
+      (3L, 2L, 1L, "five six"),
+      (4L, 2L, 1L, "seven eight"),
+      (5L, 2L, 2L, "hdr a nine ten"))) // B exempt: lone doc keeps all
+  }
+
+  test("dropBoilerplate: empty docs retained at (0, 0, '')") {
+    val docs = Seq(
+      (1L, "A", "x y x y"), (2L, "A", "x y"), (3L, "A", "   ")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.dropBoilerplate(docs, "doc_id", "text", "source",
+      chunkTokens = 2, maxDfE4 = 5000)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // "x y" df = 2/3 ≈ 66.7% > 50% → dies everywhere (doc 1 has it twice:
+    // BOTH occurrences die — no keep-first)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, ""), (2L, 1L, 0L, ""), (3L, 0L, 0L, "")))
+  }
+
   test("repetitionStats: exact ratios on a constructed doc") {
     // 6 tokens: "x x x x y z" → distinct 3, dup_word = 3/6 = 5000e4
     // bigrams: (x x)×3, (x y), (y z) → top = 3/5 = 6000e4
