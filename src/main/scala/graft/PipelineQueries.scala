@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Multimodal, Quantiles, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Quantiles, Similarity, TextAnalysis, TextOps}
 
 /** Training-data pipeline operator battery (dedup / similarity search /
   * text analysis / multimodal) exposed through the driver contract, with
@@ -542,6 +542,12 @@ object PipelineQueries {
         Map("en" -> 2500, "zh" -> 7500), defaultE4 = 5000)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // weighted sampling without replacement (Efraimidis-Spirakis A-ES),
+    // length-weighted: longer docs proportionally likelier, key and cut
+    // engine-exact (md5-derived u, e12 long key, id tiebreak)
+    "doc_sample_weighted" -> ((s, d) =>
+      graft.operators.Sampling.weightedTopK(
+        Tables.documents(s, d), "doc_id", "n_chars", k = 100)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -932,6 +938,27 @@ object PipelineQueries {
             && col("le99") >= col("n_rows") * lit(0.98)).as("p99_ok"))
         .orderBy("l_returnflag")
     }),
+    // heavy hitters: single-pass approximate frequent items (stat.freqItems,
+    // the Karp/Misra-Gries family) vs the exact count side. The sketch's
+    // guarantee — every item with frequency > support·n IS returned — is
+    // the asserted boolean: output = exact-heavy tokens (integer boundary
+    // cnt·50 > n, support 2%) each tagged in_sketch, oracle expects TRUE.
+    // Only guaranteed members surface, so the row is deterministic even
+    // though the sketch's sub-threshold extras vary with partition order.
+    "q_approx_freq" -> ((s, d) => {
+      val ex = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+      // bounded driver collect: freqItems returns ≤ 1/support = 50 items
+      val sketch = ex.stat.freqItems(Seq("t"), 0.02)
+        .head().getSeq[String](0).toSet
+      val total = ex.agg(count(lit(1)).as("n"))
+      ex.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total)) // 1 row
+        .filter(col("cnt") * lit(50L) > col("n"))
+        .select(col("t").as("token"), col("cnt"),
+          col("t").isin(sketch.toSeq: _*).as("in_sketch"))
+        .orderBy("token")
+    }),
     // end-to-end curation: quality gate ∧ not a non-survivor duplicate —
     // the composed keep-set a training-data job would materialize
     "pipeline_curate" -> ((s, d) => {
@@ -1228,6 +1255,15 @@ object PipelineQueries {
     // asserts the within-bound booleans are TRUE — the sketch feeds only
     // the boolean, so the row is fully hash-comparable despite the
     // sketch internals being engine-specific
+    // exact-heavy tokens (cnt·50 > n) — the sketch guarantee says every
+    // one is in freqItems' result, so in_sketch is literally TRUE here
+    "q_approx_freq" -> s"""
+      |WITH tok AS (SELECT unnest($TOKS) AS t FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT t AS token, count(*) AS cnt, TRUE AS in_sketch
+      |FROM tok, tot GROUP BY t, n HAVING count(*) * 50 > n
+      |ORDER BY token""".stripMargin.trim,
+
     "q_approx_distinct" -> """
       |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_exact,
       |       TRUE AS within_bound
@@ -1415,6 +1451,16 @@ object PipelineQueries {
       |WHERE ${bucketE4Sql("doc_id")} <
       |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 7500 ELSE 5000 END
       |ORDER BY doc_id""".stripMargin.trim,
+
+    // A-ES key: -ln((h32+1)/(2^32+1))/w, e12-rounded; every double forced
+    // (a bare DuckDB decimal is DECIMAL, whose division rounds differently)
+    "doc_sample_weighted" -> """
+      |SELECT doc_id, n_chars,
+      |  CAST(round(-ln((('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 8))::BIGINT
+      |      ::DOUBLE + 1.0::DOUBLE) / 4294967297::DOUBLE)
+      |    / n_chars::DOUBLE * 1e12) AS BIGINT) AS key_e12
+      |FROM documents WHERE n_chars > 0
+      |ORDER BY key_e12, doc_id LIMIT 100""".stripMargin.trim,
 
     "dedup_simhash" -> s"""
       |WITH th AS (

@@ -29,6 +29,42 @@ object Sampling {
   def bucketE4(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 10000
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws `u ~ U(0,1]` and the k rows with the
+    * largest `u^(1/w)` — equivalently the SMALLEST `-ln(u)/w` — form an
+    * exact weighted sample. The training-data use is quality-weighted
+    * selection: w = a quality/length score, and the sample leans toward
+    * high-weight docs while every doc keeps a nonzero chance.
+    *
+    * Reproducibility contract (same as [[stratified]]): `u` is not an
+    * engine RNG but a pure function of the row id — the 32-bit md5 prefix
+    * of `salt|id`, mapped to (0, 1] by `(h+1)/(2³²+1)` so `ln` never sees
+    * zero. The surfaced key is e12-rounded to a LONG and ties break by
+    * id, so the top-k cut is engine-exact (ln on the shared libm is the
+    * same parity story as the NLL rows).
+    *
+    * Scale: one narrow codegen'd projection, then `orderBy(key).limit(k)`
+    * — Spark plans that as TakeOrderedAndProject (per-partition top-k,
+    * merge on the driver: k-bounded, never a full sort shuffle).
+    * Non-positive weights are dropped up front (a zero weight would make
+    * the key division ANSI-throw; semantically w ≤ 0 means "never
+    * sample"). Returns `(id, weight, key_e12)`, ascending key order. */
+  def weightedTopK(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4294967297.0) // (0, 1]
+    df.filter(col(weightCol).cast("double") > 0)
+      .select(col(idCol), col(weightCol),
+        round(-log(u) / col(weightCol).cast("double") * lit(1e12), 0)
+          .cast("long").as("key_e12"))
+      .orderBy(col("key_e12"), col(idCol))
+      .limit(k)
+  }
+
   /** Keep each row iff its id-bucket < the stratum's rate (parts per
     * 10,000). Unlisted strata use `defaultE4`. Appends nothing: the
     * result is the input rows that survived, unchanged. */

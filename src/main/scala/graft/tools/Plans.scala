@@ -105,6 +105,10 @@ object Plans {
       // mixture resample is a row-local explode — joins would mean the
       // weight dictionary stopped being a literal CASE
       "sample_mixture" -> Seq("Generate", "!Join"),
+      // A-ES weighted sample: per-partition top-k merged k-bounded on the
+      // driver — a rangepartitioned full sort would be the scale bug
+      "doc_sample_weighted" -> Seq("TakeOrderedAndProject",
+        "!rangepartitioning"),
       // packing/shuffling are one hash partition + per-shard sort (the
       // Window); anything nested-loop-shaped is wrong
       "pack_sequences" -> Seq("Window", "!BroadcastNestedLoopJoin", "!CartesianProduct"),

@@ -115,6 +115,8 @@ object ScaleSweep {
       ("q_percentile_exact", "linear"), ("q_ntile", "linear"),
       ("dedup_against_ref", "linear"), ("dedup_against_ref_stored", "linear"),
       ("doc_sample_stratified", "linear"),
+      // A-ES top-k: narrow key projection + TakeOrdered, k fixed
+      ("doc_sample_weighted", "linear"),
       // curation family: decontam joins against a FIXED-size eval slice
       // (the train side grows), gopher/mixture/pii/collapse are per-row
       // maps, packing/shuffling/cap/paragraph-dedup are one keyed window

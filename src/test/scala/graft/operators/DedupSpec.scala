@@ -122,6 +122,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.weightedTopK: A-ES semantics — weight-biased, exact, stable") {
+    // two strata of equal size with a 10× weight gap: the heavy stratum
+    // must dominate the sample (P[heavy wins a slot] ≈ 10/11 pairwise),
+    // and the selection must be a pure function of (salt, id)
+    val corpus = (0L until 2000L)
+      .map(i => (i, if (i % 2 == 0) 1000L else 100L))
+      .toDF("doc_id", "w")
+    val top = Sampling.weightedTopK(corpus, "doc_id", "w", k = 200)
+    val rows = top.as[(Long, Long, Long)].collect()
+    assert(rows.length == 200)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted) // ascending key
+    val heavy = rows.count(_._2 == 1000L)
+    assert(heavy > 150, s"heavy=$heavy of 200") // E[heavy] ≈ 183
+    val again = Sampling.weightedTopK(corpus, "doc_id", "w", k = 200)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+    // a different salt draws different u's → a different sample
+    val other = Sampling.weightedTopK(corpus, "doc_id", "w", k = 200, salt = "x")
+      .as[(Long, Long, Long)].collect()
+    assert(other.map(_._1).toSet != rows.map(_._1).toSet)
+    // zero/negative weights are never sampled, even at k > corpus size
+    val withZero = corpus.withColumn("w",
+      when(col("doc_id") < 1990L, lit(0L)).otherwise(col("w")))
+    val z = Sampling.weightedTopK(withZero, "doc_id", "w", k = 2000)
+      .as[(Long, Long, Long)].collect()
+    assert(z.length == 10 && z.forall(_._1 >= 1990L))
+  }
+
   test("duplicate doc ids do not multiply pairs through the verify join-back") {
     // raw corpora carry repeated ids; the slim candidate join fetches
     // payloads back BY ID, which would fan out without the final distinct

@@ -18,6 +18,18 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("freqItems returns every item above the support threshold") {
+    import spark.implicits._
+    // skewed corpus: 'a' at 40%, 'b' at 15%, 60 rare singletons — at
+    // support 10% the guarantee says {a, b} ⊆ sketch, regardless of the
+    // sub-threshold extras it may also return
+    val rows = Seq.fill(80)("a") ++ Seq.fill(30)("b") ++
+      (0 until 60).map(i => s"r$i") ++ Seq.fill(30)("c")
+    val df = rows.toDF("t").repartition(8) // merge across partial sketches
+    val sketch = df.stat.freqItems(Seq("t"), 0.1).head().getSeq[String](0).toSet
+    assert(Set("a", "b", "c").subsetOf(sketch), s"sketch=$sketch")
+  }
+
   test("percentile_approx brackets the exact median") {
     val li = Tables.lineitem(spark, dir)
     val approx = li.agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
