@@ -1037,6 +1037,12 @@ object PipelineQueries {
       Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text",
         maxDupWordE4 = 5500, maxTopBigramE4 = 800)
         .orderBy("doc_id")),
+    // token-denominated mixture: per-lang budgets cut a deterministic
+    // md5-priority prefix — "2000 en tokens, 500 zh, 1000 of the rest"
+    "curate_token_budget" -> ((s, d) =>
+      Curation.tokenBudget(Tables.documents(s, d), "doc_id", "text", "lang",
+        Map("en" -> 2000L, "zh" -> 500L), defaultBudget = 1000L)
+        .orderBy("doc_id")),
     // "2.5 epochs of en, half of zh, one pass of the rest"
     "sample_mixture" -> ((s, d) =>
       Curation.mixture(Tables.documents(s, d), "doc_id", "lang",
@@ -2182,6 +2188,18 @@ object PipelineQueries {
     "stream_decontam" -> s"""
       |WITH $decontamCtes
       |SELECT doc_id, hits FROM hits WHERE doc_id % 10 = 0
+      |ORDER BY doc_id""".stripMargin.trim,
+
+    // deterministic md5-priority prefix per stratum, exact token cumsum
+    "curate_token_budget" -> s"""
+      |WITH t AS (SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+      |    md5('tb|' || doc_id::VARCHAR) AS pri FROM documents),
+      |c AS (SELECT doc_id, lang AS stratum, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+      |SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <=
+      |  CASE stratum WHEN 'en' THEN 2000 WHEN 'zh' THEN 500 ELSE 1000 END
       |ORDER BY doc_id""".stripMargin.trim,
 
     "text_gopher" -> s"""

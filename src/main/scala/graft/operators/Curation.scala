@@ -240,6 +240,53 @@ object Curation {
       .drop("__copies")
   }
 
+  /** Per-stratum TOKEN-budget selection — training mixes are specified in
+    * tokens, not documents ("1M tokens of de, 250k of zh"): within each
+    * stratum, docs are ranked by a deterministic md5 priority (pure
+    * function of `salt|id` — reproducible on any engine / partitioning,
+    * like [[Sampling.stratified]]) and kept while the running token total
+    * stays AT OR UNDER the stratum's budget; the first doc that would
+    * overflow is dropped, as is everything after it in priority order
+    * (docs later in the order can be smaller, but a greedy prefix — not
+    * best-fit packing — is the published mixture contract: the kept set
+    * is a pure function of (corpus, budgets, salt), not of a packing
+    * heuristic). Unlisted strata use `defaultBudget`; zero budgets a
+    * stratum out entirely. Output: `(id, stratum, n_tokens, cum_tokens)`.
+    *
+    * Scale: one narrow token-count scan, then ONE window cumsum
+    * hash-partitioned on the stratum — the same plan family as
+    * [[packSequences]]; cost is a per-stratum sequential pass (inherent:
+    * a prefix cut is sequential by definition) and strata counts are
+    * bounded (languages / domains), so the job parallelizes across
+    * strata. At extreme single-stratum skew, pre-filtering with an
+    * approximate priority threshold (budget/mean-doc-tokens quantile)
+    * bounds the window's input; not done here — the exact cut is the
+    * contract. */
+  def tokenBudget(
+      docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      salt: String = "tb"): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      s"budgets are token counts, got ${budgets.values.toSeq :+ defaultBudget}")
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val pri = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    docs
+      .select(col(idCol), col(stratumCol).as("stratum"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        pri.as("__pri"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          Window.partitionBy("stratum").orderBy(col("__pri"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // n_tokens >= 0 makes the cumsum monotone, so `cum <= budget` is
+      // prefix-closed on its own: the overflow doc and everything after
+      // it (including zero-token docs, whose cum is unchanged) is cut
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Cluster-balanced mixture resampling — the embedding-space cousin of
     * [[mixture]] (the DoReMi / cluster-balancing shape): documents are
     * assigned to their nearest embedding centroid, each cluster gets a

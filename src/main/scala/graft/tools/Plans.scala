@@ -105,6 +105,8 @@ object Plans {
       // mixture resample is a row-local explode — joins would mean the
       // weight dictionary stopped being a literal CASE
       "sample_mixture" -> Seq("Generate", "!Join"),
+      // token budget: ONE stratum-keyed window cumsum, no join anywhere
+      "curate_token_budget" -> Seq("Window", "!Join", "!CartesianProduct"),
       // A-ES weighted sample: per-partition top-k merged k-bounded on the
       // driver — a rangepartitioned full sort would be the scale bug
       "doc_sample_weighted" -> Seq("TakeOrderedAndProject",

@@ -126,6 +126,8 @@ object ScaleSweep {
       // probe+verify linear in train shingles
       ("curate_decontam_bloom", "linear"),
       ("sample_mixture", "linear"), ("pack_sequences", "linear"),
+      // token budget: narrow count scan + stratum-keyed window cumsum
+      ("curate_token_budget", "linear"),
       // merge-table BPE: per-row narrow mapPartitions + memo; packing on
       // its counts is the same one-window plan as pack_sequences
       ("text_tokens_bpe", "linear"), ("pack_bpe", "linear"),

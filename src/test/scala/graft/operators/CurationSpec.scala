@@ -101,6 +101,40 @@ class CurationSpec extends SparkSpec {
       (1L, 2L, 0L, ""), (2L, 1L, 0L, ""), (3L, 0L, 0L, "")))
   }
 
+  test("tokenBudget: greedy md5-priority prefix, exact cut, zero budgets") {
+    val docs = (0L until 60L)
+      .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh",
+        ("w " * (i % 7 + 1).toInt).trim)) // 1..7 tokens each
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.tokenBudget(docs, "doc_id", "text", "lang",
+      Map("en" -> 20L, "zh" -> 0L), defaultBudget = 15L)
+    val rows = out.as[(Long, String, Long, Long)].collect()
+    // budgets hold exactly, zh is budgeted out entirely
+    val byStrat = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byStrat.getOrElse("en", 0L) <= 20L)
+    assert(byStrat.getOrElse("de", 0L) <= 15L)
+    assert(!byStrat.contains("zh"))
+    assert(rows.nonEmpty)
+    // greedy maximality: the FIRST doc cut in priority order overflows
+    val pri = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n"),
+      md5(concat_ws("|", lit("tb"), col("doc_id").cast("string"))).as("p"))
+      .as[(Long, String, Long, String)].collect()
+    val keptIds = rows.map(_._1).toSet
+    for ((strat, budget) <- Seq(("en", 20L), ("de", 15L))) {
+      val ordered = pri.filter(_._2 == strat).sortBy(r => (r._4, r._1))
+      val firstCut = ordered.find(r => !keptIds.contains(r._1))
+      val keptSum = byStrat.getOrElse(strat, 0L)
+      firstCut.foreach(r => assert(keptSum + r._3 > budget,
+        s"$strat: cut doc ${r._1} (${r._3} toks) would have fit under $budget"))
+    }
+    // pure function of (corpus, budgets, salt)
+    val again = Curation.tokenBudget(docs, "doc_id", "text", "lang",
+      Map("en" -> 20L, "zh" -> 0L), defaultBudget = 15L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("repetitionStats: exact ratios on a constructed doc") {
     // 6 tokens: "x x x x y z" → distinct 3, dup_word = 3/6 = 5000e4
     // bigrams: (x x)×3, (x y), (y z) → top = 3/5 = 6000e4
