@@ -616,6 +616,17 @@ object PipelineQueries {
         base.filter(col("vec_id") % m === 0), "vec_id")
         .orderBy("id", "epoch")
     }),
+    // embedding outlier flags under the same √n-centroid recipe: best
+    // cosine < 0.15 (≈ p5 of the corpus) marks semantic outliers; every
+    // row surfaces with its flag so the set compare is SF-robust
+    "emb_outliers" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val m = math.ceil(math.sqrt(base.count().toDouble)).toLong
+      Similarity.centroidOutliers(base,
+        base.filter(col("vec_id") % m === 0), "vec_id", "embedding",
+        "vec_id", minCosineE6 = 150000L)
+        .orderBy("id")
+    }),
     // tight-threshold near-dup via the sign-bit LSH path: candidates are
     // pairs sharing ≥1 band key, then EXACT cosine verification — both
     // stages deterministic, so the DuckDB twin mirrors candidate
@@ -1690,6 +1701,22 @@ object PipelineQueries {
       |SELECT id, cid, w_e4, unnest(range(0, copies)) AS epoch
       |FROM cp WHERE copies > 0
       |ORDER BY id, epoch""".stripMargin.trim,
+
+    // same assignment replay as cluster_balance, surfaced as outlier flags
+    "emb_outliers" -> s"""
+      |WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS md FROM v),
+      |cent AS (SELECT id AS cid, v AS cv FROM v
+      |         WHERE id % (SELECT md FROM m) = 0),
+      |scored AS (
+      |  SELECT a.id, c.cid, ${cosE6("a.v", "c.cv")} AS cs FROM v a, cent c),
+      |best AS (
+      |  SELECT id, cid, cs FROM (
+      |    SELECT id, cid, cs,
+      |      row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT id, cid, cs AS cs_e6, cs < 150000 AS is_outlier
+      |FROM best ORDER BY id""".stripMargin.trim,
 
     "emb_quantize" -> """
       |WITH v AS (

@@ -543,6 +543,38 @@ object Similarity {
       .select(col(id), col("__v"), col("__n"), col("cid").as(out))
   }
 
+  /** Cluster-distance outlier scoring — embedding-based quality filtering
+    * (the filtering cousin of [[semDedup]]: SemDeDup drops docs too CLOSE
+    * to a cluster-mate, this flags docs too FAR from every cluster —
+    * OCR garbage, boilerplate fragments, wrong-modality rows sit far
+    * from all semantic mass). Each vector is assigned to its nearest
+    * centroid by (cosine desc, cid asc) — the exact [[assignBuckets]]
+    * geometry, so the verdicts share the IVF/SemDeDup/cluster-balance
+    * index family — and flagged iff that best cosine (e6-rounded long,
+    * so the threshold compare is engine-exact) is below `minCosineE6`.
+    * Every row surfaces with its flag; callers drop or route.
+    *
+    * Scale: one broadcast-centroid scan over the corpus (no vector
+    * shuffle), one id-keyed top-1 window — linear in n·k like every
+    * assignment pass in the family. Output: `(id, cid, cs_e6,
+    * is_outlier)`. */
+  def centroidOutliers(
+      vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      centroidIdCol: String, minCosineE6: Long): DataFrame = {
+    val cent = centFrame(centroids, centroidIdCol, vecCol)
+    val scored = vecs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .join(broadcast(cent), lit(true))
+      .select(col("id"), col("cid"),
+        round(dot(col("__v"), col("cv")) / (col("__n") * col("cn")) * 1e6, 0)
+          .cast("long").as("cs_e6"))
+    topNPerGroup(scored, "id", 1,
+      orderCols = Seq(col("cs_e6").desc, col("cid").asc))
+      .select(col("id"), col("cid"), col("cs_e6"),
+        (col("cs_e6") < minCosineE6).as("is_outlier"))
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, centroidIdCol: String, k: Int,

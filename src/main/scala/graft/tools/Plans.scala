@@ -36,6 +36,10 @@ object Plans {
       // the corpus itself never cartesians
       "curate_cluster_balance" -> Seq("Join", "HashAggregate",
         "!CartesianProduct"),
+      // outlier flags: the only nested loop is the broadcast centroid
+      // assignment; the top-1 is an id-keyed window, never a cartesian
+      "emb_outliers" -> Seq("BroadcastNestedLoopJoin", "Window",
+        "!CartesianProduct"),
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),

@@ -77,6 +77,8 @@ object ScaleSweep {
       // broadcast-centroid assignment + k-row joins; centroid count grows
       // as √n so the assignment scan is n·√n — "quadratic" bound class
       ("curate_cluster_balance", "quadratic"),
+      // outlier flags: same n·√n assignment pass as cluster_balance
+      ("emb_outliers", "quadratic"),
       // stride-1 window explode + hash-keyed self-join: window volume and
       // true-pair volume both scale with the corpus (replica construction
       // is a char bijection, so within-replica window equality is

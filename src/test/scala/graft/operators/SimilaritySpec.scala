@@ -90,6 +90,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"MRL-shaped recall@refine=8 = $recall")
   }
 
+  test("centroidOutliers flags far-from-every-centroid vectors, exact boundary") {
+    // centroids = axes x and y; vec 10 hugs x (cos 1.0), vec 11 sits at
+    // 45° of x/y (cos ≈ 0.707), vec 12 is z — orthogonal to BOTH (cos 0)
+    val cents = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pts = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 1.0f, 0.0f)),
+      (12L, Array(0.0f, 0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(pts, cents, "vec_id", "embedding",
+      "vec_id", minCosineE6 = 700000L)
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (10L, 100L, 1000000L, false),
+      (11L, 100L, 707107L, false), // ≥ threshold: kept; cid tie → lower id
+      (12L, 100L, 0L, true)))
+    // boundary is strict <: exactly-at-threshold is NOT an outlier
+    val atThr = Similarity.centroidOutliers(pts, cents, "vec_id", "embedding",
+      "vec_id", minCosineE6 = 707107L)
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect()
+    assert(!atThr(1)._4)
+  }
+
   test("semDedup drops the higher id of intra-cluster pairs only") {
     // centroids 1 and 3: cluster(1) = {1, 2, 5}, cluster(3) = {3, 4-ish}.
     // 5 ≈ 1 ≈ 2 are mutual near-dups inside cluster 1; 4 = -1 is in
