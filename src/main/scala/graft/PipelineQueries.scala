@@ -571,6 +571,13 @@ object PipelineQueries {
     "dedup_substring_runs" -> ((s, d) =>
       Dedup.substringRuns(substringFixture(s, d), "doc_id", "text", k = 10)
         .orderBy("a", "b")),
+    // INTRA-doc repetition: 3-token windows over the raw corpus — the
+    // 20-word vocabulary repeats organically (~5% of docs carry at least
+    // one verbatim 3-window repeat), so the counts/ratios are exercised
+    // without a planted fixture
+    "text_self_repetition" -> ((s, d) =>
+      Dedup.selfRepetition(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("id")),
     // span REMOVAL — the remediation step: every position of the LATER
     // doc covered by a window shared with an earlier doc is dropped and
     // the survivors reassemble in token order
@@ -1565,6 +1572,26 @@ object PipelineQueries {
       |SELECT a, b, CAST(max(len) + 9 AS BIGINT) AS max_run,
       |       CAST(sum(len) AS BIGINT) AS n_windows
       |FROM runs GROUP BY a, b ORDER BY a, b""".stripMargin.trim,
+
+    // intra-doc repetition: stride-1 3-window occurrence counts per doc;
+    // counting by the window text ≡ Spark's md5-keyed counts
+    "text_self_repetition" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |w AS (SELECT doc_id, array_to_string(toks[i : i+2], ' ') AS g
+      |  FROM tok, unnest(range(1, greatest(len(toks)-2, 0)+1)) t(i)),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY doc_id, g),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_repeated,
+      |    CAST(max(c) AS BIGINT) AS max_occ FROM c GROUP BY doc_id)
+      |SELECT d.doc_id AS id,
+      |  coalesce(n_windows, 0) AS n_windows,
+      |  coalesce(n_repeated, 0) AS n_repeated,
+      |  coalesce(max_occ, 0) AS max_occ,
+      |  CASE WHEN coalesce(n_windows, 0) > 0
+      |       THEN (coalesce(n_repeated, 0) * 10000) // n_windows
+      |       ELSE 0 END AS rep_e4
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      |ORDER BY id""".stripMargin.trim,
 
     // cross-corpus: new (planted) windows × reference (original) windows,
     // one oracle for BOTH the inline and stored engine paths

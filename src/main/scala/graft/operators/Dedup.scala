@@ -664,6 +664,40 @@ object Dedup {
         sum(col("__len")).as("n_windows"))
   }
 
+  /** INTRA-document repetition detection — the within-doc member of the
+    * substring family (decoder loops, copy-paste spam, templated filler
+    * repeat VERBATIM runs inside one document; the Gopher ratio rules
+    * catch token/bigram-level repetition, this catches long exact
+    * k-window repeats at any offset). Per doc, stride-1 k-token windows
+    * are counted by content hash: `n_windows` total occurrences,
+    * `n_repeated` occurrences belonging to a window seen more than once
+    * in the SAME doc, `max_occ` the most-repeated window's count, and
+    * `rep_e4 = n_repeated·10⁴ div n_windows` (integer division — engine
+    * exact). Docs shorter than k tokens surface as all-zeros.
+    *
+    * Scale: positioned windows (volume ≈ corpus token count) → one
+    * (id, hash)-keyed hash agg → one id-keyed hash agg, both map-side
+    * partial; join-back is id-keyed. No self-join — repetition is read
+    * off occurrence counts, never off window×window pairs. */
+  def selfRepetition(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"repetition window must be at least 2 tokens, got $k")
+    val counts = positionedWindows(tokenized(docs, idCol, textCol), k)
+      .groupBy("id", "h").agg(count(lit(1)).as("__c"))
+    val agg = counts.groupBy("id").agg(
+      sum(col("__c")).as("n_windows"),
+      sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("n_repeated"),
+      max(col("__c")).as("max_occ"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        coalesce(col("max_occ"), lit(0L)).as("max_occ"))
+      .withColumn("rep_e4",
+        when(col("n_windows") > 0,
+          expr("(n_repeated * 10000) div n_windows")).otherwise(lit(0L)))
+  }
+
   /** Span REMOVAL — the remediation step of the suffix-array dedup paper:
     * every token position of doc `b` covered by a k-window also present
     * in a LOWER-id doc is dropped (first occurrence wins, like the

@@ -161,6 +161,10 @@ object Plans {
       // paragraph dedup = chunk-hash window + per-doc regroup, both keyed —
       // never a join at all
       "dedup_paragraphs" -> Seq("Window", "HashAggregate", "!Join"),
+      // intra-doc repetition: two keyed hash aggs + id-keyed join-back —
+      // never a window×window self-join
+      "text_self_repetition" -> Seq("HashAggregate", "partial_",
+        "!SortAggregate", "!CartesianProduct"),
       // boilerplate: chunk explode + df hash aggs + the tiny high-df set
       // joined back (equi, AQE-broadcastable) — no window, no nested loop
       "curate_boilerplate" -> Seq("Generate", "HashAggregate", "Join",

@@ -152,6 +152,8 @@ object ScaleSweep {
       ("dedup_paragraphs", "linear"),
       // boilerplate: chunk explode + per-source df aggs, all keyed
       ("curate_boilerplate", "linear"),
+      // intra-doc repetition: window explode + two keyed hash aggs
+      ("text_self_repetition", "linear"),
       ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
       // streaming curation twins: stateless narrow maps over the replay

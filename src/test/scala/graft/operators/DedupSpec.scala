@@ -150,6 +150,22 @@ class DedupSpec extends SparkSpec {
     assert(z.length == 10 && z.forall(_._1 >= 1990L))
   }
 
+  test("selfRepetition: exact occurrence accounting, short docs all-zero") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // 2-windows: "a b"×3, "b a"×2 → all 5 repeated
+      (2L, "a b c"),        // 2 distinct windows, no repeats
+      (3L, "x"),            // shorter than k → zeros
+      (4L, "go go go stop go go") // "go go"×3, "go stop", "stop go" → 3 of 5
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfRepetition(docs, "doc_id", "text", k = 2)
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 5L, 3L, 10000L),
+      (2L, 2L, 0L, 1L, 0L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 5L, 3L, 3L, 6000L)))
+  }
+
   test("duplicate doc ids do not multiply pairs through the verify join-back") {
     // raw corpora carry repeated ids; the slim candidate join fetches
     // payloads back BY ID, which would fan out without the final distinct
