@@ -23,6 +23,22 @@ object PipelineQueries {
     * only, which is exactly the quantity the row exists to measure. */
   private val sigStoreRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  /** Per-JVM persisted unigram LM over the 95% train slice — the
+    * [[refSigStore]] pattern: built once per sf dir, charged to the
+    * harness ledger; the stored-scoring row times only the per-batch
+    * scan + score a production filter actually pays. */
+  private val lmStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def refLmStore(s: SparkSession, d: String): String =
+    lmStoreRoots.computeIfAbsent(d, _ =>
+      Queries.harness("text_unigram_nll_stored") {
+        val root = java.nio.file.Files.createTempDirectory("graft_lmstore").toString
+        Queries.deleteOnExit(root)
+        graft.operators.LmStore.build(
+          Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text", root, "train95")
+        root
+      })
   private def refSigStore(s: SparkSession, d: String): String =
     sigStoreRoots.computeIfAbsent(d, _ =>
       Queries.harness("dedup_against_ref_stored") {
@@ -889,6 +905,17 @@ object PipelineQueries {
           when(col("doc_id") % 7 === 0, lit("")).otherwise(col("text"))),
         "doc_id", "text")
         .orderBy("id")),
+    // the production filtering shape: LM trained ONCE on the frozen 95%
+    // train slice and PERSISTED; the held-out eval slice scores against
+    // the stored model (bare parquet scans — per-batch cost ∝ batch,
+    // never ∝ reference corpus), unseen tokens at the add-one floor
+    "text_unigram_nll_stored" -> ((s, d) => {
+      val root = refLmStore(s, d)
+      graft.operators.LmStore.score(s, root, "train95",
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+        .orderBy("id")
+    }),
     // the perplexity-filtering END USE (CCNet/LLaMA curation): score every
     // doc under the corpus LM, find the exact p90 NLL with the
     // distributed bracket+refine quantile (no value-buffering Percentile
@@ -1312,6 +1339,28 @@ object PipelineQueries {
       |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
       |       coalesce(a.nll_e4, 0) AS nll_e4
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY id""".stripMargin.trim,
+
+    // stored-LM scoring: LM from the train slice, eval slice scored with
+    // LEFT JOIN + add-one floor for unseen tokens — same fold as inline
+    "text_unigram_nll_stored" -> s"""
+      |WITH trc AS (SELECT t, count(*) AS c FROM (
+      |    SELECT unnest($TOKS) AS t FROM documents WHERE doc_id % 20 != 0)
+      |  GROUP BY t),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM trc),
+      |evtok AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 20 = 0),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM evtok),
+      |lp AS (SELECT e.doc_id, e.t,
+      |       ln((coalesce(c.c, 0) + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |       FROM ex e LEFT JOIN trc c USING (t) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |        CAST(round(-list_sum(list(lp ORDER BY t)) * 10000.0 / count(*))
+      |          AS BIGINT) AS nll_e4
+      |        FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.nll_e4, 0) AS nll_e4
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY id""".stripMargin.trim,
 
     // composed scoring + exact-quantile threshold + cut: quantile_cont

@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted unigram language model for incremental perplexity scoring.
+  *
+  * [[TextAnalysis.unigramNll]] trains its LM inline from the scored corpus
+  * — the right shape for one-shot corpus analysis, the wrong one for
+  * production filtering, where the model is trained ONCE on a frozen
+  * reference corpus and every new crawl batch is scored against it
+  * (CCNet scores crawls under a Wikipedia-trained LM; the training corpus
+  * and the scored corpus are different by design). This store is the
+  * [[SignatureStore]]/[[IvfStore]] pattern applied to the LM: build
+  * persists the count table + totals, score reads them back as bare
+  * parquet scans and runs the SAME scoring plan ([[TextAnalysis.nllAgainst]]
+  * — shared code, so stored and inline semantics cannot drift). Tokens
+  * unseen at train time score the add-one floor `ln(1/(N+V))`.
+  *
+  * Layout under `root/corpusId/`:
+  *   - `counts.parquet`  (t, c) — the vocab-sized (Zipf-bounded) table
+  *   - `totals.parquet`  one row (n_total, vocab)
+  *   - `_params`         tag, written LAST as the commit marker (a crashed
+  *                       build leaves no marker and rebuilds; a version
+  *                       bump invalidates old stores instead of silently
+  *                       mixing smoothing schemes)
+  *
+  * 100 TB story: build is the same two hash aggs the inline operator
+  * runs, written once; score reads only the vocab-sized artifacts (AQE
+  * broadcasts the count side while it fits, degrades to a shuffled
+  * equi-join) — per-batch cost ∝ batch, never ∝ reference corpus.
+  */
+object LmStore {
+
+  /** Bumped when tokenization or smoothing changes. */
+  val Tag = "unigram-addone.v1"
+
+  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
+  private def marker(root: String, corpusId: String): Path =
+    dir(root, corpusId).resolve("_params")
+
+  /** True iff a complete store exists under the current [[Tag]]. */
+  def isBuilt(root: String, corpusId: String): Boolean = {
+    val m = marker(root, corpusId)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == Tag
+  }
+
+  /** Train and persist the corpus LM; idempotent per (corpusId, [[Tag]]) —
+    * a matching store is left untouched, anything else wiped and rebuilt. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      root: String, corpusId: String): Unit = {
+    if (isBuilt(root, corpusId)) return
+    val d = dir(root, corpusId)
+    if (Files.exists(d)) rmTree(d)
+    Files.createDirectories(d)
+    val counts = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    counts.write.mode("overwrite").parquet(d.resolve("counts.parquet").toString)
+    // totals derive from the JUST-PERSISTED counts, so the two artifacts
+    // are consistent even if the corpus changes under a concurrent build
+    docs.sparkSession.read.parquet(d.resolve("counts.parquet").toString)
+      .agg(sum(col("c")).as("n_total"), count(lit(1)).as("vocab"))
+      .write.mode("overwrite").parquet(d.resolve("totals.parquet").toString)
+    Files.write(marker(root, corpusId), Tag.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Score `docs` under the stored LM — [[TextAnalysis.unigramNll]]'s
+    * output shape `(id, n_tokens, nll_e4)`, reference side two bare
+    * parquet scans. */
+  def score(spark: SparkSession, root: String, corpusId: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(isBuilt(root, corpusId),
+      s"LmStore at $root/$corpusId is missing or built under another tag")
+    val d = dir(root, corpusId)
+    TextAnalysis.nllAgainst(docs, idCol, textCol,
+      spark.read.parquet(d.resolve("counts.parquet").toString),
+      spark.read.parquet(d.resolve("totals.parquet").toString))
+  }
+
+  private def rmTree(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { Files.delete(q); () })
+    }
+  }
+}

@@ -129,12 +129,28 @@ object TextAnalysis {
       .groupBy("t").agg(count(lit(1)).as("c"))
     val totals = counts.agg(
       sum(col("c")).as("n_total"), count(lit(1)).as("vocab"))
+    nllAgainst(docs, idCol, textCol, counts, totals)
+  }
+
+  /** The scoring half of [[unigramNll]] against an EXTERNAL count table —
+    * shared by the inline operator (which passes its own just-computed
+    * frames) and [[LmStore.score]] (which passes bare parquet scans of
+    * the persisted model), so the two paths cannot drift. `counts` is
+    * `(t, c)`, `totals` ONE row `(n_total, vocab)`. Tokens absent from
+    * the table score the add-one floor `ln(1 / (N + V))` — on the inline
+    * path every token is present, so the coalesce is a no-op there. */
+  private[operators] def nllAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, totals: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
     val lp = ex
       .join(counts, Seq("t"), "left")
       .crossJoin(broadcast(totals)) // 1 row: corpus N and V
       .select(col("id"), col("t"),
         when(col("t").isNotNull,
-          log((col("c") + lit(1.0)) / (col("n_total") + col("vocab"))))
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("n_total") + col("vocab"))))
           .as("lp"))
     // ordered fold (token-sorted) instead of a bare double sum() — the
     // partition-combine-order parity trap at a rounding cut; equal tokens

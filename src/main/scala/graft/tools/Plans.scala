@@ -125,6 +125,7 @@ object Plans {
       // anywhere (beyond the 1-row totals broadcast) is wrong
       "text_unigram_nll" -> Seq("HashAggregate", "!CartesianProduct"),
       "text_unigram_nll_empty" -> Seq("HashAggregate", "!CartesianProduct"),
+      "text_unigram_nll_stored" -> Seq("HashAggregate", "!CartesianProduct"),
       // bigram NLL: same contract with one extra vocab equi-join
       "text_bigram_nll" -> Seq("HashAggregate", "!CartesianProduct",
         "!SortAggregate"),

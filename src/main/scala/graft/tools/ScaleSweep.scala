@@ -136,6 +136,7 @@ object ScaleSweep {
       // perplexity-filtering shape: two token-keyed hash aggs + one
       // vocab-sized join — vocab grows sublinearly, so ~linear
       ("text_unigram_nll", "linear"), ("text_unigram_nll_empty", "linear"),
+      ("text_unigram_nll_stored", "linear"),
       ("text_bigram_nll", "linear"),
       ("text_entropy", "linear"),
       // BM25: two narrow corpus scans + a k-row tail — must stay linear

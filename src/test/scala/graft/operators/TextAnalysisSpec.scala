@@ -59,6 +59,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("LmStore: stored scoring ≡ inline on the train corpus; unseen floor") {
+    val train = Seq((1L, "a a a"), (2L, "a a a b b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("lmstore_spec").toString
+    LmStore.build(train, "doc_id", "text", root, "c1")
+    assert(LmStore.isBuilt(root, "c1"))
+    // self-scoring through the store ≡ the inline operator bit-for-bit
+    val stored = LmStore.score(spark, root, "c1", train, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val inline = TextAnalysis.unigramNll(train, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stored == inline)
+    // a NEW batch with unseen tokens: "q" scores the add-one floor
+    // ln(1/(N+V)) = ln(1/12); empty docs still retained at (0, 0)
+    val batch = Seq((10L, "q"), (11L, "a q"), (12L, ""))
+      .toDF("doc_id", "text")
+    val out = LmStore.score(spark, root, "c1", batch, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    def nll(cs: Seq[Long]): Long =
+      math.round(cs.map(c => -math.log((c + 1.0) / 12.0)).sum / cs.size * 10000)
+    assert(out(10L) == ((1L, nll(Seq(0)))))
+    assert(out(11L) == ((2L, nll(Seq(6, 0)))))
+    assert(out(12L) == ((0L, 0L)))
+    // idempotent: a second build leaves the marker (and artifacts) alone
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "c1", "_params"))
+    LmStore.build(train.limit(1), "doc_id", "text", root, "c1")
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "c1", "_params")) == mtime)
+    // scoring a missing store fails loudly
+    intercept[IllegalArgumentException] {
+      LmStore.score(spark, root, "absent", batch, "doc_id", "text")
+    }
+  }
+
   test("charEntropy: uniform text maxes, constant text zeroes, empty at (0,0)") {
     val d = Seq((1L, "abcd"), (2L, "aaaa"), (3L, ""), (4L, "aabb"))
       .toDF("doc_id", "text")
