@@ -518,6 +518,37 @@ object PipelineQueries {
       q.awaitTermination()
       s.read.parquet(outDir).orderBy("a", "b")
     }),
+    // the live-crawl perplexity-filter shape: new documents stream in and
+    // score per micro-batch against the PERSISTED train95 LM (foreachBatch
+    // runs the same stored scorer the batch row uses; per-doc scores are
+    // batch-independent, so the union of micro-batch outputs equals the
+    // batch run bit-for-bit and the oracle is the batch SQL on the slice)
+    "stream_nll_stored" -> ((s, d) => {
+      val root = refLmStore(s, d)
+      val in = docsStreamFixture(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val outDir = Queries.scratchDir("graft_stream_nll_out")
+      val ck = Queries.scratchDir("graft_stream_nll_ck")
+      Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.LmStore.score(s, root, "train95",
+            batch, "doc_id", "text")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("id")
+    }),
     // streaming incremental SUBSTRING dedup: each micro-batch of the
     // planted-doc replay joins its own windows against the persisted
     // reference window store (per-doc independence ⇒ per-batch union ≡
@@ -1360,6 +1391,28 @@ object PipelineQueries {
       |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
       |       coalesce(a.nll_e4, 0) AS nll_e4
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY id""".stripMargin.trim,
+
+    // streaming twin: same stored scorer per micro-batch over the
+    // doc_id % 10 = 0 replay fixture — batch SQL restricted to the slice
+    "stream_nll_stored" -> s"""
+      |WITH trc AS (SELECT t, count(*) AS c FROM (
+      |    SELECT unnest($TOKS) AS t FROM documents WHERE doc_id % 20 != 0)
+      |  GROUP BY t),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM trc),
+      |evtok AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id % 10 = 0),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM evtok),
+      |lp AS (SELECT e.doc_id, e.t,
+      |       ln((coalesce(c.c, 0) + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |       FROM ex e LEFT JOIN trc c USING (t) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |        CAST(round(-list_sum(list(lp ORDER BY t)) * 10000.0 / count(*))
+      |          AS BIGINT) AS nll_e4
+      |        FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.nll_e4, 0) AS nll_e4
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
       |LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY id""".stripMargin.trim,
 

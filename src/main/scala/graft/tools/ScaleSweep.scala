@@ -109,6 +109,7 @@ object ScaleSweep {
       ("stream_windowed", "linear"), ("stream_fql_reduce", "linear"),
       ("stream_session", "linear"), ("stream_dedup_ref", "linear"),
       ("stream_dedup_substring", "linear"),
+      ("stream_nll_stored", "linear"),
       // the round-7 de-weaked quantile paths: replicas keep each group's
       // VALUE MULTISET identical (only ids shift), so groups grow 10×
       // with unchanged quantiles — the exact per-group-buffering /
