@@ -72,15 +72,22 @@ object LmStore {
 
   /** Score `docs` under the stored LM — [[TextAnalysis.unigramNll]]'s
     * output shape `(id, n_tokens, nll_e4)`, reference side two bare
-    * parquet scans. */
+    * parquet scans. Fails loudly on an LM trained from an all-empty
+    * corpus (vocab 0 ⇒ `sum(c)` persisted NULL ⇒ every lp would go
+    * silently null and non-empty docs would score as (0, 0) — a
+    * degenerate model must not masquerade as a typicality verdict). */
   def score(spark: SparkSession, root: String, corpusId: String,
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     require(isBuilt(root, corpusId),
       s"LmStore at $root/$corpusId is missing or built under another tag")
     val d = dir(root, corpusId)
+    val totals = spark.read.parquet(d.resolve("totals.parquet").toString)
+    val vocab = totals.head().getAs[Long]("vocab") // 1-row artifact
+    require(vocab > 0,
+      s"LmStore at $root/$corpusId was trained on an empty corpus (vocab 0)")
     TextAnalysis.nllAgainst(docs, idCol, textCol,
       spark.read.parquet(d.resolve("counts.parquet").toString),
-      spark.read.parquet(d.resolve("totals.parquet").toString))
+      totals)
   }
 
   private def rmTree(p: Path): Unit = {

@@ -48,7 +48,11 @@ object Sampling {
     * merge on the driver: k-bounded, never a full sort shuffle).
     * Non-positive weights are dropped up front (a zero weight would make
     * the key division ANSI-throw; semantically w ≤ 0 means "never
-    * sample"). Returns `(id, weight, key_e12)`, ascending key order. */
+    * sample"). Weights are expected at count/score magnitude (≥ ~1e-6);
+    * a pathological weight below ~1e-9 pushes the e12 key past Long
+    * range, which fails LOUDLY under ANSI's overflow-checked cast rather
+    * than silently wrapping. Returns `(id, weight, key_e12)`, ascending
+    * key order. */
   def weightedTopK(
       df: DataFrame, idCol: String, weightCol: String, k: Int,
       salt: String = "ws"): DataFrame = {

@@ -92,6 +92,13 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LmStore.score(spark, root, "absent", batch, "doc_id", "text")
     }
+    // an LM trained on an all-empty corpus (vocab 0) is degenerate —
+    // scoring against it must fail loudly, not null every lp
+    val empties = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    LmStore.build(empties, "doc_id", "text", root, "c0")
+    intercept[IllegalArgumentException] {
+      LmStore.score(spark, root, "c0", batch, "doc_id", "text")
+    }
   }
 
   test("charEntropy: uniform text maxes, constant text zeroes, empty at (0,0)") {
