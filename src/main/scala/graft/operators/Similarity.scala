@@ -34,7 +34,20 @@ object Similarity {
 
   /** Cosine similarity scaled to exact integer micro-units (round(c*1e6)). */
   def cosineE6(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)) * 1e6, 0).cast("long")
+    safeCosE6(dot(a, b), norm(a), norm(b))
+
+  /** e6 cosine from a precomputed dot and norms, TOTAL under ANSI mode:
+    * a zero-norm vector (a failed encoder emits all-zeros at crawl scale)
+    * is similar to NOTHING — its cosine is defined 0 (never a near-dup,
+    * always below any outlier threshold, ties to the lowest cid on
+    * assignment) instead of executing the double/0 division, which ANSI
+    * THROWS on (probed: SparkArithmeticException, not IEEE NaN — the
+    * same hazard class as the r11 unigramNll empty-doc crash). For
+    * nonzero norms the arithmetic is bit-identical to the unguarded
+    * form, so every oracle hash is unchanged. */
+  private[operators] def safeCosE6(d: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, round(d / (na * nb) * 1e6, 0).cast("long"))
+      .otherwise(lit(0L))
 
   /** All pairs (a < b) with cosine ≥ minCosineE6 — embedding near-dup
     * detection, EXACT semantics (no candidate filter — at a loose threshold
@@ -81,8 +94,7 @@ object Similarity {
     l.join(r, l("__ba") === r("__ra") && l("__bb") === r("__rb"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim_e6"))
       .filter(col("sim_e6") >= minCosineE6)
   }
 
@@ -167,8 +179,7 @@ object Similarity {
       .join(vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na")), Seq("a"))
       .join(vd.select(col(idCol).as("b"), col("__v").as("vb"), col("__n").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim_e6"))
       .filter(col("sim_e6") >= minCosineE6)
   }
 
@@ -359,8 +370,7 @@ object Similarity {
       .join(vd.select(col(idCol).as("a"), col("__v").as("va"), col("__n").as("na")), Seq("a"))
       .join(vd.select(col(idCol).as("b"), col("__v").as("vb"), col("__n").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim_e6"))
       .filter(col("sim_e6") >= minCosineE6)
   }
 
@@ -426,8 +436,7 @@ object Similarity {
     val pairs = lo.join(hi, Seq("cid"))
       .filter(col("a") < col("b"))
       .select(col("cid"), col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6, 0)
-          .cast("long").as("cos_e6"))
+        safeCosE6(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos_e6"))
       .filter(col("cos_e6") >= minCosineE6)
     // drop the higher side of every qualifying pair; witness = the lowest
     // superseding id (struct min is lexicographic on (a, cos_e6) and `a`
@@ -451,8 +460,7 @@ object Similarity {
     val c = cd.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     val scored = c.join(broadcast(q), col("id") =!= col("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qv")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(scored, "q", k)
   }
 
@@ -497,16 +505,14 @@ object Similarity {
       .join(broadcast(q.select(col("q"), col("tqv"), col("tqn"))),
         col("id") =!= col("q"))
       .select(col("q"), col("id"),
-        round(dot(col("tv"), col("tqv")) / (col("tn") * col("tqn")) * 1e6, 0)
-          .cast("long").as("tsim_e6"))
+        safeCosE6(dot(col("tv"), col("tqv")), col("tn"), col("tqn")).as("tsim_e6"))
     val cand = topNPerGroup(pre, "q", k * refine,
       orderCols = Seq(col("tsim_e6").desc, col("id").asc)).select("q", "id")
     val rescored = cand
       .join(cd.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(broadcast(q.select(col("q"), col("qv"), col("qn"))), Seq("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qv")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(rescored, "q", k)
   }
 
@@ -537,8 +543,7 @@ object Similarity {
       .withColumn("__n", norm(col("__v")))
       .join(broadcast(cent), lit(true))
       .select(col(id), col("__v"), col("__n"), col("cid"),
-        round(dot(col("__v"), col("cv")) / (col("__n") * col("cn")) * 1e6, 0)
-          .cast("long").as("__cs"))
+        safeCosE6(dot(col("__v"), col("cv")), col("__n"), col("cn")).as("__cs"))
     topNPerGroup(scored, id, n, orderCols = Seq(col("__cs").desc, col("cid").asc))
       .select(col(id), col("__v"), col("__n"), col("cid").as(out))
   }
@@ -567,8 +572,7 @@ object Similarity {
       .withColumn("__n", norm(col("__v")))
       .join(broadcast(cent), lit(true))
       .select(col("id"), col("cid"),
-        round(dot(col("__v"), col("cv")) / (col("__n") * col("cn")) * 1e6, 0)
-          .cast("long").as("cs_e6"))
+        safeCosE6(dot(col("__v"), col("cv")), col("__n"), col("cn")).as("cs_e6"))
     topNPerGroup(scored, "id", 1,
       orderCols = Seq(col("cs_e6").desc, col("cid").asc))
       .select(col("id"), col("cid"), col("cs_e6"),
@@ -595,8 +599,7 @@ object Similarity {
     val scored = bucketed.join(probed, Seq("bucket"))
       .filter(col("id") =!= col("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qv")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(scored, "q", k)
   }
 
@@ -687,8 +690,7 @@ object Similarity {
       .join(bucketed.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(probed.select(col("q"), col("qvec"), col("qn")).dropDuplicates("q"), Seq("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qvec")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qvec")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(rescored, "q", k)
   }
 
@@ -985,8 +987,7 @@ object Similarity {
       .join(coded.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(q.select(col("q"), col("qv"), col("qn")), Seq("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qv")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(rescored, "q", k)
   }
 
@@ -1050,8 +1051,7 @@ object Similarity {
       .join(coded.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(probed.select(col("q"), col("qv"), col("qn")).dropDuplicates("q"), Seq("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qv")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(rescored, "q", k)
   }
 
@@ -1107,8 +1107,7 @@ object Similarity {
       .join(store.select(col("id"), col("v"), col("n")), Seq("id"))
       .join(probed.select(col("q"), col("qv"), col("qn")).dropDuplicates("q"), Seq("q"))
       .select(col("q"), col("id"),
-        round(dot(col("v"), col("qv")) / (col("n") * col("qn")) * 1e6, 0)
-          .cast("long").as("sim_e6"))
+        safeCosE6(dot(col("v"), col("qv")), col("n"), col("qn")).as("sim_e6"))
     topKPerGroup(rescored, "q", k)
   }
 
@@ -1143,7 +1142,11 @@ object Similarity {
       val c = cent.withColumn("cn", norm(col("cv")))
       val scored = vd.join(broadcast(c), lit(true))
         .select(col("id"), col("v"), col("cid"),
-          (dot(col("v"), col("cv")) / (col("n") * col("cn"))).as("cs"))
+          // zero-norm total like safeCosE6 (a zero vector or degenerate
+          // centroid assigns to the lowest cid instead of ANSI-throwing)
+          when(col("n") * col("cn") > 0,
+            dot(col("v"), col("cv")) / (col("n") * col("cn")))
+            .otherwise(lit(0.0)).as("cs"))
       // top-1 by (cs desc, cid asc) as a partial+final min_by aggregation —
       // a row_number window here would SORT n·k rows every iteration; the
       // agg keeps one candidate per id per partition instead. Struct

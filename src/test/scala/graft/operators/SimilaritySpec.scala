@@ -90,6 +90,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"MRL-shaped recall@refine=8 = $recall")
   }
 
+  test("zero-norm vectors are total: cosine 0, never near-dup, always outlier") {
+    // a failed encoder emits all-zeros at crawl scale; under ANSI the
+    // unguarded double/0 division THROWS (SparkArithmeticException), so
+    // totality here is a crash fix, not a semantic nicety
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val pairs = Similarity.nearDupPairs(withZero, "vec_id", "embedding",
+      minCosineE6 = 1L) // any positive similarity at all
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L)) // similar to NOTHING
+    val cents = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(withZero, cents, "vec_id",
+      "embedding", "vec_id", minCosineE6 = 1L)
+      .filter($"id" === 9L).as[(Long, Long, Long, Boolean)].head()
+    assert(out == ((9L, 100L, 0L, true))) // cs 0, flagged
+    // top-k over a corpus containing the zero vector must not throw, and
+    // the zero vector ranks last (sim 0 to every query)
+    val tk = Similarity.bruteForceTopK(withZero,
+      vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 4)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(tk.last._2 == 9L || tk.map(_._2).contains(9L))
+  }
+
   test("centroidOutliers flags far-from-every-centroid vectors, exact boundary") {
     // centroids = axes x and y; vec 10 hugs x (cos 1.0), vec 11 sits at
     // 45° of x/y (cos ≈ 0.707), vec 12 is z — orthogonal to BOTH (cos 0)
