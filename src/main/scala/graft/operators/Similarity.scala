@@ -161,12 +161,18 @@ object Similarity {
     // ids + band keys ONLY — the candidate join must stay narrow
     val bandedRaw = vd.select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(0), effBands - 1), bandIx =>
-          aggregate(
+          // zero-dim (empty-array) totality: both pmod-by-size(0) and
+          // element_at over the empty array ANSI-THROW (probed), so the
+          // degenerate row takes band key 0 outright — it clusters only
+          // with its own kind and safeCosE6 scores it 0 at verify, like
+          // the zero-norm case
+          when(size(col("__v")) > 0, aggregate(
             sequence(lit(0L), lit(bitsPerBand - 1L)), lit(0L),
             (acc, j) => acc * 2 + when(
               element_at(col("__v"),
                 (pmod(bandIx.cast("long") * bitsPerBand + j, size(col("__v")))
-                  + 1).cast("int")) >= 0d, lit(1L)).otherwise(lit(0L)))))
+                  + 1).cast("int")) >= 0d, lit(1L)).otherwise(lit(0L))))
+            .otherwise(lit(0L))))
           .as(Seq("band_ix", "band_key")))
     val banded = OperatorCache.scoped(bandedRaw) // both self-join sides
     val cand = banded.select(col("id").as("a"), col("band_ix"), col("band_key"))

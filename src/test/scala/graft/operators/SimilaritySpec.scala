@@ -111,6 +111,15 @@ class SimilaritySpec extends SparkSpec {
       vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 4)
       .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1)
     assert(tk.last._2 == 9L || tk.map(_._2).contains(9L))
+    // zero-DIM (empty array) rows: the LSH band fold's pmod/element_at
+    // both ANSI-throw unguarded — the row must flow through banding and
+    // verify without pairing with anything real
+    val withEmpty = vecs.unionByName(
+      Seq((8L, Array.empty[Float])).toDF("vec_id", "embedding"))
+    val sp = Similarity.nearDupPairsLsh(withEmpty, "vec_id", "embedding",
+      minCosineE6 = 1L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!sp.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
   test("centroidOutliers flags far-from-every-centroid vectors, exact boundary") {
