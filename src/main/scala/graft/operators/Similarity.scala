@@ -538,21 +538,69 @@ object Similarity {
       .select(col(centroidIdCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
 
-  /** Assign each row to its `n` nearest centroids by (cosine desc, cid asc);
-    * output (id, __v, __n, out). One broadcast join over the frame — no
-    * shuffle of the vectors themselves. */
+  /** Collect a [[centFrame]] `(cid, cv, cn)` into a driver-side
+    * [[graft.functions.CentroidMatrix]], cid-ascending (the tie-break
+    * order). Returns the matrix plus the original cid type so callers can
+    * cast assignments back to the caller's schema. None when cid is not
+    * an integral type — those centroids take the generic column path.
+    *
+    * The collect is the standard k-means-family contract: centroids are
+    * √n of the corpus by construction, driver-and-broadcast sized
+    * (~190 MB at 10⁹ × 768d) while the corpus itself never is. The
+    * STORED `cn` is used verbatim so persisted indexes ([[IvfStore]])
+    * assign against exactly the norms they were built with. */
+  private[operators] def collectCentroidMatrix(
+      cent: DataFrame): Option[(graft.functions.CentroidMatrix, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val cidType = cent.schema("cid").dataType
+    cidType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val rows = cent
+          .select(col("cid").cast("long"), col("cv").cast("array<double>"), col("cn"))
+          .collect()
+          .sortBy(_.getLong(0))
+        Some((new graft.functions.CentroidMatrix(
+          rows.map(_.getLong(0)),
+          rows.map(_.getSeq[Double](1).toArray),
+          rows.map(_.getDouble(2))), cidType))
+      case _ => None
+    }
+  }
+
+  /** Assign each row to its `n` nearest centroids by (cosine desc, cid
+    * asc); output (id, __v, __n, out, __cs).
+    *
+    * ROW-LOCAL: the centroid frame is collected once (driver-sized by the
+    * √n contract) and the argmax runs as a codegen expression over the
+    * broadcast matrix ([[graft.functions.NearestCentroids]]) — zero row
+    * expansion, zero exchange. The formulation this replaced
+    * (`join(broadcast(cent), lit(true))` + an id-keyed `row_number`
+    * window) hash-exchanged n·√n rows each still carrying the full
+    * vector — zettabyte-class at 10⁹ × 768d. Non-integral cid types keep
+    * the generic column path (none in the battery; the fast path's cast
+    * back to the caller's cid type is exact for integrals). */
   private[operators] def assignBuckets(
       df: DataFrame, cent: DataFrame, vecCol: String,
-      id: String, out: String, n: Int): DataFrame = {
-    val scored = df
-      .select(col(id), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__n", norm(col("__v")))
-      .join(broadcast(cent), lit(true))
-      .select(col(id), col("__v"), col("__n"), col("cid"),
-        safeCosE6(dot(col("__v"), col("cv")), col("__n"), col("cn")).as("__cs"))
-    topNPerGroup(scored, id, n, orderCols = Seq(col("__cs").desc, col("cid").asc))
-      .select(col(id), col("__v"), col("__n"), col("cid").as(out))
-  }
+      id: String, out: String, n: Int): DataFrame =
+    collectCentroidMatrix(cent) match {
+      case Some((m, cidType)) =>
+        val bc = df.sparkSession.sparkContext.broadcast(m)
+        df.select(col(id), col(vecCol).cast("array<double>").as("__v"))
+          .withColumn("__n", norm(col("__v")))
+          .withColumn("__a", explode(
+            graft.functions.CentroidExpressions.nearestCentroids(col("__v"), bc, n)))
+          .select(col(id), col("__v"), col("__n"),
+            col("__a.cid").cast(cidType).as(out), col("__a.cs_e6").as("__cs"))
+      case None =>
+        val scored = df
+          .select(col(id), col(vecCol).cast("array<double>").as("__v"))
+          .withColumn("__n", norm(col("__v")))
+          .join(broadcast(cent), lit(true))
+          .select(col(id), col("__v"), col("__n"), col("cid"),
+            safeCosE6(dot(col("__v"), col("cv")), col("__n"), col("cn")).as("__cs"))
+        topNPerGroup(scored, id, n, orderCols = Seq(col("__cs").desc, col("cid").asc))
+          .select(col(id), col("__v"), col("__n"), col("cid").as(out), col("__cs"))
+    }
 
   /** Cluster-distance outlier scoring — embedding-based quality filtering
     * (the filtering cousin of [[semDedup]]: SemDeDup drops docs too CLOSE
@@ -565,24 +613,18 @@ object Similarity {
     * so the threshold compare is engine-exact) is below `minCosineE6`.
     * Every row surfaces with its flag; callers drop or route.
     *
-    * Scale: one broadcast-centroid scan over the corpus (no vector
-    * shuffle), one id-keyed top-1 window — linear in n·k like every
-    * assignment pass in the family. Output: `(id, cid, cs_e6,
-    * is_outlier)`. */
+    * Scale: one row-local assignment pass over the corpus (the
+    * [[assignBuckets]] codegen argmax — no vector shuffle, no window) —
+    * linear in n·k like every assignment pass in the family. Output:
+    * `(id, cid, cs_e6, is_outlier)`. */
   def centroidOutliers(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       centroidIdCol: String, minCosineE6: Long): DataFrame = {
     val cent = centFrame(centroids, centroidIdCol, vecCol)
-    val scored = vecs
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__n", norm(col("__v")))
-      .join(broadcast(cent), lit(true))
-      .select(col("id"), col("cid"),
-        safeCosE6(dot(col("__v"), col("cv")), col("__n"), col("cn")).as("cs_e6"))
-    topNPerGroup(scored, "id", 1,
-      orderCols = Seq(col("cs_e6").desc, col("cid").asc))
-      .select(col("id"), col("cid"), col("cs_e6"),
-        (col("cs_e6") < minCosineE6).as("is_outlier"))
+    assignBuckets(vecs.select(col(idCol).as("id"), col(vecCol)),
+        cent, vecCol, "id", "cid", n = 1)
+      .select(col("id"), col("cid"), col("__cs").as("cs_e6"),
+        (col("__cs") < minCosineE6).as("is_outlier"))
   }
 
   def ivfTopK(

@@ -29,17 +29,20 @@ object Plans {
       // nested loop over the corpus — that would undo the IVF pruning)
       "ann_ivfpq" -> Seq("Join", "!CartesianProduct"),
       "ann_ivfpq_stored" -> Seq("Join", "!CartesianProduct"),
-      // SemDeDup: pair space must be the intra-cluster equi-join — the
-      // only nested-loop allowed is the broadcast centroid assignment
-      "emb_semdedup" -> Seq("Join", "!CartesianProduct"),
-      // cluster balance: broadcast-centroid assignment + k-row size join;
-      // the corpus itself never cartesians
+      // SemDeDup: pair space must be the intra-cluster equi-join; the
+      // centroid assignment is the row-local codegen argmax — NO nested
+      // loop anywhere (the r12 verdict's n·√n window-exchange fix)
+      "emb_semdedup" -> Seq("Join", "!CartesianProduct",
+        "!BroadcastNestedLoopJoin"),
+      // cluster balance: row-local assignment + k-row size join; the one
+      // allowed nested loop is the 1-ROW totals broadcast (checked
+      // programmatically below together with the assignment Generate)
       "curate_cluster_balance" -> Seq("Join", "HashAggregate",
         "!CartesianProduct"),
-      // outlier flags: the only nested loop is the broadcast centroid
-      // assignment; the top-1 is an id-keyed window, never a cartesian
-      "emb_outliers" -> Seq("BroadcastNestedLoopJoin", "Window",
-        "!CartesianProduct"),
+      // outlier flags: row-local argmax assignment (nearest_centroids in
+      // the plan) — no join, no window, no exchange of the vectors at all
+      "emb_outliers" -> Seq("nearest_centroids", "!Window", "!Join",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
@@ -288,32 +291,59 @@ object Plans {
       println(s"[check] ann_ivf_int8 bucket joins int8-only (no double arrays): $ok " +
         s"(${bucketJoins.size} bucket join(s), ${wide.size} wide)")
     }
-    // stored-IVF contract: the corpus-side assignment (corpus × broadcast
-    // centroids — the one full pass over the data) is paid at BUILD time.
-    // The probe plan must carry only the query batch's assignment join
-    // (strictly fewer broadcast-nested-loop assignments than the inline
-    // twin) and read the corpus side as bare scans of the persisted index.
+    // Centroid-assignment contract (the r12 verdict's top item): every
+    // assignment is the row-local codegen argmax — a Generate over
+    // nearest_centroids in the ANALYZED plan (cache substitution would
+    // hide it in the physical plan), with ZERO BroadcastNestedLoopJoins
+    // and zero Windows in the assignment family's plans. The stored
+    // twins must pay only the query batch's assignment (one Generate vs
+    // the inline twin's two / the build-time corpus pass) and read the
+    // corpus side as bare scans of the persisted index.
+    def assignGenerates(name: String): Int =
+      graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.generator.toString.contains("nearest_centroids") => g
+      }.size
+    def bnljs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.size
     locally {
-      def assigns(df: org.apache.spark.sql.DataFrame): Int =
-        df.queryExecution.sparkPlan.collect {
-          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-        }.size
-      val inline = graft.SparkEntry.queries("ann_ivf")(spark, sfDir)
       val stored = graft.SparkEntry.queries("ann_ivf_stored")(spark, sfDir)
       val storeScans = stored.queryExecution.sparkPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
             if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfstore")) => s
       }.size
-      val ok = assigns(stored) < assigns(inline) && storeScans >= 2
+      val gInline = assignGenerates("ann_ivf")
+      val gStored = assignGenerates("ann_ivf_stored")
+      // the centroids.parquet scan is COLLECTED at plan build (the matrix
+      // broadcast), so only the buckets scan remains in the probe plan
+      val ok = gInline == 2 && gStored == 1 && bnljs(stored) == 0 && storeScans >= 1
       if (!ok) failed += 1
-      println(s"[check] ann_ivf_stored probe is store-scan + query-assign only: $ok " +
-        s"(assign joins inline=${assigns(inline)} stored=${assigns(stored)}, store scans=$storeScans)")
+      println(s"[check] ann_ivf assignments row-local, stored probe is " +
+        s"store-scan + query-assign only: $ok (assign generates " +
+        s"inline=$gInline stored=$gStored, stored bnlj=${bnljs(stored)}, " +
+        s"store scans=$storeScans)")
+    }
+    // cluster balance: the corpus assignment must be the row-local
+    // Generate, and the only nested loop left is the 1-row totals
+    // broadcast (corpus × 1 — not a scale hazard)
+    locally {
+      val df = graft.SparkEntry.queries("curate_cluster_balance")(spark, sfDir)
+      val gens = assignGenerates("curate_cluster_balance")
+      // the analyzed plan repeats the scoped-cached assignment subtree
+      // once per consumer, so >= 1 is the row-locality proof
+      val ok = gens >= 1 && bnljs(df) <= 1
+      if (!ok) failed += 1
+      println(s"[check] curate_cluster_balance assignment row-local, only " +
+        s"the 1-row totals nested loop: $ok (assign generates=$gens, " +
+        s"bnlj=${bnljs(df)})")
     }
     // SemDeDup contract: the pair stage is an EQUI-join keyed on the
-    // cluster id (bucket-local n^1.5 pair space); exactly one broadcast
-    // nested-loop is allowed — the centroid assignment over the corpus.
-    // The STORED twin must pay no assignment at all: zero BNLJs, and both
-    // pair sides read the persisted index (≥2 store scans).
+    // cluster id (bucket-local n^1.5 pair space); the corpus assignment
+    // is ONE row-local Generate — no nested loop at all. The STORED twin
+    // must pay no assignment (zero Generates) and read the persisted
+    // index on both pair sides (≥2 store scans).
     Seq("emb_semdedup", "emb_semdedup_stored").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.sparkPlan
@@ -322,20 +352,18 @@ object Plans {
             if j.leftKeys.nonEmpty &&
               j.leftKeys.exists(_.references.exists(_.name == "cid")) => j
       }.size
-      val bnlj = plan.collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-      }.size
       val storeScans = plan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
             if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfstore")) => s
       }.size
+      val gens = assignGenerates(name)
       val ok =
-        if (name == "emb_semdedup") cidJoins >= 1 && bnlj <= 1
-        else cidJoins >= 1 && bnlj == 0 && storeScans >= 2
+        if (name == "emb_semdedup") cidJoins >= 1 && bnljs(df) == 0 && gens >= 1
+        else cidJoins >= 1 && bnljs(df) == 0 && gens == 0 && storeScans >= 2
       if (!ok) failed += 1
-      println(s"[check] $name pair stage is cid equi-join with the right " +
-        s"assignment source: $ok (cid joins=$cidJoins, bnlj=$bnlj, " +
-        s"store scans=$storeScans)")
+      println(s"[check] $name pair stage is cid equi-join with row-local " +
+        s"assignment: $ok (cid joins=$cidJoins, bnlj=${bnljs(df)}, " +
+        s"assign generates=$gens, store scans=$storeScans)")
     }
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed plan checks FAILED"); sys.exit(1) }
