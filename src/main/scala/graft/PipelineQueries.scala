@@ -301,6 +301,12 @@ object PipelineQueries {
   /** cosine ×1e6 as BIGINT over two FLOAT[] columns (double accumulation). */
   /** The substring-dedup battery corpus (documents + planted
     * cross-boundary copies) — the SQL twin of `substringFixture`. */
+  /** The engine's default hot-window cap, replayed in every substring
+    * oracle so both engines apply the guard by construction (a no-op on
+    * organic text — battery df maxes at 4 — but a testdata regeneration
+    * with heavy boilerplate now caps identically on both sides). */
+  private val SubstringCap: Int = operators.Dedup.DefaultMaxDocsPerWindow
+
   private def substringCorpusCtes: String = s"""tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
       |corpus AS (
       |  SELECT doc_id, toks FROM tok
@@ -322,18 +328,30 @@ object PipelineQueries {
       |          unnest(list_distinct(list_transform(
       |            range(1, greatest(len(toks)-9, 0)+1),
       |            i -> array_to_string(toks[i:i+9], ' ')))) AS g
-      |        FROM corpus))
+      |        FROM corpus)),
+      |shn AS (SELECT * FROM sh WHERE doc_id >= 200000),
+      |shr AS (SELECT * FROM sh WHERE doc_id < 200000),
+      |shnc AS (
+      |  SELECT * FROM shn WHERE h IN
+      |    (SELECT h FROM shn GROUP BY h HAVING count(*) <= $SubstringCap)),
+      |shrc AS (
+      |  SELECT * FROM shr WHERE h IN
+      |    (SELECT h FROM shr GROUP BY h HAVING count(*) <= $SubstringCap))
       |SELECT n.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
-      |FROM sh n JOIN sh r ON n.h = r.h
-      |WHERE n.doc_id >= 200000 AND r.doc_id < 200000
+      |FROM shnc n JOIN shrc r ON n.h = r.h
       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin.trim
 
-  /** Positioned (per-occurrence) stride-1 10-token windows over `corpus`. */
-  private def positionedWindowsCte: String = """w AS (
+  /** Positioned (per-occurrence) stride-1 10-token windows over `corpus`,
+    * with the engine's default occurrence cap applied (`wc` is the
+    * guarded frame the pair joins read — hot windows pair nothing). */
+  private def positionedWindowsCte: String = s"""w AS (
       |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+9], ' ')) AS h
       |  FROM (SELECT doc_id, toks,
       |          unnest(range(1, greatest(len(toks)-9, 0)+1)) AS i
-      |        FROM corpus))""".stripMargin
+      |        FROM corpus)),
+      |wc AS (
+      |  SELECT * FROM w WHERE h IN
+      |    (SELECT h FROM w GROUP BY h HAVING count(*) <= $SubstringCap))""".stripMargin
 
   private def cosE6(a: String, b: String): String =
     s"""CAST(round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
@@ -569,10 +587,8 @@ object PipelineQueries {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           Dedup.substringPairsAgainstStored(
-            batch, "doc_id", "text",
-            operators.SubstringWindowStore.windows(s, root, "base",
-              operators.SubstringWindowStore.Params(k = 10)),
-            k = 10)
+            batch, "doc_id", "text", s, root, "base",
+            operators.SubstringWindowStore.Params(k = 10))
             .write.mode("append").parquet(outDir)
           ()
         }
@@ -618,6 +634,14 @@ object PipelineQueries {
     "dedup_substring_runs" -> ((s, d) =>
       Dedup.substringRuns(substringFixture(s, d), "doc_id", "text", k = 10)
         .orderBy("a", "b")),
+    // hot-window surfacing — the audit side of the substring family's
+    // default guard: 3-token windows (the 20-word vocabulary repeats
+    // organically across docs) present in more than 4 documents, with
+    // their document counts — what a crawl pipeline logs as boilerplate
+    "dedup_hot_windows" -> ((s, d) =>
+      Dedup.hotWindows(Tables.documents(s, d), "doc_id", "text", k = 3,
+        maxDocsPerWindow = 4)
+        .orderBy("h")),
     // INTRA-doc repetition: 3-token windows over the raw corpus — the
     // 20-word vocabulary repeats organically (~5% of docs carry at least
     // one verbatim 3-window repeat), so the counts/ratios are exercised
@@ -650,9 +674,8 @@ object PipelineQueries {
       val root = refWindowStore(s, d)
       Dedup.substringPairsAgainstStored(
         substringFixture(s, d).filter(col("doc_id") >= 200000),
-        "doc_id", "text",
-        operators.SubstringWindowStore.windows(s, root, "base"),
-        k = 10)
+        "doc_id", "text", s, root, "base",
+        operators.SubstringWindowStore.Params(k = 10))
         .orderBy("a", "b")
     }),
     "emb_neardup" -> ((s, d) =>
@@ -1649,9 +1672,12 @@ object PipelineQueries {
       |          unnest(list_distinct(list_transform(
       |            range(1, greatest(len(toks)-9, 0)+1),
       |            i -> array_to_string(toks[i:i+9], ' ')))) AS g
-      |        FROM corpus))
+      |        FROM corpus)),
+      |shc AS (
+      |  SELECT * FROM sh WHERE h IN
+      |    (SELECT h FROM sh GROUP BY h HAVING count(*) <= $SubstringCap))
       |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
-      |FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin.trim,
 
     // run lengths: islands of consecutive shared windows per alignment
@@ -1662,7 +1688,7 @@ object PipelineQueries {
       |m AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa,
       |         a.pos - b.pos AS diag
-      |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |  FROM wc a JOIN wc b ON a.h = b.h AND a.doc_id < b.doc_id),
       |isl AS (
       |  SELECT a, b, diag, pa,
       |    pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa)
@@ -1674,6 +1700,21 @@ object PipelineQueries {
       |SELECT a, b, CAST(max(len) + 9 AS BIGINT) AS max_run,
       |       CAST(sum(len) AS BIGINT) AS n_windows
       |FROM runs GROUP BY a, b ORDER BY a, b""".stripMargin.trim,
+
+    // hot windows: distinct-doc counts per 3-token window over the raw
+    // documents, surfaced above the cap — grouping by the window TEXT is
+    // md5-equivalent to the engine's hash-keyed count
+    "dedup_hot_windows" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |w AS (
+      |  SELECT DISTINCT doc_id, md5(g) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct(list_transform(
+      |            range(1, greatest(len(toks)-2, 0)+1),
+      |            i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      |        FROM tok))
+      |SELECT h, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM w GROUP BY h HAVING count(*) > 4 ORDER BY h""".stripMargin.trim,
 
     // intra-doc repetition: stride-1 3-window occurrence counts per doc;
     // counting by the window text ≡ Spark's md5-keyed counts
@@ -1707,7 +1748,7 @@ object PipelineQueries {
       |$positionedWindowsCte,
       |cont0 AS (
       |  SELECT DISTINCT b.doc_id AS id, b.pos AS pb
-      |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |  FROM wc a JOIN wc b ON a.h = b.h AND a.doc_id < b.doc_id),
       |cont AS (
       |  SELECT DISTINCT id, pb + unnest(range(0, 10)) AS pos FROM cont0),
       |tp AS (

@@ -541,11 +541,17 @@ object Dedup {
     *
     * Boilerplate guard for crawl-scale corpora: `maxDocsPerWindow > 0`
     * drops windows shared by more documents than the cap BEFORE the
-    * self-join (one extra window-keyed agg) — the df² blowup lives
-    * entirely in those header/footer windows, and the pairs they would
-    * add are boilerplate, not content, duplication. The cap is a
-    * SEMANTICS CHANGE (capped windows pair nothing), so it defaults off
-    * and the oracle row runs uncapped. */
+    * self-join (one extra window-keyed agg, co-partitioned with the pair
+    * join it protects) — the df² blowup lives entirely in those
+    * header/footer windows (license blocks, navigation chrome: one
+    * window shared by d = 10⁵ docs emits d² join rows), and the pairs
+    * they would add are boilerplate, not content, duplication. The cap
+    * is ON BY DEFAULT at [[DefaultMaxDocsPerWindow]] (a silent d² on
+    * default settings is the 100 TB hazard; organic text never
+    * approaches the default — the battery corpus maxes at df = 4), the
+    * DuckDB oracles replay the same cap, dropped windows surface via
+    * [[hotWindows]], and `maxDocsPerWindow = 0` restores the uncapped
+    * exact semantics explicitly. */
   /** Distinct `(id, h)` k-token window frame — the shared front half of
     * the exact-substring family, exposed so [[SubstringWindowStore]] can
     * persist exactly the frame the inline operators compute. */
@@ -556,20 +562,50 @@ object Dedup {
       .select(col("id"), explode(wordShingles(col("__toks"), k)).as("g"))
       .select(col("id"), md5s(col("g")).as("h"))
 
+  /** Default hot-window cap for the exact-substring family: windows
+    * present in more documents (or, for the positioned operators, more
+    * occurrences) than this pair/contaminate nothing. 1024 is far above
+    * anything organic text produces per k ≥ 10 window (the battery corpus
+    * maxes at 4) and caps any single key's join contribution at ~2²⁰
+    * rows — boilerplate at crawl scale (d = 10⁵–10⁶) stays bounded
+    * instead of going d². Duplication clusters genuinely wider than this
+    * belong to the minhash/cluster family, not pairwise output. */
+  val DefaultMaxDocsPerWindow: Int = 1024
+
+  /** Drop over-cap window hashes from a windows frame (`h`-keyed count —
+    * documents for distinct `(id, h)` frames, occurrences for positioned
+    * ones). The agg and semi-join are co-partitioned with the pair join
+    * they protect, so the guard rides the same exchange. cap ≤ 0 = off. */
+  private def dropHotWindows(w: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) w
+    else {
+      val keep = w.groupBy("h")
+        .agg(count(lit(1)).as("__wdf"))
+        .filter(col("__wdf") <= cap)
+        .select("h")
+      w.join(keep, Seq("h"), "left_semi")
+    }
+
+  /** Surface the windows the default guard drops: `(h, n_docs)` for every
+    * k-token window present in more than `maxDocsPerWindow` documents —
+    * the audit/report side of the cap (what a curation pipeline logs as
+    * "boilerplate detected", and the input to a targeted boilerplate
+    * removal pass). One window-keyed partial-agg'd count; never a join. */
+  def hotWindows(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDocsPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
+    require(k >= 2, s"substring window must be at least 2 tokens, got $k")
+    windowFrame(docs, idCol, textCol, k)
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocsPerWindow)
+  }
+
   def substringPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDocsPerWindow: Int = 0): DataFrame = {
+      k: Int, maxDocsPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    val windows0 = windowFrame(docs, idCol, textCol, k)
-    val windows =
-      if (maxDocsPerWindow <= 0) windows0
-      else {
-        val keep = windows0.groupBy("h")
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocsPerWindow)
-          .select("h")
-        windows0.join(keep, Seq("h"), "left_semi")
-      }
+    val windows = dropHotWindows(
+      windowFrame(docs, idCol, textCol, k), maxDocsPerWindow)
     val cached = OperatorCache.scoped(windows)
     cached.select(col("id").as("a"), col("h"))
       .join(cached.select(col("id").as("b"), col("h")), Seq("h"))
@@ -582,25 +618,36 @@ object Dedup {
     * [[substringPairs]] (the [[minhashPairsAgainst]] shape): windows of
     * the NEW batch against windows of a frozen REFERENCE corpus, one
     * hash-keyed equi-join, no self-joins of either side. Output
-    * `(a, b, n_shared)` with `a` = new-batch id, `b` = reference id. */
+    * `(a, b, n_shared)` with `a` = new-batch id, `b` = reference id.
+    * The hot-window cap applies PER SIDE (each side's own document
+    * count), bounding any single key's join contribution at cap². */
   def substringPairsAgainst(
       newDocs: DataFrame, refDocs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
+      k: Int, maxDocsPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame =
     substringCrossPairs(
-      OperatorCache.scoped(windowFrame(newDocs, idCol, textCol, k)),
-      OperatorCache.scoped(windowFrame(refDocs, idCol, textCol, k)))
+      OperatorCache.scoped(dropHotWindows(
+        windowFrame(newDocs, idCol, textCol, k), maxDocsPerWindow)),
+      OperatorCache.scoped(dropHotWindows(
+        windowFrame(refDocs, idCol, textCol, k), maxDocsPerWindow)))
 
   /** [[substringPairsAgainst]] with the reference side PRE-COMPUTED: the
-    * persisted `(id, h)` frame a [[SubstringWindowStore]] serves as one
-    * bare parquet scan — the new batch pays only its own windows plus the
+    * persisted windows of a [[SubstringWindowStore]], served as one bare
+    * parquet scan — the new batch pays only its own windows plus the
     * narrow hash join. Identical output to the inline variant for the
-    * same k (window hashing is a pure function of the text). */
+    * store's params: `k` and the hot-window cap come FROM the store's
+    * committed [[SubstringWindowStore.Params]] (a free k here could
+    * silently hash-mismatch every window), and the reference side's cap
+    * was already applied at build time (the store persists clean windows
+    * and surfaces the hot ones separately) — query-time cost stays ∝
+    * batch. */
   def substringPairsAgainstStored(
       newDocs: DataFrame, idCol: String, textCol: String,
-      refWindows: DataFrame, k: Int): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, root: String, corpusId: String,
+      params: SubstringWindowStore.Params = SubstringWindowStore.Params()): DataFrame =
     substringCrossPairs(
-      OperatorCache.scoped(windowFrame(newDocs, idCol, textCol, k)),
-      refWindows)
+      OperatorCache.scoped(dropHotWindows(
+        windowFrame(newDocs, idCol, textCol, params.k), params.maxDocsPerWindow)),
+      SubstringWindowStore.windows(spark, root, corpusId, params))
 
   private def substringCrossPairs(newW: DataFrame, refW: DataFrame): DataFrame =
     newW.select(col("id").as("a"), col("h"))
@@ -641,10 +688,14 @@ object Dedup {
     * partitions are per-pair-per-diagonal — bounded by the shorter doc's
     * length, never corpus-sized. */
   def substringRuns(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      maxOccurrencesPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    val w = OperatorCache.scoped(
-      positionedWindows(tokenized(docs, idCol, textCol), k))
+    // positioned frames guard on OCCURRENCES (a window repeated 10⁶ times
+    // inside one doc blows the self-join up exactly like 10⁶ docs would)
+    val w = OperatorCache.scoped(dropHotWindows(
+      positionedWindows(tokenized(docs, idCol, textCol), k),
+      maxOccurrencesPerWindow))
     val matches = w.select(col("id").as("a"), col("pos").as("pa"), col("h"))
       .join(w.select(col("id").as("b"), col("pos").as("pb"), col("h")), Seq("h"))
       .filter(col("a") < col("b"))
@@ -713,10 +764,12 @@ object Dedup {
     * pattern). Reassembled text is single-space joined: the operator's
     * contract is token-level, not byte-level, fidelity. */
   def dropSharedSpans(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      maxOccurrencesPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
     val base = OperatorCache.scoped(tokenized(docs, idCol, textCol))
-    val w = OperatorCache.scoped(positionedWindows(base, k))
+    val w = OperatorCache.scoped(dropHotWindows(
+      positionedWindows(base, k), maxOccurrencesPerWindow))
     val contaminated = w.select(col("id").as("a"), col("h"))
       .join(w.select(col("id").as("b"), col("pos").as("pb"), col("h")), Seq("h"))
       .filter(col("a") < col("b"))

@@ -126,9 +126,17 @@ object SignatureStore {
   * params. */
 object SubstringWindowStore {
 
-  final case class Params(k: Int = 10) {
+  /** `maxDocsPerWindow` is part of the store's identity: the reference
+    * side's hot-window guard ([[Dedup.DefaultMaxDocsPerWindow]]) is
+    * applied at BUILD time — `windows.parquet` holds only under-cap
+    * windows, `hot.parquet` the surfaced over-cap ones — so query-time
+    * cost stays ∝ batch (no per-query df agg over the frozen corpus).
+    * 0 = uncapped. A cap change flips the tag and rebuilds. */
+  final case class Params(
+      k: Int = 10,
+      maxDocsPerWindow: Int = Dedup.DefaultMaxDocsPerWindow) {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    def tag: String = s"substring.v1;k=$k"
+    def tag: String = s"substring.v2;k=$k;cap=$maxDocsPerWindow"
   }
 
   private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
@@ -143,28 +151,59 @@ object SubstringWindowStore {
 
   /** Persist `docs`' distinct `(id, h)` windows; idempotent per
     * (corpusId, params), wiped and rebuilt on any mismatch — the same
-    * commit-marker protocol as the other stores. */
+    * commit-marker protocol as the other stores. Under-cap windows land
+    * in `windows.parquet` (the join side), over-cap hashes with their
+    * document counts in `hot.parquet` (the audit side) — both always
+    * written so readers never probe for existence. */
   def build(docs: DataFrame, idCol: String, textCol: String,
       root: String, corpusId: String, params: Params = Params()): Unit = {
     if (isBuilt(root, corpusId, params)) return
+    val spark = docs.sparkSession
     val d = dir(root, corpusId)
     if (Files.exists(d)) rmTree(d)
     Files.createDirectories(d)
     Dedup.windowFrame(docs, idCol, textCol, params.k)
+      .write.mode("overwrite").parquet(d.resolve("all_windows.parquet").toString)
+    // clean/hot split derives from the JUST-PERSISTED frame: one
+    // tokenize/window pass, both artifacts byte-consistent
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val all = spark.read.parquet(d.resolve("all_windows.parquet").toString)
+    val counts = all.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    val hot =
+      if (params.maxDocsPerWindow > 0)
+        counts.filter(col("n_docs") > params.maxDocsPerWindow)
+      else counts.filter(lit(false)) // uncapped: hot side always empty
+    hot.write.mode("overwrite").parquet(d.resolve("hot.parquet").toString)
+    all.join(
+        spark.read.parquet(d.resolve("hot.parquet").toString).select("h"),
+        Seq("h"), "left_anti")
       .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
+    rmTree(d.resolve("all_windows.parquet"))
     Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  /** Distinct windows `(id, h)` of a persisted corpus — a bare scan. */
+  /** Distinct UNDER-CAP windows `(id, h)` of a persisted corpus — a bare
+    * scan; the build-time hot-window guard already applied. */
   def windows(spark: org.apache.spark.sql.SparkSession, root: String,
       corpusId: String, params: Params = Params()): DataFrame = {
+    requireBuilt(root, corpusId, params)
+    spark.read.parquet(dir(root, corpusId).resolve("windows.parquet").toString)
+  }
+
+  /** Surfaced over-cap windows `(h, n_docs)` — what the build dropped
+    * from the join side (the [[Dedup.hotWindows]] shape, persisted). */
+  def hotWindows(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpusId: String, params: Params = Params()): DataFrame = {
+    requireBuilt(root, corpusId, params)
+    spark.read.parquet(dir(root, corpusId).resolve("hot.parquet").toString)
+  }
+
+  private def requireBuilt(root: String, corpusId: String, params: Params): Unit =
     require(isBuilt(root, corpusId, params),
       s"substring window store $root/$corpusId is missing, incomplete, or " +
         s"was built with different parameters than ${params.tag} — run " +
         "SubstringWindowStore.build")
-    spark.read.parquet(dir(root, corpusId).resolve("windows.parquet").toString)
-  }
 
   private def rmTree(p: Path): Unit = {
     import scala.jdk.CollectionConverters._

@@ -55,6 +55,9 @@ object Plans {
       "dedup_substring_runs" -> Seq("HashAggregate", "Join", "Window",
         "!CartesianProduct"),
       "dedup_substring_ref" -> Seq("HashAggregate", "Join", "!CartesianProduct"),
+      // hot-window surfacing: one partial-agg'd window count — no join
+      "dedup_hot_windows" -> Seq("HashAggregate", "partial_", "!Join",
+        "!CartesianProduct"),
       "dedup_substring_ref_stored" -> Seq("HashAggregate", "Join",
         "!CartesianProduct"),
       // span removal: match join + anti join back; no nested loop

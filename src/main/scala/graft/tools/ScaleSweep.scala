@@ -86,6 +86,8 @@ object ScaleSweep {
       ("dedup_substring", "linear"),
       ("dedup_substring_runs", "linear"), ("curate_drop_spans", "linear"),
       ("dedup_substring_ref", "linear"),
+      // hot-window surfacing: one window-keyed partial-agg'd count
+      ("dedup_hot_windows", "linear"),
       ("curate_perplexity_filter", "linear"),
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),
@@ -255,14 +257,50 @@ object ScaleSweep {
         s""""planted":$planted,"found":$found,"recall":${f2(recall)},"ok":$ok}"""
     }
 
+    // planted-hot-key probe (round-12 verdict #2): prepend ONE shared
+    // 10-token boilerplate header to EVERY document — uncapped, the
+    // header window alone emits n² join rows; with the default guard the
+    // header (and every over-cap header+prefix boundary window) never
+    // reaches the join, so wall time must scale ~linearly and the hot
+    // window must surface via hotWindows. The skipped counterfactual is
+    // measured once in DedupSpec (1030²), not re-paid here.
+    val hotRows = Seq(base, out).map { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id",
+          "concat('boiler plate header tokens one two three four five six ', text) AS text")
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .substringPairs(docs, "doc_id", "text", k = 10).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val surfaced = graft.operators.Dedup
+        .hotWindows(docs, "doc_id", "text", k = 10).count()
+      spark.catalog.clearCache()
+      (dt, pairs, surfaced)
+    }
+    locally {
+      val ((t1, p1, s1), (tk, pk, sk)) = (hotRows(0), hotRows(1))
+      val ratio = tk / math.max(t1, 1e-9)
+      val ok = ratio <= factor * 2.0 && s1 >= 1 && sk >= 1
+      if (!ok) failed += 1
+      println(f"[hot-window] planted boilerplate: 1x=$t1%.2fs ${factor}x=$tk%.2fs " +
+        f"ratio=$ratio%.2f pairs $p1 -> $pk surfaced $s1 -> $sk " +
+        (if (ok) "ok" else "FAIL"))
+    }
+
     def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val json = results.map { case (n, kind, t1, tk, ratio, r1, rk, ok) =>
       s""""$n":{"kind":"$kind","t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(ratio)},"rows1x":$r1,"rows${factor}x":$rk,"ok":$ok}"""
     }.mkString("{", ",", "}")
+    val hotJson = {
+      val ((t1, p1, s1), (tk, pk, sk)) = (hotRows(0), hotRows(1))
+      s"""{"t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(tk / math.max(t1, 1e-9))},""" +
+        s""""pairs1x":$p1,"pairs${factor}x":$pk,"surfaced1x":$s1,"surfaced${factor}x":$sk}"""
+    }
     val p = java.nio.file.Paths.get("target", "scale_sweep.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p,
-      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}]}"""
+      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"hot_window":$hotJson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed scale checks FAILED"); sys.exit(1) }

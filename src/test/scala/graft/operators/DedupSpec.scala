@@ -297,16 +297,73 @@ class DedupSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_winstore_spec").toString
     SubstringWindowStore.build(ref, "doc_id", "text", root, "ref",
       SubstringWindowStore.Params(k = 8))
+    // k comes FROM the store's params — a free k argument could silently
+    // hash-mismatch every window (r12 advice item)
     val stored = Dedup.substringPairsAgainstStored(fresh, "doc_id", "text",
-      SubstringWindowStore.windows(spark, root, "ref",
-        SubstringWindowStore.Params(k = 8)), k = 8)
+      spark, root, "ref", SubstringWindowStore.Params(k = 8))
       .as[(Long, Long, Long)].collect().toSet
     assert(stored == inline)
-    // param mismatch refuses to serve
+    // param mismatch (k or cap) refuses to serve rather than hash-miss
+    assertThrows[IllegalArgumentException] {
+      Dedup.substringPairsAgainstStored(fresh, "doc_id", "text",
+        spark, root, "ref", SubstringWindowStore.Params(k = 9))
+    }
     assertThrows[IllegalArgumentException] {
       SubstringWindowStore.windows(spark, root, "ref",
-        SubstringWindowStore.Params(k = 9))
+        SubstringWindowStore.Params(k = 8, maxDocsPerWindow = 7))
     }
+  }
+
+  test("hot-window guard is ON by default: a planted boilerplate window " +
+      "pairs nothing, is surfaced with its count, and 0 restores exact") {
+    // 1030 docs share one 10-token header (> DefaultMaxDocsPerWindow =
+    // 1024); unique tails pair nothing — the d² blowup case
+    val n = 1030
+    val boiler = spark.range(n).selectExpr("id AS doc_id",
+      "concat('shared header one two three four five six seven eight tail', id) AS text")
+    val pairs = Dedup.substringPairs(boiler, "doc_id", "text", k = 10)
+    assert(pairs.count() == 0L) // default guard: bounded, not 1030²/2
+
+    val hot = Dedup.hotWindows(boiler, "doc_id", "text", k = 10)
+      .as[(String, Long)].collect()
+    assert(hot.length >= 1 && hot.forall(_._2 == n.toLong)) // surfaced
+
+    // explicit 0 restores the uncapped exact semantics (all pairs) — on
+    // a 100-doc slice to keep the quadratic output test-sized
+    val small = boiler.filter(col("doc_id") < 100)
+    val exact = Dedup.substringPairs(small, "doc_id", "text", k = 10,
+      maxDocsPerWindow = 0)
+    assert(exact.count() == 100L * 99 / 2)
+
+    // positioned family: one doc repeating a window past the cap
+    // contaminates/chains nothing by default, everything at 0
+    val rep = Seq.tabulate(3)(i =>
+      (i.toLong, Seq.fill(40)("w x y z").mkString(" ") + s" tail$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringRuns(rep, "doc_id", "text", k = 4,
+      maxOccurrencesPerWindow = 8).count() == 0L)
+    assert(Dedup.substringRuns(rep, "doc_id", "text", k = 4,
+      maxOccurrencesPerWindow = 0).count() == 3L)
+
+    // the store splits clean/hot at build time: windows() excludes the
+    // hot hash, hotWindows() surfaces it, stored ≡ inline at the same cap
+    val root = java.nio.file.Files.createTempDirectory("graft_hotstore_spec").toString
+    SubstringWindowStore.build(boiler, "doc_id", "text", root, "boiler",
+      SubstringWindowStore.Params(k = 10))
+    val storedHot = SubstringWindowStore.hotWindows(spark, root, "boiler")
+      .as[(String, Long)].collect()
+    assert(storedHot.map(_._1).toSet == hot.map(_._1).toSet)
+    val clean = SubstringWindowStore.windows(spark, root, "boiler")
+    assert(clean.join(
+      SubstringWindowStore.hotWindows(spark, root, "boiler").select("h"),
+      Seq("h"), "left_semi").count() == 0L)
+    // a FRESH batch sharing only the boilerplate header with the store:
+    // the header was excluded at build time, so nothing matches
+    val batch = spark.range(5).selectExpr("id + 5000 AS doc_id",
+      "concat('shared header one two three four five six seven eight fresh', id) AS text")
+    val vs = Dedup.substringPairsAgainstStored(
+      batch, "doc_id", "text", spark, root, "boiler")
+    assert(vs.count() == 0L) // the hot header never left the store
   }
 
   test("substringRuns: consecutive windows chain into token run lengths; " +
