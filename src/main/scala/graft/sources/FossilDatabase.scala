@@ -185,7 +185,9 @@ object FossilDatabase {
       try {
         val semi = line.indexOf(';')
         if (semi < 0) throw new Gob.GobException("no action separator")
-        val action = line.substring(0, semi).trim.toInt
+        // no trim: the reference's strconv.Atoi rejects ' 1;...' lines
+        // (they count as corrupt and skip) — matching its salvage exactly
+        val action = line.substring(0, semi).toInt
         val payload = java.util.Base64.getDecoder.decode(line.substring(semi + 1))
         val r = new Gob.Reader(payload)
         action match {
@@ -245,14 +247,18 @@ object FossilDatabase {
         throw new IllegalArgumentException(s"expected string at $i")
       i += 1
       val sb = new StringBuilder
-      while (json(i) != '"') {
+      while (i < json.length && json(i) != '"') {
         if (json(i) == '\\') {
           i += 1
+          if (i >= json.length)
+            throw new IllegalArgumentException("unterminated JSON array")
           json(i) match {
             case '"' => sb += '"'; case '\\' => sb += '\\'; case '/' => sb += '/'
             case 'b' => sb += '\b'; case 'f' => sb += '\f'; case 'n' => sb += '\n'
             case 'r' => sb += '\r'; case 't' => sb += '\t'
             case 'u' =>
+              if (i + 5 > json.length)
+                throw new IllegalArgumentException("unterminated JSON array")
               sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar
               i += 4
             case c => throw new IllegalArgumentException(s"bad escape \\$c")
@@ -260,9 +266,13 @@ object FossilDatabase {
         } else sb += json(i)
         i += 1
       }
+      if (i >= json.length)
+        throw new IllegalArgumentException("unterminated JSON array")
       i += 1 // closing quote
       out += sb.result()
       skipWs()
+      if (i >= json.length)
+        throw new IllegalArgumentException("unterminated JSON array")
       json(i) match {
         case ',' => i += 1
         case ']' => return out.result()
@@ -357,8 +367,21 @@ object FossilDatabase {
     val raw = rawEntries(spark, dir).cache()
     try {
       var total = 0L
-      db.schemas.distinct.foreach { ddl =>
+      // distinct ddls from the RAW frame, not the catalog: datums with
+      // out-of-range topic ids surface as ('/__unknown_topic_N', binary)
+      // rows and must LAND (under their synthesized binary topic) rather
+      // than silently vanish from the import and its entry count
+      val ddls = raw.select("ddl").distinct().collect().map(_.getString(0)).sorted
+      ddls.foreach { ddl =>
         val schema = FossilSchema.parse(ddl)
+        // synthesized topics (unknown ids) are absent from the catalog and
+        // would otherwise auto-create by INHERITANCE (usually "/"'s
+        // string), rejecting their binary payloads — create them with the
+        // raw frame's own ddl first
+        raw.filter(col("ddl") === ddl).select("topic").distinct()
+          .collect().map(_.getString(0))
+          .filter(t => store.catalog.schemaOf(t).isEmpty)
+          .foreach(t => store.createTopic(t, ddl))
         val part = raw.filter(col("ddl") === ddl)
           .select(
             // integral div — `/` on longs promotes to double, which loses

@@ -171,7 +171,10 @@ object Warc {
     records.foreach { r =>
       val one = new java.io.ByteArrayOutputStream()
       val head = new StringBuilder("WARC/1.0\r\n")
-      val withLen = r.headers + ("Content-Length" -> r.payload.length.toString)
+      // drop any caller-provided content-length in ANY casing first — two
+      // conflicting Content-Length lines would make the record unreadable
+      val withLen = r.headers.filterNot(_._1.equalsIgnoreCase("Content-Length")) +
+        ("Content-Length" -> r.payload.length.toString)
       withLen.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
       head.append("\r\n")
       one.write(head.toString.getBytes(StandardCharsets.UTF_8))

@@ -204,5 +204,45 @@ class FossilImportSpec extends SparkSpec {
     val raw = FossilDatabase.rawEntries(spark, dir).collect()
     assert(raw.head.getAs[String]("topic") == "/__unknown_topic_9")
     assert(raw.head.getAs[String]("ddl") == "binary")
+
+    // ...and importInto LANDS them (under the synthesized binary topic)
+    // instead of silently excluding rows whose ddl no catalog topic has
+    val storeRoot = Files.createTempDirectory("graft_fossil_unk_store").toString
+    val (_, entries, _) = FossilDatabase.importInto(spark, dir,
+      new graft.engine.ParquetStore(spark, storeRoot))
+    assert(entries == 1L)
+    val lc = new graft.api.LocalClient(spark, storeRoot)
+    val got = lc.query("all")
+      .filter(org.apache.spark.sql.functions.col("topic") === "/__unknown_topic_9")
+      .collect()
+    assert(got.length == 1)
+    assert(new String(got.head.getAs[Array[Byte]]("value")) == "stray")
+  }
+
+  test("WAL action parsing matches strconv.Atoi: padded ' 1;...' lines " +
+      "are corrupt and skip, not salvage") {
+    import FossilDatabase.Datum
+    val dir = Files.createTempDirectory("graft_fossil_pad").toString
+    FossilWriter.appendWal(dir, Seq(
+      FossilWriter.walAddSegment(1700000000000000000L),
+      FossilWriter.walAddEvent(Datum(2L, 0, "kept".getBytes))))
+    // plant a padded-action copy of a valid line: Go's Atoi rejects it
+    val wal = java.nio.file.Paths.get(dir, "wal.log")
+    val lines = java.nio.file.Files.readAllLines(wal)
+    java.nio.file.Files.write(wal,
+      java.util.List.of(lines.get(0), " " + lines.get(1), lines.get(1)))
+    val db = FossilDatabase.open(dir)
+    assert(db.walSkipped == 1)
+    assert(db.walSegments.head.data.size == 1)
+  }
+
+  test("truncated topics/schemas JSON fails with the typed error, not " +
+      "StringIndexOutOfBounds") {
+    for (bad <- Seq("[\"a", "[\"a\"", "[\"a\\", "[\"a\\u00",
+        "[\"a\" ", "[\"a\",")) {
+      val e = intercept[IllegalArgumentException](
+        FossilDatabase.jsonStringArray(bad))
+      assert(e.getMessage.contains("unterminated JSON array"), s"'$bad' -> $e")
+    }
   }
 }

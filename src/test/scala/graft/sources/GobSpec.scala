@@ -42,6 +42,17 @@ class GobSpec extends AnyFunSuite {
     }
   }
 
+  test("interface/complex wire ids fail with the named id, not a desync") {
+    // a value message claiming builtin type 7 (complex) / 8 (interface):
+    // fossil's on-disk structs never use them, so the reader must refuse
+    // BY NAME instead of mis-walking the cursor into garbage
+    for ((id, hexId) <- Seq(7L -> "0e", 8L -> "10")) {
+      val r = new Gob.Reader(hex(s"03 $hexId 00 00"))
+      val e = intercept[Gob.GobException](r.next())
+      assert(e.getMessage.contains(s"unsupported builtin type $id"), e.getMessage)
+    }
+  }
+
   test("strings and byte slices round-trip") {
     val w = new Gob.Writer
     w.writeValue(Gob.IdString, "hello")
