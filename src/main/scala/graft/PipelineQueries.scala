@@ -655,6 +655,18 @@ object PipelineQueries {
     "curate_drop_spans" -> ((s, d) =>
       Dedup.dropSharedSpans(substringFixture(s, d), "doc_id", "text", k = 10)
         .orderBy("id")),
+    // scored-survivor variant: the BEST-scored doc keeps a shared span
+    // (canonicalPerCluster's contract — best score, ties to lowest id)
+    // instead of first-occurrence-wins; the md5 bucket stands in for any
+    // integral quality score and flips roughly half the orientations
+    "curate_drop_spans_scored" -> ((s, d) => {
+      val fx = substringFixture(s, d)
+      Dedup.dropSharedSpans(fx, "doc_id", "text", k = 10,
+        scores = fx.select(col("doc_id"),
+          operators.Sampling.bucketE4(col("doc_id")).as("q")),
+        scoreCol = "q")
+        .orderBy("id")
+    }),
     // incremental exact-substring dedup: the planted docs play the NEW
     // batch, the originals the frozen reference — each planted doc must
     // surface its source's copied span (no self-joins of either side)
@@ -1749,6 +1761,35 @@ object PipelineQueries {
       |cont0 AS (
       |  SELECT DISTINCT b.doc_id AS id, b.pos AS pb
       |  FROM wc a JOIN wc b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |cont AS (
+      |  SELECT DISTINCT id, pb + unnest(range(0, 10)) AS pos FROM cont0),
+      |tp AS (
+      |  SELECT doc_id AS id, unnest(range(1, len(toks)+1)) AS pos,
+      |         unnest(toks) AS t
+      |  FROM corpus),
+      |kept AS (
+      |  SELECT tp.id, tp.pos, tp.t FROM tp
+      |  ANTI JOIN cont ON tp.id = cont.id AND tp.pos = cont.pos),
+      |agg AS (
+      |  SELECT id, count(*) AS n_kept,
+      |         array_to_string(list(t ORDER BY pos), ' ') AS clean
+      |  FROM kept GROUP BY id)
+      |SELECT c.doc_id AS id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(c.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+      |       coalesce(a.clean, '') AS clean_text
+      |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.id
+      |ORDER BY id""".stripMargin.trim,
+
+    // scored survivor: the loser of (score desc, id asc) drops the span
+    "curate_drop_spans_scored" -> s"""
+      |WITH $substringCorpusCtes,
+      |$positionedWindowsCte,
+      |wq AS (
+      |  SELECT wc.*, ${bucketE4Sql("wc.doc_id")} AS q FROM wc),
+      |cont0 AS (
+      |  SELECT DISTINCT b.doc_id AS id, b.pos AS pb
+      |  FROM wq a JOIN wq b ON a.h = b.h AND a.doc_id != b.doc_id
+      |   AND (a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id))),
       |cont AS (
       |  SELECT DISTINCT id, pb + unnest(range(0, 10)) AS pos FROM cont0),
       |tp AS (

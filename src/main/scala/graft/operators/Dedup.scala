@@ -763,16 +763,44 @@ object Dedup {
     * reassembly (sorted collect — per-doc bounded, the charEntropy
     * pattern). Reassembled text is single-space joined: the operator's
     * contract is token-level, not byte-level, fidelity. */
+  /** Survivor policy: by default the LOWEST id keeps a shared span
+    * (first-occurrence-wins, the paragraph-dedup order). Pass `scores`
+    * (an integral per-doc quality column, the [[canonicalPerCluster]]
+    * contract) and the BEST-scored doc keeps it instead — ties still to
+    * the lowest id — so the whole dedup surface shares one quality-aware
+    * survivor rule: clustering keep-one, canonical selection, and span
+    * remediation all prefer the same copy. Docs absent from `scores`
+    * rank lowest (score treated as Long.MinValue is unnecessary — a
+    * missing doc coalesces to 0; supply full coverage for strict
+    * ordering). One code path: the unscored default is the scored path
+    * with every score 0, so the two cannot drift. */
   def dropSharedSpans(
       docs: DataFrame, idCol: String, textCol: String, k: Int,
-      maxOccurrencesPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
+      maxOccurrencesPerWindow: Int = DefaultMaxDocsPerWindow,
+      scores: DataFrame = null, scoreCol: String = null): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
+    require((scores == null) == (scoreCol == null),
+      "pass scores and scoreCol together (or neither)")
     val base = OperatorCache.scoped(tokenized(docs, idCol, textCol))
-    val w = OperatorCache.scoped(dropHotWindows(
-      positionedWindows(base, k), maxOccurrencesPerWindow))
-    val contaminated = w.select(col("id").as("a"), col("h"))
-      .join(w.select(col("id").as("b"), col("pos").as("pb"), col("h")), Seq("h"))
-      .filter(col("a") < col("b"))
+    val w0 = dropHotWindows(positionedWindows(base, k), maxOccurrencesPerWindow)
+    val w = OperatorCache.scoped(
+      if (scores == null) w0.withColumn("__q", lit(0L))
+      else {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val st = scores.schema(scoreCol).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+          s"dropSharedSpans needs an integral score column, got " +
+            s"${st.simpleString} — scale fractional scores to integers first")
+        w0.join(scores.select(col(idCol).as("id"),
+            col(scoreCol).cast("long").as("__q0")), Seq("id"), "left")
+          .withColumn("__q", coalesce(col("__q0"), lit(0L))).drop("__q0")
+      })
+    val contaminated = w.select(col("id").as("a"), col("__q").as("__qa"), col("h"))
+      .join(w.select(col("id").as("b"), col("__q").as("__qb"),
+        col("pos").as("pb"), col("h")), Seq("h"))
+      .filter(col("a") =!= col("b") &&
+        (col("__qa") > col("__qb") ||
+          (col("__qa") === col("__qb") && col("a") < col("b"))))
       .select(col("b").as("id"),
         explode(sequence(col("pb"), col("pb") + lit(k - 1))).as("pos"))
       .distinct()

@@ -62,6 +62,7 @@ object Plans {
         "!CartesianProduct"),
       // span removal: match join + anti join back; no nested loop
       "curate_drop_spans" -> Seq("Join", "!CartesianProduct"),
+      "curate_drop_spans_scored" -> Seq("Join", "!CartesianProduct"),
       // perplexity filter: scoring aggs + the bracket/refine quantile —
       // the value-buffering Percentile aggregate must never appear
       "curate_perplexity_filter" -> Seq("HashAggregate", "!Percentile",

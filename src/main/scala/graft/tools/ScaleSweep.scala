@@ -85,6 +85,7 @@ object ScaleSweep {
       // preserved exactly and cross-replica equality needs every char)
       ("dedup_substring", "linear"),
       ("dedup_substring_runs", "linear"), ("curate_drop_spans", "linear"),
+      ("curate_drop_spans_scored", "linear"),
       ("dedup_substring_ref", "linear"),
       // hot-window surfacing: one window-keyed partial-agg'd count
       ("dedup_hot_windows", "linear"),

@@ -366,6 +366,45 @@ class DedupSpec extends SparkSpec {
     assert(vs.count() == 0L) // the hot header never left the store
   }
 
+  test("dropSharedSpans scored survivor: the best-scored doc keeps the " +
+      "span regardless of id; ties fall back to lowest id") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta keep1 keep2"),
+      (2L, "pre alpha beta gamma delta epsilon zeta post tail"),
+      (3L, "totally unrelated words live here peacefully today")
+    ).toDF("doc_id", "text")
+    // doc 2 outscores doc 1: the HIGHER id now keeps the shared span and
+    // doc 1 (the unscored winner) loses it — the flipped orientation
+    val q = Seq((1L, 10L), (2L, 50L), (3L, 0L)).toDF("doc_id", "q")
+    val got = Dedup.dropSharedSpans(c, "doc_id", "text", k = 6,
+      scores = q, scoreCol = "q")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(2L) == ((9L, 0L,
+      "pre alpha beta gamma delta epsilon zeta post tail")))
+    assert(got(1L) == ((8L, 6L, "keep1 keep2")))
+    assert(got(3L)._2 == 0L)
+
+    // equal scores reduce to the unscored (lowest-id-wins) policy
+    val tied = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("doc_id", "q")
+    val gotTied = Dedup.dropSharedSpans(c, "doc_id", "text", k = 6,
+        scores = tied, scoreCol = "q")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val unscored = Dedup.dropSharedSpans(c, "doc_id", "text", k = 6)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(gotTied == unscored)
+
+    // fractional scores are a contract violation, not silent rounding
+    val bad = Seq((1L, 0.5)).toDF("doc_id", "q")
+    assertThrows[IllegalArgumentException] {
+      Dedup.dropSharedSpans(c, "doc_id", "text", k = 6,
+        scores = bad, scoreCol = "q")
+    }
+  }
+
   test("substringRuns: consecutive windows chain into token run lengths; " +
       "separate runs don't merge") {
     // docs share one 8-token run AND one disjoint 6-token run: with k=6
