@@ -289,6 +289,63 @@ object ScaleSweep {
         (if (ok) "ok" else "FAIL"))
     }
 
+    // import-path scaling probe (round-12 verdict #7): fossil segment
+    // decode and WARC record parse are distributed PER FILE — the claim
+    // gets measured backing by generating fixtures with K× the
+    // segment/file counts and timing the distributed read alone (fixture
+    // generation is driver-side and excluded, the harness-ledger rule).
+    val importRows = Seq(1, factor).map { k =>
+      val fdir = s"/tmp/graft_sweep_fossil_${factor}x_$k"
+      val wdir = s"/tmp/graft_sweep_warc_${factor}x_$k"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fdir, "metadata"))) {
+        val segs = (0 until 24 * k).map { s =>
+          graft.sources.FossilDatabase.Segment(
+            1700000000000000000L + s.toLong * 60000000000L,
+            Vector.tabulate(400)(i => graft.sources.FossilDatabase.Datum(
+              i.toLong * 1000000L, 0, s"v$s-$i".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))))
+        }
+        graft.sources.FossilWriter.writeV2(fdir, Seq("/p"), Seq("string"),
+          segs, sTimeNs = 0L, segmentSize = 400)
+      }
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(wdir))) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wdir))
+        (0 until 8 * k).foreach { fix =>
+          val recs = (0 until 200).map { i =>
+            val body = ("HTTP/1.1 200 OK\r\n\r\npayload " + ("x" * 150) +
+              s" $fix-$i").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            graft.sources.Warc.Record(Map(
+              "WARC-Type" -> "response",
+              "WARC-Target-URI" -> s"http://x.example/$fix/$i",
+              "WARC-Date" -> "2024-06-01T00:00:00Z",
+              "WARC-Record-ID" -> s"<urn:sweep:$fix-$i>"), body)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(wdir, f"part$fix%05d.warc.gz"),
+            graft.sources.Warc.writeRecords(recs, gzip = true))
+        }
+      }
+      val t0 = System.nanoTime()
+      val fr = graft.sources.FossilDatabase.rawEntries(spark, fdir).count()
+      val tF = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val wr = graft.sources.Warc.read(spark, wdir).count()
+      val tW = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      (k, tF, fr, tW, wr)
+    }
+    locally {
+      val ((_, f1, r1, w1, v1), (_, fk, rk, wk, vk)) = (importRows(0), importRows(1))
+      val fRatio = fk / math.max(f1, 1e-9)
+      val wRatio = wk / math.max(w1, 1e-9)
+      val ok = fRatio <= factor * 2.0 && wRatio <= factor * 2.0 &&
+        rk == r1 * factor && vk == v1 * factor
+      if (!ok) failed += 1
+      println(f"[import] fossil 1x=$f1%.2fs ${factor}x=$fk%.2fs ratio=$fRatio%.2f " +
+        f"rows $r1 -> $rk; warc 1x=$w1%.2fs ${factor}x=$wk%.2fs " +
+        f"ratio=$wRatio%.2f rows $v1 -> $vk ${if (ok) "ok" else "FAIL"}")
+    }
+
     def f(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val json = results.map { case (n, kind, t1, tk, ratio, r1, rk, ok) =>
       s""""$n":{"kind":"$kind","t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(ratio)},"rows1x":$r1,"rows${factor}x":$rk,"ok":$ok}"""
@@ -298,10 +355,17 @@ object ScaleSweep {
       s"""{"t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(tk / math.max(t1, 1e-9))},""" +
         s""""pairs1x":$p1,"pairs${factor}x":$pk,"surfaced1x":$s1,"surfaced${factor}x":$sk}"""
     }
+    val importJson = {
+      val ((_, f1, r1, w1, v1), (_, fk, rk, wk, vk)) = (importRows(0), importRows(1))
+      s"""{"fossil_t1x":${f(f1)},"fossil_t${factor}x":${f(fk)},""" +
+        s""""fossil_rows1x":$r1,"fossil_rows${factor}x":$rk,""" +
+        s""""warc_t1x":${f(w1)},"warc_t${factor}x":${f(wk)},""" +
+        s""""warc_rows1x":$v1,"warc_rows${factor}x":$vk}"""
+    }
     val p = java.nio.file.Paths.get("target", "scale_sweep.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p,
-      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"hot_window":$hotJson}"""
+      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"hot_window":$hotJson,"import":$importJson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed scale checks FAILED"); sys.exit(1) }
