@@ -136,7 +136,9 @@ object SubstringWindowStore {
       k: Int = 10,
       maxDocsPerWindow: Int = Dedup.DefaultMaxDocsPerWindow) {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    def tag: String = s"substring.v2;k=$k;cap=$maxDocsPerWindow"
+    // v3: windows.parquet holds the GROUPED form (h, __ids) the r13 pair
+    // stage consumes — one row per hash, join volume = distinct hashes
+    def tag: String = s"substring.v3;k=$k;cap=$maxDocsPerWindow"
   }
 
   private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
@@ -162,29 +164,32 @@ object SubstringWindowStore {
     val d = dir(root, corpusId)
     if (Files.exists(d)) rmTree(d)
     Files.createDirectories(d)
-    Dedup.windowFrame(docs, idCol, textCol, params.k)
+    // grouped once, ungated — the clean/hot split derives from the
+    // JUST-PERSISTED frame: one tokenize/window pass, both artifacts
+    // byte-consistent
+    Dedup.groupedWindowFrame(docs, idCol, textCol, params.k)
       .write.mode("overwrite").parquet(d.resolve("all_windows.parquet").toString)
-    // clean/hot split derives from the JUST-PERSISTED frame: one
-    // tokenize/window pass, both artifacts byte-consistent
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, lit, size}
     val all = spark.read.parquet(d.resolve("all_windows.parquet").toString)
-    val counts = all.groupBy("h").agg(count(lit(1)).as("n_docs"))
     val hot =
       if (params.maxDocsPerWindow > 0)
-        counts.filter(col("n_docs") > params.maxDocsPerWindow)
-      else counts.filter(lit(false)) // uncapped: hot side always empty
+        all.filter(size(col("__ids")) > params.maxDocsPerWindow)
+          .select(col("h"), size(col("__ids")).cast("long").as("n_docs"))
+      else all.filter(lit(false))
+        .select(col("h"), size(col("__ids")).cast("long").as("n_docs"))
     hot.write.mode("overwrite").parquet(d.resolve("hot.parquet").toString)
-    all.join(
-        spark.read.parquet(d.resolve("hot.parquet").toString).select("h"),
-        Seq("h"), "left_anti")
+    (if (params.maxDocsPerWindow > 0)
+        all.filter(size(col("__ids")) <= params.maxDocsPerWindow)
+      else all)
       .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
     rmTree(d.resolve("all_windows.parquet"))
     Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  /** Distinct UNDER-CAP windows `(id, h)` of a persisted corpus — a bare
-    * scan; the build-time hot-window guard already applied. */
+  /** GROUPED under-cap windows `(h, __ids sorted asc)` of a persisted
+    * corpus — a bare scan; the build-time hot-window guard already
+    * applied; exactly the frame the pair stage consumes. */
   def windows(spark: org.apache.spark.sql.SparkSession, root: String,
       corpusId: String, params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)

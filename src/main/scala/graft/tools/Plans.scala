@@ -46,10 +46,11 @@ object Plans {
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
-      // exact-substring pairs: ONE equi-join on the window hash (the key
-      // IS the content — no verify stage), hash aggs only, no nested loop
-      "dedup_substring" -> Seq("HashAggregate", "Join", "!CartesianProduct",
-        "!SortAggregate"),
+      // exact-substring pairs (r13 grouped form): ONE exchange groups ids
+      // per window hash, pair combinations explode ROW-LOCALLY — no join
+      // in the plan at all, hash/object-hash aggs only
+      "dedup_substring" -> Seq("HashAggregate", "Generate", "!Join",
+        "!CartesianProduct", "!SortAggregate"),
       // run reconstruction: same equi-join + a (pair, diagonal)-partitioned
       // window — bounded by the shorter doc, never corpus-wide
       "dedup_substring_runs" -> Seq("HashAggregate", "Join", "Window",
@@ -239,9 +240,13 @@ object Plans {
       // count in the ANALYZED logical plan: the operators scope-cache their
       // shingle/band frames, and cache substitution would hide the
       // explodes inside InMemoryRelation subtrees of the physical plan
+      // count WINDOW-building Generates only: the r13 pair stage adds a
+      // row-local combination explode (generator carries named_struct)
+      // that exists once per operator regardless of side
       def gens(name: String) =
         graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
-          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+              if !g.generator.toString.contains("named_struct") => g
         }.size
       val stored = graft.SparkEntry.queries("dedup_against_ref_stored")(spark, sfDir)
       val scans = stored.queryExecution.sparkPlan.collect {
