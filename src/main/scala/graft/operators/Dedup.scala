@@ -576,25 +576,6 @@ object Dedup {
     * belong to the minhash/cluster family, not pairwise output. */
   val DefaultMaxDocsPerWindow: Int = 1024
 
-  /** Drop over-cap window hashes from a windows frame (`h`-keyed count —
-    * documents for distinct `(id, h)` frames, occurrences for positioned
-    * ones). The agg and semi-join are co-partitioned with the pair join
-    * they protect, so the guard rides the same exchange. cap ≤ 0 = off. */
-  private def dropHotWindows(w: DataFrame, cap: Int): DataFrame =
-    if (cap <= 0) w
-    else {
-      // scope-cache the INPUT: the df agg and the semi-join's left side
-      // are different subtrees over the same window frame, so exchange
-      // reuse never applies and the tokenize/window/hash pass would run
-      // twice (measured 2-3× on the sf0.1 battery rows)
-      val cached = OperatorCache.scoped(w)
-      val keep = cached.groupBy("h")
-        .agg(count(lit(1)).as("__wdf"))
-        .filter(col("__wdf") <= cap)
-        .select("h")
-      cached.join(keep, Seq("h"), "left_semi")
-    }
-
   /** Surface the windows the default guard drops: `(h, n_docs)` for every
     * k-token window present in more than `maxDocsPerWindow` documents —
     * the audit/report side of the cap (what a curation pipeline logs as
@@ -711,6 +692,20 @@ object Dedup {
     spread(docs, idCol, textCol)
       .select(col("id"), tokens(col("__text")).as("toks"))
 
+  /** Grouped POSITIONED windows `(h, __occ sorted asc)` with `__occ` a
+    * list of `(id, pos)` occurrence structs — the positioned twin of
+    * [[groupedWindows]]: ONE exchange, guard as a free size predicate on
+    * OCCURRENCES (a window repeated 10⁶ times inside one doc blows pair
+    * space up exactly like 10⁶ docs would), cross-doc occurrence pairs
+    * exploded row-locally by the consumers. */
+  private def groupedPositioned(base: DataFrame, k: Int, cap: Int): DataFrame = {
+    val g = positionedWindows(base, k)
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("__occ"))
+      .filter(size(col("__occ")) >= 2)
+    if (cap > 0) g.filter(size(col("__occ")) <= cap) else g
+  }
+
   /** Longest shared verbatim RUN per pair — the span-length report the
     * suffix-array dedup family acts on (Lee et al. 2021 deduplicate by
     * span length, not window count): consecutive shared k-windows on one
@@ -718,27 +713,34 @@ object Dedup {
     * tokens. Output `(a, b, max_run, n_windows)` with `max_run` in
     * tokens.
     *
-    * Plan: positioned windows (volume ≈ token count) → the same
-    * hash-keyed equi-join as [[substringPairs]] keeping both positions →
-    * islands per (pair, diagonal pa−pb): consecutive pa values share
-    * `pa − row_number()`, so one window partitioned by (a, b, diag)
-    * reconstructs every run without materializing spans. The window
-    * partitions are per-pair-per-diagonal — bounded by the shorter doc's
-    * length, never corpus-sized. */
+    * Plan: positioned windows (volume ≈ token count) → the r13 grouped
+    * form ([[groupedPositioned]]: one exchange, occurrence pairs exploded
+    * row-locally — the [[substringPairs]] reshape, same 2.6×-at-100×
+    * measurement family) → islands per (pair, diagonal pa−pb):
+    * consecutive pa values share `pa − row_number()`, so one window
+    * partitioned by (a, b, diag) reconstructs every run without
+    * materializing spans. The window partitions are
+    * per-pair-per-diagonal — bounded by the shorter doc's length, never
+    * corpus-sized. */
   def substringRuns(
       docs: DataFrame, idCol: String, textCol: String, k: Int,
       maxOccurrencesPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    // positioned frames guard on OCCURRENCES (a window repeated 10⁶ times
-    // inside one doc blows the self-join up exactly like 10⁶ docs would)
-    val w = OperatorCache.scoped(dropHotWindows(
-      positionedWindows(tokenized(docs, idCol, textCol), k),
-      maxOccurrencesPerWindow))
-    val matches = w.select(col("id").as("a"), col("pos").as("pa"), col("h"))
-      .join(w.select(col("id").as("b"), col("pos").as("pb"), col("h")), Seq("h"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("pa"), col("pb"),
-        (col("pa") - col("pb")).as("diag"))
+    // cross-doc occurrence pairs from each hash's sorted (id, pos) list:
+    // upper triangle of the (id, pos) order with equal ids filtered IS
+    // the old join's a < b output, both positions kept
+    val matches = groupedPositioned(tokenized(docs, idCol, textCol), k,
+        maxOccurrencesPerWindow)
+      .select(explode(expr(
+        """flatten(transform(__occ, (x, i) ->
+          |  transform(filter(slice(__occ, i + 2, size(__occ) - i - 1),
+          |              y -> y.id != x.id),
+          |    y -> named_struct('a', x.id, 'b', y.id,
+          |                      'pa', x.pos, 'pb', y.pos))))""".stripMargin))
+        .as("__m"))
+      .select(col("__m.a").as("a"), col("__m.b").as("b"),
+        col("__m.pa").as("pa"),
+        (col("__m.pa") - col("__m.pb")).as("diag"))
     val islands = matches
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -820,27 +822,41 @@ object Dedup {
     require((scores == null) == (scoreCol == null),
       "pass scores and scoreCol together (or neither)")
     val base = OperatorCache.scoped(tokenized(docs, idCol, textCol))
-    val w0 = dropHotWindows(positionedWindows(base, k), maxOccurrencesPerWindow)
-    val w = OperatorCache.scoped(
-      if (scores == null) w0.withColumn("__q", lit(0L))
+    val pw = positionedWindows(base, k)
+    val withQ =
+      if (scores == null) pw.withColumn("__q", lit(0L))
       else {
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         val st = scores.schema(scoreCol).dataType
         require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
           s"dropSharedSpans needs an integral score column, got " +
             s"${st.simpleString} — scale fractional scores to integers first")
-        w0.join(scores.select(col(idCol).as("id"),
+        pw.join(scores.select(col(idCol).as("id"),
             col(scoreCol).cast("long").as("__q0")), Seq("id"), "left")
           .withColumn("__q", coalesce(col("__q0"), lit(0L))).drop("__q0")
-      })
-    val contaminated = w.select(col("id").as("a"), col("__q").as("__qa"), col("h"))
-      .join(w.select(col("id").as("b"), col("__q").as("__qb"),
-        col("pos").as("pb"), col("h")), Seq("h"))
-      .filter(col("a") =!= col("b") &&
-        (col("__qa") > col("__qb") ||
-          (col("__qa") === col("__qb") && col("a") < col("b"))))
-      .select(col("b").as("id"),
-        explode(sequence(col("pb"), col("pb") + lit(k - 1))).as("pos"))
+      }
+    // grouped form (the substringPairs/substringRuns reshape): one
+    // exchange groups (id, q, pos) occurrences per hash; an occurrence is
+    // contaminated iff SOME other doc's occurrence in the group beats it
+    // on (q desc, id asc) — a row-local exists(), never a self-join
+    val grouped = {
+      val g = withQ.groupBy("h")
+        .agg(sort_array(collect_list(
+          struct(col("id"), col("__q").as("q"), col("pos")))).as("__occ"))
+        .filter(size(col("__occ")) >= 2)
+      if (maxOccurrencesPerWindow > 0)
+        g.filter(size(col("__occ")) <= maxOccurrencesPerWindow)
+      else g
+    }
+    val contaminated = grouped
+      .select(explode(expr(
+        """transform(
+          |  filter(__occ, y -> exists(__occ, x -> x.id != y.id AND
+          |    (x.q > y.q OR (x.q = y.q AND x.id < y.id)))),
+          |  y -> named_struct('id', y.id, 'pos', y.pos))""".stripMargin))
+        .as("__c"))
+      .select(col("__c.id").as("id"),
+        explode(sequence(col("__c.pos"), col("__c.pos") + lit(k - 1))).as("pos"))
       .distinct()
     val toks = base.select(col("id"), posexplode(col("toks")).as(Seq("__p0", "t")))
       .select(col("id"), (col("__p0") + 1).as("pos"), col("t"))

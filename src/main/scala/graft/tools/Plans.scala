@@ -51,10 +51,11 @@ object Plans {
       // in the plan at all, hash/object-hash aggs only
       "dedup_substring" -> Seq("HashAggregate", "Generate", "!Join",
         "!CartesianProduct", "!SortAggregate"),
-      // run reconstruction: same equi-join + a (pair, diagonal)-partitioned
-      // window — bounded by the shorter doc, never corpus-wide
-      "dedup_substring_runs" -> Seq("HashAggregate", "Join", "Window",
-        "!CartesianProduct"),
+      // run reconstruction (r13 grouped): no join — one grouped exchange,
+      // row-local occurrence-pair explode, then the (pair, diagonal)-
+      // partitioned window — bounded by the shorter doc, never corpus-wide
+      "dedup_substring_runs" -> Seq("HashAggregate", "Generate", "Window",
+        "!Join", "!CartesianProduct"),
       "dedup_substring_ref" -> Seq("HashAggregate", "Join", "!CartesianProduct"),
       // hot-window surfacing: one partial-agg'd window count — no join
       "dedup_hot_windows" -> Seq("HashAggregate", "partial_", "!Join",
