@@ -1312,6 +1312,12 @@ object PipelineQueries {
         .orderBy("doc_id")),
     // docs wrapped in deterministic markup (same expression in the oracle):
     // nested tags, attributes, and an entity tail on every 3rd doc
+    // overlapping token-window chunking: the embedding/RAG prep step —
+    // 12-token chunks starting every 8 (4-token overlap), tail kept
+    "text_chunks" -> ((s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 12, overlapTokens = 4)
+        .orderBy("id", "chunk_ix")),
     "text_html_strip" -> ((s, d) =>
       Curation.htmlStrip(
         Tables.documents(s, d).withColumn("html",
@@ -2581,6 +2587,20 @@ object PipelineQueries {
       |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
       |FROM tok WHERE len(toks) = 0
       |ORDER BY doc_id""".stripMargin.trim,
+
+    // chunking: replay tokenize + integer chunk count + slices; the
+    // max(0, .) wrap makes DuckDB's floor // agree with Spark's div on
+    // short docs (negative numerators)
+    "text_chunks" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |n AS (SELECT doc_id, toks,
+      |    1 + greatest(0, (len(toks) - 12 + 8 - 1) // 8) AS nc
+      |  FROM tok WHERE len(toks) > 0)
+      |SELECT doc_id AS id, i AS chunk_ix,
+      |  least(12, len(toks) - i * 8) AS n_tokens,
+      |  array_to_string(toks[i*8 + 1 : i*8 + 12], ' ') AS chunk
+      |FROM n, unnest(range(0, nc)) t(i)
+      |ORDER BY id, chunk_ix""".stripMargin.trim,
 
     "text_html_strip" -> s"""
       |WITH h AS (SELECT doc_id,

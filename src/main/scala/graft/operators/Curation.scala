@@ -618,6 +618,49 @@ object Curation {
       trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
   }
 
+  /** Overlapping token-window CHUNKING — the embedding/retrieval prep
+    * step (a RAG or embedding pipeline embeds fixed-size chunks, not
+    * whole documents): each doc splits into windows of `chunkTokens`
+    * starting every `chunkTokens − overlapTokens` tokens, the final
+    * window keeping the tail (possibly short). Output
+    * `(id, chunk_ix, n_tokens, chunk)`; docs with no tokens emit
+    * nothing. Integer-exact chunk count — `1 + max(0, (n − chunk +
+    * stride − 1) div stride)` — truncating division wrapped in the
+    * max(0, ·) so Spark's toward-zero `div` and DuckDB's floor `//`
+    * cannot diverge on short docs.
+    *
+    * Scale: a per-row narrow map (tokenize + one row-local transform +
+    * posexplode) — no shuffle, no join; output volume ≈ corpus tokens ×
+    * chunk/(chunk − overlap). */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens/$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"),
+        (lit(1) + greatest(lit(0), expr(
+          s"(size(__toks) - $chunkTokens + $stride - 1) div $stride")))
+          .as("__nc"))
+      .select(col("id"),
+        posexplode(when(size(col("__toks")) === 0,
+            array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), col("__nc") - 1),
+            i => concat_ws(" ", slice(col("__toks"), i * stride + 1,
+              lit(chunkTokens))))))
+          .as(Seq("chunk_ix", "chunk")),
+        col("__toks"))
+      .select(col("id"), col("chunk_ix"),
+        least(lit(chunkTokens),
+          size(col("__toks")) - col("chunk_ix") * stride)
+          .cast("long").as("n_tokens"),
+        col("chunk"))
+  }
+
   /** URL canonicalization — the normalization a crawl dedup runs before
     * grouping by URL: drop the fragment, lowercase scheme+host, strip a
     * leading `www.`, strip default ports (:80 http / :443 https), remove

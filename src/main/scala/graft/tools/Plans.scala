@@ -180,6 +180,9 @@ object Plans {
       "curate_boilerplate" -> Seq("Generate", "HashAggregate", "Join",
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       "text_html_strip" -> Seq("!Exchange hashpartitioning", "!Join"),
+      // chunking is a per-row narrow map: tokenize + row-local transform +
+      // posexplode — no hash shuffle, no join (battery orderBy adds RANGE)
+      "text_chunks" -> Seq("Generate", "!Exchange hashpartitioning", "!Join"),
       // source overlap: the corpus-sized stage must partial-aggregate
       // (map-side min per source×hash, all-LONG so it stays in
       // HashAggregate) BEFORE its shuffle — without it a giant source

@@ -160,6 +160,8 @@ object ScaleSweep {
       // intra-doc repetition: window explode + two keyed hash aggs
       ("text_self_repetition", "linear"),
       ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
+      // chunking: per-row map, output ∝ tokens
+      ("text_chunks", "linear"),
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
       // streaming curation twins: stateless narrow maps over the replay
       // fixture — cost is fixture I/O + per-row work, both linear (the

@@ -410,6 +410,31 @@ class CurationSpec extends SparkSpec {
     assert(sim > 3333 - 2360 && sim < 3333 + 2360, s"sim_e4=$sim vs true 3333")
   }
 
+  test("chunkDocuments: overlap stride, short tail kept, short/empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")), // 30 toks: 4 chunks
+      (2L, "a b c"),                                  // shorter than chunk: 1
+      (3L, "")                                        // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 12, overlapTokens = 4)
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // starts at 0, 8, 16, 24 (stride 8); last chunk = tokens 25..30
+    assert(got(1L).map(_._3) == Seq(12L, 12L, 12L, 6L))
+    assert(got(1L).head._4.startsWith("t1 t2 ") &&
+      got(1L).head._4.endsWith(" t12"))
+    assert(got(1L)(1)._4.startsWith("t9 "))      // overlap of 4: 9..20
+    assert(got(1L)(3)._4 == "t25 t26 t27 t28 t29 t30")
+    assert(got(2L) == Seq((2L, 0, 3L, "a b c")))
+    assert(!got.contains(3L))
+    // consecutive chunks share exactly overlapTokens tokens
+    val c0 = got(1L)(0)._4.split(" ").toSeq
+    val c1 = got(1L)(1)._4.split(" ").toSeq
+    assert(c0.takeRight(4) == c1.take(4))
+  }
+
   test("canonicalUrl: case, www, ports, fragments, tracking params, slashes") {
     val cases = Seq(
       "HTTPS://WWW.Ex.COM:443/a/" -> "https://ex.com/a",
