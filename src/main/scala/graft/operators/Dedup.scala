@@ -28,14 +28,21 @@ import TextOps._
   */
 object Dedup {
 
-  /** Hash-repartition `(id, text)` before per-row heavy lifting: a small
-    * corpus often arrives as ONE parquet split, which would otherwise run
-    * every shingle/hash single-threaded no matter how many cores exist. The
-    * shuffle moves only raw text, and the id partitioning is reused by the
-    * downstream per-id aggregation. */
-  private def spread(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(col("id"))
+  /** Hash-repartition `(id, text)` before per-row heavy lifting — but
+    * ONLY when the input is under-partitioned: a small corpus often
+    * arrives as ONE parquet split, which would otherwise run every
+    * shingle/hash single-threaded no matter how many cores exist. A
+    * 100 TB corpus arrives as tens of thousands of splits, where the
+    * unconditional repartition this replaces would shuffle the ENTIRE
+    * raw text once more for nothing (every downstream op re-keys by
+    * id/hash/band anyway — the upfront exchange is pure overhead at
+    * scale, parallelism insurance at toy scale). */
+  private def spread(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sel = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    if (sel.rdd.getNumPartitions >= docs.sparkSession.sparkContext.defaultParallelism)
+      sel
+    else sel.repartition(col("id"))
+  }
 
   /** Exact dedup: group by content hash of the normalized text.
     * Returns one row per duplicate group (`n > 1`): the content hash, the
