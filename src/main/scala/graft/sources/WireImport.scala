@@ -82,11 +82,15 @@ object WireImport {
       val nPages = math.max(1L, (n + pageSize - 1) / pageSize)
       // evenly spaced ns bounds over [first, last]; between is inclusive
       // on both ends, so window i is [b_i, b_{i+1} − 1ns] and the final
-      // window closes exactly at last — disjoint and covering
+      // window closes exactly at last — disjoint and covering. Bounds go
+      // through BigInt: span is epoch-ns-scale (~1e17 per decade), so
+      // `span * i` overflows Long past a handful of pages — the exact
+      // wide-history many-page case the paging exists for.
       val span = lastNs - firstNs
+      def bound(i: Long): Long = firstNs + (BigInt(span) * i / nPages).toLong
       (0L until nPages).foreach { i =>
-        val lo = firstNs + span * i / nPages
-        val hi = if (i == nPages - 1) lastNs else firstNs + span * (i + 1) / nPages - 1
+        val lo = bound(i)
+        val hi = if (i == nPages - 1) lastNs else bound(i + 1) - 1
         if (hi >= lo) {
           val got = client.query(
             s"all in $topic between ~(${fmtNs(lo)}), ~(${fmtNs(hi)})")

@@ -63,6 +63,30 @@ class WireImportSpec extends SparkSpec {
     assert(srcTopics("/m/empty") == "boolean")
   }
 
+  test("decade-spanning topics page without Long overflow in the bounds") {
+    // span ~54 years of ns (~1.7e18); with 8 pages the naive span*i
+    // bound arithmetic exceeds 2^63 and silently corrupts the windows —
+    // every entry must still land exactly once
+    val srcRoot = Files.createTempDirectory("graft_wi_wide").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_wide_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/wide", "int64")
+    val years = Seq(1970, 1980, 1990, 2000, 2005, 2010, 2015, 2024)
+    years.zipWithIndex.foreach { case (y, i) =>
+      val ts = new Timestamp(java.time.Instant.parse(f"$y%04d-06-01T00:00:00Z").toEpochMilli)
+      src.append("/wide", i.toLong, ts)
+    }
+    val server = new WireServer(spark, Map("w" -> srcRoot), "w", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "w")
+      try {
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 1)
+        assert(r.entries == years.length.toLong)
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
   test("single-entry topics and identical timestamps page safely") {
     val srcRoot = Files.createTempDirectory("graft_wi_one").toString
     val dstRoot = Files.createTempDirectory("graft_wi_one_dst").toString
