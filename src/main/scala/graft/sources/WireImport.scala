@@ -1,12 +1,15 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 import java.time.Instant
 import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
-import graft.api.{LocalClient, RemoteClient}
+import graft.api.{LocalClient, RemoteClient, WireEntry, WireException}
 
 /** Bulk import from a LIVE fossil server into a [[graft.engine.ParquetStore]]
   * — the wire-access migration path (the offline twin is
@@ -17,13 +20,54 @@ import graft.api.{LocalClient, RemoteClient}
   * Shape: LIST gives the topic catalog (re-created first so schemas
   * survive even for empty topics), STATS gives per-topic entry counts and
   * time bounds, and each topic's data pages through QUERY in DISJOINT
-  * time windows (`between ~(lo), ~(hi)` — bounds are ns-inclusive on both
-  * ends, so consecutive windows step by one nanosecond) sized off the
-  * topic's entry count, landing each page through the engine's
-  * exactly-once DataFrame ingest. Paging bounds every response frame (the
-  * wire protocol buffers a QUERY response fully — a one-shot `all in t`
-  * of a big topic would hit the frame cap) and bounds driver memory to
-  * one page of entries.
+  * time windows sized off the topic's entry count, landing each page
+  * through the engine's exactly-once DataFrame ingest. Paging bounds every
+  * response frame (the wire protocol buffers a QUERY response fully — a
+  * one-shot `all in t` of a big topic would hit the 100 MiB frame cap,
+  * reference `pkg/proto/message.go:96-98`) and bounds driver memory to one
+  * page of entries.
+  *
+  * Windows are computed in MICROSECONDS — the wire's full time fidelity
+  * (entry and STATS lines carry exactly six fractional digits), and the
+  * engine's own timestamp precision. Window `i` of a topic is the µs range
+  * `[b(i), b(i+1) − 1µs]` (the last closes at the topic's `last`), which is
+  * disjoint and covering by construction; an earlier design stepped
+  * NANOSECOND bounds by 1 ns, and any non-µs-aligned interior bound made
+  * adjacent windows share a microsecond after the engine's µs truncation —
+  * entries at that µs landed twice. µs arithmetic also retires the Long
+  * overflow class outright: 2^63 µs ≈ 292,000 years of span.
+  *
+  * Two defensive clamps make over-delivery structurally impossible:
+  * each fetched page is filtered to the EXACT topic (FQL `in t` selects
+  * descendants too, and STATS lists every data-bearing topic separately —
+  * without the clamp, nested-topic entries would land once per
+  * data-bearing ancestor) and to the window's own µs range (so even a
+  * server with different boundary rounding cannot produce duplicates:
+  * landed sets are disjoint because the clamped windows are).
+  *
+  * Time-skewed topics: windows are sized assuming time-uniform entries,
+  * but real topics burst (incident logs put most entries in one short
+  * window). When a window's response overflows the server's frame cap
+  * (wire error 507) the window is SPLIT in half recursively until pages
+  * fit — detection is free (the cap error is the exact failure being
+  * avoided, no threshold to tune) and only the failed window re-fetches.
+  * A single microsecond that alone overflows the cap cannot be split and
+  * fails with a named error (import that store offline instead).
+  *
+  * Resume: each page landing is preceded by an intent record in a sidecar
+  * (`_wire_import.json` beside the target store, same atomic tmp+move
+  * protocol as `catalog.json`) carrying the per-topic high-water mark.
+  * `importInto(..., resume = true)` skips topics/windows at or below the
+  * mark and re-lands only the missing SUFFIX of an interrupted page:
+  * within a page, schema groups land sequentially in sorted-DDL order and
+  * each landing is one atomic Spark write job, so the landed prefix is
+  * identified by comparing the target's in-window entry count against the
+  * strictly-increasing prefix sums of the re-fetched groups. Resume
+  * assumes the import is the only writer of those topics and the source
+  * did not gain in-window entries between crash and resume (quiesce for
+  * exact snapshots — see the consistency note below); a count that matches
+  * no prefix fails loudly rather than guessing. The sidecar is deleted on
+  * successful completion.
   *
   * Fidelity: the wire QUERY exposes entry times at the engine's µs
   * timestamp precision, so the import is lossless with respect to what
@@ -42,14 +86,17 @@ object WireImport {
 
   private val StatsLine = """^(\S+) n=(\d+) first=(\S+) last=(\S+)$""".r
 
-  private def toNs(s: String): Long = {
-    val i = Instant.from(DateTimeFormatter.ISO_OFFSET_DATE_TIME.parse(s))
-    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
-  }
+  /** Wire instants carry exactly µs precision (`SSSSSS` in the server's
+    * entry/STATS format), so the µs value is exact — no rounding choice. */
+  private def usOf(i: Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
 
-  private def fmtNs(ns: Long): String =
+  private def toUs(s: String): Long =
+    usOf(Instant.from(DateTimeFormatter.ISO_OFFSET_DATE_TIME.parse(s)))
+
+  private def fmtUs(us: Long): String =
     DateTimeFormatter.ISO_INSTANT.format(Instant.ofEpochSecond(
-      Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L)))
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** Wire-decoded value → Spark external type: the schema codec yields
     * composites as Maps, but a StructType row expects a [[Row]] with the
@@ -63,48 +110,194 @@ object WireImport {
       case _ => v
     }
 
+  // ---- resume sidecar -----------------------------------------------------
+
+  /** Per-topic progress: `done` = every source entry at or below this µs
+    * has fully landed; `pending` = a window whose landing may have been
+    * interrupted (intent is written BEFORE landing, cleared by the next
+    * window's intent or the topic's completion record). */
+  private[graft] final case class TopicState(done: Long, pending: Option[(Long, Long)])
+
+  private[graft] def stateFile(root: String) = Paths.get(root, "_wire_import.json")
+
+  private[graft] def loadState(root: String): Map[String, TopicState] = {
+    val p = stateFile(root)
+    if (!Files.exists(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val Done = """done=(-?\d+)""".r
+    val DonePending = """done=(-?\d+) pending=(-?\d+):(-?\d+)""".r
+    entry.findAllMatchIn(json).map { m =>
+      un(m.group(1)) -> (un(m.group(2)) match {
+        case DonePending(d, lo, hi) => TopicState(d.toLong, Some((lo.toLong, hi.toLong)))
+        case Done(d) => TopicState(d.toLong, None)
+        case other => throw new IllegalStateException(
+          s"corrupt wire-import sidecar value: '$other' in $p")
+      })
+    }.toMap
+  }
+
+  private[graft] def saveState(root: String, st: Map[String, TopicState]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = st.toSeq.sortBy(_._1).map { case (t, s) =>
+      val v = s.pending match {
+        case Some((lo, hi)) => s"done=${s.done} pending=$lo:$hi"
+        case None => s"done=${s.done}"
+      }
+      s"""  "${esc(t)}": "$v""""
+    }.mkString("{\n", ",\n", "\n}")
+    val tmp = Paths.get(root, "._wire_import.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, stateFile(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- import ---------------------------------------------------------
+
   /** Import every topic of the client's bound database into a fresh or
-    * existing store at `targetRoot`; ~`pageSize` entries per QUERY. */
+    * existing store at `targetRoot`; ~`pageSize` entries per QUERY.
+    *
+    * @param resume continue a previously interrupted import from its
+    *   sidecar high-water marks instead of starting over (see class doc)
+    * @param onPage progress hook, called as `(topic, windowLoUs,
+    *   windowHiUs)` after each page lands — a crawl-scale migration runs
+    *   for hours and wants observable progress */
   def importInto(spark: SparkSession, client: RemoteClient,
-      targetRoot: String, pageSize: Int = 50000): Result = {
+      targetRoot: String, pageSize: Int = 50000, resume: Boolean = false,
+      onPage: (String, Long, Long) => Unit = (_, _, _) => ()): Result = {
     require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
     val target = new LocalClient(spark, targetRoot)
+    val existing = target.listTopics.toMap
     val topics = client.listTopics
-    topics.foreach { case (t, ddl) => target.createTopic(t, ddl) }
+    // parents before children: creation order matters under inheritance
+    topics.sortBy(_._1).foreach { case (t, ddl) =>
+      existing.get(t) match {
+        case Some(have) if have != ddl => throw new IllegalArgumentException(
+          s"target already has $t with schema $have (source says $ddl)")
+        case Some(_) => () // already created (e.g. a resumed run)
+        case None => target.createTopic(t, ddl)
+      }
+    }
+    var state: Map[String, TopicState] =
+      if (resume) loadState(targetRoot)
+      else { Files.deleteIfExists(stateFile(targetRoot)); Map.empty }
+
     val stats = client.stats().map {
-      case StatsLine(t, n, first, last) => (t, (n.toLong, toNs(first), toNs(last)))
+      case StatsLine(t, n, first, last) => (t, (n.toLong, toUs(first), toUs(last)))
       case line => throw new IllegalArgumentException(
         s"unparseable STATS line from server: '$line'")
     }.toMap
     var entries = 0L
     var pages = 0
-    stats.toSeq.sortBy(_._1).foreach { case (topic, (n, firstNs, lastNs)) =>
-      val nPages = math.max(1L, (n + pageSize - 1) / pageSize)
-      // evenly spaced ns bounds over [first, last]; between is inclusive
-      // on both ends, so window i is [b_i, b_{i+1} − 1ns] and the final
-      // window closes exactly at last — disjoint and covering. Bounds go
-      // through BigInt: span is epoch-ns-scale (~1e17 per decade), so
-      // `span * i` overflows Long past a handful of pages — the exact
-      // wide-history many-page case the paging exists for.
-      val span = lastNs - firstNs
-      def bound(i: Long): Long = firstNs + (BigInt(span) * i / nPages).toLong
-      (0L until nPages).foreach { i =>
-        val lo = bound(i)
-        val hi = if (i == nPages - 1) lastNs else bound(i + 1) - 1
-        if (hi >= lo) {
-          val got = client.query(
-            s"all in $topic between ~(${fmtNs(lo)}), ~(${fmtNs(hi)})")
-          pages += 1
-          entries += got.size
-          got.groupBy(_.schema).foreach { case (ddl, es) =>
-            val st = graft.engine.FossilSchema.parse(ddl)
-            target.appendBatch(
-              es.map(e => Row(Timestamp.from(e.time), e.topic,
-                external(st, e.decoded))), ddl)
+
+    /** Fetch one window, clamped to the exact topic and the window's own
+      * µs range (see class doc: descendants + boundary rounding). */
+    def fetch(topic: String, loUs: Long, hiUs: Long): Seq[WireEntry] =
+      client.query(s"all in $topic between ~(${fmtUs(loUs)}), ~(${fmtUs(hiUs)})")
+        .filter { e =>
+          e.topic == topic && { val us = usOf(e.time); us >= loUs && us <= hiUs }
+        }
+
+    /** Schema groups of a page in their landing order (sorted DDL) — the
+      * order is the resume contract: a crash mid-page leaves a PREFIX. */
+    def groupsOf(got: Seq[WireEntry]): Seq[(String, Seq[WireEntry])] =
+      got.groupBy(_.schema).toSeq.sortBy(_._1)
+
+    def landGroups(gs: Seq[(String, Seq[WireEntry])]): Unit =
+      gs.foreach { case (ddl, es) =>
+        val st = graft.engine.FossilSchema.parse(ddl)
+        target.appendBatch(
+          es.map(e => Row(Timestamp.from(e.time), e.topic,
+            external(st, e.decoded))), ddl)
+      }
+
+    def markPending(topic: String, done: Long, lo: Long, hi: Long): Unit = {
+      state = state.updated(topic, TopicState(done, Some((lo, hi))))
+      saveState(targetRoot, state)
+    }
+
+    def markDone(topic: String, done: Long): Unit = {
+      state = state.updated(topic, TopicState(done, None))
+      saveState(targetRoot, state)
+    }
+
+    /** Import one window; on a frame-cap overflow (wire 507) split the
+      * window in half and recurse — see class doc. */
+    def importWindow(topic: String, doneBefore: Long, loUs: Long, hiUs: Long): Unit = {
+      val page =
+        try fetch(topic, loUs, hiUs)
+        catch {
+          case e: WireException if e.code == 507 =>
+            if (hiUs > loUs) {
+              val mid = loUs + (hiUs - loUs) / 2
+              importWindow(topic, doneBefore, loUs, mid)
+              importWindow(topic, mid, mid + 1, hiUs)
+              return
+            } else throw new IllegalStateException(
+              s"topic $topic has more entries at ${fmtUs(loUs)} than fit one " +
+                "wire frame — an unsplittable window; import this store " +
+                "offline (FossilDatabase.importInto) or raise the server cap", e)
+        }
+      markPending(topic, doneBefore, loUs, hiUs)
+      landGroups(groupsOf(page))
+      pages += 1
+      entries += page.size
+      onPage(topic, loUs, hiUs)
+    }
+
+    /** Re-land the missing suffix of an interrupted page: the target's
+      * in-window count identifies the landed group prefix (strictly
+      * increasing prefix sums — group sizes are nonzero). */
+    def recoverPending(topic: String, lo: Long, hi: Long): Unit = {
+      val gs = groupsOf(fetch(topic, lo, hi))
+      val landed = target.query(
+          s"all in $topic between ~(${fmtUs(lo)}), ~(${fmtUs(hi)})")
+        .filter(col("topic") === topic).count()
+      val prefixSums = gs.scanLeft(0L)(_ + _._2.size)
+      val k = prefixSums.indexOf(landed)
+      if (k < 0) throw new IllegalStateException(
+        s"cannot resume $topic window [${fmtUs(lo)}, ${fmtUs(hi)}]: target has " +
+          s"$landed in-window entries, which is no prefix of the source page " +
+          s"(group sizes ${gs.map(_._2.size).mkString(",")}) — the source " +
+          "gained in-window entries since the interrupted run, or another " +
+          "writer touched the topic; re-import from scratch")
+      val suffix = gs.drop(k)
+      landGroups(suffix)
+      pages += 1
+      entries += suffix.map(_._2.size).sum
+      onPage(topic, lo, hi)
+    }
+
+    stats.toSeq.sortBy(_._1).foreach { case (topic, (n, firstUs, lastUs)) =>
+      val prior = state.get(topic)
+      prior.flatMap(_.pending).foreach { case (lo, hi) =>
+        recoverPending(topic, lo, hi)
+        markDone(topic, hi)
+      }
+      val done = state.get(topic).map(s => math.max(s.done,
+        s.pending.map(_._2).getOrElse(Long.MinValue))).getOrElse(Long.MinValue)
+      val startUs = if (done == Long.MinValue) firstUs else done + 1
+      if (startUs <= lastUs) {
+        // evenly spaced µs bounds over [start, last]; window i is
+        // [b_i, b_{i+1} − 1µs], the final closes exactly at last —
+        // disjoint and covering. BigInt: span·i can exceed Long for
+        // many-page topics even at µs scale.
+        val nPages = math.max(1L, (n + pageSize - 1) / pageSize)
+        val span = Math.subtractExact(lastUs, startUs)
+        def bound(i: Long): Long = startUs + (BigInt(span) * i / nPages).toLong
+        (0L until nPages).foreach { i =>
+          val lo = bound(i)
+          val hi = if (i == nPages - 1) lastUs else bound(i + 1) - 1
+          if (hi >= lo) {
+            importWindow(topic, lo - 1, lo, hi)
+            markDone(topic, hi)
           }
         }
       }
+      markDone(topic, math.max(done, lastUs))
     }
+    Files.deleteIfExists(stateFile(targetRoot))
     Result(topics.size, entries, pages)
   }
 }

@@ -87,6 +87,180 @@ class WireImportSpec extends SparkSpec {
     assert(entriesOf(dstRoot) == entriesOf(srcRoot))
   }
 
+  test("adjacent windows never share a microsecond: consecutive-µs entries " +
+      "land exactly once through many non-trivially-divided windows") {
+    // 100 entries one µs apart with pageSize 3 → 34 windows whose evenly
+    // interpolated bounds fall on arbitrary µs values; an earlier design
+    // computed NANOSECOND bounds stepped by 1 ns, and any non-µs-aligned
+    // bound made window i's hi and window i+1's lo truncate to the SAME
+    // microsecond — an entry at that µs landed twice
+    val srcRoot = Files.createTempDirectory("graft_wi_us").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_us_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/dense", "int64")
+    val sec = 1735600000L
+    (0 until 100).foreach { i =>
+      src.append("/dense", i.toLong,
+        Timestamp.from(java.time.Instant.ofEpochSecond(sec, i * 1000L)))
+    }
+    val server = new WireServer(spark, Map("u" -> srcRoot), "u", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "u")
+      try {
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 3)
+        assert(r.entries == 100L) // a boundary duplicate would overshoot
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
+  test("nested data-bearing topics import exactly once (no descendant " +
+      "double-landing through ancestor pages)") {
+    // `all in /a` selects /a AND /a/b (FQL prefix semantics) while STATS
+    // lists both separately — without the exact-topic clamp, /a/b's
+    // entries land once via /a's pages and again via their own
+    val srcRoot = Files.createTempDirectory("graft_wi_nest").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_nest_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/a", "int64")
+    src.createTopic("/a/b", "int64") // inherits-compatible child WITH data
+    val t0 = 1735600000L * 1000L
+    (0 until 5).foreach(i => src.append("/a", i.toLong, new Timestamp(t0 + i * 1000L)))
+    (0 until 5).foreach(i => src.append("/a/b", (10 + i).toLong,
+      new Timestamp(t0 + i * 1000L + 500L)))
+    val server = new WireServer(spark, Map("n" -> srcRoot), "n", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "n")
+      try {
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 3)
+        assert(r.entries == 10L)
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
+  test("bursty topics split windows on the wire frame cap instead of dying") {
+    // 190 of 200 entries inside one second of a day-long topic: the even
+    // time windows put nearly everything in one page, whose response
+    // overflows a (deliberately tiny) frame cap with wire error 507; the
+    // import must recursively split that window until pages fit
+    val srcRoot = Files.createTempDirectory("graft_wi_burst").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_burst_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/burst", "int64")
+    val sec = 1735600000L
+    (0 until 190).foreach { i => // the burst: ms-spaced inside one second
+      src.append("/burst", i.toLong,
+        Timestamp.from(java.time.Instant.ofEpochSecond(sec, i * 5000000L)))
+    }
+    (0 until 10).foreach { i => // the sparse tail over a day
+      src.append("/burst", (1000 + i).toLong,
+        new Timestamp((sec + 3600L + i * 8000L) * 1000L))
+    }
+    val server = new WireServer(spark, Map("b" -> srcRoot), "b", fixedClock,
+      maxResponseBytes = 4096)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "b")
+      try {
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 50)
+        assert(r.entries == 200L)
+        assert(r.pages > 4) // the burst window had to split
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
+  test("a single microsecond that alone overflows the frame cap fails " +
+      "with a named error, not an infinite split") {
+    val srcRoot = Files.createTempDirectory("graft_wi_hotus").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_hotus_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/hot", "int64")
+    val at = new Timestamp(1735600000L * 1000L)
+    (0 until 100).foreach(i => src.append("/hot", i.toLong, at))
+    val server = new WireServer(spark, Map("h" -> srcRoot), "h", fixedClock,
+      maxResponseBytes = 2048)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "h")
+      try {
+        val e = intercept[IllegalStateException] {
+          WireImport.importInto(spark, client, dstRoot, pageSize = 10)
+        }
+        assert(e.getMessage.contains("unsplittable"))
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("resume after a mid-topic crash lands the remaining entries " +
+      "without duplicates or gaps") {
+    val srcRoot = Files.createTempDirectory("graft_wi_res").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_res_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/r", "int64")
+    val t0 = 1735600000L * 1000L
+    (0 until 40).foreach(i => src.append("/r", i.toLong, new Timestamp(t0 + i * 1000L)))
+    val server = new WireServer(spark, Map("r" -> srcRoot), "r", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "r")
+      try {
+        // run 1: "crash" after the second page has landed
+        var seen = 0
+        val boom = intercept[RuntimeException] {
+          WireImport.importInto(spark, client, dstRoot, pageSize = 10,
+            onPage = (_, _, _) => { seen += 1; if (seen == 2) sys.error("crash") })
+        }
+        assert(boom.getMessage == "crash")
+        assert(java.nio.file.Files.exists(WireImport.stateFile(dstRoot)))
+        // run 2: resume — re-verifies the interrupted window (already fully
+        // landed → lands nothing for it) and pages the rest afresh
+        val r2 = WireImport.importInto(spark, client, dstRoot, pageSize = 10,
+          resume = true)
+        assert(r2.entries == 20L) // exactly the 20 not landed before the crash
+        assert(!java.nio.file.Files.exists(WireImport.stateFile(dstRoot)))
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
+  test("resume with an unlanded pending window re-lands it exactly once") {
+    // the other recovery boundary: intent written, crash BEFORE the page's
+    // write job committed — the target has zero in-window entries and the
+    // whole page must land on resume
+    val srcRoot = Files.createTempDirectory("graft_wi_res0").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_res0_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/r0", "int64")
+    val sec = 1735600000L
+    (0 until 10).foreach(i => src.append("/r0", i.toLong,
+      Timestamp.from(java.time.Instant.ofEpochSecond(sec, i * 1000000000L))))
+    val server = new WireServer(spark, Map("z" -> srcRoot), "z", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "z")
+      try {
+        // hand-write the sidecar an interrupted import would have left:
+        // intent for the topic's whole range, nothing landed yet
+        val loUs = sec * 1000000L
+        val hiUs = (sec + 9) * 1000000L
+        new LocalClient(spark, dstRoot).createTopic("/r0", "int64")
+        WireImport.saveState(dstRoot,
+          Map("/r0" -> WireImport.TopicState(loUs - 1, Some((loUs, hiUs)))))
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 100,
+          resume = true)
+        assert(r.entries == 10L)
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
+  test("resume sidecar state round-trips through its JSON encoding") {
+    val root = Files.createTempDirectory("graft_wi_state").toString
+    val st = Map(
+      "/plain" -> WireImport.TopicState(123456789L, None),
+      "/with \"quote\"" -> WireImport.TopicState(-5L, Some((-10L, 42L))))
+    WireImport.saveState(root, st)
+    assert(WireImport.loadState(root) == st)
+  }
+
   test("single-entry topics and identical timestamps page safely") {
     val srcRoot = Files.createTempDirectory("graft_wi_one").toString
     val dstRoot = Files.createTempDirectory("graft_wi_one_dst").toString
