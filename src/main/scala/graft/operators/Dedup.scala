@@ -550,9 +550,11 @@ object Dedup {
     * shared run of length L contributes L−k+1 of them).
     *
     * Boilerplate guard for crawl-scale corpora: `maxDocsPerWindow > 0`
-    * drops windows shared by more documents than the cap — in the r13
-    * grouped formulation the guard is a FREE `size(__ids)` predicate on
-    * the one grouped exchange, not an extra pass. The df² blowup lives
+    * drops windows shared by more documents than the cap — enforced
+    * INSIDE the grouped aggregation (a size-capped collect that stops
+    * buffering at cap+1 ids, [[graft.functions.CollectSortedCapped]]), so
+    * it costs no extra pass AND bounds the per-group agg buffer and
+    * exchange volume. The df² blowup lives
     * entirely in those header/footer windows (license blocks, navigation
     * chrome: one window shared by d = 10⁵ docs means d² pair rows), and
     * the pairs they would add are boilerplate, not content, duplication.
@@ -597,25 +599,26 @@ object Dedup {
       .filter(col("n_docs") > maxDocsPerWindow)
   }
 
-  /** Per-hash grouped windows `(h, __ids sorted asc)`, guard applied as a
-    * free size filter — the grouped form replaces the r12 self-equi-join:
-    * ONE exchange builds the per-window id lists, pair combinations
-    * explode row-locally from each list (exactly the join's output, upper
-    * triangle by the sorted order), and the guard costs a `size()`
-    * predicate instead of a df agg + semi-join over a second pass of the
-    * corpus. Per-group state is bounded by the cap (≤ 1024 ids ≈ 8 KB);
-    * cap = 0 keeps exact semantics with the buffer bound documented. */
-  private def groupedWindows(w: DataFrame, cap: Int): DataFrame = {
-    val g = w.groupBy("h").agg(sort_array(collect_list(col("id"))).as("__ids"))
-    if (cap > 0) g.filter(size(col("__ids")) <= cap) else g
-  }
-
-  /** Ungated grouped windows `(h, __ids)` for a corpus — what
-    * [[SubstringWindowStore]] persists before its build-time clean/hot
-    * split (sharing [[groupedWindows]] so store and inline cannot drift). */
-  private[operators] def groupedWindowFrame(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    groupedWindows(windowFrame(docs, idCol, textCol, k), cap = 0)
+  /** Per-hash grouped windows `(h, __ids sorted asc)` — the grouped form
+    * replaces the r12 self-equi-join: ONE exchange builds the per-window
+    * id lists, pair combinations explode row-locally from each list
+    * (exactly the join's output, upper triangle by the sorted order).
+    * The guard is enforced INSIDE the aggregation
+    * ([[graft.functions.CollectSortedCapped]]): a group stops buffering at
+    * cap+1 values on both agg sides and evaluates to null, so per-group
+    * state is truly bounded by the cap (≤ 1024 ids ≈ 8 KB) even for a
+    * corpus-wide boilerplate window — a post-agg size filter would drop
+    * the same groups but only AFTER fully buffering a df ≈ corpus id list
+    * in one aggregation buffer. cap = 0 keeps exact semantics; the buffer
+    * is then unbounded by explicit contract. */
+  private[operators] def groupedWindows(w: DataFrame, cap: Int): DataFrame =
+    if (cap > 0)
+      w.groupBy("h")
+        .agg(graft.functions.CappedCollect
+          .collectSortedCapped(col("id"), cap).as("__ids"))
+        .filter(col("__ids").isNotNull)
+    else
+      w.groupBy("h").agg(sort_array(collect_list(col("id"))).as("__ids"))
 
   def substringPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -706,11 +709,19 @@ object Dedup {
     * space up exactly like 10⁶ docs would), cross-doc occurrence pairs
     * exploded row-locally by the consumers. */
   private def groupedPositioned(base: DataFrame, k: Int, cap: Int): DataFrame = {
-    val g = positionedWindows(base, k)
-      .groupBy("h")
-      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("__occ"))
-      .filter(size(col("__occ")) >= 2)
-    if (cap > 0) g.filter(size(col("__occ")) <= cap) else g
+    val pw = positionedWindows(base, k)
+    val g =
+      if (cap > 0)
+        // guard enforced inside the agg (see groupedWindows): the buffer
+        // caps at cap+1 occurrence structs, over-cap groups → null
+        pw.groupBy("h")
+          .agg(graft.functions.CappedCollect
+            .collectSortedCapped(struct(col("id"), col("pos")), cap).as("__occ"))
+          .filter(col("__occ").isNotNull)
+      else
+        pw.groupBy("h")
+          .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("__occ"))
+    g.filter(size(col("__occ")) >= 2)
   }
 
   /** Longest shared verbatim RUN per pair — the span-length report the
@@ -847,13 +858,18 @@ object Dedup {
     // contaminated iff SOME other doc's occurrence in the group beats it
     // on (q desc, id asc) — a row-local exists(), never a self-join
     val grouped = {
-      val g = withQ.groupBy("h")
-        .agg(sort_array(collect_list(
-          struct(col("id"), col("__q").as("q"), col("pos")))).as("__occ"))
-        .filter(size(col("__occ")) >= 2)
-      if (maxOccurrencesPerWindow > 0)
-        g.filter(size(col("__occ")) <= maxOccurrencesPerWindow)
-      else g
+      val occ = struct(col("id"), col("__q").as("q"), col("pos"))
+      val g =
+        if (maxOccurrencesPerWindow > 0)
+          // guard enforced inside the agg (see groupedWindows): the buffer
+          // caps at cap+1 occurrence structs, over-cap groups → null
+          withQ.groupBy("h")
+            .agg(graft.functions.CappedCollect
+              .collectSortedCapped(occ, maxOccurrencesPerWindow).as("__occ"))
+            .filter(col("__occ").isNotNull)
+        else
+          withQ.groupBy("h").agg(sort_array(collect_list(occ)).as("__occ"))
+      g.filter(size(col("__occ")) >= 2)
     }
     val contaminated = grouped
       .select(explode(expr(

@@ -156,33 +156,39 @@ object SubstringWindowStore {
     * commit-marker protocol as the other stores. Under-cap windows land
     * in `windows.parquet` (the join side), over-cap hashes with their
     * document counts in `hot.parquet` (the audit side) — both always
-    * written so readers never probe for existence. */
+    * written so readers never probe for existence.
+    *
+    * Memory bound: the join side groups through the SAME size-capped
+    * aggregation the inline operators use ([[Dedup.groupedWindows]] via
+    * [[graft.functions.CollectSortedCapped]] — no buffer ever exceeds
+    * cap+1 ids), and the audit side is a plain long-count agg — so the
+    * build never materializes a hot window's full id list anywhere. An
+    * earlier build grouped UNGATED (cap = 0) and split clean/hot from the
+    * persisted lists; a corpus-wide boilerplate window (df ≈ corpus size)
+    * was then a multi-GB single aggregation buffer on the build path even
+    * when every query-side caller used the default cap. The shared
+    * window frame is persisted across the two writes so the tokenize/
+    * window pass runs once and both artifacts stay byte-consistent. */
   def build(docs: DataFrame, idCol: String, textCol: String,
       root: String, corpusId: String, params: Params = Params()): Unit = {
     if (isBuilt(root, corpusId, params)) return
-    val spark = docs.sparkSession
     val d = dir(root, corpusId)
     if (Files.exists(d)) rmTree(d)
     Files.createDirectories(d)
-    // grouped once, ungated — the clean/hot split derives from the
-    // JUST-PERSISTED frame: one tokenize/window pass, both artifacts
-    // byte-consistent
-    Dedup.groupedWindowFrame(docs, idCol, textCol, params.k)
-      .write.mode("overwrite").parquet(d.resolve("all_windows.parquet").toString)
-    import org.apache.spark.sql.functions.{col, lit, size}
-    val all = spark.read.parquet(d.resolve("all_windows.parquet").toString)
-    val hot =
-      if (params.maxDocsPerWindow > 0)
-        all.filter(size(col("__ids")) > params.maxDocsPerWindow)
-          .select(col("h"), size(col("__ids")).cast("long").as("n_docs"))
-      else all.filter(lit(false))
-        .select(col("h"), size(col("__ids")).cast("long").as("n_docs"))
-    hot.write.mode("overwrite").parquet(d.resolve("hot.parquet").toString)
-    (if (params.maxDocsPerWindow > 0)
-        all.filter(size(col("__ids")) <= params.maxDocsPerWindow)
-      else all)
-      .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
-    rmTree(d.resolve("all_windows.parquet"))
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val w = Dedup.windowFrame(docs, idCol, textCol, params.k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hot =
+        if (params.maxDocsPerWindow > 0)
+          w.groupBy("h").agg(count(lit(1)).as("n_docs"))
+            .filter(col("n_docs") > params.maxDocsPerWindow)
+        else
+          w.filter(lit(false)).groupBy("h").agg(count(lit(1)).as("n_docs"))
+      hot.write.mode("overwrite").parquet(d.resolve("hot.parquet").toString)
+      Dedup.groupedWindows(w, params.maxDocsPerWindow)
+        .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
+    } finally { w.unpersist(); () }
     Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
     ()
   }

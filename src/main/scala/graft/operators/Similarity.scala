@@ -555,10 +555,24 @@ object Similarity {
     val cidType = cent.schema("cid").dataType
     cidType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val rows = cent
+        val raw = cent
           .select(col("cid").cast("long"), col("cv").cast("array<double>"), col("cn"))
           .collect()
-          .sortBy(_.getLong(0))
+        // fail NAMED, not with an unboxing NPE mid-collect: engine-built
+        // centroid tables never carry nulls, so a null cid/cv/cn row or a
+        // null vector element is a corrupt or hand-rolled table — the
+        // replaced broadcast-NLJ path silently scored such rows cosine 0
+        // (safeCosE6's null guard), which would mask the corruption
+        raw.foreach { r =>
+          if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) ||
+              r.getSeq[Any](1).contains(null))
+            throw new IllegalArgumentException(
+              "centroid frame has a null cid, cv, cn, or vector element " +
+                s"(cid=${if (r.isNullAt(0)) "null" else r.getLong(0).toString})" +
+                " — centroid tables are engine-built and never null; " +
+                "rebuild the index or clean the supplied centroids")
+        }
+        val rows = raw.sortBy(_.getLong(0))
         Some((new graft.functions.CentroidMatrix(
           rows.map(_.getLong(0)),
           rows.map(_.getSeq[Double](1).toArray),

@@ -21,8 +21,11 @@ import scala.collection.mutable
   * (`pkg/database/migration.go:57-72`).
   *
   * Values decode to: Long (int/uint), Boolean, Double (float),
-  * Array[Byte] (bytes and GobEncoder payloads), String,
-  * Vector[Any] (slice/array), Map[String, Any] (struct).
+  * [[Gob.GobComplex]] (complex), Array[Byte] (bytes and GobEncoder
+  * payloads), String, Vector[Any] (slice/array), Map[String, Any] (struct).
+  * Interface values (builtin id 8) are a documented hard boundary: they
+  * fail by name rather than decode (no Go-produced fixture exists to pin
+  * a decoder against, and fossil's on-disk structs never use them).
   */
 object Gob {
 
@@ -47,6 +50,14 @@ object Gob {
   final case class WOpaque(name: String) extends Wire
 
   final class GobException(msg: String) extends RuntimeException(msg)
+
+  /** A decoded gob complex value (builtin id 7): the wire format is the
+    * real part then the imaginary part, each in the standard byte-reversed
+    * float64 encoding (Go `encoding/gob/encode.go`, `encComplex128`). A
+    * distinct type, not a 2-vector — a decoder must not confuse it with a
+    * float slice. Fossil's on-disk structs never use complex; supported
+    * for gob completeness. */
+  final case class GobComplex(re: Double, im: Double)
 
   // =================================================================== reader
 
@@ -144,7 +155,15 @@ object Gob {
       case IdFloat => readFloat()
       case IdBytes => readByteArray()
       case IdString => readString()
-      case IdComplex | IdInterface => fail(s"unsupported builtin type $typeId")
+      case IdComplex => GobComplex(readFloat(), readFloat())
+      // interface values carry a registered type NAME plus a nested
+      // type-def/value sequence (doc.go "Interface types are not checked
+      // for compatibility" section) — a format arm with no Go-produced
+      // fixture available to pin it against, and one fossil's on-disk
+      // structs never use. A named hard boundary (see README, Importing
+      // from fossil) beats an unverifiable decoder.
+      case IdInterface => fail(s"unsupported builtin type $typeId (interface " +
+        "values are a documented gob boundary — see README)")
       case _ => types.get(typeId) match {
         case Some(w: WStruct) => readStruct(w)
         case Some(w: WSlice) =>
@@ -415,6 +434,7 @@ object Gob {
       case l: Long => l == 0L
       case i: Int => i == 0
       case d: Double => d == 0.0
+      case c: GobComplex => c.re == 0.0 && c.im == 0.0
       case s: String => s.isEmpty
       case b: Boolean => !b
       case a: Array[Byte] => a.isEmpty
@@ -451,6 +471,12 @@ object Gob {
           putUint(b, java.lang.Long.reverseBytes(bits))
         case IdBytes => putBytes(b, value.asInstanceOf[Array[Byte]])
         case IdString => putString(b, value.asInstanceOf[String])
+        case IdComplex =>
+          val c = value.asInstanceOf[GobComplex]
+          putUint(b, java.lang.Long.reverseBytes(
+            java.lang.Double.doubleToLongBits(c.re)))
+          putUint(b, java.lang.Long.reverseBytes(
+            java.lang.Double.doubleToLongBits(c.im)))
         case _ if structReg.contains(typeId) =>
           putStructBody(b, structReg(typeId), value)
         case _ if arrayReg.contains(typeId) =>

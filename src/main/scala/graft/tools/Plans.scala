@@ -49,22 +49,29 @@ object Plans {
       // exact-substring pairs (r13 grouped form): ONE exchange groups ids
       // per window hash, pair combinations explode ROW-LOCALLY — no join
       // in the plan at all, hash/object-hash aggs only
+      // collect_sorted_capped in the plan = the hot-window guard is
+      // enforced INSIDE the aggregation (buffer bounded at cap+1), not as
+      // a post-agg size filter over fully-buffered id lists
       "dedup_substring" -> Seq("HashAggregate", "Generate", "!Join",
-        "!CartesianProduct", "!SortAggregate"),
+        "collect_sorted_capped", "!CartesianProduct", "!SortAggregate"),
       // run reconstruction (r13 grouped): no join — one grouped exchange,
       // row-local occurrence-pair explode, then the (pair, diagonal)-
       // partitioned window — bounded by the shorter doc, never corpus-wide
       "dedup_substring_runs" -> Seq("HashAggregate", "Generate", "Window",
-        "!Join", "!CartesianProduct"),
-      "dedup_substring_ref" -> Seq("HashAggregate", "Join", "!CartesianProduct"),
+        "collect_sorted_capped", "!Join", "!CartesianProduct"),
+      "dedup_substring_ref" -> Seq("HashAggregate", "Join",
+        "collect_sorted_capped", "!CartesianProduct"),
       // hot-window surfacing: one partial-agg'd window count — no join
       "dedup_hot_windows" -> Seq("HashAggregate", "partial_", "!Join",
         "!CartesianProduct"),
       "dedup_substring_ref_stored" -> Seq("HashAggregate", "Join",
         "!CartesianProduct"),
-      // span removal: match join + anti join back; no nested loop
-      "curate_drop_spans" -> Seq("Join", "!CartesianProduct"),
-      "curate_drop_spans_scored" -> Seq("Join", "!CartesianProduct"),
+      // span removal: match join + anti join back; no nested loop; the
+      // occurrence grouping runs through the capped collect like the pairs
+      "curate_drop_spans" -> Seq("Join", "collect_sorted_capped",
+        "!CartesianProduct"),
+      "curate_drop_spans_scored" -> Seq("Join", "collect_sorted_capped",
+        "!CartesianProduct"),
       // perplexity filter: scoring aggs + the bracket/refine quantile —
       // the value-buffering Percentile aggregate must never appear
       "curate_perplexity_filter" -> Seq("HashAggregate", "!Percentile",

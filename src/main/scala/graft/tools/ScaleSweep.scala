@@ -291,6 +291,68 @@ object ScaleSweep {
         (if (ok) "ok" else "FAIL"))
     }
 
+    // corpus-wide hot-window probe (round-13 verdict #1): EVERY document
+    // is the SAME 50-token boilerplate plus a doc-unique tail token, so
+    // each of the 41 boilerplate k-windows has df = THE WHOLE CORPUS (the
+    // planted-header probe above shares ONE header window; this one makes
+    // every content window hot). The assert targets the MEMORY MECHANISM,
+    // not wall time alone: (a) the executed pairs plan must group through
+    // collect_sorted_capped — the size-capped aggregate whose ≤ cap+1
+    // buffer bound is unit-proven (CappedCollectSpec) — so no aggregation
+    // buffer ever holds a df-sized id list (a bare collect_list + post
+    // size-filter buffers the FULL corpus id list per hot window before
+    // dropping it: the multi-GB executor OOM at crawl scale); (b) the
+    // STORE BUILD — formerly grouping UNGATED (cap = 0) to split clean/
+    // hot from persisted lists — must complete with every boilerplate
+    // window surfaced in hot.parquet and nothing over-cap in
+    // windows.parquet; (c) pairs = 0 (tails are unique) and time ~linear.
+    val hotCorpusRows = Seq(("1x", base), (s"${factor}x", out)).map { case (label, dir) =>
+      val boiler = (1 to 50).map(i => s"bp$i").mkString(" ")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id",
+          s"concat('$boiler tail', cast(doc_id as string)) AS text")
+      val pairsDf = graft.operators.Dedup
+        .substringPairs(docs, "doc_id", "text", k = 10)
+      val planOk = pairsDf.queryExecution.executedPlan.toString
+        .contains("collect_sorted_capped")
+      val t0 = System.nanoTime()
+      val pairs = pairsDf.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val surfaced = graft.operators.Dedup
+        .hotWindows(docs, "doc_id", "text", k = 10).count()
+      val sroot = s"/tmp/graft_sweep_substore_${factor}x_$label"
+      val sdir = java.nio.file.Paths.get(sroot)
+      if (java.nio.file.Files.exists(sdir)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(sdir)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      }
+      graft.operators.SubstringWindowStore.build(
+        docs, "doc_id", "text", sroot, "hotcorpus")
+      val storedMax = graft.operators.SubstringWindowStore
+        .windows(spark, sroot, "hotcorpus")
+        .agg(max(size(col("__ids")))).head().getInt(0)
+      val storedHot = graft.operators.SubstringWindowStore
+        .hotWindows(spark, sroot, "hotcorpus").count()
+      spark.catalog.clearCache()
+      (dt, pairs, surfaced, planOk, storedMax, storedHot)
+    }
+    locally {
+      val cap = graft.operators.Dedup.DefaultMaxDocsPerWindow
+      val ((t1, p1, s1, g1, m1, h1), (tk, pk, sk, gk, mk, hk)) =
+        (hotCorpusRows(0), hotCorpusRows(1))
+      val ratio = tk / math.max(t1, 1e-9)
+      val ok = g1 && gk && p1 == 0 && pk == 0 && s1 == 41 && sk == 41 &&
+        m1 <= cap && mk <= cap && h1 == 41 && hk == 41 && ratio <= factor * 2.0
+      if (!ok) failed += 1
+      println(f"[hot-corpus] df=corpus boilerplate: 1x=$t1%.2fs ${factor}x=$tk%.2fs " +
+        f"ratio=$ratio%.2f capped-agg-in-plan $g1/$gk pairs $p1/$pk " +
+        f"surfaced $s1/$sk store max-group $m1/$mk store hot $h1/$hk " +
+        (if (ok) "ok" else "FAIL"))
+    }
+
     // import-path scaling probe (round-12 verdict #7): fossil segment
     // decode and WARC record parse are distributed PER FILE — the claim
     // gets measured backing by generating fixtures with K× the
@@ -357,6 +419,15 @@ object ScaleSweep {
       s"""{"t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(tk / math.max(t1, 1e-9))},""" +
         s""""pairs1x":$p1,"pairs${factor}x":$pk,"surfaced1x":$s1,"surfaced${factor}x":$sk}"""
     }
+    val hotCorpusJson = {
+      val ((t1, p1, s1, g1, m1, h1), (tk, pk, sk, gk, mk, hk)) =
+        (hotCorpusRows(0), hotCorpusRows(1))
+      s"""{"t1x":${f(t1)},"t${factor}x":${f(tk)},"ratio":${f(tk / math.max(t1, 1e-9))},""" +
+        s""""capped_agg_in_plan":${g1 && gk},"pairs1x":$p1,"pairs${factor}x":$pk,""" +
+        s""""surfaced1x":$s1,"surfaced${factor}x":$sk,""" +
+        s""""store_max_group1x":$m1,"store_max_group${factor}x":$mk,""" +
+        s""""store_hot1x":$h1,"store_hot${factor}x":$hk}"""
+    }
     val importJson = {
       val ((_, f1, r1, w1, v1), (_, fk, rk, wk, vk)) = (importRows(0), importRows(1))
       s"""{"fossil_t1x":${f(f1)},"fossil_t${factor}x":${f(fk)},""" +
@@ -367,7 +438,7 @@ object ScaleSweep {
     val p = java.nio.file.Paths.get("target", "scale_sweep.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p,
-      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"hot_window":$hotJson,"import":$importJson}"""
+      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"hot_window":$hotJson,"hot_corpus":$hotCorpusJson,"import":$importJson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed scale checks FAILED"); sys.exit(1) }

@@ -97,6 +97,29 @@ class NearestCentroidsSpec extends SparkSpec {
     assertSame(docs, cents, 10)
   }
 
+  test("a null centroid vector / cn / vector element fails NAMED at " +
+      "plan-build, not with an unboxing NPE") {
+    // engine-built centroid tables never carry nulls — a hand-rolled or
+    // corrupt one must be rejected with a message, and the message must
+    // name the offending cid when it is readable
+    val docs = Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val nullVec = Seq((1L, Seq(1.0, 0.0)), (2L, null.asInstanceOf[Seq[Double]]))
+      .toDF("cid", "cv").withColumn("cn", lit(1.0))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.assignBuckets(docs, nullVec, "vec", "id", "cid", 1))
+    assert(e1.getMessage.contains("null") && e1.getMessage.contains("cid=2"))
+    val nullElem = Seq((1L, Seq[java.lang.Double](1.0, null)))
+      .toDF("cid", "cv").withColumn("cn", lit(1.0))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.assignBuckets(docs, nullElem, "vec", "id", "cid", 1))
+    assert(e2.getMessage.contains("vector element"))
+    val nullCn = Seq((1L, Seq(1.0, 0.0))).toDF("cid", "cv")
+      .withColumn("cn", lit(null).cast("double"))
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.assignBuckets(docs, nullCn, "vec", "id", "cid", 1))
+    assert(e3.getMessage.contains("null"))
+  }
+
   test("the assignment plan has no join, no window, no exchange") {
     val docs = (0L until 20L).map(i => (i, Seq(i.toDouble, 1.0))).toDF("id", "vec")
     val cents = centFrom(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))))

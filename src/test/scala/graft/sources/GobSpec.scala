@@ -42,14 +42,31 @@ class GobSpec extends AnyFunSuite {
     }
   }
 
-  test("interface/complex wire ids fail with the named id, not a desync") {
-    // a value message claiming builtin type 7 (complex) / 8 (interface):
-    // fossil's on-disk structs never use them, so the reader must refuse
-    // BY NAME instead of mis-walking the cursor into garbage
-    for ((id, hexId) <- Seq(7L -> "0e", 8L -> "10")) {
-      val r = new Gob.Reader(hex(s"03 $hexId 00 00"))
-      val e = intercept[Gob.GobException](r.next())
-      assert(e.getMessage.contains(s"unsupported builtin type $id"), e.getMessage)
+  test("interface wire id fails with the named id, not a desync") {
+    // a value message claiming builtin type 8 (interface): the documented
+    // hard boundary (no Go-produced fixture exists to pin a decoder
+    // against; fossil's on-disk structs never use it) — the reader must
+    // refuse BY NAME instead of mis-walking the cursor into garbage
+    val r = new Gob.Reader(hex("03 10 00 00"))
+    val e = intercept[Gob.GobException](r.next())
+    assert(e.getMessage.contains("unsupported builtin type 8"), e.getMessage)
+  }
+
+  test("complex decodes as (real, imaginary) float pairs — composed from " +
+      "the doc.go-pinned float encoding") {
+    // complex(17.0, 0.0): typeid 7 → 0e, delta 00, re = the doc.go float
+    // example fe 31 40, im = 0.0 → 00
+    val r = new Gob.Reader(hex("06 0e 00 fe 31 40 00"))
+    assert(r.next().contains(Gob.GobComplex(17.0, 0.0)))
+  }
+
+  test("complex round-trips through the writer") {
+    for (c <- Seq(Gob.GobComplex(17.0, -3.25), Gob.GobComplex(0.0, 0.0),
+        Gob.GobComplex(Double.MinPositiveValue, 1e300))) {
+      val w = new Gob.Writer
+      w.writeValue(Gob.IdComplex, c)
+      val r = new Gob.Reader(w.bytes)
+      assert(r.next().contains(c), s"for $c")
     }
   }
 
