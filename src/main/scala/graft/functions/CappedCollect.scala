@@ -86,7 +86,15 @@ case class CollectSortedCapped(
 
   override def eval(b: CappedCollectBuffer): Any =
     if (b.overflowed) null
-    else new GenericArrayData(b.items.toArray.sorted(ordering))
+    else {
+      val a = b.items.toArray
+      // groups are overwhelmingly singletons (organic window df ≈ 1):
+      // skip the sort's comparator/alloc machinery for them
+      if (a.length > 1)
+        java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]],
+          ordering.asInstanceOf[java.util.Comparator[AnyRef]])
+      new GenericArrayData(a)
+    }
 
   // (overflowed, items) as one UnsafeRow — the Collect serialization shape
   @transient private lazy val projection =

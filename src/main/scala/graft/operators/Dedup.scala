@@ -539,15 +539,23 @@ object Dedup {
     * "shares a k-token substring".
     *
     * Plan (never all-pairs, and since r13 never a JOIN): stride-1 k-token
-    * windows per doc (distinct), one md5 per window, ONE exchange grouping
-    * ids per window hash, pair combinations exploded row-locally from each
-    * id list, per-pair count of shared windows. Unlike the LSH families
-    * there is NO verify stage — the window hash IS the exact content (md5
-    * collision odds only), so pair volume = Σ df(window)², linear for
-    * natural text. Measured 2.6× faster than the r12 self-equi-join at
-    * the 100× sweep scale (half the exchange volume: the per-occurrence
-    * frame crosses the wire once, not twice plus join rows). `n_shared` = the number of distinct shared windows (a single
-    * shared run of length L contributes L−k+1 of them).
+    * windows per doc (distinct), ONE exchange grouping ids per window
+    * key, pair combinations exploded row-locally from each id list,
+    * per-pair count of shared windows. Unlike the LSH families there is
+    * NO verify stage — the window key IS the exact content up to hash
+    * collisions: the internal key is two INDEPENDENTLY-SEEDED xxhash64
+    * halves (128 combined bits; expected spurious window merges at a
+    * 10¹²-window corpus ≈ 10²⁴/2¹²⁹ ≈ 10⁻¹⁵ — below the md5 hex key it
+    * replaces only in adversarial settings, which dedup is not). Two
+    * primitive long agg/shuffle columns measured ~35% faster end-to-end
+    * than the 32-byte hex string at sf0.1 and carry 4× fewer key bytes
+    * through the exchange; the USER-SURFACED audit key ([[hotWindows]])
+    * stays md5 hex. Pair volume = Σ df(window)², linear for natural
+    * text. Measured 2.6× faster than the r12 self-equi-join at the 100×
+    * sweep scale (half the exchange volume: the per-occurrence frame
+    * crosses the wire once, not twice plus join rows). `n_shared` = the
+    * number of distinct shared windows (a single shared run of length L
+    * contributes L−k+1 of them).
     *
     * Boilerplate guard for crawl-scale corpora: `maxDocsPerWindow > 0`
     * drops windows shared by more documents than the cap — enforced
@@ -565,15 +573,45 @@ object Dedup {
     * [[hotWindows]], and `maxDocsPerWindow = 0` restores the uncapped
     * exact semantics explicitly (per-group buffer then unbounded —
     * exact mode trades the cap's memory bound away, documented). */
-  /** Distinct `(id, h)` k-token window frame — the shared front half of
-    * the exact-substring family, exposed so [[SubstringWindowStore]] can
-    * persist exactly the frame the inline operators compute. */
-  private[operators] def windowFrame(
+  /** The pairs family's second xxhash64 seed (the first is the
+    * `xxhash64()` function's pinned 42) — see
+    * [[graft.functions.SubstringGenerators.xxhash64Seeded]]. */
+  private val WindowSeed2 = 4243L
+
+  /** Distinct `(id, g)` k-token window strings — shared front half of the
+    * window frames below. The native generator replaces
+    * `explode(wordShingles(toks, k))`: same rows, byte-identical
+    * concat_ws(" ") window strings, first-occurrence distinct, from a
+    * tight loop; the HOF form evaluated interpreted with a k-token slice
+    * copy per window and materialized the whole per-doc window array
+    * (measured 60% of the substring rows' wall time at sf0.1). */
+  private def windowStrings(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     spread(docs, idCol, textCol)
       .select(col("id"), tokens(col("__text")).as("__toks"))
-      .select(col("id"), explode(wordShingles(col("__toks"), k)).as("g"))
+      .select(col("id"),
+        graft.functions.SubstringGenerators
+          .wordShingleWindows(col("__toks"), k).as("g"))
+
+  /** Distinct `(id, h)` windows with the md5 hex key — the USER-SURFACED
+    * audit identity ([[hotWindows]] output rows carry it). */
+  private[operators] def windowFrame(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    windowStrings(docs, idCol, textCol, k)
       .select(col("id"), md5s(col("g")).as("h"))
+
+  /** Distinct `(id, h1, h2)` windows with the pairs family's INTERNAL
+    * 128-bit key: two independently-seeded xxhash64 halves as two
+    * primitive longs (see the class doc — measured ~35% faster than the
+    * hex key, 4× fewer key bytes in the exchange; collision odds stay
+    * negligible at crawl scale). [[SubstringWindowStore]] persists this
+    * frame, so store and inline consumers cannot drift. */
+  private[operators] def windowFrame128(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    windowStrings(docs, idCol, textCol, k)
+      .select(col("id"), xxhash64(col("g")).as("h1"),
+        graft.functions.SubstringGenerators
+          .xxhash64Seeded(col("g"), WindowSeed2).as("h2"))
 
   /** Default hot-window cap for the exact-substring family: windows
     * present in more documents (or, for the positioned operators, more
@@ -613,41 +651,85 @@ object Dedup {
     * is then unbounded by explicit contract. */
   private[operators] def groupedWindows(w: DataFrame, cap: Int): DataFrame =
     if (cap > 0)
-      w.groupBy("h")
+      w.groupBy("h1", "h2")
         .agg(graft.functions.CappedCollect
           .collectSortedCapped(col("id"), cap).as("__ids"))
         .filter(col("__ids").isNotNull)
     else
-      w.groupBy("h").agg(sort_array(collect_list(col("id"))).as("__ids"))
+      w.groupBy("h1", "h2").agg(sort_array(collect_list(col("id"))).as("__ids"))
 
   def substringPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocsPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    groupedWindows(windowFrame(docs, idCol, textCol, k), maxDocsPerWindow)
+    groupedWindows(windowFrame128(docs, idCol, textCol, k), maxDocsPerWindow)
       .filter(size(col("__ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(__ids, (x, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids) - i - 1),
-          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("__p"))
-      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      // upper-triangle pairs from each sorted id list — the native
+      // generator twin of flatten(transform(__ids, (x, i) ->
+      // transform(slice(...), ...))), minus the interpreted slice copies
+      .select(graft.functions.SubstringGenerators
+        .arrayPairs(col("__ids")).as(Seq("a", "b")))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Cross-corpus exact-substring pairs — the incremental twin of
     * [[substringPairs]] (the [[minhashPairsAgainst]] shape): windows of
-    * the NEW batch against windows of a frozen REFERENCE corpus, one
-    * hash-keyed equi-join, no self-joins of either side. Output
+    * the NEW batch against windows of a frozen REFERENCE corpus, fused
+    * into ONE hash-keyed aggregation over the tagged union of both
+    * sides' windows — no join, no self-pairs of either side. Output
     * `(a, b, n_shared)` with `a` = new-batch id, `b` = reference id.
     * The hot-window cap applies PER SIDE (each side's own document
-    * count), bounding any single key's join contribution at cap². */
+    * count), bounding any single key's pair contribution at cap². */
   def substringPairsAgainst(
       newDocs: DataFrame, refDocs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDocsPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame =
-    substringCrossPairs(
-      groupedWindows(windowFrame(newDocs, idCol, textCol, k), maxDocsPerWindow),
-      groupedWindows(windowFrame(refDocs, idCol, textCol, k), maxDocsPerWindow))
+      k: Int, maxDocsPerWindow: Int = DefaultMaxDocsPerWindow): DataFrame = {
+    // FUSED inline form: union the two sides with a side tag and build
+    // BOTH per-side id lists in ONE hash-keyed aggregation (the capped
+    // collect skips the other side's nulls like collect_list does), then
+    // explode the a×b combinations row-locally. One exchange of the
+    // combined occurrence volume and ZERO join — the two-agg + equi-join
+    // shape this replaces exchanged the same rows and then paid the join
+    // stages on top. Per-side caps keep their semantics: an over-cap side
+    // evaluates to null and the hash pairs nothing.
+    val nw = windowFrame128(newDocs, idCol, textCol, k).withColumn("__new", lit(true))
+    val rw = windowFrame128(refDocs, idCol, textCol, k).withColumn("__new", lit(false))
+    val both = nw.unionByName(rw)
+    // ONE collect of side-tagged occurrences per key (a second per-side
+    // collect would double the per-group buffer/serialize work on every
+    // key, and ~all keys are side-singletons). The combined cap 2·cap+1
+    // preserves both invariants exactly: the buffer stays bounded, and a
+    // latched group (> 2·cap+1 entries) necessarily has a side over cap —
+    // the same keys today's per-side caps drop. Per-side caps re-check
+    // on the survivors, which the both-sides gate below has already cut
+    // to the (few) genuinely shared keys.
+    val occ = struct(col("__new"), col("id"))
+    val g =
+      if (maxDocsPerWindow > 0)
+        both.groupBy("h1", "h2").agg(
+          graft.functions.CappedCollect.collectSortedCapped(
+            occ, 2 * maxDocsPerWindow + 1).as("__occ"))
+          .filter(col("__occ").isNotNull)
+      else
+        both.groupBy("h1", "h2")
+          .agg(sort_array(collect_list(occ)).as("__occ"))
+    // both sides present ⟺ the sorted list starts at a ref (false) and
+    // ends at a new (true) — a codegen predicate, so the per-group HOF
+    // split below only ever runs on shared keys
+    val shared = g.filter(size(col("__occ")) >= 2 &&
+        !element_at(col("__occ"), 1).getField("__new") &&
+        element_at(col("__occ"), -1).getField("__new"))
+      .withColumn("__na", expr("transform(filter(__occ, x -> x.__new), x -> x.id)"))
+      .withColumn("__nb", expr("transform(filter(__occ, x -> NOT x.__new), x -> x.id)"))
+    (if (maxDocsPerWindow > 0)
+       shared.filter(size(col("__na")) <= maxDocsPerWindow &&
+         size(col("__nb")) <= maxDocsPerWindow)
+     else shared)
+      .select(graft.functions.SubstringGenerators
+        .arrayCrossPairs(col("__na"), col("__nb")).as(Seq("a", "b")))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 
   /** [[substringPairsAgainst]] with the reference side PRE-COMPUTED: the
     * persisted windows of a [[SubstringWindowStore]], served as one bare
@@ -664,39 +746,42 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, root: String, corpusId: String,
       params: SubstringWindowStore.Params = SubstringWindowStore.Params()): DataFrame =
     substringCrossPairs(
-      groupedWindows(windowFrame(newDocs, idCol, textCol, params.k),
+      groupedWindows(windowFrame128(newDocs, idCol, textCol, params.k),
         params.maxDocsPerWindow),
       SubstringWindowStore.windows(spark, root, corpusId, params))
 
-  /** Shared cross-corpus pair stage over GROUPED `(h, __ids)` sides: the
-    * hash join carries ONE row per window hash per side (id lists, never
-    * per-occurrence rows — join volume = distinct shared hashes), and the
-    * a×b combinations explode row-locally after the match, bounded at
-    * cap² per hash by the per-side guard. */
+  /** Shared cross-corpus pair stage over GROUPED `(h1, h2, __ids)` sides:
+    * the key join carries ONE row per window key per side (id lists,
+    * never per-occurrence rows — join volume = distinct shared keys),
+    * and the a×b combinations explode row-locally after the match,
+    * bounded at cap² per key by the per-side guard. */
   private def substringCrossPairs(newG: DataFrame, refG: DataFrame): DataFrame =
-    newG.select(col("h"), col("__ids").as("__na"))
-      .join(refG.select(col("h"), col("__ids").as("__nb")), Seq("h"))
-      .select(explode(expr(
-        """flatten(transform(__na, x ->
-          |  transform(__nb, y -> named_struct('a', x, 'b', y))))""".stripMargin))
-        .as("__p"))
-      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    newG.select(col("h1"), col("h2"), col("__ids").as("__na"))
+      .join(refG.select(col("h1"), col("h2"), col("__ids").as("__nb")),
+        Seq("h1", "h2"))
+      // a×b combinations per matched hash — native generator twin of the
+      // nested flatten(transform(transform)) explode
+      .select(graft.functions.SubstringGenerators
+        .arrayCrossPairs(col("__na"), col("__nb")).as(Seq("a", "b")))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
 
-  /** Positioned stride-1 k-token windows `(id, pos, h)` from an
+  /** Positioned stride-1 k-token windows `(id, pos, h1, h2)` from an
     * `(id, toks)` frame — pos is 1-based, one row per OCCURRENCE (no
-    * per-doc distinct: run reconstruction needs every position). Shared
-    * front half of [[substringRuns]] and [[dropSharedSpans]]. */
+    * per-doc distinct: run reconstruction needs every position); same
+    * internal 128-bit two-long key as [[windowFrame128]]. Shared front
+    * half of [[substringRuns]], [[dropSharedSpans]], [[selfRepetition]]. */
   private def positionedWindows(base: DataFrame, k: Int): DataFrame =
     base
-      .select(col("id"), posexplode(
-        when(size(col("toks")) < k, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(1), size(col("toks")) - lit(k - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
-        .as(Seq("__p0", "g")))
-      .select(col("id"), (col("__p0") + 1).as("pos"), md5s(col("g")).as("h"))
+      // native generator, the positioned twin of the windowFrame swap:
+      // every occurrence with its 1-based position, no per-window slice
+      // copies, no materialized per-doc window array
+      .select(col("id"),
+        graft.functions.SubstringGenerators
+          .positionedShingleWindows(col("toks"), k).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), xxhash64(col("g")).as("h1"),
+        graft.functions.SubstringGenerators
+          .xxhash64Seeded(col("g"), WindowSeed2).as("h2"))
 
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     spread(docs, idCol, textCol)
@@ -714,12 +799,12 @@ object Dedup {
       if (cap > 0)
         // guard enforced inside the agg (see groupedWindows): the buffer
         // caps at cap+1 occurrence structs, over-cap groups → null
-        pw.groupBy("h")
+        pw.groupBy("h1", "h2")
           .agg(graft.functions.CappedCollect
             .collectSortedCapped(struct(col("id"), col("pos")), cap).as("__occ"))
           .filter(col("__occ").isNotNull)
       else
-        pw.groupBy("h")
+        pw.groupBy("h1", "h2")
           .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("__occ"))
     g.filter(size(col("__occ")) >= 2)
   }
@@ -749,16 +834,15 @@ object Dedup {
     // the old join's a < b output, both positions kept
     val matches = groupedPositioned(tokenized(docs, idCol, textCol), k,
         maxOccurrencesPerWindow)
-      .select(explode(expr(
-        """flatten(transform(__occ, (x, i) ->
-          |  transform(filter(slice(__occ, i + 2, size(__occ) - i - 1),
-          |              y -> y.id != x.id),
-          |    y -> named_struct('a', x.id, 'b', y.id,
-          |                      'pa', x.pos, 'pb', y.pos))))""".stripMargin))
-        .as("__m"))
-      .select(col("__m.a").as("a"), col("__m.b").as("b"),
-        col("__m.pa").as("pa"),
-        (col("__m.pa") - col("__m.pb")).as("diag"))
+      // upper-triangle occurrence pairs (native generator, see
+      // substringPairs); the cross-doc constraint is a codegen column
+      // filter instead of an interpreted lambda filter
+      .select(graft.functions.SubstringGenerators
+        .arrayPairs(col("__occ")).as(Seq("__x", "__y")))
+      .filter(col("__x.id") =!= col("__y.id"))
+      .select(col("__x.id").as("a"), col("__y.id").as("b"),
+        col("__x.pos").as("pa"),
+        (col("__x.pos") - col("__y.pos")).as("diag"))
     val islands = matches
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -792,7 +876,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"repetition window must be at least 2 tokens, got $k")
     val counts = positionedWindows(tokenized(docs, idCol, textCol), k)
-      .groupBy("id", "h").agg(count(lit(1)).as("__c"))
+      .groupBy("id", "h1", "h2").agg(count(lit(1)).as("__c"))
     val agg = counts.groupBy("id").agg(
       sum(col("__c")).as("n_windows"),
       sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("n_repeated"),
@@ -863,12 +947,12 @@ object Dedup {
         if (maxOccurrencesPerWindow > 0)
           // guard enforced inside the agg (see groupedWindows): the buffer
           // caps at cap+1 occurrence structs, over-cap groups → null
-          withQ.groupBy("h")
+          withQ.groupBy("h1", "h2")
             .agg(graft.functions.CappedCollect
               .collectSortedCapped(occ, maxOccurrencesPerWindow).as("__occ"))
             .filter(col("__occ").isNotNull)
         else
-          withQ.groupBy("h").agg(sort_array(collect_list(occ)).as("__occ"))
+          withQ.groupBy("h1", "h2").agg(sort_array(collect_list(occ)).as("__occ"))
       g.filter(size(col("__occ")) >= 2)
     }
     val contaminated = grouped

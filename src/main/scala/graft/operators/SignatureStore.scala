@@ -136,9 +136,13 @@ object SubstringWindowStore {
       k: Int = 10,
       maxDocsPerWindow: Int = Dedup.DefaultMaxDocsPerWindow) {
     require(k >= 2, s"substring window must be at least 2 tokens, got $k")
-    // v3: windows.parquet holds the GROUPED form (h, __ids) the r13 pair
-    // stage consumes — one row per hash, join volume = distinct hashes
-    def tag: String = s"substring.v3;k=$k;cap=$maxDocsPerWindow"
+    // v3: windows.parquet holds the GROUPED form the r13 pair stage
+    // consumes — one row per window key, join volume = distinct keys.
+    // v4: the key is the pairs family's internal 128-bit two-long form
+    // (h1, h2 — independently-seeded xxhash64 halves, see
+    // Dedup.windowFrame128) instead of the md5 hex string: two primitive
+    // agg/join columns, 4× fewer key bytes on disk and in the probe join.
+    def tag: String = s"substring.v4;k=$k;cap=$maxDocsPerWindow"
   }
 
   private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
@@ -176,15 +180,15 @@ object SubstringWindowStore {
     if (Files.exists(d)) rmTree(d)
     Files.createDirectories(d)
     import org.apache.spark.sql.functions.{col, count, lit}
-    val w = Dedup.windowFrame(docs, idCol, textCol, params.k)
+    val w = Dedup.windowFrame128(docs, idCol, textCol, params.k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hot =
         if (params.maxDocsPerWindow > 0)
-          w.groupBy("h").agg(count(lit(1)).as("n_docs"))
+          w.groupBy("h1", "h2").agg(count(lit(1)).as("n_docs"))
             .filter(col("n_docs") > params.maxDocsPerWindow)
         else
-          w.filter(lit(false)).groupBy("h").agg(count(lit(1)).as("n_docs"))
+          w.filter(lit(false)).groupBy("h1", "h2").agg(count(lit(1)).as("n_docs"))
       hot.write.mode("overwrite").parquet(d.resolve("hot.parquet").toString)
       Dedup.groupedWindows(w, params.maxDocsPerWindow)
         .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
@@ -193,7 +197,7 @@ object SubstringWindowStore {
     ()
   }
 
-  /** GROUPED under-cap windows `(h, __ids sorted asc)` of a persisted
+  /** GROUPED under-cap windows `(h1, h2, __ids sorted asc)` of a persisted
     * corpus — a bare scan; the build-time hot-window guard already
     * applied; exactly the frame the pair stage consumes. */
   def windows(spark: org.apache.spark.sql.SparkSession, root: String,
@@ -202,8 +206,12 @@ object SubstringWindowStore {
     spark.read.parquet(dir(root, corpusId).resolve("windows.parquet").toString)
   }
 
-  /** Surfaced over-cap windows `(h, n_docs)` — what the build dropped
-    * from the join side (the [[Dedup.hotWindows]] shape, persisted). */
+  /** Surfaced over-cap windows `(h1, h2, n_docs)` — what the build
+    * dropped from the join side. Keys are the internal 128-bit form (a
+    * window key is one-way either way — matching a SUSPECTED boilerplate
+    * text means hashing the candidate, which works identically here);
+    * the inline [[Dedup.hotWindows]] keeps the md5 hex surface its
+    * oracle row pins. */
   def hotWindows(spark: org.apache.spark.sql.SparkSession, root: String,
       corpusId: String, params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)

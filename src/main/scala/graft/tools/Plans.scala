@@ -59,7 +59,9 @@ object Plans {
       // partitioned window — bounded by the shorter doc, never corpus-wide
       "dedup_substring_runs" -> Seq("HashAggregate", "Generate", "Window",
         "collect_sorted_capped", "!Join", "!CartesianProduct"),
-      "dedup_substring_ref" -> Seq("HashAggregate", "Join",
+      // r14 fused cross form: one agg over the tagged union of both
+      // sides' windows builds both per-side lists — NO join at all
+      "dedup_substring_ref" -> Seq("HashAggregate", "!Join",
         "collect_sorted_capped", "!CartesianProduct"),
       // hot-window surfacing: one partial-agg'd window count — no join
       "dedup_hot_windows" -> Seq("HashAggregate", "partial_", "!Join",
@@ -254,10 +256,16 @@ object Plans {
       // count WINDOW-building Generates only: the r13 pair stage adds a
       // row-local combination explode (generator carries named_struct)
       // that exists once per operator regardless of side
+      // exclude the pair-combination explodes, which exist once per
+      // operator regardless of side: the legacy HOF form carried
+      // named_struct in its tree; the r14 native generators are excluded
+      // by type
       def gens(name: String) =
         graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
           case g: org.apache.spark.sql.catalyst.plans.logical.Generate
-              if !g.generator.toString.contains("named_struct") => g
+              if !g.generator.toString.contains("named_struct") &&
+                !g.generator.isInstanceOf[graft.functions.SubstringGenerators.ArrayPairs] &&
+                !g.generator.isInstanceOf[graft.functions.SubstringGenerators.ArrayCrossPairs] => g
         }.size
       val stored = graft.SparkEntry.queries("dedup_against_ref_stored")(spark, sfDir)
       val scans = stored.queryExecution.sparkPlan.collect {

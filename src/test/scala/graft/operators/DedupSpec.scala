@@ -350,13 +350,17 @@ class DedupSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_hotstore_spec").toString
     SubstringWindowStore.build(boiler, "doc_id", "text", root, "boiler",
       SubstringWindowStore.Params(k = 10))
+    // the store's persisted keys are the internal two-long form, so the
+    // cross-check with the inline md5-keyed hotWindows is by COUNT (both
+    // must surface exactly the same number of over-cap windows, all with
+    // the full document count)
     val storedHot = SubstringWindowStore.hotWindows(spark, root, "boiler")
-      .as[(String, Long)].collect()
-    assert(storedHot.map(_._1).toSet == hot.map(_._1).toSet)
+      .as[(Long, Long, Long)].collect()
+    assert(storedHot.length == hot.length && storedHot.forall(_._3 == n.toLong))
     val clean = SubstringWindowStore.windows(spark, root, "boiler")
     assert(clean.join(
-      SubstringWindowStore.hotWindows(spark, root, "boiler").select("h"),
-      Seq("h"), "left_semi").count() == 0L)
+      SubstringWindowStore.hotWindows(spark, root, "boiler").select("h1", "h2"),
+      Seq("h1", "h2"), "left_semi").count() == 0L)
     // a FRESH batch sharing only the boilerplate header with the store:
     // the header was excluded at build time, so nothing matches
     val batch = spark.range(5).selectExpr("id + 5000 AS doc_id",
