@@ -18,42 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lowercased whitespace tokens, empties dropped.
+  /** Lowercased whitespace tokens, empties dropped (the drop is a native
+    * codegen expression since r14 — the HOF filter ran its lambda
+    * interpreted once per token on every text operator's hot path).
     * DuckDB twin: `list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')` */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.NonEmptyStrings(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          split(lower(trim(text)), "\\s+"))))
 
-  /** Distinct k-word shingles joined by a single space.
-    *
-    * PERFORMANCE: pass `toks` as a pre-projected ATTRIBUTE (`.select(
-    * tokens(c).as("toks"))` first), never an inline `tokens(...)` tree —
-    * lambda bodies re-evaluate their subtrees per element (no CSE inside
-    * higher-order functions), which turns one tokenize per row into one per
-    * shingle.
+  /** Distinct k-word shingles joined by a single space — since r14 a
+    * native codegen expression ([[graft.functions.WordShinglesArray]]):
+    * the HOF form (`array_distinct(transform(sequence(...), i ->
+    * concat_ws(" ", slice(toks, i, k))))`) evaluated interpreted, copied
+    * a k-token slice per window, and measured 60% of the substring
+    * family's wall time (tools/SubstrProbe). Output identical, including
+    * null-token skipping and first-occurrence distinct order.
     * DuckDB twin: `list_distinct(list_transform(range(1, greatest(len(toks)-k+1,0)+1),
     *   i -> array_to_string(toks[i:i+k-1], ' ')))` */
   def wordShingles(toks: Column, k: Int): Column =
-    array_distinct(
-      when(size(toks) < k, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - lit(k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.WordShinglesArray(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(toks), k))
 
   /** Lowercased trimmed text — project this ONCE and feed the attribute to
-    * [[charShingles]] (see the CSE note on [[wordShingles]]). */
+    * [[charShingles]]. */
   def normText(text: Column): Column = lower(trim(text))
 
   /** Distinct character n-grams of pre-normalized text `lt` (an attribute
-    * produced by [[normText]] — inlining the normalization here re-runs it
-    * per shingle).
+    * produced by [[normText]]) — native codegen expression since r14,
+    * like [[wordShingles]].
     * DuckDB twin: `list_distinct(list_transform(range(1, greatest(length(t)-n+1,0)+1),
     *   i -> t[i:i+n-1]))` */
   def charShingles(lt: Column, n: Int): Column =
-    array_distinct(
-      when(length(lt) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), length(lt) - lit(n - 1)),
-          i => substring(lt, i, lit(n)))))
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.CharShinglesArray(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(lt), n))
 
   /** md5 hex of a string column — the cross-engine hash primitive. */
   def md5s(c: Column): Column = md5(c.cast("binary"))
