@@ -9,22 +9,29 @@ import graft.sources.WireImport
   * ParquetStore root over the wire (the migration path for users with
   * only wire access — the filesystem twin is [[FossilImportTool]]).
   *
-  *   sbt "runMain graft.tools.WireImportTool fossil://host[:port]/db <storeRoot> [pageSize]"
+  *   sbt "runMain graft.tools.WireImportTool fossil://host[:port]/db <storeRoot> [pageSize] [--resume]"
   *
-  * Prints a one-line summary (topics, entries, QUERY pages) and exits
+  * `--resume` continues an interrupted import from the sidecar high-water
+  * marks beside the target store (see [[WireImport]]) instead of starting
+  * over. Pages log as they land (a crawl-scale migration runs for hours);
+  * prints a one-line summary (topics, entries, QUERY pages) and exits
   * nonzero on failure. */
 object WireImportTool {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: WireImportTool fossil://host[:port]/db <storeRoot> [pageSize]")
-    val target = ConnectionString.parse(args(0)) match {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val resume = flags.contains("--resume")
+    val unknown = flags.filterNot(_ == "--resume")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
+    require(pos.length == 2 || pos.length == 3,
+      "usage: WireImportTool fossil://host[:port]/db <storeRoot> [pageSize] [--resume]")
+    val target = ConnectionString.parse(pos(0)) match {
       case r: ConnectionString.Remote => r
       case other => throw new IllegalArgumentException(
         s"WireImportTool needs a fossil:// connection string, got $other " +
           "(for a local fossil directory use FossilImportTool)")
     }
-    val storeRoot = args(1)
-    val pageSize = if (args.length == 3) args(2).toInt else 50000
+    val storeRoot = pos(1)
+    val pageSize = if (pos.length == 3) pos(2).toInt else 50000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,9 +42,15 @@ object WireImportTool {
     spark.sparkContext.setLogLevel("ERROR")
     val client = new RemoteClient(target.host, target.port, db = target.db)
     try {
-      val r = WireImport.importInto(spark, client, storeRoot, pageSize)
+      var pages = 0
+      val r = WireImport.importInto(spark, client, storeRoot, pageSize,
+        resume = resume,
+        onPage = (topic, _, _) => {
+          pages += 1
+          if (pages % 20 == 0) println(s"  ...$pages pages (at $topic)")
+        })
       println(s"imported ${r.entries} entries across ${r.topics} topics " +
-        s"in ${r.pages} QUERY pages")
+        s"in ${r.pages} QUERY pages" + (if (resume) " (resumed)" else ""))
     } finally {
       client.close()
       spark.stop()
