@@ -1109,6 +1109,28 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           col("duration_ms"), col("n_bytes"))
         .orderBy("media_id")),
+    // contain-fit resize into a 64×64 box, verified by ROUND TRIP: the
+    // resized bytes go back through the real header parser, so the
+    // compared dims/byte counts prove the re-emitted headers are
+    // spec-correct while the oracle recomputes the contain-fit and
+    // area-ratio arithmetic independently
+    "mm_resize" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.resize(
+          Multimodal.headerWrappedDocs(Tables.documents(s, d)), 64, 64))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("duration_ms"), col("n_bytes"))
+        .orderBy("media_id")),
+    // payload feature extraction (model forward pass = deterministic md5
+    // stand-in): the payload-span isolation is the real part under test —
+    // all four header formats must strip to exactly the document text
+    "mm_features" -> ((s, d) =>
+      Multimodal.imageFeatures(
+          Multimodal.headerWrappedDocs(Tables.documents(s, d)), dim = 4)
+        .toDF()
+        .orderBy("media_id", "feat_ix")),
     // ---- corpus curation (Curation.scala): eval decontamination, Gopher
     // repetition rules, mixture resampling, packing, shard shuffle ----
     // eval set = every 20th doc (the benchmark slice), train = the rest;
@@ -2410,6 +2432,43 @@ object PipelineQueries {
       |    + (CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
       |                       WHEN 2 THEN 39 ELSE 44 END) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin.trim,
+
+    // contain-fit into 64×64 (tw = th, so "width binding" ⟺ w >= h):
+    // images inside the box and the wav rows pass through unchanged
+    // (mm_meta's arithmetic); resized rows get floor contain-fit dims and
+    // a payload budgeted by the exact pixel-area ratio on top of the
+    // same header-size table
+    "mm_resize" -> """
+      |WITH m AS (SELECT doc_id, doc_id % 4 AS f,
+      |    CAST(doc_id % 1000 + 1 AS BIGINT) AS w,
+      |    CAST(n_chars % 500 + 1 AS BIGINT) AS h,
+      |    octet_length(encode(text))::BIGINT AS plen FROM documents),
+      |r AS (SELECT *, (f < 3 AND (w > 64 OR h > 64)) AS rsz,
+      |    CASE WHEN f = 3 THEN 0
+      |         WHEN w <= 64 AND h <= 64 THEN w
+      |         WHEN w >= h THEN 64 ELSE greatest(1, w * 64 // h) END AS ow,
+      |    CASE WHEN f = 3 THEN 0
+      |         WHEN w <= 64 AND h <= 64 THEN h
+      |         WHEN w >= h THEN greatest(1, h * 64 // w) ELSE 64 END AS oh,
+      |    CASE f WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 39 ELSE 44 END AS hdr
+      |  FROM m)
+      |SELECT doc_id AS media_id,
+      |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |         WHEN 2 THEN 'jpeg' ELSE 'wav' END AS kind,
+      |  ow AS width, oh AS height,
+      |  CASE WHEN f = 3 THEN plen * 1000 // 32000 ELSE 0 END AS duration_ms,
+      |  hdr + CASE WHEN rsz THEN plen * (ow * oh) // (w * h) ELSE plen END AS n_bytes
+      |FROM r ORDER BY media_id""".stripMargin.trim,
+
+    // payload features: all four wrapped formats must strip back to
+    // exactly the document text — the md5 stand-in then matches
+    // byte-for-byte across engines
+    "mm_features" -> """
+      |SELECT doc_id AS media_id, j AS feat_ix,
+      |  ('0x' || substr(md5(text || ':' || j::VARCHAR), 1, 8))::BIGINT
+      |    % 2001 - 1000 AS feat
+      |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+      |ORDER BY media_id, feat_ix""".stripMargin.trim,
 
     // ---- corpus curation (mirrors graft.operators.Curation) ----
     "curate_decontam_hits" -> s"""

@@ -36,6 +36,10 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_ix: Int, frame_bytes: Array[Byte])
 
+  /** One extracted feature value: `feat_ix` ∈ [0, dim), `feat` an exact
+    * integer in [-1000, 1000] (see [[imageFeatures]]). */
+  case class MediaFeatures(media_id: Long, feat_ix: Int, feat: Long)
+
   /** Real image-header parsing — public format layouts only:
     *
     *  - PNG: 8-byte signature, then the IHDR chunk; width/height are the
@@ -96,6 +100,73 @@ object Multimodal {
         i += 8L + size + (size & 1L) // odd chunks pad one byte
       }
       if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate) else None
+    }
+
+    /** Byte offset where the image PAYLOAD starts, per public layout:
+      * PNG = signature + the complete IHDR chunk (length field read from
+      * the chunk itself); GIF = 13-byte header + the global color table
+      * when the descriptor's flags declare one (3·2^(depth+1) bytes);
+      * JPEG = the end of the SOF segment the dims walk stops at. Clamped
+      * to the buffer — a truncated file yields an empty payload, never an
+      * out-of-range slice. */
+    def headerSpan(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      dims(b).map { case (kind, w, h) =>
+        val span = kind match {
+          case "png" => 8 + 4 + 4 + be32(8) + 4 // sig + len + "IHDR" + data + crc
+          case "gif" =>
+            val flags = u8(10)
+            13 + (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+          case _ => jpegSofEnd(b).getOrElse(b.length)
+        }
+        (kind, w, h, math.min(math.max(span, 0), b.length))
+      }
+    }
+
+    /** Byte offset of the `data` chunk payload in a RIFF/WAVE buffer —
+      * the same chunk walk as [[wavDurationMs]]. */
+    def wavPayloadSpan(b: Array[Byte]): Option[Int] = {
+      def u8(i: Int) = b(i) & 0xff
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+      def tag(i: Int, t: String) = t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
+      if (b.length < 36 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var i = 12L
+      while (i + 8 <= b.length) {
+        val at = i.toInt
+        if (tag(at, "data")) return Some(at + 8)
+        val size = le32(at + 4)
+        i += 8L + size + (size & 1L)
+      }
+      None
+    }
+
+    /** Where the media PAYLOAD starts: image header span, WAV data-chunk
+      * offset, or 0 (unrecognized buffers are all payload). */
+    def payloadSpan(b: Array[Byte]): Int =
+      headerSpan(b).map(_._4).orElse(wavPayloadSpan(b)).getOrElse(0)
+
+    /** End offset of the SOF segment — the marker walk of [[jpegDims]],
+      * returning position instead of dimensions. */
+    private def jpegSofEnd(b: Array[Byte]): Option[Int] = {
+      def u8(i: Int) = b(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(i) != 0xff) return None
+        val m = u8(i + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else if (m == 0xd9 || m == 0xda) return None
+        else {
+          val len = be16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return Some(i + 2 + len)
+          i += 2 + len
+        }
+      }
+      None
     }
 
     private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
@@ -167,6 +238,86 @@ object Multimodal {
       (0 until math.max(m.bytes.length / strideBytes, 0)).iterator.map { i =>
         Frame(m.media_id, i, m.bytes.slice(i * strideBytes,
           math.min(i * strideBytes + frameBytes, m.bytes.length)))
+      }
+    }
+  }
+
+  /** Contain-fit image resize — the re-dimensioning half of a thumbnail /
+    * training-resolution pass. Recognized image rows larger than the
+    * `targetW`×`targetH` box get exact integer contain-fit dimensions
+    * (aspect preserved, floor division, never upscaled, min 1px) and a
+    * spec-correct re-emitted header for the new dimensions (real CRC32
+    * for PNG) that any standards-conforming parser reads back — the
+    * [[decodeMeta]] round trip is the oracle's cross-check. The pixel
+    * RESAMPLING step is the STUBBED part (this container has no codec
+    * libraries): the payload is budgeted by the exact pixel-area ratio
+    * (`len·outArea/inArea`, floor) and carried as a prefix slice instead
+    * of being resampled — a real deployment swaps `resizeOne`'s slice for
+    * a codec call; everything around it (format parse, payload span,
+    * header re-emission, batch shape) is what that deployment runs.
+    * Non-image rows and images already inside the box pass through
+    * IDENTICAL (same array, no rewrite). Per-row narrow map — no shuffle
+    * at any corpus size. */
+  def resize(media: Dataset[MediaFile], targetW: Int, targetH: Int): Dataset[MediaFile] = {
+    require(targetW >= 1 && targetH >= 1, s"bad target box $targetW x $targetH")
+    // keeps the byte-budget arithmetic inside Long: plen < 2^31, so the
+    // product plen · outArea stays under 2^62
+    require(targetW.toLong * targetH <= (1L << 31),
+      s"target box $targetW x $targetH overflows the byte-budget arithmetic")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => resizeOne(m, targetW, targetH)))
+  }
+
+  private[operators] def resizeOne(m: MediaFile, tw: Int, th: Int): MediaFile =
+    HeaderDecoder.headerSpan(m.bytes) match {
+      case Some((kind, w, h, span)) if w > 0 && h > 0 && (w > tw || h > th) =>
+        // contain-fit: the binding side hits the box exactly, the other
+        // scales by the same ratio (floor, min 1)
+        val (ow, oh) =
+          if (w.toLong * th >= h.toLong * tw) (tw, math.max(1, (h.toLong * tw / w).toInt))
+          else (math.max(1, (w.toLong * th / h).toInt), th)
+        val plen = (m.bytes.length - span).toLong
+        val newLen = (plen * (ow.toLong * oh) / (w.toLong * h)).toInt
+        val header = kind match {
+          case "png" => pngHeader(ow, oh)
+          case "gif" => gifHeader(ow, oh)
+          case _ => jpegHeader(ow, oh)
+        }
+        MediaFile(m.media_id, m.kind, header ++ m.bytes.slice(span, span + newLen))
+      case _ => m
+    }
+
+  /** Feature extraction over the media PAYLOAD bytes — the embed half of
+    * an image/audio embedding pass, with the MODEL FORWARD PASS stubbed
+    * deterministically (no inference runtime in this container): feature
+    * `j` is the first 32 bits of `md5(payload ++ ":" ++ j)` reduced to an
+    * exact integer in [-1000, 1000] — reproducible on any engine, which
+    * is what lets the DuckDB oracle recompute it. Everything a real
+    * embedder needs is real: payload isolation via the format-aware
+    * [[HeaderDecoder.payloadSpan]] (image header span / WAV data-chunk
+    * walk), per-partition amortized init (the model-load slot — one
+    * digest instance per partition, not per row), byte-level streaming
+    * into the kernel, and a narrow exploded `(media_id, feat_ix, feat)`
+    * output that assembles into a vector column with one `group-free`
+    * pivot or rides straight into the ANN operators. Per-row work ∝
+    * dim·payload; no shuffle. */
+  def imageFeatures(media: Dataset[MediaFile], dim: Int): Dataset[MediaFeatures] = {
+    require(dim >= 1 && dim <= 4096, s"feature dim must be in [1, 4096], got $dim")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init: where a real embedder loads its model once
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val span = HeaderDecoder.payloadSpan(m.bytes)
+        (0 until dim).iterator.map { j =>
+          md.reset()
+          md.update(m.bytes, span, m.bytes.length - span)
+          md.update(s":$j".getBytes(StandardCharsets.US_ASCII))
+          val d = md.digest()
+          val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          MediaFeatures(m.media_id, j, u % 2001L - 1000L)
+        }
       }
     }
   }

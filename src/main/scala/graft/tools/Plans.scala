@@ -45,6 +45,12 @@ object Plans {
         "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       // truncated pre-rank: broadcast query side, no cartesian fallback
       "ann_truncated" -> Seq("Join", "!CartesianProduct"),
+      // media resize / feature extraction: per-row typed maps — the only
+      // exchange allowed is the battery's final presentation sort
+      "mm_resize" -> Seq("MapPartitions", "!Join", "!Window",
+        "!HashAggregate", "!CartesianProduct"),
+      "mm_features" -> Seq("MapPartitions", "!Join", "!Window",
+        "!HashAggregate", "!CartesianProduct"),
       "dedup_minhash" -> Seq("HashAggregate", "Join"),
       // exact-substring pairs (r13 grouped form): ONE exchange groups ids
       // per window hash, pair combinations explode ROW-LOCALLY — no join

@@ -162,6 +162,8 @@ object ScaleSweep {
       ("text_html_strip", "linear"), ("corpus_source_overlap", "linear"),
       // chunking: per-row map, output ∝ tokens
       ("text_chunks", "linear"),
+      // media resize / features: per-row narrow maps over wrapped bytes
+      ("mm_resize", "linear"), ("mm_features", "linear"),
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
       // streaming curation twins: stateless narrow maps over the replay
       // fixture — cost is fixture I/O + per-row work, both linear (the

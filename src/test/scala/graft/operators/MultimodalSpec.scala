@@ -111,4 +111,65 @@ class MultimodalSpec extends SparkSpec {
     val out = metaColumns(df, "doc_id", "bytes").collect().sortBy(_.getAs[Long]("media_id"))
     assert(out(0).getAs[Long]("n_bytes") == 300L)
   }
+
+  test("headerSpan / wavPayloadSpan / payloadSpan isolate the payload per format") {
+    import Multimodal.HeaderDecoder._
+    assert(headerSpan(Multimodal.pngHeader(9, 8) ++ Array.fill(5)(1.toByte))
+      == Some(("png", 9, 8, 33)))
+    assert(headerSpan(Multimodal.gifHeader(3, 4)) == Some(("gif", 3, 4, 13)))
+    assert(headerSpan(Multimodal.jpegHeader(10, 10)) == Some(("jpeg", 10, 10, 39)))
+    // GIF with a global color table: flags depth bits 2 → 3·2^3 = 24 bytes
+    val gct = Multimodal.gifHeader(8, 8) ++ Array.fill(24)(0x55.toByte) ++
+      Array.fill(40)(9.toByte)
+    gct(10) = (0x80 | 2).toByte
+    assert(headerSpan(gct) == Some(("gif", 8, 8, 37)))
+    assert(wavPayloadSpan(Multimodal.wavHeader(100)) == Some(44))
+    assert(wavPayloadSpan(Array[Byte](1, 2, 3)).isEmpty)
+    assert(payloadSpan("no header at all".getBytes) == 0)
+    // span clamps to the buffer on truncated files — never out of range
+    assert(headerSpan(Multimodal.pngHeader(9, 8).take(30)).map(_._4) == Some(30))
+  }
+
+  test("resize: exact contain-fit dims, spec-correct re-emitted header, area-ratio byte budget") {
+    // 100×50 into 64×64: width binds → 64×32; 200-byte payload scales by
+    // 2048/5000 → floor 81
+    val in = MediaFile(1L, "m", Multimodal.pngHeader(100, 50) ++
+      Array.tabulate(200)(i => (i % 251).toByte))
+    val out = resizeOne(in, 64, 64)
+    assert(HeaderDecoder.dims(out.bytes) == Some(("png", 64, 32)))
+    assert(out.bytes.length == 33 + 81)
+    // payload is the deterministic prefix slice of the original payload
+    assert(out.bytes.drop(33).toSeq == in.bytes.slice(33, 33 + 81).toSeq)
+    // 10×500 into 64×64: height binds → floor(10·64/500) = 1 (min-1 floor)
+    val tall = MediaFile(2L, "m", Multimodal.gifHeader(10, 500) ++
+      Array.fill(100)(7.toByte))
+    val t = resizeOne(tall, 64, 64)
+    assert(HeaderDecoder.dims(t.bytes) == Some(("gif", 1, 64)))
+    assert(t.bytes.length == 13 + 100 * (1 * 64) / (10 * 500))
+    // inside the box / non-image: IDENTICAL pass-through, no rewrite
+    val small = MediaFile(3L, "m", Multimodal.pngHeader(10, 10) ++ Array.fill(9)(1.toByte))
+    assert(resizeOne(small, 64, 64) eq small)
+    val wav = MediaFile(4L, "m", Multimodal.wavHeader(100) ++ Array.fill(100)(2.toByte))
+    assert(resizeOne(wav, 64, 64) eq wav)
+    // distributed round trip through the real parser
+    val ds = Seq(in, tall, small, wav).toDS()
+    val metas = decodeMeta(resize(ds, 64, 64)).collect().sortBy(_.media_id)
+    assert(metas.map(m => (m.width, m.height)).toSeq ==
+      Seq((64, 32), (1, 64), (10, 10), (0, 0)))
+  }
+
+  test("imageFeatures: pinned md5 stand-in, format-independent payload strip") {
+    // md5("abc:0") = cf4bab41… → 0xcf4bab41 % 2001 - 1000 = -299
+    // md5("abc:1") = 7faac331… → 0x7faac331 % 2001 - 1000 =  108
+    val abc = "abc".getBytes
+    val wrapped = Seq(
+      MediaFile(1L, "m", Multimodal.pngHeader(4, 4) ++ abc),
+      MediaFile(2L, "m", Multimodal.wavHeader(3) ++ abc),
+      MediaFile(3L, "m", abc)) // unrecognized: all payload
+    val out = imageFeatures(wrapped.toDS(), dim = 2).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.feat_ix).map(_.feat).toSeq).toMap
+    // identical features from every wrapping — the span isolation works
+    assert(out == Map(1L -> Seq(-299L, 108L), 2L -> Seq(-299L, 108L),
+      3L -> Seq(-299L, 108L)))
+  }
 }
