@@ -66,7 +66,8 @@ final class WireException(val code: Int, message: String)
   */
 final class RemoteClient(
     host: String, port: Int, db: String = ConnectionString.DefaultDb,
-    poolSize: Int = 2, maxReconnects: Int = 3, backoffBaseMs: Long = 1000) {
+    poolSize: Int = 2, maxReconnects: Int = 3, backoffBaseMs: Long = 1000,
+    maxFrameBytes: Int = WireServer.MaxMessageBytes) {
 
   def this(target: ConnectionString.Remote) = this(target.host, target.port, target.db)
 
@@ -141,7 +142,26 @@ final class RemoteClient(
       while (true) {
         try {
           writeMessage(new DataOutputStream(sock.getOutputStream), cmd, payload)
-          return readMessage(new DataInputStream(sock.getInputStream))
+          val in = new DataInputStream(sock.getInputStream)
+          val length = in.readInt()
+          if (length > maxFrameBytes) {
+            // Receiver-side frame cap: the reference enforces its 100 MiB
+            // limit only on READ (pkg/proto/message.go:96-98), so a live
+            // upstream server happily SENDS a bigger frame. The body is
+            // unread — the stream is poisoned — so close the socket, heal
+            // the pool slot, and surface the same typed 507 our own
+            // WireServer emits pre-emptively; callers' window-split logic
+            // (WireImport) then works against upstream servers too. No
+            // resend: the same request would get the same oversized reply.
+            try sock.close() catch { case _: IOException => () }
+            sock = try reconnectWithBackoff()
+              catch { case _: Exception => sock } // dead-slot sentinel self-heals
+            throw new WireException(507,
+              s"response frame of $length bytes exceeds the client's " +
+                s"$maxFrameBytes-byte receive cap; narrow the query")
+          }
+          if (length < 8) throw new IOException(s"bad message length $length")
+          return WireServer.readBody(in, length)
         } catch {
           case e: IOException =>
             attempt += 1

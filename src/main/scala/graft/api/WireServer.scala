@@ -322,6 +322,14 @@ object WireServer {
     val length = in.readInt()
     if (length < 8 || length > MaxMessageBytes)
       throw new IOException(s"bad message length $length")
+    readBody(in, length)
+  }
+
+  /** Read + split a frame body whose length prefix the caller already
+    * consumed and validated ([[RemoteClient]] applies its own receive cap
+    * to the prefix first, so an oversized frame surfaces as the typed 507
+    * instead of a desynced read). */
+  private[api] def readBody(in: DataInputStream, length: Int): (String, Array[Byte]) = {
     val buf = new Array[Byte](length)
     in.readFully(buf)
     val cmd = new String(buf, 0, 8, StandardCharsets.UTF_8)

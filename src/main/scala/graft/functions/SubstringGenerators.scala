@@ -63,7 +63,14 @@ object SubstringGenerators {
       var i = 0
       while (i <= n - k) {
         var j = 0
-        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        while (j < k) {
+          // null-skip like concat_ws (and the ShingleKernels twin): an
+          // UnsafeArrayData accessor on a null slot returns undefined
+          // bytes, so the isNullAt guard is correctness, not style —
+          // checkInputDataTypes accepts containsNull=true inputs
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
         val g = UTF8String.concatWs(Space, parts: _*)
         if (seen == null || seen.add(g))
           out += (if (withPos) new GenericInternalRow(Array[Any](i + 1, g))

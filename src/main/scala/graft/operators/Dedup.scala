@@ -603,9 +603,22 @@ object Dedup {
   /** Distinct `(id, h1, h2)` windows with the pairs family's INTERNAL
     * 128-bit key: two independently-seeded xxhash64 halves as two
     * primitive longs (see the class doc — measured ~35% faster than the
-    * hex key, 4× fewer key bytes in the exchange; collision odds stay
-    * negligible at crawl scale). [[SubstringWindowStore]] persists this
-    * frame, so store and inline consumers cannot drift. */
+    * hex key, 4× fewer key bytes in the exchange).
+    *
+    * Collision caveat: the two halves are NOT 128 independent bits against
+    * an adversary — XxHash64's seed only perturbs the initial accumulator
+    * state, so seed-independent collision classes exist (a crafted window
+    * pair can collide in BOTH halves at once). Against ORGANIC text the
+    * two-half birthday bound is what matters and stays negligible at crawl
+    * scale; against adversarial input a manufactured collision creates a
+    * false exact-substring pair that can drop a legitimate document. For
+    * deployments treating the crawl as hostile, the 16-byte binary md5 key
+    * (`unhex(md5(g))` — A/B'd as `pairsB16` in [[graft.tools.SubstrProbe]];
+    * keeps ~two-thirds of the key-size win) is the drop-in cryptographic
+    * alternative; the user-surfaced audit identity ([[hotWindows]]) is
+    * already md5. [[SubstringWindowStore]] persists this frame, so store
+    * and inline consumers cannot drift — switching keys is a store version
+    * bump, not a silent re-key. */
   private[operators] def windowFrame128(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     windowStrings(docs, idCol, textCol, k)

@@ -250,7 +250,22 @@ object WireImport {
       * in-window count identifies the landed group prefix (strictly
       * increasing prefix sums — group sizes are nonzero). */
     def recoverPending(topic: String, lo: Long, hi: Long): Unit = {
-      val gs = groupsOf(fetch(topic, lo, hi))
+      val gs = groupsOf(
+        try fetch(topic, lo, hi)
+        catch {
+          // the window fit one frame when its intent was written, so an
+          // overflow on re-fetch implies the source gained in-window
+          // entries between crash and resume — the exact consistency
+          // violation the prefix-sum check below diagnoses; name it the
+          // same way instead of leaking a raw wire error
+          case e: WireException if e.code == 507 =>
+            throw new IllegalStateException(
+              s"cannot resume $topic window [${fmtUs(lo)}, ${fmtUs(hi)}]: " +
+                "the window fit one wire frame when its intent was written " +
+                "but now overflows the frame cap — the source gained " +
+                "in-window entries since the interrupted run; re-import " +
+                "from scratch", e)
+        })
       val landed = target.query(
           s"all in $topic between ~(${fmtUs(lo)}), ~(${fmtUs(hi)})")
         .filter(col("topic") === topic).count()

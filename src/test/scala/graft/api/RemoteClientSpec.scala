@@ -129,6 +129,32 @@ class RemoteClientSpec extends SparkSpec {
     } finally { client.close(); server1.close() }
   }
 
+  test("an oversized response frame maps to wire 507 client-side and the " +
+      "connection heals") {
+    // the upstream reference enforces its 100 MiB frame cap RECEIVER-side
+    // only (pkg/proto/message.go:96-98) — a live server happily sends a
+    // bigger frame. Emulate that with a server whose send-side cap is the
+    // default (far above this data) and a client receive cap of 4 KiB: the
+    // client must surface the typed 507 (so WireImport's window-split
+    // engages), NOT an IOException retried into the same oversized reply
+    val root = Files.createTempDirectory("graft_rc_cap").toString
+    val server = new WireServer(spark, Map("c" -> root), "c", fixedClock)
+    val client = new RemoteClient("127.0.0.1", server.port, db = "c",
+      poolSize = 1, maxReconnects = 3, backoffBaseMs = 1, maxFrameBytes = 4096)
+    try {
+      client.create("/big", "string")
+      val blob = "x" * 200
+      (0 until 60).foreach(i =>
+        client.append("/big", Codec.encode(FossilSchema.SString, s"$i-$blob")))
+      val e = intercept[WireException](client.query("all in /big"))
+      assert(e.code == 507)
+      // the poisoned connection (unread body) was replaced in the pool:
+      // the next, small-framed request succeeds on the same client
+      assert(client.listTopics.contains("/big" -> "string"))
+      assert(client.stats().exists(_.startsWith("/big ")))
+    } finally { client.close(); server.close() }
+  }
+
   test("connecting to a dead port fails, and a failed USE leaves the session intact") {
     val root = Files.createTempDirectory("graft_rc_dead").toString
     val server = new WireServer(spark, Map("a" -> root), "a", fixedClock)

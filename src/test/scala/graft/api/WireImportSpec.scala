@@ -170,6 +170,70 @@ class WireImportSpec extends SparkSpec {
     assert(entriesOf(dstRoot) == entriesOf(srcRoot))
   }
 
+  test("bursty topics split on the CLIENT's receive cap against an " +
+      "upstream-style server that sends oversized frames") {
+    // the upstream reference server has NO send-side response cap (its
+    // 100 MiB limit is receiver-side, pkg/proto/message.go:96-98): here
+    // the server's send cap stays at the 100 MiB default and only the
+    // client's 4 KiB receive cap trips — the import must still split the
+    // burst window, now off the client-detected 507
+    val srcRoot = Files.createTempDirectory("graft_wi_upburst").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_upburst_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/burst", "int64")
+    val sec = 1735600000L
+    (0 until 190).foreach { i =>
+      src.append("/burst", i.toLong,
+        Timestamp.from(java.time.Instant.ofEpochSecond(sec, i * 5000000L)))
+    }
+    (0 until 10).foreach { i =>
+      src.append("/burst", (1000 + i).toLong,
+        new Timestamp((sec + 3600L + i * 8000L) * 1000L))
+    }
+    val server = new WireServer(spark, Map("ub" -> srcRoot), "ub", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "ub",
+        backoffBaseMs = 1, maxFrameBytes = 4096)
+      try {
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 50)
+        assert(r.entries == 200L)
+        assert(r.pages > 4) // the burst window had to split
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
+  test("a pending window whose re-fetch overflows the frame cap fails with " +
+      "the named source-gained-entries diagnosis, not a raw wire error") {
+    // the window fit one frame when its intent was written; overflow on
+    // re-fetch implies the source grew in-window between crash and resume
+    val srcRoot = Files.createTempDirectory("graft_wi_grow").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_grow_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/g", "int64")
+    val sec = 1735600000L
+    (0 until 100).foreach(i => src.append("/g", i.toLong,
+      Timestamp.from(java.time.Instant.ofEpochSecond(sec, i * 1000000L))))
+    val server = new WireServer(spark, Map("g" -> srcRoot), "g", fixedClock,
+      maxResponseBytes = 2048)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "g")
+      try {
+        val loUs = sec * 1000000L
+        val hiUs = sec * 1000000L + 99000L
+        new LocalClient(spark, dstRoot).createTopic("/g", "int64")
+        WireImport.saveState(dstRoot,
+          Map("/g" -> WireImport.TopicState(loUs - 1, Some((loUs, hiUs)))))
+        val e = intercept[IllegalStateException] {
+          WireImport.importInto(spark, client, dstRoot, pageSize = 200,
+            resume = true)
+        }
+        assert(e.getMessage.contains("gained"))
+        assert(e.getCause.isInstanceOf[WireException])
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("a single microsecond that alone overflows the frame cap fails " +
       "with a named error, not an infinite split") {
     val srcRoot = Files.createTempDirectory("graft_wi_hotus").toString
