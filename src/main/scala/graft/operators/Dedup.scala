@@ -63,39 +63,31 @@ object Dedup {
     * Output: (a, b, j_e4) with a < b, distinct, where j_e4 = round(J*10000).
     */
   /** Universal-family minhash signatures for a caller-CACHED `(id, sh,
-    * carry...)` frame: one md5 per shingle occurrence, K hashes derived
-    * via [[TextOps.hashConstants]] linear maps, LONG mins partial-
-    * aggregated per doc — one pass, no shingle dictionary (see the v2
-    * rationale inline below).
+    * carry...)` frame — ROW-LOCAL since r15: the signature is a pure
+    * function of one row's shingle array, so it runs as a single codegen
+    * kernel ([[graft.functions.MinhashSigArray]] — one md5 per distinct
+    * shingle, K running mins from [[TextOps.hashConstants]] linear maps)
+    * with NO explode, NO exchange, and NO aggregate. The r7→r14 design
+    * exploded the corpus's shingles and rebuilt the per-doc mins through
+    * a HashAggregate: a corpus-sized explode + shuffle to recompute a
+    * row-local quantity (the DuckDB oracle twins were row-local all
+    * along). The dictionary-vs-direct-hashing rationale of that design
+    * (one md5 per occurrence beats a vocab join at crawl scale) carries
+    * over unchanged — the kernel hashes exactly the same occurrences,
+    * minus the row machinery around them. Values are bit-identical
+    * (same md5-prefix base hash, same linear maps, same null semantics
+    * for shingle-less docs), so stored band frames and every oracle row
+    * are unaffected.
     * Returns `(id, carry..., sig)` ONLY — shingle arrays stay behind in the
     * caller's scope-cached base frame and join back by id after candidate
-    * dedup.
-    * `carry` columns must be constant per id (aggregated via min). */
+    * dedup. Duplicate-id inputs now yield one signature per ROW (exactly
+    * the oracle's semantics) rather than per id; every consumer dedupes
+    * candidates and pairs, so outputs are unchanged. */
   private def withMinhashSig(
-      base: DataFrame, numHashes: Int, carry: Seq[String] = Nil): DataFrame = {
-    val ex = base.select(col("id") +: carry.map(col) :+ explode_outer(col("sh")).as("s"): _*)
-    // one md5 per shingle OCCURRENCE + K linear maps (TextOps universal
-    // family) — this replaced the round-7 shingle-DICTIONARY design
-    // (distinct vocab, K salted md5s per vocab entry, join back by
-    // shingle): the dictionary amortized md5s but cost a distinct agg
-    // plus a join that AQE turns into a full shuffle of the exploded
-    // corpus once the open vocabulary outgrows broadcast (the regime a
-    // real crawl is always in). Direct hashing is strictly one pass:
-    // project, partial-aggregate LONG mins, one shuffle by id — and the
-    // md5-per-occurrence it pays is CPU the dictionary's shuffle I/O
-    // dwarfed at every sweep scale.
-    val withH = ex.withColumn("__hv", TextOps.baseHash(col("s")))
-    val minCols = TextOps.hashConstants(numHashes).zipWithIndex.map {
-      case ((a, b), h) =>
-        min((col("__hv") * a + b) % TextOps.HashPrime).as(s"__m$h")
-    }
-    val aggs = minCols ++ carry.map(c => min(col(c)).as(c))
-    withH
-      .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id") +: carry.map(col) :+
-        array((0 until numHashes).map(h => col(s"__m$h")): _*).as("sig"): _*)
-  }
+      base: DataFrame, numHashes: Int, carry: Seq[String] = Nil): DataFrame =
+    base.select(col("id") +: carry.map(col) :+
+      graft.functions.MinhashSigArray(
+        col("sh"), TextOps.hashConstants(numHashes)).as("sig"): _*)
 
   /** (id, carry..., sig) → exploded (id, carry..., band_ix, band_h) with the
     * signature DROPPED: the output feeds BOTH sides of the candidate

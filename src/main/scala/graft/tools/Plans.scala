@@ -51,7 +51,10 @@ object Plans {
         "!HashAggregate", "!CartesianProduct"),
       "mm_features" -> Seq("MapPartitions", "!Join", "!Window",
         "!HashAggregate", "!CartesianProduct"),
-      "dedup_minhash" -> Seq("HashAggregate", "Join"),
+      // minhash_sig in the plan = the signature runs as the row-local
+      // kernel (r15) — no corpus-sized shingle explode + re-agg exchange
+      "dedup_minhash" -> Seq("HashAggregate", "Join", "minhash_sig"),
+      "dedup_ngram" -> Seq("minhash_sig", "Join", "!CartesianProduct"),
       // exact-substring pairs (r13 grouped form): ONE exchange groups ids
       // per window hash, pair combinations explode ROW-LOCALLY — no join
       // in the plan at all, hash/object-hash aggs only
