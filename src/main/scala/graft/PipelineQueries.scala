@@ -1131,6 +1131,25 @@ object PipelineQueries {
           Multimodal.headerWrappedDocs(Tables.documents(s, d)), dim = 4)
         .toDF()
         .orderBy("media_id", "feat_ix")),
+    // the multimodal → ANN composition a real curation run executes:
+    // media lake → per-payload features (exploded, the persistable form)
+    // → vector assembly (one partial-agg groupBy, dim-bounded state) →
+    // IVF top-k in the ann_ivf geometry (√n centroids, mod-50 queries).
+    // Scope-cached: the assembled vectors feed the centroid collect (a
+    // separate action inside ivfTopK) plus the corpus and query sides —
+    // without the cache the media decode + feature pass runs three times
+    "mm_ann" -> ((s, d) => {
+      val vecs = operators.OperatorCache.scoped(Multimodal.featureVectors(
+        Multimodal.imageFeatures(
+          Multimodal.headerWrappedDocs(Tables.documents(s, d)), dim = 8)))
+      val mod = math.ceil(math.sqrt(
+        Tables.documents(s, d).count().toDouble)).toLong
+      Similarity.ivfTopK(
+        vecs, vecs.filter(col("media_id") % 50 === 0),
+        vecs.filter(col("media_id") % mod === 0),
+        "media_id", "embedding", "media_id", k = 3)
+        .orderBy("q", "rank")
+    }),
     // ---- corpus curation (Curation.scala): eval decontamination, Gopher
     // repetition rules, mixture resampling, packing, shard shuffle ----
     // eval set = every 20th doc (the benchmark slice), train = the rest;
@@ -2469,6 +2488,40 @@ object PipelineQueries {
       |    % 2001 - 1000 AS feat
       |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
       |ORDER BY media_id, feat_ix""".stripMargin.trim,
+
+    // media → features → vector assembly → IVF: the feature CTE is the
+    // mm_features oracle at dim 8, the IVF CTEs are ann_ivf's over the
+    // assembled vectors
+    "mm_ann" -> s"""
+      |WITH f AS (
+      |  SELECT doc_id, j,
+      |    ('0x' || substr(md5(text || ':' || j::VARCHAR), 1, 8))::BIGINT
+      |      % 2001 - 1000 AS feat
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+      |vec AS (SELECT doc_id AS vec_id, list(feat ORDER BY j) AS embedding
+      |        FROM f GROUP BY doc_id),
+      |cent AS (SELECT vec_id AS cid, embedding AS cv FROM vec
+      |  WHERE vec_id % (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM vec) = 0),
+      |assigned AS (
+      |  SELECT vec_id AS id, embedding AS v, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM vec e, cent c) WHERE rn = 1),
+      |probed AS (
+      |  SELECT vec_id AS q, embedding AS qv, cid AS bucket FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosE6("e.embedding", "c.cv")} DESC, c.cid) AS rn
+      |    FROM vec e, cent c WHERE e.vec_id % 50 = 0) WHERE rn = 1),
+      |scored AS (
+      |  SELECT p.q, a.id, ${cosE6("a.v", "p.qv")} AS sim_e6
+      |  FROM assigned a JOIN probed p ON a.bucket = p.bucket AND a.id != p.q),
+      |ranked AS (
+      |  SELECT q, id, sim_e6,
+      |    row_number() OVER (PARTITION BY q ORDER BY sim_e6 DESC, id) AS rank
+      |  FROM scored)
+      |SELECT q, rank, id, sim_e6 FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin.trim,
 
     // ---- corpus curation (mirrors graft.operators.Curation) ----
     "curate_decontam_hits" -> s"""

@@ -322,6 +322,25 @@ object Multimodal {
     }
   }
 
+  /** Assemble exploded per-feature rows — [[imageFeatures]] output, or any
+    * persisted `(media_id, feat_ix, feat)` feature table — into a dense
+    * vector column `(media_id, embedding)`, ready for the ANN/SemDeDup
+    * family ([[Similarity.ivfTopK]] casts any numeric array to
+    * `array<double>` on entry). This is the composition seam between the
+    * media lake and the embedding index: at crawl scale features are
+    * extracted once and PERSISTED exploded (append-friendly, column-
+    * prunable), and index builds re-assemble vectors from that table —
+    * so assembly must be one partial-aggregable `groupBy(media_id)` with
+    * dim-bounded (≤ 4096) group state, no window, no join. Element order
+    * is `feat_ix` ascending via `array_sort` over `(feat_ix, feat)`
+    * structs (feat_ix is unique per media id, so the order is total). */
+  def featureVectors(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF()
+      .groupBy(col("media_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("feat_ix"), col("feat")))),
+        s => s.getField("feat")).as("embedding"))
+
   /** Adapter: treat the `documents` table as a media lake (text bytes play
     * the blob) — used by tests and the frame-sampling query. */
   def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {

@@ -51,6 +51,12 @@ object Plans {
         "!HashAggregate", "!CartesianProduct"),
       "mm_features" -> Seq("MapPartitions", "!Join", "!Window",
         "!HashAggregate", "!CartesianProduct"),
+      // media → vector assembly → IVF composition: row-local centroid
+      // assignment (never a nested loop), equi-join probe; the assembly
+      // agg is checked programmatically below (one partial-able
+      // media_id-grouped aggregate, exactly one Window — the top-k rank)
+      "mm_ann" -> Seq("nearest_centroids", "!CartesianProduct",
+        "!BroadcastNestedLoopJoin", "!SortAggregate"),
       // minhash_sig in the plan = the signature runs as the row-local
       // kernel (r15) — no corpus-sized shingle explode + re-agg exchange
       "dedup_minhash" -> Seq("HashAggregate", "Join", "minhash_sig"),
@@ -251,6 +257,32 @@ object Plans {
       if (!ok) failed += 1
       println(s"[check] $name band joins narrow (no array cols): $ok " +
         s"(${joins.size} band join(s), ${wide.size} wide)")
+    }
+    // mm_ann's assembly contract: exploded features reach the IVF as ONE
+    // media_id-grouped aggregate with partial/final modes (map-side
+    // combinable — the dim-bounded group state never rides a corpus-wide
+    // unaggregated exchange) and the only Window is the per-query top-k
+    // rank (the assembly itself must never window)
+    locally {
+      val df = graft.SparkEntry.queries("mm_ann")(spark, sfDir)
+      val plan = df.queryExecution.sparkPlan
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(
+              _.references.exists(_.name == "media_id")) => a
+      }
+      val hasPartial = aggs.exists(_.aggregateExpressions.exists(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
+      val hasFinal = aggs.exists(_.aggregateExpressions.exists(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final))
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      val ok = hasPartial && hasFinal && windows.size == 1
+      if (!ok) failed += 1
+      println(s"[check] mm_ann assembly is one partial-able media_id agg, " +
+        s"one top-k window: $ok (aggs=${aggs.size} partial=$hasPartial " +
+        s"final=$hasFinal windows=${windows.size})")
     }
     // dedup_against_ref_stored's contract: the REFERENCE side must be
     // served from the persisted signature store as bare parquet scans —

@@ -164,6 +164,9 @@ object ScaleSweep {
       ("text_chunks", "linear"),
       // media resize / features: per-row narrow maps over wrapped bytes
       ("mm_resize", "linear"), ("mm_features", "linear"),
+      // media → vectors → IVF composition: √n centroids → n·√n assignment
+      // (the ann_ivf geometry), assembly itself linear
+      ("mm_ann", "quadratic"),
       ("pack_assemble", "linear"), ("dedup_url", "linear"),
       // streaming curation twins: stateless narrow maps over the replay
       // fixture — cost is fixture I/O + per-row work, both linear (the

@@ -172,4 +172,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> Seq(-299L, 108L), 2L -> Seq(-299L, 108L),
       3L -> Seq(-299L, 108L)))
   }
+
+  test("featureVectors assembles exploded features into feat_ix-ordered " +
+      "vectors, ANN-composable") {
+    val wrapped = Seq(
+      MediaFile(1L, "m", Multimodal.pngHeader(4, 4) ++ "abc".getBytes),
+      MediaFile(2L, "m", "xyz".getBytes)).toDS()
+    val feats = imageFeatures(wrapped, dim = 3)
+    val vecs = featureVectors(feats).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // same values as the exploded form, in feat_ix order
+    val expect = feats.collect().groupBy(_.media_id)
+      .view.mapValues(_.sortBy(_.feat_ix).map(_.feat).toSeq).toMap
+    assert(vecs == expect)
+    assert(vecs.values.forall(_.length == 3))
+    // the assembled column feeds the similarity kernels directly: the
+    // composition seam the mm_ann battery row exercises end-to-end
+    val df = featureVectors(feats)
+    val sim = df.as("a").join(df.as("b"),
+        org.apache.spark.sql.functions.col("a.media_id") <
+          org.apache.spark.sql.functions.col("b.media_id"))
+      .select(Similarity.cosineE6(
+        org.apache.spark.sql.functions.col("a.embedding").cast("array<double>"),
+        org.apache.spark.sql.functions.col("b.embedding").cast("array<double>"))
+        .as("c"))
+      .collect()
+    assert(sim.length == 1 && math.abs(sim.head.getLong(0)) <= 1000000L)
+  }
 }
