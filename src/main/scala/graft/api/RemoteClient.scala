@@ -201,6 +201,11 @@ final class RemoteClient(
   /** Server version string from the VERSION handshake. */
   def version: String = handshakeVersion
 
+  /** Number of pooled connections — the client's natural request
+    * concurrency (callers fanning work out get one in-flight request per
+    * connection; more threads than this just queue on the pool). */
+  def poolConnections: Int = poolCount
+
   private def sendUseOn(sock: Socket, name: String): Unit = {
     writeMessage(new DataOutputStream(sock.getOutputStream), "USE", name.getBytes(UTF_8))
     val (c, p) = readMessage(new DataInputStream(sock.getInputStream))

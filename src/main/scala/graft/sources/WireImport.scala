@@ -158,15 +158,35 @@ object WireImport {
   /** Import every topic of the client's bound database into a fresh or
     * existing store at `targetRoot`; ~`pageSize` entries per QUERY.
     *
+    * Concurrency: with `concurrency > 1`, TOPICS page in parallel — each
+    * topic is owned end-to-end by one worker (its windows stay strictly
+    * sequential, so the per-topic sidecar semantics are untouched), and
+    * workers share the client's connection pool (one in-flight window per
+    * connection — the natural fan-out is `client.poolConnections`).
+    * Engine landings serialize on the store lock, so the overlap won is
+    * wire paging + parse/decode against landings, which is where a
+    * remote migration's wall time goes. The sidecar write is the only
+    * shared mutable state and is lock-serialized (each write persists the
+    * full map atomically, exactly as before). On the first worker
+    * failure, remaining topics are cancelled; completed and in-flight
+    * topics keep their sidecar marks, so `resume = true` continues from
+    * the crash exactly as in the sequential path.
+    *
     * @param resume continue a previously interrupted import from its
     *   sidecar high-water marks instead of starting over (see class doc)
     * @param onPage progress hook, called as `(topic, windowLoUs,
     *   windowHiUs)` after each page lands — a crawl-scale migration runs
-    *   for hours and wants observable progress */
+    *   for hours and wants observable progress. May be called from
+    *   multiple worker threads when `concurrency > 1`.
+    * @param concurrency number of topics paging in parallel (default 1 =
+    *   sequential; cap it at the client's pool size — beyond that,
+    *   workers only queue on the connection pool) */
   def importInto(spark: SparkSession, client: RemoteClient,
       targetRoot: String, pageSize: Int = 50000, resume: Boolean = false,
-      onPage: (String, Long, Long) => Unit = (_, _, _) => ()): Result = {
+      onPage: (String, Long, Long) => Unit = (_, _, _) => (),
+      concurrency: Int = 1): Result = {
     require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
+    require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     val target = new LocalClient(spark, targetRoot)
     val existing = target.listTopics.toMap
     val topics = client.listTopics
@@ -179,6 +199,7 @@ object WireImport {
         case None => target.createTopic(t, ddl)
       }
     }
+    val stateLock = new Object
     var state: Map[String, TopicState] =
       if (resume) loadState(targetRoot)
       else { Files.deleteIfExists(stateFile(targetRoot)); Map.empty }
@@ -188,8 +209,8 @@ object WireImport {
       case line => throw new IllegalArgumentException(
         s"unparseable STATS line from server: '$line'")
     }.toMap
-    var entries = 0L
-    var pages = 0
+    val entries = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pages = new java.util.concurrent.atomic.AtomicInteger(0)
 
     /** Fetch one window, clamped to the exact topic and the window's own
       * µs range (see class doc: descendants + boundary rounding). */
@@ -212,12 +233,13 @@ object WireImport {
             external(st, e.decoded))), ddl)
       }
 
-    def markPending(topic: String, done: Long, lo: Long, hi: Long): Unit = {
-      state = state.updated(topic, TopicState(done, Some((lo, hi))))
-      saveState(targetRoot, state)
-    }
+    def markPending(topic: String, done: Long, lo: Long, hi: Long): Unit =
+      stateLock.synchronized {
+        state = state.updated(topic, TopicState(done, Some((lo, hi))))
+        saveState(targetRoot, state)
+      }
 
-    def markDone(topic: String, done: Long): Unit = {
+    def markDone(topic: String, done: Long): Unit = stateLock.synchronized {
       state = state.updated(topic, TopicState(done, None))
       saveState(targetRoot, state)
     }
@@ -241,8 +263,8 @@ object WireImport {
         }
       markPending(topic, doneBefore, loUs, hiUs)
       landGroups(groupsOf(page))
-      pages += 1
-      entries += page.size
+      pages.incrementAndGet()
+      entries.addAndGet(page.size.toLong)
       onPage(topic, loUs, hiUs)
     }
 
@@ -279,18 +301,18 @@ object WireImport {
           "writer touched the topic; re-import from scratch")
       val suffix = gs.drop(k)
       landGroups(suffix)
-      pages += 1
-      entries += suffix.map(_._2.size).sum
+      pages.incrementAndGet()
+      entries.addAndGet(suffix.map(_._2.size).sum.toLong)
       onPage(topic, lo, hi)
     }
 
-    stats.toSeq.sortBy(_._1).foreach { case (topic, (n, firstUs, lastUs)) =>
-      val prior = state.get(topic)
+    def importTopic(topic: String, n: Long, firstUs: Long, lastUs: Long): Unit = {
+      val prior = stateLock.synchronized(state.get(topic))
       prior.flatMap(_.pending).foreach { case (lo, hi) =>
         recoverPending(topic, lo, hi)
         markDone(topic, hi)
       }
-      val done = state.get(topic).map(s => math.max(s.done,
+      val done = stateLock.synchronized(state.get(topic)).map(s => math.max(s.done,
         s.pending.map(_._2).getOrElse(Long.MinValue))).getOrElse(Long.MinValue)
       val startUs = if (done == Long.MinValue) firstUs else done + 1
       if (startUs <= lastUs) {
@@ -312,7 +334,36 @@ object WireImport {
       }
       markDone(topic, math.max(done, lastUs))
     }
+
+    val work = stats.toSeq.sortBy(_._1)
+    if (concurrency == 1) {
+      work.foreach { case (topic, (n, firstUs, lastUs)) =>
+        importTopic(topic, n, firstUs, lastUs)
+      }
+    } else {
+      // one worker owns one topic end-to-end; first failure cancels the
+      // rest (their sidecar marks survive for resume). shutdownNow may
+      // interrupt a worker mid-landing — exactly the crash the pending
+      // intent + prefix-sum recovery already covers.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(concurrency, math.max(1, work.size)))
+      try {
+        val futures = work.map { case (topic, (n, firstUs, lastUs)) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = importTopic(topic, n, firstUs, lastUs)
+          })
+        }
+        futures.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdownNow()
+    }
     Files.deleteIfExists(stateFile(targetRoot))
-    Result(topics.size, entries, pages)
+    Result(topics.size, entries.get(), pages.get())
   }
 }

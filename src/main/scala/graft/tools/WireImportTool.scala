@@ -9,21 +9,25 @@ import graft.sources.WireImport
   * ParquetStore root over the wire (the migration path for users with
   * only wire access — the filesystem twin is [[FossilImportTool]]).
   *
-  *   sbt "runMain graft.tools.WireImportTool fossil://host[:port]/db <storeRoot> [pageSize] [--resume]"
+  *   sbt "runMain graft.tools.WireImportTool fossil://host[:port]/db <storeRoot> [pageSize] [--resume] [--jobs=N]"
   *
   * `--resume` continues an interrupted import from the sidecar high-water
   * marks beside the target store (see [[WireImport]]) instead of starting
-  * over. Pages log as they land (a crawl-scale migration runs for hours);
-  * prints a one-line summary (topics, entries, QUERY pages) and exits
-  * nonzero on failure. */
+  * over. `--jobs=N` pages N topics concurrently over an N-connection pool
+  * (default 4; windows within a topic stay sequential, resume semantics
+  * unchanged). Pages log as they land (a crawl-scale migration runs for
+  * hours); prints a one-line summary (topics, entries, QUERY pages) and
+  * exits nonzero on failure. */
 object WireImportTool {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val resume = flags.contains("--resume")
-    val unknown = flags.filterNot(_ == "--resume")
+    val jobs = flags.collectFirst { case f if f.startsWith("--jobs=") =>
+      f.stripPrefix("--jobs=").toInt }.getOrElse(4)
+    val unknown = flags.filterNot(f => f == "--resume" || f.startsWith("--jobs="))
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     require(pos.length == 2 || pos.length == 3,
-      "usage: WireImportTool fossil://host[:port]/db <storeRoot> [pageSize] [--resume]")
+      "usage: WireImportTool fossil://host[:port]/db <storeRoot> [pageSize] [--resume] [--jobs=N]")
     val target = ConnectionString.parse(pos(0)) match {
       case r: ConnectionString.Remote => r
       case other => throw new IllegalArgumentException(
@@ -40,14 +44,15 @@ object WireImportTool {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val client = new RemoteClient(target.host, target.port, db = target.db)
+    val client = new RemoteClient(target.host, target.port, db = target.db,
+      poolSize = jobs)
     try {
-      var pages = 0
+      val pages = new java.util.concurrent.atomic.AtomicInteger(0)
       val r = WireImport.importInto(spark, client, storeRoot, pageSize,
-        resume = resume,
+        resume = resume, concurrency = jobs,
         onPage = (topic, _, _) => {
-          pages += 1
-          if (pages % 20 == 0) println(s"  ...$pages pages (at $topic)")
+          val p = pages.incrementAndGet()
+          if (p % 20 == 0) println(s"  ...$p pages (at $topic)")
         })
       println(s"imported ${r.entries} entries across ${r.topics} topics " +
         s"in ${r.pages} QUERY pages" + (if (resume) " (resumed)" else ""))

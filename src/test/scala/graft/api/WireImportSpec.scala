@@ -316,6 +316,69 @@ class WireImportSpec extends SparkSpec {
     assert(entriesOf(dstRoot) == entriesOf(srcRoot))
   }
 
+  test("concurrent topic paging lands every entry exactly once across " +
+      "mixed schemas (3 workers over a 3-connection pool)") {
+    val srcRoot = Files.createTempDirectory("graft_wi_conc").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_conc_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/c/f", "float64")
+    src.createTopic("/c/s", "string")
+    src.createTopic("/c/i", "int64")
+    src.createTopic("/c/empty", "boolean")
+    val t0 = 1735600000L * 1000L
+    (0 until 12).foreach(i => src.append("/c/f", 0.5 * i, new Timestamp(t0 + i * 1000L)))
+    (0 until 12).foreach(i => src.append("/c/s", s"m$i", new Timestamp(t0 + i * 900L)))
+    (0 until 12).foreach(i => src.append("/c/i", i.toLong, new Timestamp(t0 + i * 1100L)))
+    val server = new WireServer(spark, Map("cc" -> srcRoot), "cc", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "cc", poolSize = 3)
+      try {
+        val r = WireImport.importInto(spark, client, dstRoot, pageSize = 5,
+          concurrency = client.poolConnections)
+        assert(r.topics == 4)
+        assert(r.entries == 36L)
+        assert(r.pages >= 9) // 3 topics × ≥3 windows
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+    assert(!java.nio.file.Files.exists(WireImport.stateFile(dstRoot)))
+  }
+
+  test("crash under concurrency keeps per-topic sidecar marks; concurrent " +
+      "resume completes without duplicates or gaps") {
+    val srcRoot = Files.createTempDirectory("graft_wi_cres").toString
+    val dstRoot = Files.createTempDirectory("graft_wi_cres_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    val t0 = 1735600000L * 1000L
+    Seq("/k/a", "/k/b", "/k/c").foreach { t =>
+      src.createTopic(t, "int64")
+      (0 until 20).foreach(i => src.append(t, i.toLong, new Timestamp(t0 + i * 1000L)))
+    }
+    val server = new WireServer(spark, Map("kk" -> srcRoot), "kk", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "kk", poolSize = 3)
+      try {
+        // run 1: blow up after the third page lands, with three topics
+        // paging in parallel — the landed set at the crash is owned by
+        // whichever workers got there first
+        val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+        val boom = intercept[RuntimeException] {
+          WireImport.importInto(spark, client, dstRoot, pageSize = 5,
+            concurrency = 3,
+            onPage = (_, _, _) => { if (seen.incrementAndGet() == 3) sys.error("crash") })
+        }
+        assert(boom.getMessage == "crash")
+        assert(java.nio.file.Files.exists(WireImport.stateFile(dstRoot)))
+        // run 2: concurrent resume — per-topic marks route each worker
+        // past what its topic already landed
+        WireImport.importInto(spark, client, dstRoot, pageSize = 5,
+          resume = true, concurrency = 3)
+        assert(!java.nio.file.Files.exists(WireImport.stateFile(dstRoot)))
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
   test("resume sidecar state round-trips through its JSON encoding") {
     val root = Files.createTempDirectory("graft_wi_state").toString
     val st = Map(
