@@ -228,6 +228,98 @@ object IvfStore {
     ()
   }
 
+  /** Probe-cost skew of the bucket tree: max bucket size over mean bucket
+    * size, from one count aggregate over the bucket scan. 1.0 = perfectly
+    * balanced; a probe into the hottest bucket scans `skew ×` the mean
+    * probe's rows. [[append]] assigns against FROZEN centroids, so a
+    * drifting crawl (new content far from every old centroid) funnels
+    * into few buckets and this ratio climbs — the signal [[rebalance]]
+    * acts on. One keyed count agg; never scans vector payloads (column
+    * pruning keeps it to the `bucket` partition column). */
+  def bucketSkew(spark: SparkSession, root: String, corpusId: String,
+      tag: String): Double = {
+    requireBuilt(root, corpusId, tag)
+    val sizes = buckets(spark, root, corpusId, tag)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), avg("n").as("mean"))
+      .collect().head
+    sizes.getLong(0).toDouble / sizes.getDouble(1)
+  }
+
+  /** Retrain-and-rebuild trigger for post-append drift: when
+    * [[bucketSkew]] exceeds `maxSkew`, re-read the stored full-precision
+    * vectors, retrain `k = ceil(√n)` centroids with
+    * [[Similarity.kmeansCentroids]] (deterministic: [[rebalanceInit]]
+    * hash-spread init, fixed `iters`), and rebuild the index under a
+    * DERIVED tag
+    * `"<base>;rebal=k<k>.i<iters>"` (base = the current tag minus any
+    * previous `;rebal=` suffix — repeated rebalances do not chain). The
+    * old tag stops validating, exactly as the recipe-honesty contract
+    * requires: probes routed by the old centroids would read buckets cut
+    * by the new ones. Returns the new tag, or None when skew is within
+    * bound (store untouched).
+    *
+    * The PQ recipe is preserved from the store itself (subspace geometry
+    * recovered from the persisted codebook; a PQ-less store rebuilds
+    * PQ-less). Stored-≡-inline holds across a rebalance by construction:
+    * the rebuilt store equals [[build]] over the union corpus with the
+    * retrained centroids, which is what the inline operators compute on
+    * the same inputs (IvfStoreSpec pins it).
+    *
+    * Crash safety: the snapshot of the stored vectors is materialized to
+    * `<root>/<corpusId>__rebal_src.parquet` BEFORE the old tree is wiped,
+    * and deleted after the rebuild commits; the store itself is derived
+    * data (rebuildable from the source corpus), and a mid-rebuild crash
+    * leaves no `_params` marker — consumers fail typed instead of reading
+    * a half-cut index. */
+  def rebalance(spark: SparkSession, root: String, corpusId: String,
+      tag: String, maxSkew: Double, iters: Int = 5): Option[String] = {
+    require(maxSkew >= 1.0, s"maxSkew must be >= 1.0, got $maxSkew")
+    if (bucketSkew(spark, root, corpusId, tag) <= maxSkew) return None
+    val d = dir(root, corpusId)
+    val snap = Paths.get(root, s"${corpusId}__rebal_src.parquet")
+    if (Files.exists(snap)) rmTree(snap) // a crashed rebalance's leftover
+    buckets(spark, root, corpusId, tag).select("id", "v")
+      .write.parquet(snap.toString)
+    val corpus = spark.read.parquet(snap.toString)
+    val n = corpus.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cent = Similarity.kmeansCentroids(corpus, "id", "v", k, iters,
+        init = Some(rebalanceInit(corpus, k)))
+      .select(col("cid"), col("centroid").as("v"))
+    val (pqSub, pqCodes) = readCodebookOpt(spark, root, corpusId) match {
+      case None => (0, 256)
+      case Some(cb) =>
+        val dim = corpus.select(size(col("v"))).head().getInt(0)
+        val sub = dim / cb.head.length
+        (sub, cb.length / math.max(1, sub))
+    }
+    // strip only a previous rebalance suffix — user tags may carry their
+    // own ';'-separated recipe fields (e.g. "kmeans.v1;k=64;it=5")
+    val newTag = s"${tag.replaceAll(";rebal=k\\d+\\.i\\d+$", "")};rebal=k$k.i$iters"
+    // invalidate first: from here the old index is gone either way
+    Files.delete(marker(root, corpusId))
+    rmTree(d)
+    build(corpus, cent, "id", "v", "cid", root, corpusId, newTag,
+      pqSub = pqSub, pqCodes = pqCodes)
+    rmTree(snap)
+    Some(newTag)
+  }
+
+  /** Deterministic hash-spread k-means init for [[rebalance]]: the k rows
+    * with the smallest `(md5("rebal|" + id), id)` key — a uniform sample
+    * over the UNION of original and appended rows (one distributed
+    * TakeOrdered, no RNG), so a drifted region holding a fraction f of
+    * the corpus gets ~f·k init centroids and the retrain can split it.
+    * The lowest-id default init would start every centroid in the oldest
+    * data and leave a dense new cluster owned by one centroid — exactly
+    * the skew being repaired. */
+  private[operators] def rebalanceInit(corpus: DataFrame, k: Int): DataFrame =
+    corpus.select(col("id"), col("v"))
+      .orderBy(md5(concat(lit("rebal|"), col("id").cast("string"))), col("id"))
+      .limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
   /** Persisted centroids `(cid, cv, cn)` — a bare parquet scan. */
   def centroids(spark: SparkSession, root: String, corpusId: String,
       tag: String): DataFrame = {

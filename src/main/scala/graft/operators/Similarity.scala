@@ -1177,7 +1177,12 @@ object Similarity {
     * `centroids` input) — Lloyd iterations with cosine assignment, all
     * distributed DataFrame ops:
     *
-    *  - init: the k lowest-id corpus vectors (deterministic, no RNG);
+    *  - init: the k lowest-id corpus vectors (deterministic, no RNG), or
+    *    a caller-provided `(cid, cv)` frame — [[IvfStore.rebalance]] seeds
+    *    a hash-spread sample so a post-drift retrain has init mass inside
+    *    the drifted region (the lowest-id default would start every
+    *    centroid in the oldest data and leave a dense new cluster owned
+    *    by a single centroid);
     *  - assign: corpus × broadcast(centroids), top-1 by (cosine desc, cid
     *    asc) — the same assignment [[ivfTopK]] uses at query time, so the
     *    trainer optimizes exactly the probe geometry;
@@ -1192,14 +1197,18 @@ object Similarity {
     * Output: (cid, centroid: array<double>). */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, init: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val vd = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm(col("v")))
       .repartition(col("id"))
       .cache()
-    var cent = vd.orderBy("id").limit(k)
-      .select(col("id").as("cid"), col("v").as("cv"))
+    var cent = init match {
+      case Some(i) => i.select(col("cid"),
+        col("cv").cast("array<double>").as("cv"))
+      case None => vd.orderBy("id").limit(k)
+        .select(col("id").as("cid"), col("v").as("cv"))
+    }
     for (_ <- 0 until iters) {
       val c = cent.withColumn("cn", norm(col("cv")))
       val scored = vd.join(broadcast(c), lit(true))

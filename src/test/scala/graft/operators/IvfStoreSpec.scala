@@ -214,4 +214,66 @@ class IvfStoreSpec extends SparkSpec {
       "vec_id", "embedding", root, "emb", tag)
     assert(IvfStore.buckets(spark, root, "emb", tag).count() == n + 2)
   }
+
+  test("rebalance after drifted appends: skew-gated, retrains sqrt-n " +
+      "centroids, rebuilt store == inline on the union, old tag invalid") {
+    val root = buildStore()
+    val e = corpus
+    // a balanced store does not trigger at a generous bound
+    assert(IvfStore.rebalance(spark, root, "emb", tag, maxSkew = 50.0).isEmpty)
+    assert(IvfStore.isBuilt(root, "emb", tag))
+
+    // drift: 300 new vectors `x + 5·e₀` (unit-norm originals plus a
+    // dominant new axis). Against the FROZEN centroids the 5·e₀ term
+    // dominates the assignment argmax, funneling the whole batch into the
+    // highest-e₀ bucket; internally the x term keeps pairwise cosines
+    // spread (~0.96 ± 0.04), so a retrain with init mass among them can
+    // split the cluster — the realistic "new topic arrived" shape
+    val off = e.agg(max("vec_id")).first().getLong(0) + 1
+    val drift = e.orderBy("vec_id").limit(300)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i === 0, lit(5.0)).otherwise(lit(0.0)))
+          .as("embedding"))
+    IvfStore.append(drift, "vec_id", "embedding", root, "emb", tag)
+    val skewBefore = IvfStore.bucketSkew(spark, root, "emb", tag)
+    assert(skewBefore > 4.0, s"drift fixture did not skew: $skewBefore")
+
+    val newTag = IvfStore.rebalance(spark, root, "emb", tag, maxSkew = 4.0)
+    assert(newTag.nonEmpty)
+    assert(!IvfStore.isBuilt(root, "emb", tag)) // recipe-honesty: old tag gone
+    assert(IvfStore.isBuilt(root, "emb", newTag.get))
+    assert(newTag.get.startsWith(tag + ";rebal=k"))
+    val skewAfter = IvfStore.bucketSkew(spark, root, "emb", newTag.get)
+    assert(skewAfter < skewBefore / 2,
+      s"retrain did not split the drift cluster: $skewBefore -> $skewAfter")
+
+    // a second rebalance derives from the BASE tag (no suffix chaining)
+    // and only triggers if still skewed
+    val again = IvfStore.rebalance(spark, root, "emb", newTag.get,
+      maxSkew = math.max(4.0, skewAfter + 0.01))
+    assert(again.isEmpty)
+
+    // stored-≡-inline across the rebalance: the rebuilt store must equal
+    // the inline operator over the union corpus on the centroids the
+    // store was built with — the documented store contract (the retrain
+    // itself involves double avg()s whose result depends on row order,
+    // so the persisted centroids ARE the recipe's identity)
+    val union = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .unionByName(drift)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val cent = IvfStore.centroids(spark, root, "emb", newTag.get)
+      .select(col("cid"), col("cv").as("v"))
+    val queries = union.filter(col("id") % 50 === 0)
+    val inline = Similarity.ivfTopK(union, queries, cent,
+      "id", "v", "cid", k = 3)
+      .orderBy("q", "rank").collect().toSeq
+    val stored = Similarity.ivfTopKStored(spark, root, "emb", newTag.get,
+      queries, "id", "v", k = 3)
+      .orderBy("q", "rank").collect().toSeq
+    assert(inline.nonEmpty && inline == stored)
+
+    // the snapshot staging dir is cleaned up after the rebuild commits
+    assert(!Files.exists(Paths.get(root, "emb__rebal_src.parquet")))
+  }
 }
