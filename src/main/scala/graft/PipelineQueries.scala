@@ -598,6 +598,38 @@ object PipelineQueries {
       q.awaitTermination()
       s.read.parquet(outDir).orderBy("a", "b")
     }),
+    // streaming SPAN REMOVAL against the frozen reference — the
+    // remediation step of the crawl-substring story: each micro-batch of
+    // the planted replay drops every token position covered by a window
+    // the persisted reference store carries (per-doc independence ⇒
+    // per-batch union ≡ the batch operator on the whole slice)
+    "stream_drop_spans" -> ((s, d) => {
+      val root = refWindowStore(s, d)
+      val in = plantedStreamFixture(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val outDir = Queries.scratchDir("graft_stream_spans_out")
+      val ck = Queries.scratchDir("graft_stream_spans_ck")
+      Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.dropSharedSpansAgainstStored(
+            batch, "doc_id", "text", s, root, "base",
+            operators.SubstringWindowStore.Params(k = 10))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("id")
+    }),
     // deterministic hash-stratified subsampling (training-mix rates):
     // pure function of doc_id, reproducible on any engine/partitioning
     "doc_sample_stratified" -> ((s, d) =>
@@ -1412,7 +1444,48 @@ object PipelineQueries {
     // incremental dedup — identical results to the batch row by
     // construction (each new doc lives in exactly one micro-batch)
     "stream_dedup_ref" -> oraclesBase("dedup_against_ref_stored"),
-    "stream_dedup_substring" -> substringRefOracle)
+    "stream_dedup_substring" -> substringRefOracle,
+    // streaming span removal vs the frozen store: positions of NEW (planted)
+    // docs covered by any window present in the UNDER-CAP reference window
+    // set drop; survivors reassemble in token order
+    "stream_drop_spans" -> s"""
+      |WITH $substringCorpusCtes,
+      |w AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+9], ' ')) AS h
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks)-9, 0)+1)) AS i
+      |        FROM corpus WHERE doc_id >= 200000)),
+      |shr AS (
+      |  SELECT DISTINCT doc_id, md5(g) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_distinct(list_transform(
+      |            range(1, greatest(len(toks)-9, 0)+1),
+      |            i -> array_to_string(toks[i:i+9], ' ')))) AS g
+      |        FROM corpus WHERE doc_id < 200000)),
+      |shrc AS (
+      |  SELECT h FROM shr GROUP BY h HAVING count(*) <= $SubstringCap),
+      |cont0 AS (
+      |  SELECT DISTINCT w.doc_id AS id, w.pos AS pb
+      |  FROM w WHERE w.h IN (SELECT h FROM shrc)),
+      |cont AS (
+      |  SELECT DISTINCT id, pb + unnest(range(0, 10)) AS pos FROM cont0),
+      |tp AS (
+      |  SELECT doc_id AS id, unnest(range(1, len(toks)+1)) AS pos,
+      |         unnest(toks) AS t
+      |  FROM corpus WHERE doc_id >= 200000),
+      |kept AS (
+      |  SELECT tp.id, tp.pos, tp.t FROM tp
+      |  ANTI JOIN cont ON tp.id = cont.id AND tp.pos = cont.pos),
+      |agg AS (
+      |  SELECT id, count(*) AS n_kept,
+      |         array_to_string(list(t ORDER BY pos), ' ') AS clean
+      |  FROM kept GROUP BY id)
+      |SELECT c.doc_id AS id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(c.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+      |       coalesce(a.clean, '') AS clean_text
+      |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.id
+      |WHERE c.doc_id >= 200000
+      |ORDER BY id""".stripMargin.trim)
 
   private def oraclesBase: Map[String, String] = Map(
     // sketch rows: the exact side is recomputed by DuckDB and the oracle

@@ -960,15 +960,54 @@ object Dedup {
           withQ.groupBy("h1", "h2").agg(sort_array(collect_list(occ)).as("__occ"))
       g.filter(size(col("__occ")) >= 2)
     }
-    val contaminated = grouped
+    val starts = grouped
       .select(explode(expr(
         """transform(
           |  filter(__occ, y -> exists(__occ, x -> x.id != y.id AND
           |    (x.q > y.q OR (x.q = y.q AND x.id < y.id)))),
           |  y -> named_struct('id', y.id, 'pos', y.pos))""".stripMargin))
         .as("__c"))
-      .select(col("__c.id").as("id"),
-        explode(sequence(col("__c.pos"), col("__c.pos") + lit(k - 1))).as("pos"))
+      .select(col("__c.id").as("id"), col("__c.pos").as("pos"))
+    reassembleWithout(base, starts, k)
+  }
+
+  /** [[dropSharedSpans]] against a FROZEN reference corpus — the streaming
+    * remediation step: every position of a new document covered by a
+    * k-token window that also appears in the persisted
+    * [[SubstringWindowStore]] is dropped, and the survivors reassemble in
+    * token order. The reference always wins (the frozen corpus is
+    * canonical — there is no score race, unlike the intra-corpus
+    * operator), so the probe is one left-semi hash join of the batch's
+    * positioned windows against the store's window keys, column-pruned to
+    * the two key longs. Cost ∝ batch: no grouped buffer exists on this
+    * path, so no new-side occurrence cap is needed; the ref side's
+    * hot-window cap was applied at store build time (a boilerplate window
+    * the store surfaced instead of persisting contaminates nothing, same
+    * as in every other stored-substring consumer). `k` comes from the
+    * store's committed params — a free k here would hash-mismatch every
+    * window. */
+  def dropSharedSpansAgainstStored(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      spark: org.apache.spark.sql.SparkSession, root: String, corpusId: String,
+      params: SubstringWindowStore.Params = SubstringWindowStore.Params()): DataFrame = {
+    val base = OperatorCache.scoped(tokenized(newDocs, idCol, textCol))
+    val starts = positionedWindows(base, params.k)
+      .join(SubstringWindowStore.windows(spark, root, corpusId, params)
+        .select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+      .select(col("id"), col("pos"))
+    reassembleWithout(base, starts, params.k)
+  }
+
+  /** Shared back half of the span-removal family: expand contaminated
+    * window STARTS `(id, pos)` to their k token positions, drop them, and
+    * reassemble each doc's survivors in token order — one code path for
+    * the intra-corpus and stored-reference variants, so their output
+    * shape `(id, n_tokens, n_dropped, clean_text)` cannot drift. */
+  private def reassembleWithout(
+      base: DataFrame, starts: DataFrame, k: Int): DataFrame = {
+    val contaminated = starts
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
       .distinct()
     val toks = base.select(col("id"), posexplode(col("toks")).as(Seq("__p0", "t")))
       .select(col("id"), (col("__p0") + 1).as("pos"), col("t"))

@@ -173,6 +173,9 @@ object ScaleSweep {
       // decontam eval set is collected once, broadcast-sized by nature)
       ("stream_pii_scrub", "linear"), ("stream_decontam", "linear"),
       ("stream_tokens_bpe", "linear"),
+      // streaming span removal: per-batch positioned windows semi-joined
+      // against the frozen store's keys — cost ∝ the replay slice
+      ("stream_drop_spans", "linear"),
       // as-of tolerance variant: union + one keyed window, same plan as
       // the unbounded row; events replicas grow each key group linearly
       ("q_asof_tolerance", "linear"),

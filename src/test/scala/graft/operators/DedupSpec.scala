@@ -314,6 +314,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropSharedSpansAgainstStored: reference spans drop from new docs, " +
+      "intra-batch repeats survive, untouched docs round-trip verbatim") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "another reference document with its own words here now")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // shares the ref's 10-token run wrapped in unique noise
+      (101L, "prefix tokens the quick brown fox jumps over the lazy dog today suffix"),
+      // 102/103 repeat EACH OTHER, not the ref — the frozen-reference
+      // semantics must leave intra-batch duplication alone
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (103L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_spanstore_spec").toString
+    SubstringWindowStore.build(ref, "doc_id", "text", root, "ref",
+      SubstringWindowStore.Params(k = 10))
+    val out = Dedup.dropSharedSpansAgainstStored(fresh, "doc_id", "text",
+      spark, root, "ref", SubstringWindowStore.Params(k = 10))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(101L, 102L, 103L))
+    val byId = out.map(r => r._1 -> r).toMap
+    // 101: the 10 contaminated positions drop; unique affixes survive
+    assert(byId(101L) == ((101L, 13L, 10L, "prefix tokens suffix")))
+    // 102/103: zero dropped, text reassembles verbatim
+    assert(byId(102L)._3 == 0L && byId(102L)._4.startsWith("alpha beta"))
+    assert(byId(103L) == ((103L, 10L, 0L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    // intra-corpus operator on (ref ∪ fresh) agrees on the shared doc:
+    // the stored path is the same remediation with the ref side frozen
+    val inlineUnion = Dedup.dropSharedSpans(
+      ref.unionByName(fresh), "doc_id", "text", k = 10)
+      .filter(col("id") === 101L)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(inlineUnion == byId(101L))
+    // param mismatch refuses to serve rather than hash-missing every window
+    assertThrows[IllegalArgumentException] {
+      Dedup.dropSharedSpansAgainstStored(fresh, "doc_id", "text",
+        spark, root, "ref", SubstringWindowStore.Params(k = 9))
+    }
+  }
+
   test("hot-window guard is ON by default: a planted boilerplate window " +
       "pairs nothing, is surfaced with its count, and 0 restores exact") {
     // 1030 docs share one 10-token header (> DefaultMaxDocsPerWindow =
