@@ -124,12 +124,14 @@ object TextOps {
 
   /** Exact Jaccard similarity of two distinct-element arrays, scaled to an
     * exact integer: `round(j * 10000)` as BIGINT (order-independent,
-    * cross-engine exact). */
-  def jaccardE4(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("long")
-    val union = size(a).cast("long") + size(b).cast("long") - inter
-    round(inter * lit(10000.0) / union, 0).cast("long")
-  }
+    * cross-engine exact). Native count-only kernel since r15 — the column
+    * form (`round(size(array_intersect(a, b)) * 10000.0 / (size(a) +
+    * size(b) - size(array_intersect(a, b))), 0)`) materialized the
+    * intersection array per candidate pair just to count it;
+    * [[graft.functions.JaccardE4]] counts in one pass, bit-identically
+    * (JaccardKernelSpec differential-fuzzes the two forms). */
+  def jaccardE4(a: Column, b: Column): Column =
+    graft.functions.JaccardE4(a, b)
 
   /** Value 0..15 of the hex digit at 1-based position `pos` of md5-hex `h`.
     * DuckDB twin: `strpos('0123456789abcdef', h[pos]) - 1`. */
