@@ -91,7 +91,7 @@ final class RemoteClient(
         made.foreach(s => try s.close() catch { case _: IOException => () })
         throw e
     }
-    made.foreach(pool.put)
+    made.foreach(pool.offer(_))
   }
 
   /** Dial + VERSION/USE handshake (reference `connect`). */
@@ -171,7 +171,15 @@ final class RemoteClient(
         }
       }
       throw new IllegalStateException("unreachable")
-    } finally pool.put(sock)
+    } finally pool.offer(sock)
+    // offer, NEVER put: the queue is unbounded so offer always succeeds
+    // via a plain (uninterruptible) lock, while put acquires its lock
+    // INTERRUPTIBLY — a caller thread cancelled mid-request (e.g.
+    // WireImport's shutdownNow on a sibling failure) reaches this finally
+    // with its interrupt flag set, and put would throw instead of
+    // returning the socket, silently shrinking the pool until close()
+    // blocks forever on the missing slot (found as a real deadlock in the
+    // concurrent-import crash test).
   }
 
   private def okFields(payload: Array[Byte]): (Int, String) = {
@@ -261,7 +269,7 @@ final class RemoteClient(
           }
           throw e
       }
-    } finally held.foreach(pool.put)
+    } finally held.foreach(pool.offer(_))
   }
 
   /** QUERY: FQL in, parsed entries out (reference `Query`,
@@ -316,7 +324,13 @@ final class RemoteClient(
   def close(): Unit = drainLock.synchronized {
     if (closed) return
     closed = true
-    val held = Seq.fill(poolCount)(pool.take())
+    // bounded wait per slot, purely defensive: with the offer-based
+    // give-back the pool count is invariant, but teardown must never be
+    // able to hang the caller on a miscounted pool — a slot that does not
+    // surface within the timeout is abandoned (its socket dies with the
+    // process or its in-flight request's own finally)
+    val held = (0 until poolCount).flatMap(_ =>
+      Option(pool.poll(10, java.util.concurrent.TimeUnit.SECONDS)))
     held.foreach(s => try s.close() catch { case _: IOException => () })
   }
 }
