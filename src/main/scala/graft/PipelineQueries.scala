@@ -2553,11 +2553,12 @@ object PipelineQueries {
       |FROM r ORDER BY media_id""".stripMargin.trim,
 
     // payload features: all four wrapped formats must strip back to
-    // exactly the document text — the md5 stand-in then matches
+    // exactly the document text — the two-stage md5 stand-in (payload
+    // digested once, per-dim hashes over the 32-char hex) then matches
     // byte-for-byte across engines
     "mm_features" -> """
       |SELECT doc_id AS media_id, j AS feat_ix,
-      |  ('0x' || substr(md5(text || ':' || j::VARCHAR), 1, 8))::BIGINT
+      |  ('0x' || substr(md5(md5(text) || ':' || j::VARCHAR), 1, 8))::BIGINT
       |    % 2001 - 1000 AS feat
       |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
       |ORDER BY media_id, feat_ix""".stripMargin.trim,
@@ -2568,7 +2569,7 @@ object PipelineQueries {
     "mm_ann" -> s"""
       |WITH f AS (
       |  SELECT doc_id, j,
-      |    ('0x' || substr(md5(text || ':' || j::VARCHAR), 1, 8))::BIGINT
+      |    ('0x' || substr(md5(md5(text) || ':' || j::VARCHAR), 1, 8))::BIGINT
       |      % 2001 - 1000 AS feat
       |  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
       |vec AS (SELECT doc_id AS vec_id, list(feat ORDER BY j) AS embedding

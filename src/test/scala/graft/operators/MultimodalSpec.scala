@@ -159,8 +159,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("imageFeatures: pinned md5 stand-in, format-independent payload strip") {
-    // md5("abc:0") = cf4bab41… → 0xcf4bab41 % 2001 - 1000 = -299
-    // md5("abc:1") = 7faac331… → 0x7faac331 % 2001 - 1000 =  108
+    // two-stage stand-in: md5("abc") = 900150983cd24fb0d6963f7d28e17f72,
+    // md5("900150…7f72:0") = a1056721… → 0xa1056721 % 2001 - 1000 = 790
+    // md5("900150…7f72:1") = a3f1732e… → 0xa3f1732e % 2001 - 1000 = 303
     val abc = "abc".getBytes
     val wrapped = Seq(
       MediaFile(1L, "m", Multimodal.pngHeader(4, 4) ++ abc),
@@ -169,8 +170,8 @@ class MultimodalSpec extends SparkSpec {
     val out = imageFeatures(wrapped.toDS(), dim = 2).collect()
       .groupBy(_.media_id).view.mapValues(_.sortBy(_.feat_ix).map(_.feat).toSeq).toMap
     // identical features from every wrapping — the span isolation works
-    assert(out == Map(1L -> Seq(-299L, 108L), 2L -> Seq(-299L, 108L),
-      3L -> Seq(-299L, 108L)))
+    assert(out == Map(1L -> Seq(790L, 303L), 2L -> Seq(790L, 303L),
+      3L -> Seq(790L, 303L)))
   }
 
   test("featureVectors assembles exploded features into feat_ix-ordered " +
