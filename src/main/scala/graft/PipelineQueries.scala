@@ -433,6 +433,18 @@ object PipelineQueries {
       Dedup.canonicalPerCluster(clusters, scores, "doc_id", "n_ws_tokens")
         .orderBy("survivor")
     }),
+    // leakage-safe train/val/test split: near-dup clusters assign as a
+    // UNIT (deterministic md5 bucket of the cluster key), so no verified
+    // near-dup pair can straddle a train/eval boundary — the split pass a
+    // training pipeline runs after clustering
+    "curate_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val memb = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+      Curation.leakageSafeSplit(docs, "doc_id", memb, trainE4 = 8000, valE4 = 1000)
+        .orderBy("doc_id")
+    }),
     // the END-TO-END dedup pipeline a production run executes: minhash
     // candidates → connected components → quality-aware canonical per
     // cluster → drop non-canonical members → per-source survival stats.
@@ -1666,6 +1678,30 @@ object PipelineQueries {
       |SELECT survivor, id AS canonical, CAST(n_members AS BIGINT) AS n_members,
       |  s AS best_score
       |FROM sel WHERE rn = 1 ORDER BY survivor""".stripMargin.trim,
+
+    // leakage-safe split replays the clustering CTEs, then assigns each
+    // doc's GROUP key (cluster survivor, or own id for singletons) through
+    // the stratified-sampling bucket arithmetic
+    "curate_split" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |memb AS (
+      |  SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |  FROM nodes n JOIN reach r ON r.x = n.id GROUP BY n.id),
+      |g AS (SELECT d.doc_id, coalesce(m.survivor, d.doc_id) AS group_key
+      |      FROM documents d LEFT JOIN memb m ON m.id = d.doc_id)
+      |SELECT doc_id, group_key,
+      |  CASE WHEN ${bucketE4Sql("group_key")} < 8000 THEN 'train'
+      |       WHEN ${bucketE4Sql("group_key")} < 9000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM g ORDER BY doc_id""".stripMargin.trim,
 
     // end-to-end pipeline: clustering + canonical CTEs, then the drop
     // list and per-source survival counts

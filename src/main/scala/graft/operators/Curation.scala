@@ -794,4 +794,38 @@ object Curation {
           .cast("long"))
       .drop("__k")
   }
+
+  /** Leakage-safe train/val/test split — the split pass a training
+    * pipeline runs AFTER dedup clustering: near-duplicate documents must
+    * never straddle a split boundary (a held-out doc whose near-dup sits
+    * in train leaks the eval), so the assignment unit is the duplicate
+    * CLUSTER, not the document. `memberships` is
+    * [[Dedup.connectedComponents]] output `(id, survivor)`; docs absent
+    * from it are singleton clusters keyed by their own id.
+    *
+    * Assignment follows the [[Sampling.stratified]] reproducibility
+    * contract — the deterministic md5 bucket of the GROUP key, a pure
+    * function of the key, identical across engines and partitionings:
+    * bucket < trainE4 → train, < trainE4 + valE4 → val, else test. Every
+    * member of a cluster shares the group key, hence the split, by
+    * construction.
+    *
+    * Scale: one equi-join of the corpus against the membership table
+    * (bounded by the docs that appear in verified near-dup pairs — AQE
+    * broadcasts it while it fits, degrading to a shuffled join, never a
+    * BNLJ) plus a per-row narrow map. No window, no corpus-wide agg. */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, memberships: DataFrame,
+      trainE4: Int, valE4: Int): DataFrame = {
+    require(trainE4 >= 0 && valE4 >= 0 && trainE4 + valE4 <= 10000,
+      s"split fractions are parts-per-10000, got train=$trainE4 val=$valE4")
+    val m = memberships.select(col("id").as(idCol), col("survivor"))
+    val b = Sampling.bucketE4(col("group_key"))
+    docs.join(m, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("survivor"), col(idCol).cast("long")))
+      .select(col(idCol), col("group_key"),
+        when(b < trainE4, lit("train"))
+          .when(b < trainE4 + valE4, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
 }

@@ -102,6 +102,14 @@ object Plans {
       // SortAggregate, the measured per-partition-sort slow path)
       "dedup_canonical" -> Seq("HashAggregate", "partial_",
         "!SortAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // leakage-safe split: the assignment half must stay a join + narrow
+      // map — a Window or nested loop here means the per-cluster
+      // assignment stopped being row-local. (The clustering stage runs in
+      // its OWN actions — connectedComponents materializes pairs before
+      // the final plan — and is gated by the dedup_clusters row, so no
+      // aggregate is asserted here.)
+      "curate_split" -> Seq("!SortAggregate",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Window"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

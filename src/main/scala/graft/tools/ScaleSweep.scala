@@ -93,6 +93,8 @@ object ScaleSweep {
       ("dedup_simhash", "linear"), ("dedup_clusters", "linear"),
       ("dedup_clusters_dist", "linear"), ("dedup_canonical", "linear"),
       ("pipeline_dedup", "linear"), ("pipeline_curate", "linear"),
+      // clustering + one membership equi-join + row-local bucket map
+      ("curate_split", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes

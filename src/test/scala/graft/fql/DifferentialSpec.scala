@@ -16,7 +16,14 @@ import Ast._
 class DifferentialSpec extends SparkSpec {
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(20260812)
+  // Deep-fuzz knobs: GRAFT_FUZZ_SEED re-seeds the generator and
+  // GRAFT_FUZZ_MULT multiplies every test's iteration count, so a one-off
+  // session can sweep far past the suite's default budget without touching
+  // the pinned default seed CI runs on (r15 deep sweep: 12 seeds × 10×
+  // iterations, zero divergences — recorded in BASELINE.md).
+  private val fuzzMult = sys.env.getOrElse("GRAFT_FUZZ_MULT", "1").toInt
+  private val rnd = new scala.util.Random(
+    sys.env.getOrElse("GRAFT_FUZZ_SEED", "20260812").toLong)
 
   /** Random numeric expression over variable `x`, bounded depth. */
   private def genExpr(depth: Int): Expr = {
@@ -68,7 +75,7 @@ class DifferentialSpec extends SparkSpec {
 
   test("compiled and interpreted expression results agree on 150 random exprs") {
     var checked = 0
-    (1 to 150).foreach { i =>
+    (1 to 150 * fuzzMult).foreach { i =>
       val ast = genExpr(depth = 3)
       val fql = s"all in /x | map x -> ${renderExpr(ast)}"
       // interpreter results per input (skip exprs whose interpretation
@@ -101,12 +108,12 @@ class DifferentialSpec extends SparkSpec {
         checked += 1
       }
     }
-    assert(checked >= 140) // nearly all generated exprs must be evaluable
+    assert(checked >= 140 * fuzzMult) // nearly all generated exprs must be evaluable
   }
 
   test("compiled and interpreted filter predicates agree on 60 random comparisons") {
     var checked = 0
-    (1 to 60).foreach { _ =>
+    (1 to 60 * fuzzMult).foreach { _ =>
       val cmp = Seq("<", "<=", ">", ">=", "==", "!=")(rnd.nextInt(6))
       val pred = Binary(cmp, genExpr(2), genExpr(2))
       val fql = s"all in /x | filter x -> ${renderExpr(pred)}"
@@ -120,12 +127,12 @@ class DifferentialSpec extends SparkSpec {
         checked += 1
       }
     }
-    assert(checked >= 55)
+    assert(checked >= 55 * fuzzMult)
   }
 
   test("compiled and interpreted two-stage tuple pipelines agree on 40 random cases") {
     var checked = 0
-    (1 to 40).foreach { _ =>
+    (1 to 40 * fuzzMult).foreach { _ =>
       val e1 = genExpr(2)
       val e2 = genExpr(2)
       // second stage over bound tuple elements a, b
@@ -159,12 +166,12 @@ class DifferentialSpec extends SparkSpec {
         checked += 1
       }
     }
-    assert(checked >= 35)
+    assert(checked >= 35 * fuzzMult)
   }
 
   test("compiled and interpreted composite pipelines agree on 30 random cases") {
     var checked = 0
-    (1 to 30).foreach { _ =>
+    (1 to 30 * fuzzMult).foreach { _ =>
       val e1 = genExpr(2)
       val e2 = genExpr(2)
       // second stage: arithmetic over the composite's members by key
@@ -199,11 +206,11 @@ class DifferentialSpec extends SparkSpec {
         checked += 1
       }
     }
-    assert(checked >= 25)
+    assert(checked >= 25 * fuzzMult)
   }
 
   test("compiled and interpreted reduce folds agree") {
-    (1 to 20).foreach { _ =>
+    (1 to 20 * fuzzMult).foreach { _ =>
       val body = Binary(Seq("+", "*")(rnd.nextInt(2)),
         Ident("a"), Ident("b"))
       val fql = s"all in /x | map x -> x - 1 | reduce a, b -> ${renderExpr(body)}"

@@ -497,4 +497,35 @@ class CurationSpec extends SparkSpec {
     assert(out.except(other).count() > 0)
     out.unpersist()
   }
+
+  test("leakageSafeSplit: cluster members share a split, singletons bucket " +
+      "by their own id, fractions hold on the bucket arithmetic") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {0,1,2}→0 and {10,50}→10; everyone else is a singleton
+    val memb = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (50L, 10L))
+      .toDF("id", "survivor")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", memb, 8000, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.size == 200)
+    val byId = out.map(r => r._1 -> r).toMap
+    // every cluster member carries the cluster key and the SAME split
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).distinct == Seq(0L))
+    assert(Seq(0L, 1L, 2L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 50L).map(byId(_)._2).distinct == Seq(10L))
+    assert(Seq(10L, 50L).map(byId(_)._3).distinct.size == 1)
+    // singleton: group key = own id, split = the bucket arithmetic on it
+    val b7 = docs.sparkSession.range(1)
+      .select(graft.operators.Sampling.bucketE4(lit(7L)).as("b"))
+      .head().getLong(0)
+    val expected7 = if (b7 < 8000) "train" else if (b7 < 9000) "val" else "test"
+    assert(byId(7L)._2 == 7L && byId(7L)._3 == expected7)
+    // all three splits materialize over 200 ids and lean ~80/10/10
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, "doc_id", memb, 9000, 2000)
+    }
+  }
 }
