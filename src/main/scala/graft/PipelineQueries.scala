@@ -655,6 +655,13 @@ object PipelineQueries {
     "doc_sample_weighted" -> ((s, d) =>
       graft.operators.Sampling.weightedTopK(
         Tables.documents(s, d), "doc_id", "n_chars", k = 100)),
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // log-ratio weights fit against the English slice as the target
+    // distribution, exact-long per-doc scores, Gumbel top-k draw — the
+    // published pretraining-data selection shape end to end
+    "curate_dsir" -> ((s, d) =>
+      Curation.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en", dim = 1024, k = 100)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -1778,6 +1785,46 @@ object PipelineQueries {
       |    / n_chars::DOUBLE * 1e12) AS BIGINT) AS key_e12
       |FROM documents WHERE n_chars > 0
       |ORDER BY key_e12, doc_id LIMIT 100""".stripMargin.trim,
+
+    // DSIR: fit per-bucket smoothed log ratios over (target = lang='en',
+    // raw = all), exact-long per-doc scores, md5-Gumbel top-k — the full
+    // replication of Curation.dsirResample's two passes
+    "curate_dsir" -> s"""
+      |WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt, $TOKS AS toks
+      |             FROM documents),
+      |uni AS (SELECT doc_id AS id, tgt, unnest(toks) AS t FROM tok),
+      |big AS (SELECT doc_id AS id, tgt, array_to_string(toks[i:i+1], ' ') AS t
+      |        FROM (SELECT doc_id, tgt, toks,
+      |                unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+      |              FROM tok)),
+      |g AS (SELECT id, tgt,
+      |        (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
+      |         ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
+      |      FROM (SELECT id, tgt, md5(t) AS h
+      |            FROM (SELECT * FROM uni UNION ALL SELECT * FROM big))),
+      |bcount AS (SELECT j, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |             count(*) AS cr
+      |           FROM g GROUP BY j),
+      |fullb AS (SELECT r.j, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+      |          FROM range(0, 1024) r(j) LEFT JOIN bcount ON bcount.j = r.j),
+      |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM fullb),
+      |lr AS (SELECT j, CAST(round((ln(ct + 1.0::DOUBLE) - ln(nt + 1024.0::DOUBLE)
+      |           - ln(cr + 1.0::DOUBLE) + ln(nr + 1024.0::DOUBLE)) * 1e6)
+      |           AS BIGINT) AS lr_e6
+      |       FROM fullb, tot),
+      |pd AS (SELECT id, j, count(*) AS c FROM g GROUP BY id, j),
+      |sc AS (SELECT id, sum(c * lr_e6) AS score_e6, sum(c) AS n_grams
+      |       FROM pd JOIN lr USING (j) GROUP BY id),
+      |o AS (SELECT d.doc_id AS id,
+      |        CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+      |        CAST(coalesce(sc.score_e6, 0) AS BIGINT) AS score_e6
+      |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.id)
+      |SELECT id, n_grams, score_e6,
+      |  score_e6 + CAST(round(-ln(-ln(
+      |      (('0x' || substr(md5('dsir|' || id::VARCHAR), 1, 8))::BIGINT
+      |        ::DOUBLE + 0.5::DOUBLE) / 4294967296::DOUBLE)) * 1e6)
+      |    AS BIGINT) AS key_e6
+      |FROM o ORDER BY key_e6 DESC, id LIMIT 100""".stripMargin.trim,
 
     "dedup_simhash" -> s"""
       |WITH th AS (

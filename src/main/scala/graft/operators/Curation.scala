@@ -828,4 +828,96 @@ object Curation {
           .when(b < trainE4 + valE4, lit("val"))
           .otherwise(lit("test")).as("split"))
   }
+
+  // ----------------- DSIR importance resampling -----------------
+
+  /** Per-bucket smoothed log importance ratios for DSIR (Xie et al. 2023,
+    * arXiv:2302.03169): fit hashed unigram+bigram bag-of-words
+    * distributions over the TARGET slice (`isTarget`) and the full raw
+    * corpus, Laplace-smoothed, and emit
+    * `lr_e6(j) = round(1e6·(ln(ct+1) − ln(Nt+dim) − ln(cr+1) + ln(Nr+dim)))`
+    * for every bucket j ∈ [0, dim). The doubles in the whole DSIR family
+    * live HERE — 4·dim `ln` calls over exact integer counts (the NLL
+    * rows' libm-parity story); everything downstream is exact long
+    * arithmetic.
+    *
+    * Scale: gram extraction is the row-local [[graft.functions.HashedGramBuckets]]
+    * kernel (one narrow codegen'd map — no per-gram HOF lambda, no second
+    * pass for bigrams); the only exchange is the dim-keyed count
+    * aggregate, whose partial side is bounded by dim·partitions rows.
+    * `dim` rows out — driver-collectable, the centroid/codebook size
+    * class. */
+  def dsirLogRatios(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int): DataFrame = {
+    require(dim > 0, s"dsir feature dim must be positive, got $dim")
+    val spark = docs.sparkSession
+    val grams = docs.select(
+        isTarget.cast("boolean").as("tgt"),
+        explode(graft.functions.DsirExpressions.gramBuckets(
+          TextOps.tokens(col(textCol)), dim)).as("j"))
+    val counts = grams.groupBy("j").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    // full bucket domain: zero-count buckets still carry the smoothing
+    // mass on both sides (the oracle's range(0, dim) LEFT JOIN)
+    val full = spark.range(dim).select(col("id").cast("int").as("j"))
+      .join(counts, Seq("j"), "left")
+      .select(col("j"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = full.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    full.crossJoin(broadcast(totals)) // 1 row: the two corpus totals
+      .select(col("j"),
+        round((log(col("ct") + lit(1.0)) - log(col("nt") + lit(dim.toDouble))
+          - log(col("cr") + lit(1.0)) + log(col("nr") + lit(dim.toDouble)))
+          * lit(1e6), 0).cast("long").as("lr_e6"))
+  }
+
+  /** DSIR importance resampling: score every doc
+    * `score_e6 = Σ_j c_j · lr_e6(j)` (exact long — the per-doc log
+    * importance weight of the hashed generative model) and draw k docs
+    * WITHOUT replacement via Gumbel top-k —
+    * `key_e6 = score_e6 + round(1e6·(−ln(−ln(u))))` with `u` a pure
+    * md5 function of the row id (the [[Sampling.weightedTopK]]
+    * reproducibility contract; Gumbel avoids the `exp(score)` overflow
+    * the A-ES key would hit at document log-weight magnitudes).
+    *
+    * Scale: fit = [[dsirLogRatios]] (one dim-keyed agg, dim-row collect);
+    * score = ONE zero-exchange codegen'd map over the corpus
+    * ([[graft.functions.DsirBucketSum]] against the broadcast weight
+    * array); selection = `orderBy(key desc).limit(k)` →
+    * TakeOrderedAndProject (per-partition top-k, k-bounded driver merge —
+    * never a full sort shuffle). Returns `(id, n_grams, score_e6,
+    * key_e6)` in selection order (key desc, id asc). */
+  def dsirResample(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int, k: Int,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    val lrArr = new Array[Long](dim)
+    dsirLogRatios(docs, idCol, textCol, isTarget, dim)
+      .select(col("j").cast("int"), col("lr_e6").cast("long"))
+      .collect().foreach(r => lrArr(r.getInt(0)) = r.getLong(1))
+    val bc = spark.sparkContext.broadcast(lrArr)
+    val buckets = graft.functions.DsirExpressions.gramBuckets(
+      TextOps.tokens(col(textCol)), dim)
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+        buckets.as("__b"))
+      .select(col("id"),
+        size(col("__b")).cast("long").as("n_grams"),
+        graft.functions.DsirExpressions.bucketSum(col("__b"), bc)
+          .as("score_e6"))
+    val h = conv(substring(
+      md5(concat_ws("|", lit(salt), col("id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0) // (0, 1)
+    scored
+      .withColumn("key_e6",
+        col("score_e6") +
+          round(-log(-log(u)) * lit(1e6), 0).cast("long"))
+      .orderBy(col("key_e6").desc, col("id"))
+      .limit(k)
+  }
 }

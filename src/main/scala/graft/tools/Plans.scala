@@ -110,6 +110,14 @@ object Plans {
       // aggregate is asserted here.)
       "curate_split" -> Seq("!SortAggregate",
         "!BroadcastNestedLoopJoin", "!CartesianProduct", "!Window"),
+      // DSIR scoring pass: the surfaced plan is ONE zero-exchange
+      // codegen'd map (native gram kernel + broadcast-weight sum) feeding
+      // a k-bounded TakeOrdered — the fit runs in its own prior action
+      // (dim-keyed agg, dim-row collect), so ANY join/agg/window/exchange
+      // here means scoring stopped being row-local
+      "curate_dsir" -> Seq("TakeOrderedAndProject", "dsir_bucket_sum",
+        "hashed_gram_buckets", "!Join", "!HashAggregate", "!Window",
+        "!CartesianProduct", "!Exchange"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

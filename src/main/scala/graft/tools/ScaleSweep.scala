@@ -95,6 +95,8 @@ object ScaleSweep {
       ("pipeline_dedup", "linear"), ("pipeline_curate", "linear"),
       // clustering + one membership equi-join + row-local bucket map
       ("curate_split", "linear"),
+      // DSIR: dim-keyed fit agg + one zero-exchange scoring map + top-k
+      ("curate_dsir", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes

@@ -528,4 +528,88 @@ class CurationSpec extends SparkSpec {
       Curation.leakageSafeSplit(docs, "doc_id", memb, 9000, 2000)
     }
   }
+
+  // ----------------- DSIR importance resampling -----------------
+
+  test("dsir gramBuckets emits one bucket per unigram and bigram occurrence") {
+    val out = Seq((1L, "x y z")).toDF("doc_id", "text")
+      .select(graft.functions.DsirExpressions.gramBuckets(
+        graft.operators.TextOps.tokens(col("text")), 1024).as("b"))
+      .head().getSeq[Int](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(s: String): Int = {
+      val h = md.digest(s.getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 1024
+    }
+    assert(out == Seq(b("x"), b("y"), b("z"), b("x y"), b("y z")))
+    // single-token doc: one unigram, no bigram; empty doc: nothing
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+      .select(graft.functions.DsirExpressions.gramBuckets(
+        graft.operators.TextOps.tokens(col("text")), 1024).as("b"))
+      .head().getSeq[Int](0)
+    assert(one == Seq(b("solo")))
+    val none = Seq((1L, "   ")).toDF("doc_id", "text")
+      .select(graft.functions.DsirExpressions.gramBuckets(
+        graft.operators.TextOps.tokens(col("text")), 1024).as("b"))
+      .head().getSeq[Int](0)
+    assert(none.isEmpty)
+  }
+
+  test("dsirResample ranks target-like docs above off-target docs") {
+    val docs = (0L until 20L).map { i =>
+      if (i < 10) (i, "apple banana apple banana apple", true)
+      else (i, "zeta omega theta sigma kappa", false)
+    }.toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirResample(docs, "doc_id", "text", col("tgt"),
+      dim = 256, k = 20).collect()
+    assert(out.length == 20)
+    val score = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every target-profile doc outscores every noise doc (the Gumbel
+    // noise perturbs the DRAW, not the surfaced score)
+    assert((0L until 10L).map(score).min > (10L until 20L).map(score).max)
+  }
+
+  test("dsir score is the exact long dot of per-doc counts and the fit table") {
+    val docs = Seq((1L, "a b a", true), (2L, "c d c d", false))
+      .toDF("doc_id", "text", "tgt")
+    val dim = 64
+    val lr = Curation.dsirLogRatios(docs, "doc_id", "text", col("tgt"), dim)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lr.size == dim) // full bucket domain, zero-count buckets included
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(s: String): Int = {
+      val h = md.digest(s.getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % dim
+    }
+    val grams1 = Seq("a", "b", "a", "a b", "b a")
+    val expected1 = grams1.map(g => lr(b(g))).sum
+    val out = Curation.dsirResample(docs, "doc_id", "text", col("tgt"),
+      dim = dim, k = 2).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == expected1)
+  }
+
+  test("dsir selection is deterministic, k-bounded, ordered (key desc, id)") {
+    val docs = (0L until 50L).map(i => (i, s"tok$i common words", i % 2 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val a = Curation.dsirResample(docs, "doc_id", "text", col("tgt"), 128, 10)
+      .collect()
+    val b = Curation.dsirResample(docs, "doc_id", "text", col("tgt"), 128, 10)
+      .collect()
+    assert(a.toSeq == b.toSeq && a.length == 10)
+    val keys = a.map(r => (r.getLong(3), r.getLong(0))).toSeq
+    assert(keys == keys.sortBy { case (k, id) => (-k, id) })
+  }
+
+  test("dsir empty docs carry 0 grams / 0 score but stay in the draw") {
+    val docs = Seq((1L, "", false), (2L, "a b", true)).toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirResample(docs, "doc_id", "text", col("tgt"), 32, 2)
+      .collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 0L && r1.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      Curation.dsirResample(docs, "doc_id", "text", col("tgt"), 32, 0)
+    }
+  }
 }
