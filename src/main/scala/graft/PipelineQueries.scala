@@ -298,6 +298,43 @@ object PipelineQueries {
       s"${hexVal(h, "3")}*16 + ${hexVal(h, "4")}) % 10000)"
   }
 
+  /** The DSIR fit + score CTE chain (see
+    * [[graft.operators.Curation.dsirResample]]): hashed unigram+bigram
+    * buckets (the classifier family's md5-nibble scheme, dim 1024),
+    * Laplace-smoothed target/raw log ratios e6-rounded per bucket, then
+    * exact-long per-doc scores in `o (id, n_grams, score_e6)`. Shared by
+    * the batch resample and the streaming-scorer oracles so the scheme
+    * constants live in one place. */
+  private def dsirCtes: String = s"""tok AS (
+      |  SELECT doc_id, (lang = 'en') AS tgt, $TOKS AS toks FROM documents),
+      |uni AS (SELECT doc_id AS id, tgt, unnest(toks) AS t FROM tok),
+      |big AS (SELECT doc_id AS id, tgt, array_to_string(toks[i:i+1], ' ') AS t
+      |        FROM (SELECT doc_id, tgt, toks,
+      |                unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+      |              FROM tok)),
+      |g AS (SELECT id, tgt,
+      |        (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
+      |         ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
+      |      FROM (SELECT id, tgt, md5(t) AS h
+      |            FROM (SELECT * FROM uni UNION ALL SELECT * FROM big))),
+      |bcount AS (SELECT j, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |             count(*) AS cr
+      |           FROM g GROUP BY j),
+      |fullb AS (SELECT r.j, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+      |          FROM range(0, 1024) r(j) LEFT JOIN bcount ON bcount.j = r.j),
+      |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM fullb),
+      |lr AS (SELECT j, CAST(round((ln(ct + 1.0::DOUBLE) - ln(nt + 1024.0::DOUBLE)
+      |           - ln(cr + 1.0::DOUBLE) + ln(nr + 1024.0::DOUBLE)) * 1e6)
+      |           AS BIGINT) AS lr_e6
+      |       FROM fullb, tot),
+      |pd AS (SELECT id, j, count(*) AS c FROM g GROUP BY id, j),
+      |sc AS (SELECT id, sum(c * lr_e6) AS score_e6, sum(c) AS n_grams
+      |       FROM pd JOIN lr USING (j) GROUP BY id),
+      |o AS (SELECT d.doc_id AS id,
+      |        CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+      |        CAST(coalesce(sc.score_e6, 0) AS BIGINT) AS score_e6
+      |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.id)""".stripMargin
+
   /** cosine ×1e6 as BIGINT over two FLOAT[] columns (double accumulation). */
   /** The substring-dedup battery corpus (documents + planted
     * cross-boundary copies) — the SQL twin of `substringFixture`. */
@@ -662,6 +699,46 @@ object PipelineQueries {
     "curate_dsir" -> ((s, d) =>
       Curation.dsirResample(Tables.documents(s, d), "doc_id", "text",
         isTarget = col("lang") === "en", dim = 1024, k = 100)),
+    // DSIR scoring composed onto the live-crawl replay: weights frozen
+    // from a batch fit, the streaming side a stateless zero-exchange map
+    // (no join/agg/state) — result ≡ the batch scores on the fixture slice
+    "stream_dsir" -> ((s, d) => {
+      val in = docsStreamFixture(s, d, chargeKey = "stream_dsir")
+      val w = Curation.dsirFitWeights(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en", dim = 1024)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val ck = Queries.scratchDir("graft_stream_dsir_ck")
+      Queries.deleteOnExit(ck)
+      val q = Curation.dsirScore(stream, "doc_id", "text", w, dim = 1024)
+        .writeStream.format("memory").queryName("graft_sink_stream_dsir")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_sink_stream_dsir").orderBy("id")
+    }),
+    // CCNet-style head/middle/tail stratification by exact corpus
+    // perplexity terciles — keeps every doc, labels by fluency band
+    "text_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id")),
+    // soft dedup (reweighting instead of dropping): every member of a
+    // near-dup cluster carries weight 1e6/size so a cluster's total
+    // sampling mass stays ~one document's
+    "dedup_soft_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val memb = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+      Dedup.softDedupWeights(docs, "doc_id", memb).orderBy("id")
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -1790,41 +1867,67 @@ object PipelineQueries {
     // raw = all), exact-long per-doc scores, md5-Gumbel top-k — the full
     // replication of Curation.dsirResample's two passes
     "curate_dsir" -> s"""
-      |WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt, $TOKS AS toks
-      |             FROM documents),
-      |uni AS (SELECT doc_id AS id, tgt, unnest(toks) AS t FROM tok),
-      |big AS (SELECT doc_id AS id, tgt, array_to_string(toks[i:i+1], ' ') AS t
-      |        FROM (SELECT doc_id, tgt, toks,
-      |                unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
-      |              FROM tok)),
-      |g AS (SELECT id, tgt,
-      |        (${hexVal("h", "1")}*4096 + ${hexVal("h", "2")}*256 +
-      |         ${hexVal("h", "3")}*16 + ${hexVal("h", "4")}) % 1024 AS j
-      |      FROM (SELECT id, tgt, md5(t) AS h
-      |            FROM (SELECT * FROM uni UNION ALL SELECT * FROM big))),
-      |bcount AS (SELECT j, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-      |             count(*) AS cr
-      |           FROM g GROUP BY j),
-      |fullb AS (SELECT r.j, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
-      |          FROM range(0, 1024) r(j) LEFT JOIN bcount ON bcount.j = r.j),
-      |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM fullb),
-      |lr AS (SELECT j, CAST(round((ln(ct + 1.0::DOUBLE) - ln(nt + 1024.0::DOUBLE)
-      |           - ln(cr + 1.0::DOUBLE) + ln(nr + 1024.0::DOUBLE)) * 1e6)
-      |           AS BIGINT) AS lr_e6
-      |       FROM fullb, tot),
-      |pd AS (SELECT id, j, count(*) AS c FROM g GROUP BY id, j),
-      |sc AS (SELECT id, sum(c * lr_e6) AS score_e6, sum(c) AS n_grams
-      |       FROM pd JOIN lr USING (j) GROUP BY id),
-      |o AS (SELECT d.doc_id AS id,
-      |        CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
-      |        CAST(coalesce(sc.score_e6, 0) AS BIGINT) AS score_e6
-      |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.id)
+      |WITH $dsirCtes
       |SELECT id, n_grams, score_e6,
       |  score_e6 + CAST(round(-ln(-ln(
       |      (('0x' || substr(md5('dsir|' || id::VARCHAR), 1, 8))::BIGINT
       |        ::DOUBLE + 0.5::DOUBLE) / 4294967296::DOUBLE)) * 1e6)
       |    AS BIGINT) AS key_e6
       |FROM o ORDER BY key_e6 DESC, id LIMIT 100""".stripMargin.trim,
+
+    // streaming scorer against the batch-fit weights ≡ the batch scores
+    // restricted to the replay fixture slice
+    "stream_dsir" -> s"""
+      |WITH $dsirCtes
+      |SELECT id, n_grams, score_e6 FROM o
+      |WHERE id % 10 = 0 ORDER BY id""".stripMargin.trim,
+
+    // exact corpus perplexity terciles → head/middle/tail labels
+    "text_ppl_buckets" -> s"""
+      |WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |c AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+      |tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM c),
+      |lp AS (SELECT e.doc_id, e.t, ln((c.c + 1.0) / (tot.n_total + tot.vocab)) AS lp
+      |       FROM ex e JOIN c USING (t) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |        CAST(round(-list_sum(list(lp ORDER BY t)) * 10000.0 / count(*))
+      |          AS BIGINT) AS nll_e4
+      |        FROM lp GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id AS id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |         coalesce(a.nll_e4, 0) AS nll_e4
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+      |thr AS (SELECT quantile_cont(nll_e4, 1.0::DOUBLE / 3::DOUBLE) AS t1,
+      |               quantile_cont(nll_e4, 2.0::DOUBLE / 3::DOUBLE) AS t2
+      |        FROM scored)
+      |SELECT id, n_tokens, nll_e4,
+      |  CASE WHEN nll_e4 <= t1 THEN 'head'
+      |       WHEN nll_e4 <= t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM scored, thr ORDER BY id""".stripMargin.trim,
+
+    // near-dup clusters → per-member weight 1e6/size, singletons 1e6
+    "dedup_soft_weights" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |memb AS (
+      |  SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |  FROM nodes n JOIN reach r ON r.x = n.id GROUP BY n.id),
+      |sz AS (SELECT survivor, count(*) AS s FROM memb GROUP BY survivor),
+      |w AS (SELECT d.doc_id AS id, coalesce(sz.s, 1) AS cluster_size
+      |      FROM documents d LEFT JOIN memb m ON m.id = d.doc_id
+      |      LEFT JOIN sz ON sz.survivor = m.survivor)
+      |SELECT id, cluster_size,
+      |  CAST(round(1e6 / cluster_size::DOUBLE) AS BIGINT) AS weight_e6
+      |FROM w ORDER BY id""".stripMargin.trim,
 
     "dedup_simhash" -> s"""
       |WITH th AS (

@@ -890,25 +890,43 @@ object Curation {
     * TakeOrderedAndProject (per-partition top-k, k-bounded driver merge —
     * never a full sort shuffle). Returns `(id, n_grams, score_e6,
     * key_e6)` in selection order (key desc, id asc). */
+  /** Run the [[dsirLogRatios]] fit and ship the dim-sized weight table to
+    * executors as ONE broadcast — the frozen scoring model a streaming
+    * scorer (or a second corpus) reuses without refitting. */
+  def dsirFitWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val lrArr = new Array[Long](dim)
+    dsirLogRatios(docs, idCol, textCol, isTarget, dim)
+      .select(col("j").cast("int"), col("lr_e6").cast("long"))
+      .collect().foreach(r => lrArr(r.getInt(0)) = r.getLong(1))
+    docs.sparkSession.sparkContext.broadcast(lrArr)
+  }
+
+  /** Score docs against a frozen DSIR weight table: `(id, n_grams,
+    * score_e6)`, exact long arithmetic, ONE stateless zero-exchange
+    * codegen'd map — streaming-safe (no join/agg/state), the same plan
+    * shape batch and under a micro-batch trigger. */
+  def dsirScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      dim: Int): DataFrame = {
+    val buckets = graft.functions.DsirExpressions.gramBuckets(
+      TextOps.tokens(col(textCol)), dim)
+    docs.select(col(idCol).cast("long").as("id"), buckets.as("__b"))
+      .select(col("id"),
+        size(col("__b")).cast("long").as("n_grams"),
+        graft.functions.DsirExpressions.bucketSum(col("__b"), weights)
+          .as("score_e6"))
+  }
+
   def dsirResample(
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, dim: Int, k: Int,
       salt: String = "dsir"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val spark = docs.sparkSession
-    val lrArr = new Array[Long](dim)
-    dsirLogRatios(docs, idCol, textCol, isTarget, dim)
-      .select(col("j").cast("int"), col("lr_e6").cast("long"))
-      .collect().foreach(r => lrArr(r.getInt(0)) = r.getLong(1))
-    val bc = spark.sparkContext.broadcast(lrArr)
-    val buckets = graft.functions.DsirExpressions.gramBuckets(
-      TextOps.tokens(col(textCol)), dim)
-    val scored = docs.select(col(idCol).cast("long").as("id"),
-        buckets.as("__b"))
-      .select(col("id"),
-        size(col("__b")).cast("long").as("n_grams"),
-        graft.functions.DsirExpressions.bucketSum(col("__b"), bc)
-          .as("score_e6"))
+    val bc = dsirFitWeights(docs, idCol, textCol, isTarget, dim)
+    val scored = dsirScore(docs, idCol, textCol, bc, dim)
     val h = conv(substring(
       md5(concat_ws("|", lit(salt), col("id").cast("string"))), 1, 8),
       16, 10).cast("long")

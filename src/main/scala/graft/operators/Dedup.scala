@@ -1025,4 +1025,33 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Soft dedup: per-doc training weights from duplicate-cluster
+    * multiplicity INSTEAD of dropping members — the published
+    * reweighting alternative to hard dedup (SoftDeDup, He et al. 2024:
+    * common text keeps total probability mass ~constant while each copy
+    * contributes less). `memberships` is [[connectedComponents]] output
+    * over verified near-dup pairs; every member of a size-s cluster gets
+    * `weight_e6 = round(1e6 / s)` and non-members keep weight 1e6, so a
+    * cluster's total sampling mass ≈ one document's.
+    *
+    * Scale: one count aggregate over cluster ids (bounded by cluster
+    * count, partial-agg'd) + two equi-joins on id/survivor — the
+    * membership side is duplicate-pairs-sized, far below corpus-sized;
+    * AQE broadcasts it when small. Output `(id, cluster_size,
+    * weight_e6)` for EVERY doc, ordered by nothing (battery row sorts).
+    */
+  def softDedupWeights(
+      docs: DataFrame, idCol: String, memberships: DataFrame): DataFrame = {
+    val memb = memberships.select(col("id").cast("long").as("id"),
+      col("survivor").cast("long").as("__surv"))
+    val sizes = memb.groupBy("__surv").agg(count(lit(1)).as("__sz"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(memb, Seq("id"), "left")
+      .join(sizes, Seq("__surv"), "left")
+      .select(col("id"),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+        round(lit(1e6) / coalesce(col("__sz"), lit(1L)).cast("double"), 0)
+          .cast("long").as("weight_e6"))
+  }
 }

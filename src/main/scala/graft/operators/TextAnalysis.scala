@@ -521,4 +521,41 @@ object TextAnalysis {
         col("id"),
         md5s(col("__lt")).as("md5_full"),
         array_min(transform(charShingles(col("__lt"), 8), s => md5s(s))).as("fp_min8"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): label every
+    * doc head/middle/tail by where its LM score falls against exact
+    * corpus-level quantile thresholds — the published pre-filtering shape
+    * that keeps the whole corpus but stratifies it by fluency. `cuts` are
+    * ascending (fraction, label) pairs; docs with `nll_e4 <=
+    * quantile(fraction)` take the first matching label, the rest
+    * `tailLabel`. Scoring is [[unigramNll]] (action-scope cached — the
+    * scored frame feeds both the threshold aggregate and the labeling
+    * side); thresholds are the distributed bracket+refine
+    * [[Quantiles.quantileCont]] (never the value-buffering Percentile
+    * aggregate), broadcast back as ONE row, so labeling is a narrow map.
+    * Output `(id, n_tokens, nll_e4, bucket)`. */
+  def perplexityBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[(Double, String)] = Seq(1.0 / 3 -> "head", 2.0 / 3 -> "middle"),
+      tailLabel: String = "tail"): DataFrame = {
+    require(cuts.nonEmpty && cuts.map(_._1) == cuts.map(_._1).sorted &&
+      cuts.forall(c => c._1 > 0 && c._1 < 1),
+      s"cuts must be ascending fractions in (0,1), got $cuts")
+    val scored = OperatorCache.scoped(
+      unigramNll(docs, idCol, textCol).withColumn("__all", lit("all")))
+    val aggs = cuts.zipWithIndex.map { case ((p, _), i) =>
+      max(when(col("p") === lit(p), col("q"))).as(s"__t$i")
+    }
+    val thr = Quantiles.quantileCont(
+        scored.select(col("__all"), col("nll_e4")), "__all", "nll_e4",
+        cuts.map(_._1))
+      .groupBy("__all").agg(aggs.head, aggs.tail: _*)
+    val bucket = cuts.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, ((_, label), i)) =>
+        val c = col("nll_e4") <= col(s"__t$i")
+        Some(acc.map(_.when(c, lit(label))).getOrElse(when(c, lit(label))))
+      }.get.otherwise(lit(tailLabel))
+    scored.crossJoin(broadcast(thr.drop("__all"))) // 1 row: the thresholds
+      .select(col("id"), col("n_tokens"), col("nll_e4"), bucket.as("bucket"))
+  }
 }

@@ -118,6 +118,16 @@ object Plans {
       "curate_dsir" -> Seq("TakeOrderedAndProject", "dsir_bucket_sum",
         "hashed_gram_buckets", "!Join", "!HashAggregate", "!Window",
         "!CartesianProduct", "!Exchange"),
+      // perplexity bucketing: scoring aggs + the bracket/refine quantile
+      // thresholds broadcast back as one row — the value-buffering
+      // Percentile aggregate must never appear (same contract as the
+      // p90 filter row)
+      "text_ppl_buckets" -> Seq("HashAggregate", "!Percentile",
+        "!CartesianProduct"),
+      // soft-dedup weights: cluster-size count agg (partial-able) + two
+      // equi-joins — never a nested loop over the corpus
+      "dedup_soft_weights" -> Seq("HashAggregate", "partial_",
+        "!SortAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

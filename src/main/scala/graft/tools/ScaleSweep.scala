@@ -97,6 +97,10 @@ object ScaleSweep {
       ("curate_split", "linear"),
       // DSIR: dim-keyed fit agg + one zero-exchange scoring map + top-k
       ("curate_dsir", "linear"),
+      // NLL scoring + two distributed quantile thresholds + narrow label
+      ("text_ppl_buckets", "linear"),
+      // clustering + cluster-size agg + two equi-joins
+      ("dedup_soft_weights", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes
@@ -176,7 +180,7 @@ object ScaleSweep {
       // fixture — cost is fixture I/O + per-row work, both linear (the
       // decontam eval set is collected once, broadcast-sized by nature)
       ("stream_pii_scrub", "linear"), ("stream_decontam", "linear"),
-      ("stream_tokens_bpe", "linear"),
+      ("stream_tokens_bpe", "linear"), ("stream_dsir", "linear"),
       // streaming span removal: per-batch positioned windows semi-joined
       // against the frozen store's keys — cost ∝ the replay slice
       ("stream_drop_spans", "linear"),

@@ -612,4 +612,16 @@ class CurationSpec extends SparkSpec {
       Curation.dsirResample(docs, "doc_id", "text", col("tgt"), 32, 0)
     }
   }
+
+  test("dsirScore against frozen weights equals the resample's scores") {
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "apple pie apple" else "noise words here", i % 3 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val w = Curation.dsirFitWeights(docs, "doc_id", "text", col("tgt"), 128)
+    val scored = Curation.dsirScore(docs, "doc_id", "text", w, 128)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val resampled = Curation.dsirResample(docs, "doc_id", "text", col("tgt"),
+      128, 30).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scored == resampled)
+  }
 }

@@ -480,4 +480,19 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((9L, 6L, "pre post tail")))
     assert(got(3L)._2 == 0L)
   }
+
+  test("softDedupWeights gives 1e6/size to members, 1e6 to singletons") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"),
+      (6L, "w")).toDF("doc_id", "text")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "survivor")
+    val w = Dedup.softDedupWeights(docs, "doc_id", memb)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(w(1L) == ((3L, 333333L)) && w(2L) == ((3L, 333333L)) &&
+      w(3L) == ((3L, 333333L)))
+    assert(w(4L) == ((2L, 500000L)) && w(5L) == ((2L, 500000L)))
+    assert(w(6L) == ((1L, 1000000L)))
+    // total sampling mass of a cluster ~ one doc's (within rounding)
+    assert(Seq(1L, 2L, 3L).map(w(_)._2).sum == 999999L)
+  }
 }

@@ -254,4 +254,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
   }
+
+  test("perplexityBuckets labels by exact corpus NLL terciles") {
+    // 3 fluency classes: common tokens (low NLL), mixed, rare tokens
+    val docs = (
+      (0L until 4L).map(i => (i, "the the the the")) ++
+      (4L until 8L).map(i => (i, "the odd" + i + " the the")) ++
+      (8L until 12L).map(i => (i, "rare" + i + "a rare" + i + "b rare" + i + "c x" + i))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(out.size == 12)
+    // label ordering tracks the score ordering: every head nll <= every
+    // middle nll <= every tail nll
+    def nlls(b: String) = out.values.filter(_._2 == b).map(_._1)
+    assert(Seq("head", "middle", "tail").forall(b => nlls(b).nonEmpty))
+    assert(nlls("head").max <= nlls("middle").min)
+    assert(nlls("middle").max <= nlls("tail").min)
+    // the common-token class lands in head, the rare class in tail
+    assert((0L until 4L).forall(out(_)._2 == "head"))
+    assert((8L until 12L).forall(out(_)._2 == "tail"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(docs, "doc_id", "text",
+        cuts = Seq(0.9 -> "a", 0.1 -> "b"))
+    }
+  }
 }
