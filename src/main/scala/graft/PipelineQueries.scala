@@ -1076,6 +1076,27 @@ object PipelineQueries {
     // oracle = the independent Python replica's counts, joined by md5(text)
     "text_tokens_bpe" -> ((s, d) =>
       operators.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy("id")),
+    // tokenizer-fertility band filter: BPE tokens per char as the
+    // in-distribution signal (garbage / unknown-script text tokenizes
+    // hot, truncated boilerplate cold) — composes the true BPE counts
+    // with the table's n_chars, one narrow map after the count join
+    "text_fertility" -> ((s, d) => {
+      val counts = operators.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      val fert = when(col("n_chars") === 0, lit(0L))
+        .otherwise(round(col("n_bpe_tokens") * lit(10000.0) / col("n_chars"), 0)
+          .cast("long"))
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("n_chars").cast("long").as("n_chars"))
+        .join(counts, Seq("id"))
+        .select(col("id"), col("n_chars"), col("n_bpe_tokens"),
+          fert.as("fertility_e4"))
+        // band edges inside the corpus's observed spread (sf0.1:
+        // 1507..2273, p5 1720 / p95 1949) so BOTH cut sides are
+        // exercised — a keep that is vacuously true verifies nothing
+        .withColumn("keep",
+          col("fertility_e4") >= 1700 && col("fertility_e4") <= 1900)
+        .orderBy("id")
+    }),
     "pack_bpe" -> ((s, d) =>
       Curation.packSequencesCounted(
         operators.Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text")
@@ -2853,6 +2874,20 @@ object PipelineQueries {
       |FROM documents d
       |JOIN '$BpeCountsPath' f ON md5(d.text) = f.text_md5
       |ORDER BY id""".stripMargin.trim,
+
+    // BPE fertility band: tokens-per-char e4 against the replica counts
+    "text_fertility" -> s"""
+      |WITH f AS (
+      |  SELECT d.doc_id AS id, CAST(d.n_chars AS BIGINT) AS n_chars,
+      |    f.n_bpe_tokens,
+      |    CASE WHEN d.n_chars = 0 THEN 0
+      |         ELSE CAST(round(f.n_bpe_tokens * 10000.0::DOUBLE / d.n_chars)
+      |           AS BIGINT) END AS fertility_e4
+      |  FROM documents d
+      |  JOIN '$BpeCountsPath' f ON md5(d.text) = f.text_md5)
+      |SELECT id, n_chars, n_bpe_tokens, fertility_e4,
+      |  fertility_e4 >= 1700 AND fertility_e4 <= 1900 AS keep
+      |FROM f ORDER BY id""".stripMargin.trim,
 
     // streaming twin: same counts, fixture slice (doc_id % 10 = 0)
     "stream_tokens_bpe" -> s"""

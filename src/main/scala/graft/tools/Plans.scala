@@ -128,6 +128,10 @@ object Plans {
       // equi-joins — never a nested loop over the corpus
       "dedup_soft_weights" -> Seq("HashAggregate", "partial_",
         "!SortAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // fertility: per-row BPE count map + ONE id equi-join + narrow band
+      // map — no agg, no window, no nested loop
+      "text_fertility" -> Seq("Join", "!HashAggregate", "!Window",
+        "!BroadcastNestedLoopJoin", "!CartesianProduct", "!SortAggregate"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

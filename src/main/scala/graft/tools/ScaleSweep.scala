@@ -99,6 +99,8 @@ object ScaleSweep {
       ("curate_dsir", "linear"),
       // NLL scoring + two distributed quantile thresholds + narrow label
       ("text_ppl_buckets", "linear"),
+      // per-row BPE count + one id equi-join + band map
+      ("text_fertility", "linear"),
       // clustering + cluster-size agg + two equi-joins
       ("dedup_soft_weights", "linear"),
       ("emb_neardup_srp", "linear"),
