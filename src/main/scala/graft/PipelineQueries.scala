@@ -729,6 +729,22 @@ object PipelineQueries {
     "text_ppl_buckets" -> ((s, d) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id")),
+    // asymmetric containment (Broder): a small doc quoted verbatim
+    // inside a big one — resemblance-Jaccard misses it, containment
+    // pins it. The corpus is augmented with planted pure excerpts
+    // (every doc_id%10==3 spawns doc_id+300000 carrying tokens 6..25
+    // verbatim), whose containment in the original is ~1.0 while their
+    // Jaccard stays far below any near-dup threshold.
+    "dedup_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val excerpts = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(graft.operators.TextOps.tokens(col("text")), 6, 20),
+            " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts), "doc_id", "text",
+        shingleWords = 4, minContainE4 = 9000)
+        .orderBy("a", "b")
+    }),
     // soft dedup (reweighting instead of dropping): every member of a
     // near-dup cluster carries weight 1e6/size so a cluster's total
     // sampling mass stays ~one document's
@@ -1927,6 +1943,36 @@ object PipelineQueries {
       |       WHEN nll_e4 <= t2 THEN 'middle'
       |       ELSE 'tail' END AS bucket
       |FROM scored, thr ORDER BY id""".stripMargin.trim,
+
+    // containment over distinct 3-word shingles on the excerpt-planted
+    // corpus — per-doc totals uncapped, pair evidence df-capped at 256
+    // exactly like the engine
+    "dedup_containment" -> s"""
+      |WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000, array_to_string(($TOKS)[6:25], ' ')
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |corpus AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |      t -> t != '') AS toks
+      |  FROM base),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks)-3, 0)+1),
+      |      i -> array_to_string(toks[i:i+3], ' ')))) AS g
+      |  FROM corpus),
+      |shc AS (SELECT * FROM sh WHERE g IN
+      |  (SELECT g FROM sh GROUP BY g HAVING count(*) <= 256)),
+      |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |pairs AS (SELECT n.id AS a, r.id AS b, count(*) AS shared
+      |  FROM shc n JOIN shc r ON n.g = r.g AND n.id < r.id GROUP BY 1, 2),
+      |o AS (SELECT a, b, shared, ca.n AS n_a, cb.n AS n_b,
+      |    CAST(round(shared * 10000.0::DOUBLE / ca.n) AS BIGINT) AS contain_a_e4,
+      |    CAST(round(shared * 10000.0::DOUBLE / cb.n) AS BIGINT) AS contain_b_e4
+      |  FROM pairs JOIN cnt ca ON ca.id = pairs.a JOIN cnt cb ON cb.id = pairs.b)
+      |SELECT * FROM o
+      |WHERE greatest(contain_a_e4, contain_b_e4) >= 9000
+      |ORDER BY a, b""".stripMargin.trim,
 
     // near-dup clusters → per-member weight 1e6/size, singletons 1e6
     "dedup_soft_weights" -> s"""

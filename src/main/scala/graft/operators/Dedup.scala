@@ -1026,6 +1026,59 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure): `contain_a = |Sh(A) ∩ Sh(B)| / |Sh(A)|` over distinct
+    * k-word shingles — the signal resemblance-Jaccard structurally
+    * misses when a small doc is quoted verbatim inside a much larger one
+    * (|A∩B|/|A∪B| stays low while |A∩B|/|A| ≈ 1). Surfaces every pair
+    * whose LARGER containment side clears `minContainE4`.
+    *
+    * Plan: the [[substringPairs]] grouped formulation over the SHINGLE
+    * frame — one exchange builds per-shingle id lists (capped inside the
+    * aggregation), pairs explode row-locally, then two broadcast-able
+    * equi-joins attach the per-doc distinct-shingle counts. Never an
+    * all-pairs comparison. The df cap here defaults LOWER than the
+    * substring family's (256 vs 1024): a k=3 shingle shared by hundreds
+    * of documents is stopword boilerplate carrying no containment
+    * evidence, and its df² pair explosion is the 100 TB hazard — capped
+    * shingles drop from BOTH the pair counts and nothing else (per-doc
+    * totals stay uncapped), so containment under-estimates by at most
+    * the capped fraction of the smaller side; the oracle replays the
+    * identical cap. Output `(a, b, shared, n_a, n_b, contain_a_e4,
+    * contain_b_e4)`, a < b. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, minContainE4: Int = 9000,
+      maxDocsPerShingle: Int = 256): DataFrame = {
+    require(minContainE4 >= 0 && minContainE4 <= 10000,
+      s"minContainE4 is parts-per-10000, got $minContainE4")
+    val frame = windowFrame128(docs, idCol, textCol, shingleWords)
+    // per-doc distinct-shingle totals ROW-LOCALLY (size of the native
+    // distinct-shingle array) — an agg over the frame would re-run the
+    // whole shingle generation once per join consumer; this is one
+    // narrow scan of the docs and no exchange at all
+    val counts = spread(docs, idCol, textCol)
+      .select(col("id"),
+        size(TextOps.wordShingles(TextOps.tokens(col("__text")), shingleWords))
+          .cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    groupedWindows(frame, maxDocsPerShingle)
+      .filter(size(col("__ids")) >= 2)
+      .select(graft.functions.SubstringGenerators
+        .arrayPairs(col("__ids")).as(Seq("a", "b")))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("id").as("a"), col("__n").as("n_a")), Seq("a"))
+      .join(counts.select(col("id").as("b"), col("__n").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared") * lit(10000.0) / col("n_a"), 0)
+          .cast("long").as("contain_a_e4"),
+        round(col("shared") * lit(10000.0) / col("n_b"), 0)
+          .cast("long").as("contain_b_e4"))
+      .filter(greatest(col("contain_a_e4"), col("contain_b_e4"))
+        >= minContainE4)
+  }
+
   /** Soft dedup: per-doc training weights from duplicate-cluster
     * multiplicity INSTEAD of dropping members — the published
     * reweighting alternative to hard dedup (SoftDeDup, He et al. 2024:

@@ -132,6 +132,12 @@ object Plans {
       // map — no agg, no window, no nested loop
       "text_fertility" -> Seq("Join", "!HashAggregate", "!Window",
         "!BroadcastNestedLoopJoin", "!CartesianProduct", "!SortAggregate"),
+      // containment: the substring family's grouped shingle form (capped
+      // collect, row-local pair explode) + two equi-joins for the per-doc
+      // totals — no nested loop, no sort agg
+      "dedup_containment" -> Seq("HashAggregate", "Generate",
+        "collect_sorted_capped", "Join", "!CartesianProduct",
+        "!SortAggregate", "!BroadcastNestedLoopJoin"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

@@ -103,6 +103,9 @@ object ScaleSweep {
       ("text_fertility", "linear"),
       // clustering + cluster-size agg + two equi-joins
       ("dedup_soft_weights", "linear"),
+      // grouped shingle lists (df-capped) + row-local pair explode:
+      // replicas don't share shingles, so pairs replicate exactly
+      ("dedup_containment", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes

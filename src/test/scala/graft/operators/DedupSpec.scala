@@ -495,4 +495,36 @@ class DedupSpec extends SparkSpec {
     // total sampling mass of a cluster ~ one doc's (within rounding)
     assert(Seq(1L, 2L, 3L).map(w(_)._2).sum == 999999L)
   }
+
+  test("containmentPairs surfaces subset quoting that Jaccard misses") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 19).map(i => s"w$i").mkString(" ") // verbatim slice
+    val docs = Seq((1L, big), (2L, excerpt),
+      (3L, "totally different words over here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleWords = 3, minContainE4 = 9000).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // excerpt: 8 shingles, every one inside big's 38 → containment 1.0
+    assert(r.getLong(2) == 8L && r.getLong(3) == 38L && r.getLong(4) == 8L)
+    assert(r.getLong(6) == 10000L)
+    // while resemblance on the same pair is 8/38 — far below any
+    // near-dup threshold: the asymmetric catch
+    assert(r.getLong(5) == math.round(8 * 10000.0 / 38))
+  }
+
+  test("containmentPairs df cap drops boilerplate-shingle evidence") {
+    val docs = (0L until 10L)
+      .map(i => (i, s"common shingle here unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    // the only cross-doc shingle rides on every doc (df 10): over cap 4
+    // it pairs nothing, and the remaining shingles are doc-unique
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0,
+      maxDocsPerShingle = 4).count() == 0L)
+    // cap 0 = exact semantics: all 45 pairs share it
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0,
+      maxDocsPerShingle = 0).count() == 45L)
+  }
 }
