@@ -745,6 +745,19 @@ object PipelineQueries {
         shingleWords = 4, minContainE4 = 9000)
         .orderBy("a", "b")
     }),
+    // incremental containment: every new-batch doc is an excerpt of a
+    // frozen-corpus doc by construction — each must surface with
+    // containment ~1.0 against exactly its source
+    "dedup_containment_ref" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val newBatch = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(graft.operators.TextOps.tokens(col("text")), 6, 20),
+            " ").as("text"))
+      Dedup.containmentPairsAgainst(newBatch, docs, "doc_id", "text",
+        shingleWords = 4, minContainE4 = 9000)
+        .orderBy("a", "b")
+    }),
     // soft dedup (reweighting instead of dropping): every member of a
     // near-dup cluster carries weight 1e6/size so a cluster's total
     // sampling mass stays ~one document's
@@ -1970,6 +1983,41 @@ object PipelineQueries {
       |    CAST(round(shared * 10000.0::DOUBLE / ca.n) AS BIGINT) AS contain_a_e4,
       |    CAST(round(shared * 10000.0::DOUBLE / cb.n) AS BIGINT) AS contain_b_e4
       |  FROM pairs JOIN cnt ca ON ca.id = pairs.a JOIN cnt cb ON cb.id = pairs.b)
+      |SELECT * FROM o
+      |WHERE greatest(contain_a_e4, contain_b_e4) >= 9000
+      |ORDER BY a, b""".stripMargin.trim,
+
+    // cross-corpus containment: per-side df caps, cross pairs on shared
+    // shingles, totals uncapped — the engine's fused form replayed
+    "dedup_containment_ref" -> s"""
+      |WITH newb AS (
+      |  SELECT doc_id + 300000 AS id, array_to_string(($TOKS)[6:25], ' ') AS text
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |nc AS (SELECT id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |      t -> t != '') AS toks
+      |  FROM newb),
+      |rc AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+      |shn AS (SELECT id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks)-3, 0)+1),
+      |      i -> array_to_string(toks[i:i+3], ' ')))) AS g
+      |  FROM nc),
+      |shr AS (SELECT id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks)-3, 0)+1),
+      |      i -> array_to_string(toks[i:i+3], ' ')))) AS g
+      |  FROM rc),
+      |shnc AS (SELECT * FROM shn WHERE g IN
+      |  (SELECT g FROM shn GROUP BY g HAVING count(*) <= 256)),
+      |shrc AS (SELECT * FROM shr WHERE g IN
+      |  (SELECT g FROM shr GROUP BY g HAVING count(*) <= 256)),
+      |cntn AS (SELECT id, count(*) AS n FROM shn GROUP BY id),
+      |cntr AS (SELECT id, count(*) AS n FROM shr GROUP BY id),
+      |pairs AS (SELECT n.id AS a, r.id AS b, count(*) AS shared
+      |  FROM shnc n JOIN shrc r ON n.g = r.g GROUP BY 1, 2),
+      |o AS (SELECT a, b, shared, ca.n AS n_a, cb.n AS n_b,
+      |    CAST(round(shared * 10000.0::DOUBLE / ca.n) AS BIGINT) AS contain_a_e4,
+      |    CAST(round(shared * 10000.0::DOUBLE / cb.n) AS BIGINT) AS contain_b_e4
+      |  FROM pairs JOIN cntn ca ON ca.id = pairs.a JOIN cntr cb ON cb.id = pairs.b)
       |SELECT * FROM o
       |WHERE greatest(contain_a_e4, contain_b_e4) >= 9000
       |ORDER BY a, b""".stripMargin.trim,

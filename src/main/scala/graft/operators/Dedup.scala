@@ -1079,6 +1079,40 @@ object Dedup {
         >= minContainE4)
   }
 
+  /** Cross-corpus containment — the incremental twin of
+    * [[containmentPairs]] ([[substringPairsAgainst]] shape): how much of
+    * each NEW doc's shingle set sits inside a frozen REFERENCE corpus
+    * doc — the "is this crawl page an excerpt of something we already
+    * hold" probe. Shared counts ride the fused one-exchange tagged-union
+    * aggregation (no join, per-side caps preserved); the per-doc totals
+    * attach row-locally per side (no second shingle scan). Output
+    * `(a, b, shared, n_a, n_b, contain_a_e4, contain_b_e4)`, `a` = new id,
+    * `b` = reference id. */
+  def containmentPairsAgainst(
+      newDocs: DataFrame, refDocs: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 4, minContainE4: Int = 9000,
+      maxDocsPerShingle: Int = 256): DataFrame = {
+    require(minContainE4 >= 0 && minContainE4 <= 10000,
+      s"minContainE4 is parts-per-10000, got $minContainE4")
+    def totals(df: DataFrame, side: String) = spread(df, idCol, textCol)
+      .select(col("id").as(side),
+        size(TextOps.wordShingles(TextOps.tokens(col("__text")), shingleWords))
+          .cast("long").as(s"n_$side"))
+      .filter(col(s"n_$side") > 0)
+    substringPairsAgainst(newDocs, refDocs, idCol, textCol,
+      shingleWords, maxDocsPerShingle)
+      .join(totals(newDocs, "a"), Seq("a"))
+      .join(totals(refDocs, "b"), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared").as("shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared") * lit(10000.0) / col("n_a"), 0)
+          .cast("long").as("contain_a_e4"),
+        round(col("n_shared") * lit(10000.0) / col("n_b"), 0)
+          .cast("long").as("contain_b_e4"))
+      .filter(greatest(col("contain_a_e4"), col("contain_b_e4"))
+        >= minContainE4)
+  }
+
   /** Soft dedup: per-doc training weights from duplicate-cluster
     * multiplicity INSTEAD of dropping members — the published
     * reweighting alternative to hard dedup (SoftDeDup, He et al. 2024:

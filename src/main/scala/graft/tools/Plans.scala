@@ -138,6 +138,11 @@ object Plans {
       "dedup_containment" -> Seq("HashAggregate", "Generate",
         "collect_sorted_capped", "Join", "!CartesianProduct",
         "!SortAggregate", "!BroadcastNestedLoopJoin"),
+      // cross-corpus containment: the fused tagged-union agg (capped
+      // collect) + row-local cross explode + the two totals equi-joins
+      "dedup_containment_ref" -> Seq("HashAggregate", "Generate",
+        "collect_sorted_capped", "Join", "!CartesianProduct",
+        "!SortAggregate", "!BroadcastNestedLoopJoin"),
       "fql_filter" -> Seq("PushedFilters"),
       // exact all-pairs must run as the blocked equi-join, never a
       // corpus-vs-self broadcast nested loop

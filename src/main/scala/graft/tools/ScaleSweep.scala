@@ -106,6 +106,7 @@ object ScaleSweep {
       // grouped shingle lists (df-capped) + row-local pair explode:
       // replicas don't share shingles, so pairs replicate exactly
       ("dedup_containment", "linear"),
+      ("dedup_containment_ref", "linear"),
       ("emb_neardup_srp", "linear"),
       ("ann_topk", "quadratic"), ("ann_pq", "quadratic"),
       // truncated pre-rank: n·q scan like ann_topk at 1/4 the bytes

@@ -527,4 +527,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0,
       maxDocsPerShingle = 0).count() == 45L)
   }
+
+  test("containmentPairsAgainst finds new-batch excerpts of the frozen corpus") {
+    val ref = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, "unrelated ref words entirely different over here"))
+      .toDF("doc_id", "text")
+    val newB = Seq(
+      (100L, (5 to 14).map(i => s"w$i").mkString(" ")), // verbatim excerpt
+      (101L, "no overlap with anything at all truly nothing"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairsAgainst(newB, ref, "doc_id", "text",
+      shingleWords = 3, minContainE4 = 9000).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // 10-token excerpt → 8 shingles, all inside the 30-token ref's 28
+    assert(r.getLong(0) == 100L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 8L && r.getLong(3) == 8L && r.getLong(4) == 28L)
+    assert(r.getLong(5) == 10000L)
+    assert(r.getLong(6) == math.round(8 * 10000.0 / 28))
+  }
 }
