@@ -39,6 +39,23 @@ object PipelineQueries {
           "doc_id", "text", root, "train95")
         root
       })
+  /** Per-JVM persisted DSIR weight table (fit over the full corpus,
+    * target = lang='en') — the [[refLmStore]] pattern: built once per sf
+    * dir, charged to the harness ledger; the stored-scoring row times
+    * only the zero-exchange batch score a production selection run pays. */
+  private val dsirStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def refDsirStore(s: SparkSession, d: String): String =
+    dsirStoreRoots.computeIfAbsent(d, _ =>
+      Queries.harness("curate_dsir_stored") {
+        val root = java.nio.file.Files.createTempDirectory("graft_dsirstore").toString
+        Queries.deleteOnExit(root)
+        graft.operators.DsirStore.build(
+          Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", dim = 1024, root, "full")
+        root
+      })
+
   private def refSigStore(s: SparkSession, d: String): String =
     sigStoreRoots.computeIfAbsent(d, _ =>
       Queries.harness("dedup_against_ref_stored") {
@@ -723,6 +740,16 @@ object PipelineQueries {
         .start()
       q.awaitTermination()
       s.table("graft_sink_stream_dsir").orderBy("id")
+    }),
+    // stored-weights DSIR scoring: the fit persists once (harness-
+    // charged), the timed wall is only the zero-exchange score of a 5%
+    // "new batch" slice — the per-batch cost a production selection pays
+    "curate_dsir_stored" -> ((s, d) => {
+      val root = refDsirStore(s, d)
+      graft.operators.DsirStore.score(s, root, "full",
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+        .orderBy("id")
     }),
     // CCNet-style head/middle/tail stratification by exact corpus
     // perplexity terciles — keeps every doc, labels by fluency band
@@ -1931,6 +1958,12 @@ object PipelineQueries {
       |WITH $dsirCtes
       |SELECT id, n_grams, score_e6 FROM o
       |WHERE id % 10 = 0 ORDER BY id""".stripMargin.trim,
+
+    // stored-weights scorer ≡ the same fit applied to the 5% batch slice
+    "curate_dsir_stored" -> s"""
+      |WITH $dsirCtes
+      |SELECT id, n_grams, score_e6 FROM o
+      |WHERE id % 20 = 0 ORDER BY id""".stripMargin.trim,
 
     // exact corpus perplexity terciles → head/middle/tail labels
     "text_ppl_buckets" -> s"""

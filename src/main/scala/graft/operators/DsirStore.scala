@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted DSIR weight table for incremental importance scoring.
+  *
+  * [[Curation.dsirResample]] fits its log-ratio table inline — right for
+  * one-shot selection, wrong for the published deployment, where the
+  * hashed-n-gram importance model is fit ONCE against a frozen
+  * target/raw pair and every new crawl batch is scored under it (DSIR's
+  * own pipeline: fit on Wikipedia-vs-Pile, then stream the raw corpus
+  * through the frozen weights). This is the [[LmStore]] pattern applied
+  * to the dim-sized table: build persists `(j, lr_e6)` + a params
+  * marker; score reads it back and runs [[Curation.dsirScore]] — shared
+  * code, so stored and inline semantics cannot drift.
+  *
+  * Layout under `root/corpusId/`:
+  *   - `weights.parquet`  (j, lr_e6) — exactly dim rows
+  *   - `_params`          `Tag dim=N`, written LAST as the commit marker
+  *                        (a crashed build leaves no marker and rebuilds;
+  *                        a tag bump invalidates old stores instead of
+  *                        silently mixing bucket schemes)
+  *
+  * 100 TB story: build = the inline fit's one dim-keyed aggregate,
+  * written once; score reads only the dim-row artifact (one driver
+  * collect, centroid/codebook size class) and is a ZERO-exchange
+  * codegen map over the batch — per-batch cost ∝ batch, never ∝ the
+  * fit corpora. */
+object DsirStore {
+
+  /** Bumped when the bucket scheme (unigram+bigram, md5 16-bit) or the
+    * smoothing changes. */
+  val Tag = "dsir-uni+bi-md5x16.v1"
+
+  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
+  private def marker(root: String, corpusId: String): Path =
+    dir(root, corpusId).resolve("_params")
+
+  private def markerText(root: String, corpusId: String): Option[String] = {
+    val m = marker(root, corpusId)
+    if (Files.exists(m))
+      Some(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+    else None
+  }
+
+  /** True iff a complete store exists under the current [[Tag]] and dim. */
+  def isBuilt(root: String, corpusId: String, dim: Int): Boolean =
+    markerText(root, corpusId).contains(s"$Tag dim=$dim")
+
+  /** Fit and persist the weight table; idempotent per
+    * (corpusId, [[Tag]], dim) — a matching store is left untouched,
+    * anything else wiped and rebuilt. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int, root: String, corpusId: String): Unit = {
+    if (isBuilt(root, corpusId, dim)) return
+    val d = dir(root, corpusId)
+    if (Files.exists(d)) rmTree(d)
+    Files.createDirectories(d)
+    Curation.dsirLogRatios(docs, idCol, textCol, isTarget, dim)
+      .write.mode("overwrite").parquet(d.resolve("weights.parquet").toString)
+    Files.write(marker(root, corpusId),
+      s"$Tag dim=$dim".getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Score `docs` under the stored weights — [[Curation.dsirScore]]'s
+    * output shape `(id, n_grams, score_e6)`. The dim comes from the
+    * commit marker; a weights file whose row count disagrees with it
+    * fails loudly (a silently short table would zero-score the missing
+    * buckets and masquerade as a verdict). */
+  def score(spark: SparkSession, root: String, corpusId: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = markerText(root, corpusId).getOrElse(
+      throw new IllegalStateException(
+        s"no committed DSIR store under $root/$corpusId"))
+    require(m.startsWith(s"$Tag dim="),
+      s"DSIR store $root/$corpusId was built under '$m', need '$Tag' — rebuild")
+    val dim = m.stripPrefix(s"$Tag dim=").toInt
+    val rows = spark.read
+      .parquet(dir(root, corpusId).resolve("weights.parquet").toString)
+      .select(col("j").cast("int"), col("lr_e6").cast("long"))
+      .collect()
+    require(rows.length == dim,
+      s"DSIR store $root/$corpusId holds ${rows.length} buckets, marker says $dim")
+    val lrArr = new Array[Long](dim)
+    rows.foreach(r => lrArr(r.getInt(0)) = r.getLong(1))
+    Curation.dsirScore(docs, idCol, textCol,
+      spark.sparkContext.broadcast(lrArr), dim)
+  }
+
+  private def rmTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(p)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

@@ -539,8 +539,9 @@ object TextAnalysis {
       cuts: Seq[(Double, String)] = Seq(1.0 / 3 -> "head", 2.0 / 3 -> "middle"),
       tailLabel: String = "tail"): DataFrame = {
     require(cuts.nonEmpty && cuts.map(_._1) == cuts.map(_._1).sorted &&
+      cuts.map(_._1).distinct.size == cuts.size &&
       cuts.forall(c => c._1 > 0 && c._1 < 1),
-      s"cuts must be ascending fractions in (0,1), got $cuts")
+      s"cuts must be strictly ascending fractions in (0,1), got $cuts")
     val scored = OperatorCache.scoped(
       unigramNll(docs, idCol, textCol).withColumn("__all", lit("all")))
     val aggs = cuts.zipWithIndex.map { case ((p, _), i) =>

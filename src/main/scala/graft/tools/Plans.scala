@@ -118,6 +118,11 @@ object Plans {
       "curate_dsir" -> Seq("TakeOrderedAndProject", "dsir_bucket_sum",
         "hashed_gram_buckets", "!Join", "!HashAggregate", "!Window",
         "!CartesianProduct", "!Exchange"),
+      // stored-weights DSIR score: both kernels in a zero-agg narrow map
+      // (the only exchange is the presentation sort) — the store never
+      // re-fits
+      "curate_dsir_stored" -> Seq("dsir_bucket_sum", "hashed_gram_buckets",
+        "!Join", "!HashAggregate", "!Window", "!CartesianProduct"),
       // perplexity bucketing: scoring aggs + the bracket/refine quantile
       // thresholds broadcast back as one row — the value-buffering
       // Percentile aggregate must never appear (same contract as the

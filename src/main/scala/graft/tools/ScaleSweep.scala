@@ -96,7 +96,7 @@ object ScaleSweep {
       // clustering + one membership equi-join + row-local bucket map
       ("curate_split", "linear"),
       // DSIR: dim-keyed fit agg + one zero-exchange scoring map + top-k
-      ("curate_dsir", "linear"),
+      ("curate_dsir", "linear"), ("curate_dsir_stored", "linear"),
       // NLL scoring + two distributed quantile thresholds + narrow label
       ("text_ppl_buckets", "linear"),
       // per-row BPE count + one id equi-join + band map

@@ -624,4 +624,32 @@ class CurationSpec extends SparkSpec {
       128, 30).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(scored == resampled)
   }
+
+  test("DsirStore: stored score = inline fit+score, idempotent, tag-guarded") {
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "apple pie apple crumble" else "noise words over here",
+        i % 3 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val root = java.nio.file.Files.createTempDirectory("dsirstore_spec").toString
+    graft.operators.DsirStore.build(docs, "doc_id", "text", col("tgt"), 64,
+      root, "c1")
+    assert(graft.operators.DsirStore.isBuilt(root, "c1", 64))
+    assert(!graft.operators.DsirStore.isBuilt(root, "c1", 128)) // dim in tag
+    val stored = graft.operators.DsirStore
+      .score(spark, root, "c1", docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val w = Curation.dsirFitWeights(docs, "doc_id", "text", col("tgt"), 64)
+    val inline = Curation.dsirScore(docs, "doc_id", "text", w, 64)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stored == inline)
+    // a second build under the same params is a no-op (marker survives)
+    graft.operators.DsirStore.build(docs, "doc_id", "text", col("tgt"), 64,
+      root, "c1")
+    assert(graft.operators.DsirStore.isBuilt(root, "c1", 64))
+    // scoring a missing store fails loudly by name
+    intercept[IllegalStateException] {
+      graft.operators.DsirStore.score(spark, root, "absent", docs,
+        "doc_id", "text")
+    }
+  }
 }
