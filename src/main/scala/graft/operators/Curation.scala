@@ -911,8 +911,12 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       weights: org.apache.spark.broadcast.Broadcast[Array[Long]],
       dim: Int): DataFrame = {
+    // null text scores like empty text (0 grams, score 0) — without the
+    // coalesce a null row would carry a NULL score into the Gumbel key
+    // and sort apart from the oracle's absent→0 convention (latent: the
+    // battery corpora carry no null texts)
     val buckets = graft.functions.DsirExpressions.gramBuckets(
-      TextOps.tokens(col(textCol)), dim)
+      TextOps.tokens(coalesce(col(textCol).cast("string"), lit(""))), dim)
     docs.select(col(idCol).cast("long").as("id"), buckets.as("__b"))
       .select(col("id"),
         size(col("__b")).cast("long").as("n_grams"),

@@ -652,4 +652,14 @@ class CurationSpec extends SparkSpec {
         "doc_id", "text")
     }
   }
+
+  test("dsir null text scores like empty text") {
+    val docs = Seq((1L, null.asInstanceOf[String], false), (2L, "a b", true))
+      .toDF("doc_id", "text", "tgt")
+    val w = Curation.dsirFitWeights(docs, "doc_id", "text", col("tgt"), 32)
+    val out = Curation.dsirScore(docs, "doc_id", "text", w, 32)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L)._1 == 3L)
+  }
 }
