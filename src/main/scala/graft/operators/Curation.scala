@@ -874,22 +874,6 @@ object Curation {
           * lit(1e6), 0).cast("long").as("lr_e6"))
   }
 
-  /** DSIR importance resampling: score every doc
-    * `score_e6 = Σ_j c_j · lr_e6(j)` (exact long — the per-doc log
-    * importance weight of the hashed generative model) and draw k docs
-    * WITHOUT replacement via Gumbel top-k —
-    * `key_e6 = score_e6 + round(1e6·(−ln(−ln(u))))` with `u` a pure
-    * md5 function of the row id (the [[Sampling.weightedTopK]]
-    * reproducibility contract; Gumbel avoids the `exp(score)` overflow
-    * the A-ES key would hit at document log-weight magnitudes).
-    *
-    * Scale: fit = [[dsirLogRatios]] (one dim-keyed agg, dim-row collect);
-    * score = ONE zero-exchange codegen'd map over the corpus
-    * ([[graft.functions.DsirBucketSum]] against the broadcast weight
-    * array); selection = `orderBy(key desc).limit(k)` →
-    * TakeOrderedAndProject (per-partition top-k, k-bounded driver merge —
-    * never a full sort shuffle). Returns `(id, n_grams, score_e6,
-    * key_e6)` in selection order (key desc, id asc). */
   /** Run the [[dsirLogRatios]] fit and ship the dim-sized weight table to
     * executors as ONE broadcast — the frozen scoring model a streaming
     * scorer (or a second corpus) reuses without refitting. */
@@ -911,6 +895,13 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       weights: org.apache.spark.broadcast.Broadcast[Array[Long]],
       dim: Int): DataFrame = {
+    // a dim that disagrees with the fitted table would either index out
+    // of bounds inside the codegen kernel (dim > table) or silently score
+    // under a bucket scheme inconsistent with the fit (dim < table) —
+    // fail at plan time instead ([[DsirStore.score]] guards its own path
+    // the same way via the commit marker)
+    require(weights.value.length == dim,
+      s"DSIR weight table holds ${weights.value.length} buckets, caller says dim=$dim")
     // null text scores like empty text (0 grams, score 0) — without the
     // coalesce a null row would carry a NULL score into the Gumbel key
     // and sort apart from the oracle's absent→0 convention (latent: the
@@ -924,6 +915,22 @@ object Curation {
           .as("score_e6"))
   }
 
+  /** DSIR importance resampling: score every doc
+    * `score_e6 = Σ_j c_j · lr_e6(j)` (exact long — the per-doc log
+    * importance weight of the hashed generative model) and draw k docs
+    * WITHOUT replacement via Gumbel top-k —
+    * `key_e6 = score_e6 + round(1e6·(−ln(−ln(u))))` with `u` a pure
+    * md5 function of the row id (the [[Sampling.weightedTopK]]
+    * reproducibility contract; Gumbel avoids the `exp(score)` overflow
+    * the A-ES key would hit at document log-weight magnitudes).
+    *
+    * Scale: fit = [[dsirLogRatios]] (one dim-keyed agg, dim-row collect);
+    * score = ONE zero-exchange codegen'd map over the corpus
+    * ([[graft.functions.DsirBucketSum]] against the broadcast weight
+    * array); selection = `orderBy(key desc).limit(k)` →
+    * TakeOrderedAndProject (per-partition top-k, k-bounded driver merge —
+    * never a full sort shuffle). Returns `(id, n_grams, score_e6,
+    * key_e6)` in selection order (key desc, id asc). */
   def dsirResample(
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, dim: Int, k: Int,

@@ -67,6 +67,16 @@ object DsirStore {
     ()
   }
 
+  /** Per-JVM broadcast cache: re-reading + re-broadcasting the weight
+    * table on EVERY score call leaked one (small, dim-sized) broadcast
+    * per invocation — unbounded over a long scoring session. Keyed by
+    * (root, corpusId, marker text, marker mtime): the marker is written
+    * LAST by [[build]], so a rebuild under the same root bumps its mtime
+    * and can never serve stale weights from here. */
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Long),
+    org.apache.spark.broadcast.Broadcast[Array[Long]]]
+
   /** Score `docs` under the stored weights — [[Curation.dsirScore]]'s
     * output shape `(id, n_grams, score_e6)`. The dim comes from the
     * commit marker; a weights file whose row count disagrees with it
@@ -80,16 +90,19 @@ object DsirStore {
     require(m.startsWith(s"$Tag dim="),
       s"DSIR store $root/$corpusId was built under '$m', need '$Tag' — rebuild")
     val dim = m.stripPrefix(s"$Tag dim=").toInt
-    val rows = spark.read
-      .parquet(dir(root, corpusId).resolve("weights.parquet").toString)
-      .select(col("j").cast("int"), col("lr_e6").cast("long"))
-      .collect()
-    require(rows.length == dim,
-      s"DSIR store $root/$corpusId holds ${rows.length} buckets, marker says $dim")
-    val lrArr = new Array[Long](dim)
-    rows.foreach(r => lrArr(r.getInt(0)) = r.getLong(1))
-    Curation.dsirScore(docs, idCol, textCol,
-      spark.sparkContext.broadcast(lrArr), dim)
+    val mtime = Files.getLastModifiedTime(marker(root, corpusId)).toMillis
+    val bc = bcCache.computeIfAbsent((root, corpusId, m, mtime), _ => {
+      val rows = spark.read
+        .parquet(dir(root, corpusId).resolve("weights.parquet").toString)
+        .select(col("j").cast("int"), col("lr_e6").cast("long"))
+        .collect()
+      require(rows.length == dim,
+        s"DSIR store $root/$corpusId holds ${rows.length} buckets, marker says $dim")
+      val lrArr = new Array[Long](dim)
+      rows.foreach(r => lrArr(r.getInt(0)) = r.getLong(1))
+      spark.sparkContext.broadcast(lrArr)
+    })
+    Curation.dsirScore(docs, idCol, textCol, bc, dim)
   }
 
   private def rmTree(p: Path): Unit = {

@@ -528,6 +528,27 @@ class DedupSpec extends SparkSpec {
       maxDocsPerShingle = 0).count() == 45L)
   }
 
+  test("containment twins share the measured 4-word-shingle default") {
+    // a 40-token doc has 37 distinct 4-word shingles (38 under the old
+    // 3-word default) — the per-doc totals pin which geometry ran, so a
+    // twin silently reverting to 3-word shingles fails here
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 19).map(i => s"w$i").mkString(" ") // 10 tokens → 7 shingles
+    val intra = Dedup.containmentPairs(
+      Seq((1L, big), (2L, excerpt)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(intra.length == 1)
+    assert(intra.head.getLong(2) == 7L && intra.head.getLong(3) == 37L
+      && intra.head.getLong(4) == 7L)
+    val cross = Dedup.containmentPairsAgainst(
+      Seq((100L, excerpt)).toDF("doc_id", "text"),
+      Seq((1L, big)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(cross.length == 1)
+    assert(cross.head.getLong(2) == 7L && cross.head.getLong(3) == 7L
+      && cross.head.getLong(4) == 37L)
+  }
+
   test("containmentPairsAgainst finds new-batch excerpts of the frozen corpus") {
     val ref = Seq(
       (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
