@@ -333,11 +333,18 @@ object Dedup {
 
   /** Connected components over a duplicate-pair edge list: every node gets
     * the minimum id reachable from it (the canonical "survivor"), computed
-    * by iterative min-label propagation — each round is one
-    * join + min-aggregate, and labels converge in O(log diameter) rounds
-    * (near-dup clusters are shallow: pairs and small cliques, so 2-3 rounds
-    * in practice; `maxIters` bounds the worst case; throws if not converged
-    * rather than returning silently-wrong clusters).
+    * by iterative min-label propagation WITH pointer-jumping — each round
+    * is one neighbor-min (join + min-aggregate) plus one label-of-label
+    * shortcut, so the propagated distance roughly doubles per round and
+    * convergence is O(log diameter) rounds even on a path graph (near-dup
+    * clusters are shallow — pairs and small cliques converge in 2-3
+    * rounds; a crawl corpus with a long quote-CHAIN legitimately has
+    * diameter ≫ rounds, which is exactly what the jump step absorbs:
+    * DedupSpec pins a depth-10⁴ path converging well under 20 rounds).
+    * `maxIters` bounds the worst case — the default 48 covers diameter
+    * ~2⁴⁸, beyond any feasible corpus, and unused rounds cost nothing
+    * (the loop exits on the convergence test); throws if not converged
+    * rather than returning silently-wrong clusters.
     *
     * Output: (id, survivor) for every node appearing in `pairs`, including
     * survivors themselves. The keep-one dedup result is then
@@ -349,7 +356,7 @@ object Dedup {
     * the iterative join loop exists for the rare corpus whose duplicate
     * graph itself is big. Same output either way. */
   def connectedComponents(
-      pairs: DataFrame, maxIters: Int = 20, localThreshold: Long = 2000000): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 48, localThreshold: Long = 2000000): DataFrame = {
     val cached = pairs.select(col("a").cast("long"), col("b").cast("long")).cache()
     val nEdges = cached.count()
     val out =
@@ -432,11 +439,12 @@ object Dedup {
     * sum ⇔ a fixpoint — one cheap scan per round, no join-against-previous
     * just to test convergence.
     *
-    * Each round is `localCheckpoint`ed, not merely cached: `labels` feeds
-    * BOTH sides of the propagation join, so without truncating the lineage
-    * the logical plan doubles every round (2^rounds nodes — deep graphs OOM
-    * just *rendering* the plan description for the query listener).
-    * Checkpointing makes round k's plan O(1) regardless of k. */
+    * Each round's two steps (neighbor-min hop, pointer jump) are each
+    * `localCheckpoint`ed, not merely cached: both results feed BOTH sides
+    * of a join, so without truncating the lineage the logical plan doubles
+    * every round (2^rounds nodes — deep graphs OOM just *rendering* the
+    * plan description for the query listener). Checkpointing makes round
+    * k's plan O(1) regardless of k. */
   private def distributedComponents(
       pairs: DataFrame, maxIters: Int, nEdges: Long): DataFrame = {
     val spark = pairs.sparkSession
@@ -456,12 +464,29 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // next label = min(own, min over neighbors' labels)
+      // neighbor-min: label ← min(own, min over neighbors' labels)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("nl").as("nl"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint() // eager: feeds BOTH sides of the jump join below
+      // pointer jump: label ← min(label, label(label)). Every label value
+      // IS a node id present in the table (own id initially, some node's
+      // previous label afterwards — induction keeps it inside the node's
+      // own component), so the lookup is total and the left join is
+      // belt-and-braces. Shortcutting roughly doubles the distance already
+      // propagated each round (reach 2^k−1 after k rounds), making rounds
+      // O(log diameter) where the plain hop loop needed O(diameter) — on a
+      // deep quote-chain graph (A quotes B quotes C …) the old loop turned
+      // the maxIters throw into a job abort on legitimately deep data.
+      // Cost: one node-sized self-equi-join per round, far below the edge
+      // join it saves rounds of.
+      val next = hop.join(
+          hop.select(col("id").as("__jid"), col("label").as("__jl")),
+          col("label") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__jl"), col("label"))).as("label"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0

@@ -217,18 +217,35 @@ class DedupSpec extends SparkSpec {
   }
 
   test("distributedComponents converges on a deep path graph (>3 rounds)") {
-    // path 0-1-2-...-11: min-label needs 11 propagation rounds to reach the
-    // far end — exercises the multi-round loop, per-round re-caching, and
-    // the sum-based convergence detection well past the shallow-clique case
+    // path 0-1-2-...-11: propagation reach after k hop+jump rounds is
+    // 2^(k+1)−2, so labels settle in round 4 and the sum fixpoint is
+    // detected in round 5 — exercises the multi-round loop, per-round
+    // checkpointing, and convergence detection past the shallow-clique case
     val n = 12
     val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
     val got = Dedup.connectedComponents(pairs, maxIters = 20, localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got == (0 until n).map(i => i.toLong -> 0L).toMap)
     // too-low round budget must throw, never return partial labels
+    // (3 rounds reach distance 14 ≥ 11, but the sum fixpoint is only
+    // OBSERVED in a 4th round — converged means proven, not plausible)
     assertThrows[IllegalStateException] {
       Dedup.connectedComponents(pairs, maxIters = 3, localThreshold = 0).collect()
     }
+  }
+
+  test("distributedComponents: pointer jumping bounds rounds by log(diameter)") {
+    // a depth-10⁴ quote-chain (A quotes B quotes C …): the pre-r16 plain
+    // hop loop needed one round per depth unit and ABORTED at maxIters on
+    // this legitimately deep graph; the label-of-label shortcut doubles
+    // the propagated distance per round (reach 2^(k+1)−2 ⇒ settled at
+    // k = 13, fixpoint observed at 14), so 20 rounds are ample
+    import org.apache.spark.sql.functions.col
+    val n = 10001
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, maxIters = 20, localThreshold = 0)
+    assert(out.filter(col("survivor") =!= 0L).count() == 0L)
+    assert(out.count() == n.toLong)
   }
 
   test("ngramJaccardPairs: near-dups found exactly, j_e4 exact") {
