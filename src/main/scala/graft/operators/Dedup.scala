@@ -89,6 +89,24 @@ object Dedup {
       graft.functions.MinhashSigArray(
         col("sh"), TextOps.hashConstants(numHashes)).as("sig"): _*)
 
+  /** Exact-safe Jaccard SIZE bound over distinct-shingle counts:
+    * `J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|)` (the shingle
+    * arrays are distinct-element by construction —
+    * [[TextOps.charShingles]]/[[TextOps.wordShingles]]), so a candidate
+    * whose count ratio cannot reach the threshold can never verify.
+    * Riding the counts through the band join (one scalar per side) kills
+    * such pairs BEFORE the pair-dedup shuffle and the array join-back —
+    * the verify stage's dominant cost (r15 NgramProbe: the join-backs
+    * shuttling full shingle arrays were 2.96 s of dedup_ngram's 4.35 s
+    * at 10×). The cut honors j_e4's HALF_UP rounding: keep iff
+    * `2·10⁴·min ≥ (2τ−1)·max` ⇔ `(min/max)·10⁴ ≥ τ − 0.5` — exactly the
+    * pairs whose ROUNDED Jaccard could still clear τ, so recall is
+    * untouched and every oracle row hashes identically. */
+  private def sizeBoundKeep(
+      cntA: org.apache.spark.sql.Column, cntB: org.apache.spark.sql.Column,
+      minJaccardE4: Long): org.apache.spark.sql.Column =
+    least(cntA, cntB) * lit(20000L) >= greatest(cntA, cntB) * lit(2 * minJaccardE4 - 1)
+
   /** (id, carry..., sig) → exploded (id, carry..., band_ix, band_h) with the
     * signature DROPPED: the output feeds BOTH sides of the candidate
     * self-join, which must stay narrow — at corpus scale candidate volume ×
@@ -140,21 +158,34 @@ object Dedup {
     // action-scoped cache: feeds the signature explode AND both sides of
     // the verify join-back (same lifecycle as `banded`)
     val sh = OperatorCache.scoped(shingleFrame(docs, idCol, textCol, shingleWords))
-    val b = banded(withMinhashSig(sh, numHashes), numBands, rowsPerBand)
+    val b = banded(withMinhashSig(
+        sh.withColumn("cnt", size(col("sh")).cast("long")),
+        numHashes, carry = Seq("cnt")),
+      numBands, rowsPerBand)
 
-    // slim candidate join (ids + band keys), dedup bare pairs, THEN join the
-    // shingle arrays back by id for the exact-Jaccard verify — the arrays
-    // never ride the candidate or pair-dedup shuffles
-    val cand = b.select(col("id").as("a"), col("band_ix"), col("band_h"))
-      .join(b.select(col("id").as("b"), col("band_ix"), col("band_h")),
-        Seq("band_ix", "band_h"))
-      .filter(col("a") < col("b"))
+    // slim candidate join (ids + band keys + the scalar shingle count),
+    // size-bound gate ([[sizeBoundKeep]] — exact-safe), dedup bare pairs,
+    // THEN join the shingle arrays back by id for the exact-Jaccard
+    // verify — the arrays never ride the candidate or pair-dedup shuffles
+    val cand = b.select(col("id").as("a"), col("cnt").as("cnt_a"),
+        col("band_ix"), col("band_h"))
+      .join(b.select(col("id").as("b"), col("cnt").as("cnt_b"),
+        col("band_ix"), col("band_h")), Seq("band_ix", "band_h"))
+      .filter(col("a") < col("b")
+        && sizeBoundKeep(col("cnt_a"), col("cnt_b"), minJaccardE4))
       .select("a", "b")
       .dropDuplicates("a", "b")
+    // hashed verify (r16): the join-backs shuttle row-local SORTED
+    // xxhash64 arrays (8 B/element primitive vs ~13–16 B string bytes +
+    // offsets) and the intersection is an allocation-free merge — see
+    // [[graft.functions.HashedJaccard]] for the exactness stance
+    val hv = OperatorCache.scoped(sh.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh")))
     cand
-      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .join(hv.select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
+      .join(hv.select(col("id").as("b"), col("shh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.JaccardE4Sorted(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
       // a duplicate doc id would multiply pairs through the join-backs;
       // this final distinct is over the NARROW output (a, b, j_e4), unlike
@@ -193,20 +224,31 @@ object Dedup {
       OperatorCache.scoped(shingleFrame(docs, idCol, textCol, shingleWords))
     val shNew = prep(newDocs)
     val shRef = prep(refDocs)
-    val bNew = banded(withMinhashSig(shNew, numHashes), numBands, rowsPerBand)
-    val bRef = banded(withMinhashSig(shRef, numHashes), numBands, rowsPerBand)
-    // slim candidate join (ids + band keys only), dedup bare pairs, then
-    // the shingle arrays join back by id — same narrowness contract as
-    // the self-join variant (Plans.scala band-join gate applies)
-    val cand = bNew.select(col("id").as("a"), col("band_ix"), col("band_h"))
-      .join(bRef.select(col("id").as("b"), col("band_ix"), col("band_h")),
-        Seq("band_ix", "band_h"))
+    def withCnt(sh: DataFrame) = sh.withColumn("cnt", size(col("sh")).cast("long"))
+    val bNew = banded(withMinhashSig(withCnt(shNew), numHashes,
+      carry = Seq("cnt")), numBands, rowsPerBand)
+    val bRef = banded(withMinhashSig(withCnt(shRef), numHashes,
+      carry = Seq("cnt")), numBands, rowsPerBand)
+    // slim candidate join (ids + band keys + scalar shingle counts),
+    // size-bound gate ([[sizeBoundKeep]] — exact-safe, side-symmetric),
+    // dedup bare pairs, then the shingle arrays join back by id — same
+    // narrowness contract as the self-join variant (Plans.scala band-join
+    // gate applies)
+    val cand = bNew.select(col("id").as("a"), col("cnt").as("cnt_a"),
+        col("band_ix"), col("band_h"))
+      .join(bRef.select(col("id").as("b"), col("cnt").as("cnt_b"),
+        col("band_ix"), col("band_h")), Seq("band_ix", "band_h"))
+      .filter(sizeBoundKeep(col("cnt_a"), col("cnt_b"), minJaccardE4))
       .select("a", "b")
       .dropDuplicates("a", "b")
+    // hashed verify — same plan as [[minhashPairs]]'s (r16)
+    def hv(sh: DataFrame) = OperatorCache.scoped(sh.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh")))
     cand
-      .join(shNew.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(shRef.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .join(hv(shNew).select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
+      .join(hv(shRef).select(col("id").as("b"), col("shh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.JaccardE4Sorted(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
       .distinct()
   }
@@ -234,10 +276,17 @@ object Dedup {
         Seq("band_ix", "band_h"))
       .select("a", "b")
       .dropDuplicates("a", "b")
+    // hashed verify (r16): the new side reuses its cached hash frame; the
+    // reference side hashes as a NARROW row-local map over the bare store
+    // scan (no explode, no exchange — the scan-only plan gate still holds)
+    val hvNew = OperatorCache.scoped(shNew.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh")))
     cand
-      .join(shNew.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(refShingles.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .join(hvNew.select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
+      .join(refShingles.select(col("id").as("b"),
+        graft.functions.HashedSortedShingles(col("sh")).as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.JaccardE4Sorted(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
       .distinct()
   }
@@ -525,23 +574,35 @@ object Dedup {
       .select(col("id"), normText(col("__text")).as("__lt"))
       .select(col("id"), charShingles(col("__lt"), n).as("sh"),
         length(col("__lt")).cast("long").as("len")))
-    // `len` (one scalar) rides the band join so the length-proximity gate
-    // prunes candidates BEFORE the pair-dedup shuffle; the shingle arrays
-    // join back by id only for the surviving pairs
-    val b = banded(withMinhashSig(base, numHashes, carry = Seq("len")),
+    // `len` and the distinct-shingle count (two scalars) ride the band
+    // join so BOTH exact-safe gates — length proximity and the Jaccard
+    // size bound (see [[sizeBoundKeep]]) — prune candidates BEFORE the
+    // pair-dedup shuffle; the shingle arrays join back by id only for the
+    // surviving pairs
+    val b = banded(withMinhashSig(
+        base.withColumn("cnt", size(col("sh")).cast("long")),
+        numHashes, carry = Seq("len", "cnt")),
       numBands, rowsPerBand)
 
     val cand = b.select(col("id").as("a"), col("len").as("len_a"),
-        col("band_ix"), col("band_h"))
+        col("cnt").as("cnt_a"), col("band_ix"), col("band_h"))
       .join(b.select(col("id").as("b"), col("len").as("len_b"),
-        col("band_ix"), col("band_h")), Seq("band_ix", "band_h"))
-      .filter(col("a") < col("b") && abs(col("len_a") - col("len_b")) < maxLenDiff)
+        col("cnt").as("cnt_b"), col("band_ix"), col("band_h")),
+        Seq("band_ix", "band_h"))
+      .filter(col("a") < col("b") && abs(col("len_a") - col("len_b")) < maxLenDiff
+        && sizeBoundKeep(col("cnt_a"), col("cnt_b"), minJaccardE4))
       .select("a", "b")
       .dropDuplicates("a", "b")
+    // hashed verify — same plan as [[minhashPairs]]'s (r16); with ~200
+    // candidates per true pair the array join-back is this operator's
+    // wall, and char-5-gram arrays are the family's largest payloads
+    val hv = OperatorCache.scoped(base.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh")))
     cand
-      .join(base.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(base.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"), jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
+      .join(hv.select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
+      .join(hv.select(col("id").as("b"), col("shh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.JaccardE4Sorted(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)
       .distinct() // duplicate-id inputs: same narrow-output contract as minhashPairs
   }

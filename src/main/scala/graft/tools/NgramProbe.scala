@@ -77,38 +77,77 @@ object NgramProbe {
       .dropDuplicates("a", "b")
     time("band-join candidates")(cand.count())
 
-    // stage 3b: row-local kernel signature (the r15 rewrite)
-    val ksig = base.select(col("id"), col("len"),
-      graft.functions.MinhashSigArray(col("sh"),
-        TextOps.hashConstants(numHashes)).as("sig"))
+    // stage 3b: row-local kernel signature (the r15 rewrite), carrying the
+    // distinct-shingle count the r16 size-bound gate rides on
+    val ksig = base.withColumn("cnt", size(col("sh")).cast("long"))
+      .select(col("id"), col("len"), col("cnt"),
+        graft.functions.MinhashSigArray(col("sh"),
+          TextOps.hashConstants(numHashes)).as("sig"))
     time("kernel signature")(ksig.count())
 
     // stage 4b: band join candidates off the kernel signature (cached like
-    // the operator's `banded`)
-    val kb = ksig.select(col("id"), col("len"),
+    // the operator's `banded`) — length gate only (the pre-r16 candidate set)
+    val kb = ksig.select(col("id"), col("len"), col("cnt"),
         posexplode(TextOps.lshBands(col("sig"), numBands, rowsPerBand))
           .as(Seq("band_ix", "band_h"))).cache()
     kb.count()
-    val kcand = kb.select(col("id").as("a"), col("len").as("len_a"),
-        col("band_ix"), col("band_h"))
-      .join(kb.select(col("id").as("b"), col("len").as("len_b"),
-        col("band_ix"), col("band_h")), Seq("band_ix", "band_h"))
-      .filter(col("a") < col("b") && abs(col("len_a") - col("len_b")) < maxLenDiff)
-      .select("a", "b")
-      .dropDuplicates("a", "b")
+    def candJoin(extraKeep: org.apache.spark.sql.Column) =
+      kb.select(col("id").as("a"), col("len").as("len_a"),
+          col("cnt").as("cnt_a"), col("band_ix"), col("band_h"))
+        .join(kb.select(col("id").as("b"), col("len").as("len_b"),
+          col("cnt").as("cnt_b"), col("band_ix"), col("band_h")),
+          Seq("band_ix", "band_h"))
+        .filter(col("a") < col("b")
+          && abs(col("len_a") - col("len_b")) < maxLenDiff && extraKeep)
+        .select("a", "b")
+        .dropDuplicates("a", "b")
+    val kcand = candJoin(lit(true))
     time("kernel candidates (hot)")(kcand.count())
+    // stage 4c: + the exact-safe Jaccard size bound (r16):
+    // min/max·10⁴ ≥ τ−0.5 over the carried counts — only these pairs
+    // reach the array join-back in the shipping operator
+    val kcandB = candJoin(
+      least(col("cnt_a"), col("cnt_b")) * lit(20000L)
+        >= greatest(col("cnt_a"), col("cnt_b")) * lit(2L * 5000L - 1L))
+    time("bounded candidates (hot)")(kcandB.count())
     val candM = kcand.cache(); candM.count()
+    val candBM = kcandB.cache(); candBM.count()
     val baseM = base.cache(); baseM.count()
 
-    // stage 5b: verify alone on cached candidates + cached base
-    val ver = candM
+    def verify(cand: org.apache.spark.sql.DataFrame) = cand
       .join(baseM.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(baseM.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), TextOps.jaccardE4(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= 5000)
       .distinct()
-    time("verify alone (hot inputs)")(ver.count())
-    kb.unpersist(); candM.unpersist(); baseM.unpersist()
+    // stage 5a': the join-back SHUTTLE alone (arrays cross the two joins,
+    // no jaccard kernel) — separates exchange volume from kernel CPU
+    time("join-back shuttle alone")(candM
+      .join(baseM.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(baseM.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select((size(col("sh_a")) + size(col("sh_b"))).as("z"))
+      .filter(col("z") >= 0).count())
+    // stage 5b: verify alone on cached candidates + cached base — the
+    // pre-r16 verify cost (arrays join back for EVERY band candidate)
+    time("verify alone (hot inputs)")(verify(candM).count())
+    // stage 5c: verify on the size-bounded candidates — the shipping cost
+    time("verify alone (bounded, hot)")(verify(candBM).count())
+    // stage 5d: the r16 HASHED verify — sorted xxhash64 arrays join back
+    // (8 B/element primitive) and an allocation-free merge counts the
+    // intersection; this is the shipping operator's verify stage
+    val hvM = baseM.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh")).cache()
+    hvM.count()
+    val verH = candBM
+      .join(hvM.select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
+      .join(hvM.select(col("id").as("b"), col("shh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.JaccardE4Sorted(col("sh_a"), col("sh_b")).as("j_e4"))
+      .filter(col("j_e4") >= 5000)
+      .distinct()
+    time("verify alone (hashed, hot)")(verH.count())
+    kb.unpersist(); candM.unpersist(); candBM.unpersist(); baseM.unpersist()
+    hvM.unpersist()
 
     // stage 5: the full operator (verify included)
     time("full dedup_ngram")(

@@ -38,6 +38,41 @@ class JaccardKernelSpec extends SparkSpec {
     assert(out.filter(col("k").isNull =!= col("c").isNull).count() == 0)
   }
 
+  test("hashed sorted-merge twin == string kernel on seeded random arrays") {
+    // the r16 verify path: row-local sorted xxhash64 arrays + merge count.
+    // Identical to the string kernel absent 64-bit collisions — none occur
+    // at fuzz scale, so bit-equality is demanded (duplicates included:
+    // numElements parity keeps the union arithmetic aligned with size())
+    val rnd = new scala.util.Random(421601L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def arr(): Seq[String] = Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
+    val rows = (0 until 400).map(_ => (arr(), arr())) :+
+      ((Seq.empty[String], Seq("w1", "w2"))) // one-sided empty: j = 0
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      JaccardE4Sorted(HashedSortedShingles(col("a")),
+        HashedSortedShingles(col("b"))).as("h"),
+      JaccardE4(col("a"), col("b")).as("k"))
+    assert(out.filter(col("h") =!= col("k")).count() == 0)
+  }
+
+  test("hashed twin: null element rejected; two empties throw like ANSI") {
+    val boomNull = intercept[Exception] {
+      Seq((Seq("x", null), Seq("x"))).toDF("a", "b")
+        .select(JaccardE4Sorted(HashedSortedShingles(col("a")),
+          HashedSortedShingles(col("b")))).collect()
+    }
+    assert(boomNull.toString.contains("null element") ||
+      Option(boomNull.getCause).exists(_.toString.contains("null element")))
+    val boomEmpty = intercept[Exception] {
+      Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+        .select(JaccardE4Sorted(HashedSortedShingles(col("a")),
+          HashedSortedShingles(col("b")))).collect()
+    }
+    assert(boomEmpty.toString.contains("ArithmeticException") ||
+      boomEmpty.getCause != null)
+  }
+
   test("null inputs null out; two empty arrays throw like ANSI division") {
     val df = Seq((Some(Seq("x")), Option.empty[Seq[String]])).toDF("a", "b")
     assert(df.select(JaccardE4(col("a"), col("b"))).head().isNullAt(0))
