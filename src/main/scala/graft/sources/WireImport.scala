@@ -79,7 +79,12 @@ import graft.api.{LocalClient, RemoteClient, WireEntry, WireException}
   * Consistency: a server ingesting concurrently is drained best-effort —
   * counts are read once from STATS; entries appended after that snapshot
   * may or may not be seen by later pages (the same read-skew any paged
-  * wire export has). Import quiesced servers for exact snapshots. */
+  * wire export has). Import quiesced servers for exact snapshots — or
+  * migrate LIVE with [[followOnce]]/[[follow]], which compose this pager
+  * into an incremental tail: each poll cycle imports only past each
+  * topic's sidecar high-water mark, holding back the boundary
+  * microsecond while the source is appending (see [[followOnce]] for the
+  * no-downtime cutover recipe and the monotonic-append contract). */
 object WireImport {
 
   final case class Result(topics: Int, entries: Long, pages: Int)
@@ -184,7 +189,87 @@ object WireImport {
   def importInto(spark: SparkSession, client: RemoteClient,
       targetRoot: String, pageSize: Int = 50000, resume: Boolean = false,
       onPage: (String, Long, Long) => Unit = (_, _, _) => (),
+      concurrency: Int = 1): Result =
+    run(spark, client, targetRoot, pageSize, resume, onPage, concurrency,
+      holdback = false, keepSidecar = false)
+
+  // ---- follow (live incremental ingest) ---------------------------------
+
+  /** ONE poll cycle of a live migration: re-LIST topics (new ones are
+    * created), re-read STATS, and import ONLY the window past each
+    * topic's sidecar high-water mark — the batch pager composed into an
+    * incremental tail, so a live fossil deployment migrates WITHOUT
+    * downtime: follow while the source keeps appending, quiesce it, run
+    * one `closeBoundary = true` cycle, switch over.
+    *
+    * The boundary microsecond is HELD BACK while the source is live
+    * (`closeBoundary = false` imports only up to `last − 1µs` per topic):
+    * the source may still be appending entries INTO the µs STATS reported
+    * as `last`, and a cycle that imported through `last` would silently
+    * miss any that land after its QUERY — the one read-skew window paging
+    * cannot see. Held-back entries are picked up by the next cycle (the
+    * topic's `last` has moved past them) or by the final quiesced
+    * `closeBoundary` cycle. Consequently a resumed pending window always
+    * sits strictly below the source's observed tail, so the
+    * "source gained in-window entries" resume hazard of the batch path
+    * cannot occur under follow's own contract.
+    *
+    * CONTRACT: the source must append time-monotonically per topic (the
+    * reference server stamps entries at append receipt), and this
+    * importer must be the topics' only writer on the target. An
+    * out-of-order append below a topic's high-water mark is permanently
+    * missed — the same property any watermark-paged tail has.
+    *
+    * The sidecar is NEVER deleted by follow cycles — it IS the high-water
+    * state between polls. Re-running after `closeBoundary` is safe and
+    * idempotent: a cycle with no new source entries imports nothing. */
+  def followOnce(spark: SparkSession, client: RemoteClient,
+      targetRoot: String, pageSize: Int = 50000,
+      closeBoundary: Boolean = false,
+      onPage: (String, Long, Long) => Unit = (_, _, _) => (),
+      concurrency: Int = 1): Result =
+    run(spark, client, targetRoot, pageSize, resume = true, onPage,
+      concurrency, holdback = !closeBoundary, keepSidecar = true)
+
+  /** Poll-loop around [[followOnce]]: cycles every `pollIntervalMs` until
+    * `quiesced()` turns true, then runs ONE final `closeBoundary` cycle
+    * (the source must actually be quiesced by then — that cycle drains
+    * each topic's boundary microsecond). Returns the aggregate result;
+    * `onCycle(i, result)` observes each cycle (0-based, the close cycle
+    * last). */
+  def follow(spark: SparkSession, client: RemoteClient,
+      targetRoot: String, quiesced: () => Boolean,
+      pageSize: Int = 50000, pollIntervalMs: Long = 1000L,
+      onCycle: (Int, Result) => Unit = (_, _) => (),
+      onPage: (String, Long, Long) => Unit = (_, _, _) => (),
       concurrency: Int = 1): Result = {
+    require(pollIntervalMs >= 0, s"pollIntervalMs must be >= 0, got $pollIntervalMs")
+    var topics = 0
+    var entries = 0L
+    var pages = 0
+    var i = 0
+    var done = false
+    while (!done) {
+      done = quiesced() // check BEFORE the cycle: the close cycle below drains
+      val r =
+        if (done) followOnce(spark, client, targetRoot, pageSize,
+          closeBoundary = true, onPage, concurrency)
+        else followOnce(spark, client, targetRoot, pageSize,
+          closeBoundary = false, onPage, concurrency)
+      topics = r.topics
+      entries += r.entries
+      pages += r.pages
+      onCycle(i, r)
+      i += 1
+      if (!done && pollIntervalMs > 0) Thread.sleep(pollIntervalMs)
+    }
+    Result(topics, entries, pages)
+  }
+
+  private def run(spark: SparkSession, client: RemoteClient,
+      targetRoot: String, pageSize: Int, resume: Boolean,
+      onPage: (String, Long, Long) => Unit,
+      concurrency: Int, holdback: Boolean, keepSidecar: Boolean): Result = {
     require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
     require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     val target = new LocalClient(spark, targetRoot)
@@ -307,6 +392,10 @@ object WireImport {
     }
 
     def importTopic(topic: String, n: Long, firstUs: Long, lastUs: Long): Unit = {
+      // follow cycles hold back the boundary microsecond — the source may
+      // still be appending into the µs STATS reported as `last` (see
+      // [[followOnce]]); the batch path imports through it
+      val effLast = if (holdback) lastUs - 1 else lastUs
       val prior = stateLock.synchronized(state.get(topic))
       prior.flatMap(_.pending).foreach { case (lo, hi) =>
         recoverPending(topic, lo, hi)
@@ -315,24 +404,24 @@ object WireImport {
       val done = stateLock.synchronized(state.get(topic)).map(s => math.max(s.done,
         s.pending.map(_._2).getOrElse(Long.MinValue))).getOrElse(Long.MinValue)
       val startUs = if (done == Long.MinValue) firstUs else done + 1
-      if (startUs <= lastUs) {
-        // evenly spaced µs bounds over [start, last]; window i is
-        // [b_i, b_{i+1} − 1µs], the final closes exactly at last —
+      if (startUs <= effLast) {
+        // evenly spaced µs bounds over [start, effLast]; window i is
+        // [b_i, b_{i+1} − 1µs], the final closes exactly at effLast —
         // disjoint and covering. BigInt: span·i can exceed Long for
         // many-page topics even at µs scale.
         val nPages = math.max(1L, (n + pageSize - 1) / pageSize)
-        val span = Math.subtractExact(lastUs, startUs)
+        val span = Math.subtractExact(effLast, startUs)
         def bound(i: Long): Long = startUs + (BigInt(span) * i / nPages).toLong
         (0L until nPages).foreach { i =>
           val lo = bound(i)
-          val hi = if (i == nPages - 1) lastUs else bound(i + 1) - 1
+          val hi = if (i == nPages - 1) effLast else bound(i + 1) - 1
           if (hi >= lo) {
             importWindow(topic, lo - 1, lo, hi)
             markDone(topic, hi)
           }
         }
       }
-      markDone(topic, math.max(done, lastUs))
+      markDone(topic, math.max(done, effLast))
     }
 
     val work = stats.toSeq.sortBy(_._1)
@@ -363,7 +452,9 @@ object WireImport {
         }
       } finally pool.shutdownNow()
     }
-    Files.deleteIfExists(stateFile(targetRoot))
+    // follow cycles keep the sidecar — it IS the inter-poll high-water
+    // state; the batch path deletes it as its completion marker
+    if (!keepSidecar) Files.deleteIfExists(stateFile(targetRoot))
     Result(topics.size, entries.get(), pages.get())
   }
 }

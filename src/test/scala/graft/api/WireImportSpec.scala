@@ -388,6 +388,94 @@ class WireImportSpec extends SparkSpec {
     assert(WireImport.loadState(root) == st)
   }
 
+  test("follow: live source keeps appending between poll cycles; final " +
+      "store == source entry-for-entry, no window double-lands") {
+    val srcRoot = Files.createTempDirectory("graft_wf_src").toString
+    val dstRoot = Files.createTempDirectory("graft_wf_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/live/a", "int64")
+    src.createTopic("/live/b", "string")
+    val t0 = 1735600000L * 1000L // ms
+    def appendBatch(offset: Int, n: Int): Unit = (0 until n).foreach { i =>
+      src.append("/live/a", (offset + i).toLong,
+        new Timestamp(t0 + (offset + i) * 1000L))
+      src.append("/live/b", s"m${offset + i}",
+        new Timestamp(t0 + (offset + i) * 1100L))
+    }
+    appendBatch(0, 6)
+    val server = new WireServer(spark, Map("live" -> srcRoot), "live", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "live")
+      try {
+        // cycle 1: imports everything except each topic's boundary µs
+        val r1 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4)
+        assert(r1.entries == 10L) // 12 appended − 2 held-back boundary entries
+        // source keeps appending between polls (through the local store
+        // only to control timestamps — data dirs are re-scanned per
+        // query, so the appends are live to the server)
+        appendBatch(6, 5)
+        // cycle 2: picks up the held-back entries + the new window
+        val r2 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4)
+        assert(r2.entries > 0L)
+        appendBatch(11, 3)
+        // a NEW topic lands mid-follow, created AND fed over the WIRE
+        // (the serving store owns the catalog — a second ParquetStore
+        // over the same root is the documented two-writers anti-pattern,
+        // so it comes after the last local-store append); the wire append
+        // stamps the fixed clock (2025-01-01), a µs past every batch entry
+        client.create("/live/new", "float64")
+        client.append("/live/new",
+          graft.engine.Codec.encode(graft.engine.FossilSchema.SFloat64, 2.5))
+        // quiesced now: the close cycle creates + drains the new topic
+        // and every boundary microsecond
+        val r3 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4,
+          closeBoundary = true)
+        // exactly-once across cycles: counts sum to the source total (29)
+        // AND the per-entry compare below rules out substitutions
+        info(s"r1=${r1.entries} r2=${r2.entries} r3=${r3.entries}")
+        assert(r1.entries + r2.entries + r3.entries == 29L)
+        // idempotent re-poll after close: nothing new, nothing re-landed
+        val r4 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4,
+          closeBoundary = true)
+        assert(r4.entries == 0L)
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+    // fresh readers on both roots: `src`'s in-memory catalog predates the
+    // wire-created topic, a fresh store loads the persisted catalog.json
+    val dst = new LocalClient(spark, dstRoot, fixedClock)
+    val srcFresh = new LocalClient(spark, srcRoot, fixedClock)
+    assert(dst.listTopics.toMap == srcFresh.listTopics.toMap)
+    assert(dst.listTopics.toMap.contains("/live/new"))
+  }
+
+  test("follow loop: polls until quiesced, then one close cycle drains") {
+    val srcRoot = Files.createTempDirectory("graft_wfl_src").toString
+    val dstRoot = Files.createTempDirectory("graft_wfl_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/t", "int64")
+    val t0 = 1735600000L * 1000L
+    (0 until 5).foreach(i => src.append("/t", i.toLong, new Timestamp(t0 + i * 1000L)))
+    val server = new WireServer(spark, Map("d" -> srcRoot), "d", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "d")
+      try {
+        var cycles = 0
+        val r = WireImport.follow(spark, client, dstRoot,
+          quiesced = () => cycles >= 2, pageSize = 3, pollIntervalMs = 0L,
+          onCycle = (_, _) => {
+            // the source appends WHILE the loop polls (before quiescing)
+            if (cycles < 2)
+              src.append("/t", (100 + cycles).toLong,
+                new Timestamp(t0 + (100 + cycles) * 1000L))
+            cycles += 1
+          })
+        assert(r.entries == 7L) // 5 initial + 2 appended mid-loop
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
+  }
+
   test("single-entry topics and identical timestamps page safely") {
     val srcRoot = Files.createTempDirectory("graft_wi_one").toString
     val dstRoot = Files.createTempDirectory("graft_wi_one_dst").toString
