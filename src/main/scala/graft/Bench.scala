@@ -187,10 +187,14 @@ object Bench {
     // rounds running the driver's stdout tail-capture truncated the
     // headline line's head and lost rows (r8: the 7 ann_*/dedup_against_*
     // rows) — this artifact, not the stdout line, is the durable record.
+    // "phases" = the per-row phase ledger (e.g. stream_session's two
+    // checkpointed restarts): attribution INSIDE engine walls so window
+    // comparisons can see which phase of an I/O-mixed row moved — the
+    // disk-weather rows stop dominating cross-round diffs (r15 note 3)
     val finalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,""" +
       s""""harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed,""" +
-      s""""failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
+      s""""failed":$failedArr,"queries":$qs,"phases":$ps,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_final.json"),
       finalLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -900,7 +900,14 @@ object Queries {
           lit("/sentinel/x").as("topic"), lit(0.0).as("value"))
           .coalesce(1).write.mode("append").json(in)
       }
-      pass(64) // real clicks; open sessions held back in state
+      // each checkpointed pass is phase-attributed (r15 verdict note 3):
+      // this row is the battery's disk-weather antenna (4.9–21.7 s spread
+      // on identical code across one night), and the per-pass ledger in
+      // the bench sidecar lets a window comparison see WHICH restart
+      // moved instead of re-litigating the whole row every round
+      phase("stream_session/pass_initial") {
+        pass(64) // real clicks; open sessions held back in state
+      }
       // ONE checkpointed restart carrying BOTH sentinels, sequenced into
       // separate micro-batches (maxFilesPerTrigger=1): batch 1 advances
       // the watermark past every real session's end, batch 2 is a DATA
@@ -910,7 +917,9 @@ object Queries {
       // watermark advance, data-batch emission) at one restart's cost.
       sentinel(365L * 86400L * 1000000L)
       sentinel(730L * 86400L * 1000000L)
-      pass(1)
+      phase("stream_session/pass_restart") {
+        pass(1)
+      }
       s.read.parquet(outDir)
         .filter(col("topic").startsWith("/u/"))
         .select(substring_index(col("topic"), "/", -1).cast("bigint").as("user_id"),
