@@ -307,18 +307,42 @@ object Multimodal {
     * `(media_id, feat_ix, feat)` output that assembles into a vector
     * column with [[featureVectors]] or rides straight into the ANN
     * operators. No shuffle. */
-  def imageFeatures(media: Dataset[MediaFile], dim: Int): Dataset[MediaFeatures] = {
+  def imageFeatures(media: Dataset[MediaFile], dim: Int): Dataset[MediaFeatures] =
+    mediaFeatures(media, new Md5StubVectorizer(dim))
+
+  /** The pluggable embedder seam (r16): a real deployment drops its model
+    * in here and every downstream composition ([[featureVectors]],
+    * persisted feature tables, the ANN index family) is unchanged.
+    *
+    * `open()` runs ONCE PER PARTITION on the executor — the model-load
+    * slot (weights, inference session, codec contexts) — and returns the
+    * per-row embed function closing over that state; the [[Vectorizer]]
+    * itself must be small and Serializable (the FACTORY ships to
+    * executors, the loaded model never crosses the wire). The embed
+    * function receives the format-isolated payload span (image header
+    * span / WAV data-chunk walk already stripped) and returns exactly
+    * `dim` features as exact longs — scale float embeddings to e-fixed
+    * integers (e6 is the battery-wide convention) so results stay
+    * engine-reproducible. */
+  trait Vectorizer extends Serializable {
+    def dim: Int
+    def open(): (Array[Byte], Int, Int) => Array[Long]
+  }
+
+  /** The container's deterministic stand-in for a model forward (no
+    * inference runtime here): payload digested once, then per-dim md5
+    * expansion — see [[imageFeatures]]'s scaladoc for the cost-profile
+    * contract it preserves (per-row payload + dim·36 B, never
+    * dim·payload). */
+  final class Md5StubVectorizer(val dim: Int) extends Vectorizer {
     require(dim >= 1 && dim <= 4096, s"feature dim must be in [1, 4096], got $dim")
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // per-partition init: where a real embedder loads its model once
+    def open(): (Array[Byte], Int, Int) => Array[Long] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hexDigits = "0123456789abcdef".toCharArray
-      it.flatMap { m =>
-        val span = HeaderDecoder.payloadSpan(m.bytes)
+      (bytes, off, len) => {
         // the one pass over the payload — the "forward" input read
         md.reset()
-        md.update(m.bytes, span, m.bytes.length - span)
+        md.update(bytes, off, len)
         val inner = md.digest()
         val hex = new Array[Byte](32)
         var i = 0
@@ -327,15 +351,39 @@ object Multimodal {
           hex(2 * i + 1) = hexDigits(inner(i) & 0xf).toByte
           i += 1
         }
-        (0 until dim).iterator.map { j =>
+        val out = new Array[Long](dim)
+        var j = 0
+        while (j < dim) {
           md.reset()
           md.update(hex)
           md.update(s":$j".getBytes(StandardCharsets.US_ASCII))
           val d = md.digest()
           val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
             ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-          MediaFeatures(m.media_id, j, u % 2001L - 1000L)
+          out(j) = u % 2001L - 1000L
+          j += 1
         }
+        out
+      }
+    }
+  }
+
+  /** [[imageFeatures]] generalized over a [[Vectorizer]] — identical
+    * distributed shape (per-partition open, payload-span isolation,
+    * narrow exploded output, no shuffle); [[imageFeatures]] IS this
+    * operator under [[Md5StubVectorizer]], so the stub and a real
+    * embedder run byte-for-byte the same plumbing. */
+  def mediaFeatures(media: Dataset[MediaFile], v: Vectorizer): Dataset[MediaFeatures] = {
+    require(v.dim >= 1 && v.dim <= 4096, s"feature dim must be in [1, 4096], got ${v.dim}")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val embed = v.open() // per-partition init: the model-load slot
+      it.flatMap { m =>
+        val span = HeaderDecoder.payloadSpan(m.bytes)
+        val feats = embed(m.bytes, span, m.bytes.length - span)
+        require(feats.length == v.dim,
+          s"vectorizer returned ${feats.length} features, declared dim ${v.dim}")
+        (0 until v.dim).iterator.map(j => MediaFeatures(m.media_id, j, feats(j)))
       }
     }
   }

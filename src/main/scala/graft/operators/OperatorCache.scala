@@ -63,9 +63,16 @@ object OperatorCache {
   // weak keys: a dead session's entries vanish with it (the values of
   // `installed` hold no session reference; `registered` queues do via
   // their frames, so those entries are additionally removed when drained)
-  private val registered: java.util.Map[SparkSession, ConcurrentLinkedQueue[DataFrame]] =
+  // Each entry carries the frame AND the CacheManager builder captured at
+  // registration time: executed plans embed THAT builder, and a FAILED
+  // action can leave the CacheManager holding a re-created entry (fresh
+  // builder, re-planned cachedPlan) for the same frame — matching only
+  // the CURRENT builder then misses the reference and leaks the cache
+  // (surfaced by the r16 hashed-verify frame, whose re-planned builder
+  // compares structurally unequal to its original).
+  private val registered: java.util.Map[SparkSession, ConcurrentLinkedQueue[(DataFrame, Any)]] =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]())
+      new java.util.WeakHashMap[SparkSession, ConcurrentLinkedQueue[(DataFrame, Any)]]())
   private val installed: java.util.Map[SparkSession, QueryExecutionListener] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, QueryExecutionListener]())
@@ -87,14 +94,24 @@ object OperatorCache {
       l
     })
     val cached = df.cache()
+    // the builder the CacheManager holds RIGHT NOW — the one executed
+    // plans will embed (see the registry comment: a failed action can
+    // re-create the entry under a fresh builder)
+    val builderAtReg: Any =
+      try spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sharedState.cacheManager
+        .lookupCachedData(cached.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .map(_.cachedRepresentation.cacheBuilder).orNull
+      catch { case _: Throwable => null }
     // registration re-checks the queue is still the live entry under its
     // lock: a release pass that just drained it empty may have removed it
     // from the map, and an add to that orphaned queue would never release
     var done = false
     while (!done) {
-      val q = registered.computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
+      val q = registered.computeIfAbsent(spark,
+        _ => new ConcurrentLinkedQueue[(DataFrame, Any)]())
       q.synchronized {
-        if (registered.get(spark) eq q) { q.add(cached); done = true }
+        if (registered.get(spark) eq q) { q.add((cached, builderAtReg)); done = true }
       }
     }
     cached
@@ -156,21 +173,27 @@ object OperatorCache {
     // drain/filter/re-add runs under the queue's lock so concurrent
     // release passes can't hide each other's drained entries.
     q.synchronized {
-      val drained = new java.util.ArrayList[DataFrame]()
-      var df = q.poll()
-      while (df != null) { drained.add(df); df = q.poll() }
-      val keep = new java.util.ArrayList[DataFrame]()
+      val drained = new java.util.ArrayList[(DataFrame, Any)]()
+      var e = q.poll()
+      while (e != null) { drained.add(e); e = q.poll() }
+      val keep = new java.util.ArrayList[(DataFrame, Any)]()
       var i = drained.size() - 1
       while (i >= 0) {
-        val d = drained.get(i)
-        val referenced =
+        val (d, regBuilder) = drained.get(i)
+        // referenced = the execution read this cache, matched through
+        // EITHER builder generation: the registration-time builder is
+        // what the executed plan embeds; the current CM builder covers a
+        // frame the CacheManager re-created in between (see the registry
+        // comment — Dataset.unpersist works by plan either way)
+        val referenced = (regBuilder != null && used.contains(regBuilder)) || {
           try cm.lookupCachedData(d.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
             .exists(cd => used.contains(cd.cachedRepresentation.cacheBuilder))
           catch { case _: Throwable => false }
+        }
         if (dbg) println(s"[opcache]   entry $i referenced=$referenced")
         if (referenced) {
           try d.unpersist(false) catch { case _: Throwable => () }
-        } else keep.add(0, d) // preserve original registration order
+        } else keep.add(0, (d, regBuilder)) // preserve original registration order
         i -= 1
       }
       q.addAll(keep)
@@ -187,10 +210,10 @@ object OperatorCache {
   def release(spark: SparkSession): Unit = {
     val q = registered.remove(spark)
     if (q != null) q.synchronized {
-      var df = q.poll()
-      while (df != null) {
-        try df.unpersist(false) catch { case _: Throwable => () }
-        df = q.poll()
+      var e = q.poll()
+      while (e != null) {
+        try e._1.unpersist(false) catch { case _: Throwable => () }
+        e = q.poll()
       }
     }
     val l = installed.remove(spark)

@@ -174,6 +174,47 @@ class MultimodalSpec extends SparkSpec {
       3L -> Seq(790L, 303L)))
   }
 
+  test("mediaFeatures: pluggable vectorizer seam — custom embedder runs " +
+      "the same plumbing; imageFeatures == the md5 stub instance") {
+    val abc = "abc".getBytes
+    val wrapped = Seq(
+      MediaFile(1L, "m", Multimodal.pngHeader(4, 4) ++ abc),
+      MediaFile(2L, "m", "xyz".getBytes)).toDS()
+    // a drop-in "model": per-partition open() counts as the load slot,
+    // features are payload byte-sums offset by the dim index (exact longs)
+    val custom = new Multimodal.Vectorizer {
+      val dim = 2
+      def open(): (Array[Byte], Int, Int) => Array[Long] = { (b, off, len) =>
+        var s = 0L
+        var i = off
+        while (i < off + len) { s += (b(i) & 0xff); i += 1 }
+        Array(s, s + 1)
+      }
+    }
+    val out = mediaFeatures(wrapped, custom).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.feat_ix).map(_.feat).toSeq).toMap
+    // payload isolation applies to the custom embedder too: id 1's PNG
+    // header is stripped, so both rows sum their 3 ASCII payload bytes
+    val abcSum = "abc".getBytes.map(_.toLong).sum
+    val xyzSum = "xyz".getBytes.map(_.toLong).sum
+    assert(out == Map(1L -> Seq(abcSum, abcSum + 1), 2L -> Seq(xyzSum, xyzSum + 1)))
+    // the shipped stub rides the same seam: imageFeatures IS
+    // mediaFeatures(Md5StubVectorizer) — outputs identical by construction
+    val viaSeam = mediaFeatures(wrapped, new Multimodal.Md5StubVectorizer(2))
+      .collect().sortBy(f => (f.media_id, f.feat_ix)).toSeq
+    val direct = imageFeatures(wrapped, dim = 2)
+      .collect().sortBy(f => (f.media_id, f.feat_ix)).toSeq
+    assert(viaSeam == direct)
+    // a lying vectorizer (declared dim != returned length) fails loudly
+    val liar = new Multimodal.Vectorizer {
+      val dim = 3
+      def open(): (Array[Byte], Int, Int) => Array[Long] = (_, _, _) => Array(1L)
+    }
+    val boom = intercept[Exception] { mediaFeatures(wrapped, liar).collect() }
+    assert(boom.toString.contains("declared dim") ||
+      Option(boom.getCause).exists(_.toString.contains("declared dim")))
+  }
+
   test("featureVectors assembles exploded features into feat_ix-ordered " +
       "vectors, ANN-composable") {
     val wrapped = Seq(
