@@ -575,7 +575,7 @@ object PipelineQueries {
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
         "doc_id", "text",
         SignatureStore.bands(s, root, "ref90"),
-        SignatureStore.shingles(s, root, "ref90"),
+        SignatureStore.shingleHashes(s, root, "ref90"),
         shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
         .orderBy("a", "b")
     }),
@@ -606,7 +606,7 @@ object PipelineQueries {
           Dedup.minhashPairsAgainstStored(
             batch, "doc_id", "text",
             SignatureStore.bands(s, root, "ref90"),
-            SignatureStore.shingles(s, root, "ref90"),
+            SignatureStore.shingleHashes(s, root, "ref90"),
             shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
             .write.mode("append").parquet(outDir)
           ()

@@ -253,18 +253,21 @@ object Dedup {
       .distinct()
   }
 
-  /** [[minhashPairsAgainst]] with the reference side PRE-COMPUTED: `refBands`
-    * and `refShingles` are the persisted frames a [[SignatureStore]] serves
-    * (bare parquet scans — zero tokenize/shingle/minhash work on the frozen
-    * corpus, which is the whole point of the daily-crawl shape: the batch
-    * pays its own signatures plus one narrow band join). Parameters must
-    * match the ones the store was built with ([[SignatureStore.Params.tag]]
-    * enforces this at read time); with matching parameters the output is
-    * pair-for-pair identical to the inline variant. Plans.scala gates that
-    * the reference side of this plan stays scan-only. */
+  /** [[minhashPairsAgainst]] with the reference side PRE-COMPUTED:
+    * `refBands` `(id, band_ix, band_h)` and `refShingleHashes` `(id, shh)`
+    * are the persisted frames a [[SignatureStore]] serves (bare parquet
+    * scans — zero tokenize/shingle/minhash AND zero hash/sort work on the
+    * frozen corpus, which is the whole point of the daily-crawl shape:
+    * the batch pays its own signatures plus one narrow band join; the r16
+    * hashed verify arrays are persisted at build time precisely so this
+    * path never re-pays them per batch). Parameters must match the ones
+    * the store was built with ([[SignatureStore.Params.tag]] enforces this
+    * at read time); with matching parameters the output is pair-for-pair
+    * identical to the inline variant. Plans.scala gates that the reference
+    * side of this plan stays scan-only. */
   def minhashPairsAgainstStored(
       newDocs: DataFrame, idCol: String, textCol: String,
-      refBands: DataFrame, refShingles: DataFrame,
+      refBands: DataFrame, refShingleHashes: DataFrame,
       shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4,
       minJaccardE4: Long = 5000): DataFrame = {
     val rowsPerBand = numHashes / numBands
@@ -277,14 +280,13 @@ object Dedup {
       .select("a", "b")
       .dropDuplicates("a", "b")
     // hashed verify (r16): the new side reuses its cached hash frame; the
-    // reference side hashes as a NARROW row-local map over the bare store
-    // scan (no explode, no exchange — the scan-only plan gate still holds)
+    // reference side's verify arrays are a bare store scan
     val hvNew = OperatorCache.scoped(shNew.select(col("id"),
       graft.functions.HashedSortedShingles(col("sh")).as("shh")))
     cand
       .join(hvNew.select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
-      .join(refShingles.select(col("id").as("b"),
-        graft.functions.HashedSortedShingles(col("sh")).as("sh_b")), Seq("b"))
+      .join(refShingleHashes.select(col("id").as("b"), col("shh").as("sh_b")),
+        Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.JaccardE4Sorted(col("sh_a"), col("sh_b")).as("j_e4"))
       .filter(col("j_e4") >= minJaccardE4)

@@ -21,7 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * immutable parquet + a tiny sidecar marker, no new machinery.
   *
   * Layout under `root/corpusId/`:
-  *   - `shingles.parquet`  (id, sh array&lt;string&gt;)
+  *   - `shingles.parquet`  (id, sh array&lt;string&gt;) — the audit / exact
+  *                         identity of each document's shingle set
+  *   - `hashed.parquet`    (id, shh sorted array&lt;long&gt;) — the r16
+  *                         verify arrays ([[graft.functions.HashedSortedShingles]]),
+  *                         persisted at BUILD time so incremental runs
+  *                         never re-hash the frozen corpus (the hashed
+  *                         join-back would otherwise re-pay hash+sort
+  *                         over the whole reference every batch —
+  *                         exactly the per-batch cost this store exists
+  *                         to retire)
   *   - `bands.parquet`     (id, band_ix, band_h)
   *   - `_params`           the [[Params.tag]], written LAST as the commit
   *                         marker: a crashed build leaves no marker and
@@ -43,12 +52,14 @@ object SignatureStore {
   /** Banding parameters baked into a persisted store. */
   final case class Params(shingleWords: Int = 3, numHashes: Int = 12, numBands: Int = 4) {
     require(numBands > 0 && numHashes % numBands == 0, "bands must tile the signature")
-    /** Version-tagged fingerprint — bumped whenever the hash family
-      * changes, so stores built under the old family invalidate instead
-      * of silently mismatching fresh signatures. `v1` = K salted md5s per
-      * shingle; `v2` = the [[TextOps.hashConstants]] universal family
-      * over one md5. */
-    def tag: String = s"minhash.v2;w=$shingleWords;h=$numHashes;b=$numBands"
+    /** Version-tagged fingerprint — bumped whenever the hash family OR
+      * the artifact set changes, so stores built under the old layout
+      * invalidate instead of silently mismatching fresh signatures.
+      * `v1` = K salted md5s per shingle; `v2` = the
+      * [[TextOps.hashConstants]] universal family over one md5;
+      * `v3` = v2 + the persisted sorted-xxhash64 verify arrays
+      * (`hashed.parquet`). */
+    def tag: String = s"minhash.v3;w=$shingleWords;h=$numHashes;b=$numBands"
   }
 
   private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
@@ -75,12 +86,18 @@ object SignatureStore {
     Files.createDirectories(d)
     Dedup.shingleFrame(docs, idCol, textCol, params.shingleWords)
       .write.mode("overwrite").parquet(d.resolve("shingles.parquet").toString)
-    // bands derive from the JUST-PERSISTED shingles: the tokenize/shingle
-    // pass runs once, and both artifacts are guaranteed byte-consistent
+    // bands and verify arrays derive from the JUST-PERSISTED shingles:
+    // the tokenize/shingle pass runs once, and all artifacts are
+    // guaranteed byte-consistent
     Dedup.bandFrame(
         spark.read.parquet(d.resolve("shingles.parquet").toString),
         params.numHashes, params.numBands)
       .write.mode("overwrite").parquet(d.resolve("bands.parquet").toString)
+    spark.read.parquet(d.resolve("shingles.parquet").toString)
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.HashedSortedShingles(
+          org.apache.spark.sql.functions.col("sh")).as("shh"))
+      .write.mode("overwrite").parquet(d.resolve("hashed.parquet").toString)
     Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
@@ -94,11 +111,22 @@ object SignatureStore {
     spark.read.parquet(dir(root, corpusId).resolve("bands.parquet").toString)
   }
 
-  /** Shingle sets `(id, sh)` of a persisted corpus (exact-verify side). */
+  /** Shingle sets `(id, sh)` of a persisted corpus — the audit / exact
+    * string identity (the verify join-back reads [[shingleHashes]]). */
   def shingles(spark: SparkSession, root: String, corpusId: String,
       params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)
     spark.read.parquet(dir(root, corpusId).resolve("shingles.parquet").toString)
+  }
+
+  /** Sorted-xxhash64 verify arrays `(id, shh)` of a persisted corpus —
+    * the exact-verify side [[Dedup.minhashPairsAgainstStored]] joins
+    * back; a bare parquet scan, zero per-batch hash/sort work on the
+    * frozen corpus. */
+  def shingleHashes(spark: SparkSession, root: String, corpusId: String,
+      params: Params = Params()): DataFrame = {
+    requireBuilt(root, corpusId, params)
+    spark.read.parquet(dir(root, corpusId).resolve("hashed.parquet").toString)
   }
 
   private def requireBuilt(root: String, corpusId: String, params: Params): Unit =

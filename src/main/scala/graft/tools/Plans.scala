@@ -360,7 +360,7 @@ object Plans {
           s.relation.location.rootPaths.map(_.toString)
       }.flatten
       val hasStoreScans = scans.exists(_.contains("bands.parquet")) &&
-        scans.exists(_.contains("shingles.parquet"))
+        scans.exists(_.contains("hashed.parquet")) // r16: the verify arrays
       val gInline = gens("dedup_against_ref")
       val gStored = gens("dedup_against_ref_stored")
       val halved = gStored * 2 == gInline && gStored > 0

@@ -76,7 +76,7 @@ class DedupSpec extends SparkSpec {
     val stored = Dedup.minhashPairsAgainstStored(
       newDocs, "doc_id", "text",
       SignatureStore.bands(spark, root, "ref", params),
-      SignatureStore.shingles(spark, root, "ref", params),
+      SignatureStore.shingleHashes(spark, root, "ref", params),
       minJaccardE4 = 5000)
       .select("a", "b", "j_e4").as[(Long, Long, Long)].collect().toSet
     val inline = Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text",
@@ -84,13 +84,17 @@ class DedupSpec extends SparkSpec {
       .select("a", "b", "j_e4").as[(Long, Long, Long)].collect().toSet
     assert(stored == inline && stored.nonEmpty, s"stored=$stored inline=$inline")
 
-    // the persisted frames read as bare scans: no shingle/minhash stages
-    val bandPlan = SignatureStore.bands(spark, root, "ref", params)
-      .queryExecution.sparkPlan
-    assert(bandPlan.collect {
-      case g: org.apache.spark.sql.execution.GenerateExec => g
-      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-    }.isEmpty, "store read must be a bare parquet scan")
+    // the persisted frames read as bare scans: no shingle/minhash stages,
+    // and no per-batch hash/sort on the verify arrays (persisted at build)
+    Seq(SignatureStore.bands(spark, root, "ref", params),
+        SignatureStore.shingleHashes(spark, root, "ref", params)).foreach { f =>
+      assert(f.queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.isEmpty, "store read must be a bare parquet scan")
+      assert(!f.queryExecution.sparkPlan.toString.contains("hashed_shingles"),
+        "verify arrays must come from the store, not a per-read re-hash")
+    }
 
     // parameter change invalidates: reads refuse, rebuild replaces
     val other = SignatureStore.Params(numHashes = 24, numBands = 4)
