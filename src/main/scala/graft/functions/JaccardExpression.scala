@@ -142,6 +142,21 @@ object HashedJaccard {
     new GenericArrayData(out)
   }
 
+  /** Null-element validation for [[AssertHashArrayNotNull]]: returns the
+    * array unchanged, throws by name on the first null slot. */
+  def assertNoNullElements(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          "hashed shingle array contains a null element — not a " +
+            "hashed_shingles output (corrupt or hand-written store file?)")
+      i += 1
+    }
+    a
+  }
+
   /** Merge-intersect j_e4 over two SORTED long arrays: counts DISTINCT
     * shared values (duplicate runs advance in one step, mirroring the
     * string kernel's first-occurrence dedup), union = numElements sums
@@ -203,14 +218,19 @@ object HashedSortedShingles {
   * MUST be [[HashedSortedShingles]] outputs (sorted, non-null). */
 case class JaccardE4Sorted(left: Expression, right: Expression)
     extends BinaryExpression {
+  // containsNull = true is REJECTED, not just discouraged: the merge loop
+  // reads every slot with getLong, so a null element would silently score
+  // as 0 rather than error. HashedSortedShingles declares
+  // containsNull = false, so the intended producer still type-checks;
+  // arbitrary array<long> columns must prove non-nullability first.
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_e4_sorted expects two array<long> args, got " +
-        s"${left.dataType} / ${right.dataType}")
+      s"jaccard_e4_sorted expects two array<long not null> args (sorted, " +
+        s"e.g. hashed_shingles output), got ${left.dataType} / ${right.dataType}")
   override def dataType: DataType = LongType
   override def prettyName: String = "jaccard_e4_sorted"
 
@@ -231,4 +251,40 @@ object JaccardE4Sorted {
   def apply(a: Column, b: Column): Column =
     GraftSqlBridge.column(JaccardE4Sorted(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** Pass-through re-assertion of the [[HashedSortedShingles]] output
+  * contract over a column that lost it in storage: Parquet reads arrays
+  * back with NULLABLE elements, so a persisted verify array
+  * ([[graft.operators.SignatureStore]]'s `hashed.parquet`) arrives typed
+  * `array<long (nullable)>` even though the writer's type forbade nulls —
+  * and [[JaccardE4Sorted]] rejects nullable elements outright (a null
+  * slot would silently score as 0 through `getLong`). This validates
+  * every element (throws by name on a null — e.g. a hand-written or
+  * corrupted store file) and re-declares `containsNull = false`, keeping
+  * the strict type check AND the stored path. The O(len) scan is free in
+  * context: the downstream merge reads every slot anyway. */
+case class AssertHashArrayNotNull(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"assert_hash_array_not_null expects array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "assert_hash_array_not_null"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedJaccard.assertNoNullElements(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashedJaccard.assertNoNullElements($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AssertHashArrayNotNull {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(AssertHashArrayNotNull(GraftSqlBridge.expression(c)))
 }

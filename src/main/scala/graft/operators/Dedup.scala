@@ -241,9 +241,15 @@ object Dedup {
       .filter(sizeBoundKeep(col("cnt_a"), col("cnt_b"), minJaccardE4))
       .select("a", "b")
       .dropDuplicates("a", "b")
-    // hashed verify — same plan as [[minhashPairs]]'s (r16)
-    def hv(sh: DataFrame) = OperatorCache.scoped(sh.select(col("id"),
-      graft.functions.HashedSortedShingles(col("sh")).as("shh")))
+    // hashed verify — same score plan as [[minhashPairs]]'s (r16), but the
+    // hashed projections are NOT cache-scoped here: unlike the self-join
+    // variant (where one hv frame feeds both join sides), each side's
+    // hashed frame has exactly one consumer, so a scoped cache would
+    // materialize both arrays in memory for zero reuse (r16 ADVICE). The
+    // underlying shingle frames (shNew/shRef) stay scoped — they feed both
+    // the banding and these projections.
+    def hv(sh: DataFrame) = sh.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh"))
     cand
       .join(hv(shNew).select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
       .join(hv(shRef).select(col("id").as("b"), col("shh").as("sh_b")), Seq("b"))
@@ -279,10 +285,11 @@ object Dedup {
         Seq("band_ix", "band_h"))
       .select("a", "b")
       .dropDuplicates("a", "b")
-    // hashed verify (r16): the new side reuses its cached hash frame; the
-    // reference side's verify arrays are a bare store scan
-    val hvNew = OperatorCache.scoped(shNew.select(col("id"),
-      graft.functions.HashedSortedShingles(col("sh")).as("shh")))
+    // hashed verify (r16): single consumer → no cache scope (r16 ADVICE;
+    // shNew itself stays scoped — it feeds the banding AND this
+    // projection); the reference side's verify arrays are a bare store scan
+    val hvNew = shNew.select(col("id"),
+      graft.functions.HashedSortedShingles(col("sh")).as("shh"))
     cand
       .join(hvNew.select(col("id").as("a"), col("shh").as("sh_a")), Seq("a"))
       .join(refShingleHashes.select(col("id").as("b"), col("shh").as("sh_b")),

@@ -47,9 +47,19 @@ object DsirStore {
     else None
   }
 
+  /** Parse a commit marker into its declared dim. Accepts both the
+    * nonce-stamped form `Tag dim=N nonce=X` and the pre-nonce `Tag dim=N`
+    * (stores built by earlier library versions stay readable). */
+  private def markerDim(m: String): Option[Int] = {
+    val parts = m.split(" ")
+    if (parts.length >= 2 && parts(0) == Tag && parts(1).startsWith("dim="))
+      parts(1).stripPrefix("dim=").toIntOption
+    else None
+  }
+
   /** True iff a complete store exists under the current [[Tag]] and dim. */
   def isBuilt(root: String, corpusId: String, dim: Int): Boolean =
-    markerText(root, corpusId).contains(s"$Tag dim=$dim")
+    markerText(root, corpusId).exists(m => markerDim(m).contains(dim))
 
   /** Fit and persist the weight table; idempotent per
     * (corpusId, [[Tag]], dim) — a matching store is left untouched,
@@ -62,8 +72,13 @@ object DsirStore {
     Files.createDirectories(d)
     Curation.dsirLogRatios(docs, idCol, textCol, isTarget, dim)
       .write.mode("overwrite").parquet(d.resolve("weights.parquet").toString)
+    // the nonce makes every build's marker TEXT unique, so the broadcast
+    // cache below can never serve a previous build's weights — mtime alone
+    // is not a freshness signal (same-millisecond rebuilds, coarse-mtime
+    // filesystems; r16 ADVICE)
     Files.write(marker(root, corpusId),
-      s"$Tag dim=$dim".getBytes(StandardCharsets.UTF_8))
+      s"$Tag dim=$dim nonce=${java.util.UUID.randomUUID()}"
+        .getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -71,8 +86,10 @@ object DsirStore {
     * table on EVERY score call leaked one (small, dim-sized) broadcast
     * per invocation — unbounded over a long scoring session. Keyed by
     * (root, corpusId, marker text, marker mtime): the marker is written
-    * LAST by [[build]], so a rebuild under the same root bumps its mtime
-    * and can never serve stale weights from here. */
+    * LAST by [[build]] and carries a per-build nonce, so a rebuild under
+    * the same root always changes the marker TEXT and can never serve
+    * stale weights from here (mtime stays in the key only for pre-nonce
+    * stores, where it is the best-effort freshness signal). */
   private val bcCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long),
     org.apache.spark.broadcast.Broadcast[Array[Long]]]
@@ -87,9 +104,8 @@ object DsirStore {
     val m = markerText(root, corpusId).getOrElse(
       throw new IllegalStateException(
         s"no committed DSIR store under $root/$corpusId"))
-    require(m.startsWith(s"$Tag dim="),
-      s"DSIR store $root/$corpusId was built under '$m', need '$Tag' — rebuild")
-    val dim = m.stripPrefix(s"$Tag dim=").toInt
+    val dim = markerDim(m).getOrElse(throw new IllegalStateException(
+      s"DSIR store $root/$corpusId was built under '$m', need '$Tag' — rebuild"))
     val mtime = Files.getLastModifiedTime(marker(root, corpusId)).toMillis
     val bc = bcCache.computeIfAbsent((root, corpusId, m, mtime), _ => {
       val rows = spark.read

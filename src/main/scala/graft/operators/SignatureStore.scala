@@ -126,7 +126,13 @@ object SignatureStore {
   def shingleHashes(spark: SparkSession, root: String, corpusId: String,
       params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)
+    // Parquet reads arrays back element-NULLABLE; re-assert the
+    // hashed_shingles contract (validating scan + containsNull=false) so
+    // the verify kernel's strict type check accepts the stored path
     spark.read.parquet(dir(root, corpusId).resolve("hashed.parquet").toString)
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.AssertHashArrayNotNull(
+          org.apache.spark.sql.functions.col("shh")).as("shh"))
   }
 
   private def requireBuilt(root: String, corpusId: String, params: Params): Unit =

@@ -120,8 +120,17 @@ object WireImport {
   /** Per-topic progress: `done` = every source entry at or below this µs
     * has fully landed; `pending` = a window whose landing may have been
     * interrupted (intent is written BEFORE landing, cleared by the next
-    * window's intent or the topic's completion record). */
-  private[graft] final case class TopicState(done: Long, pending: Option[(Long, Long)])
+    * window's intent or the topic's completion record); `imported` =
+    * entries landed for this topic so far — NOT a correctness input, only
+    * the window-count estimator's state: a follow cycle over a
+    * crawl-scale topic must size its windows from the TAIL
+    * (`n − imported`), not the total n, or every poll pays O(corpus)
+    * mostly-empty QUERY round-trips (r16 ADVICE). Underestimates are safe
+    * (the 507 split-on-overflow handles an over-dense window); sidecars
+    * from pre-`imported` versions load as 0, degrading to the old
+    * total-sized behavior for exactly one cycle. */
+  private[graft] final case class TopicState(
+      done: Long, pending: Option[(Long, Long)], imported: Long = 0L)
 
   private[graft] def stateFile(root: String) = Paths.get(root, "_wire_import.json")
 
@@ -131,12 +140,14 @@ object WireImport {
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-    val Done = """done=(-?\d+)""".r
-    val DonePending = """done=(-?\d+) pending=(-?\d+):(-?\d+)""".r
+    val Done = """done=(-?\d+)(?: imported=(\d+))?""".r
+    val DonePending = """done=(-?\d+)(?: imported=(\d+))? pending=(-?\d+):(-?\d+)""".r
+    def imp(s: String): Long = Option(s).map(_.toLong).getOrElse(0L)
     entry.findAllMatchIn(json).map { m =>
       un(m.group(1)) -> (un(m.group(2)) match {
-        case DonePending(d, lo, hi) => TopicState(d.toLong, Some((lo.toLong, hi.toLong)))
-        case Done(d) => TopicState(d.toLong, None)
+        case DonePending(d, i, lo, hi) =>
+          TopicState(d.toLong, Some((lo.toLong, hi.toLong)), imp(i))
+        case Done(d, i) => TopicState(d.toLong, None, imp(i))
         case other => throw new IllegalStateException(
           s"corrupt wire-import sidecar value: '$other' in $p")
       })
@@ -147,8 +158,8 @@ object WireImport {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = st.toSeq.sortBy(_._1).map { case (t, s) =>
       val v = s.pending match {
-        case Some((lo, hi)) => s"done=${s.done} pending=$lo:$hi"
-        case None => s"done=${s.done}"
+        case Some((lo, hi)) => s"done=${s.done} imported=${s.imported} pending=$lo:$hi"
+        case None => s"done=${s.done} imported=${s.imported}"
       }
       s"""  "${esc(t)}": "$v""""
     }.mkString("{\n", ",\n", "\n}")
@@ -320,27 +331,33 @@ object WireImport {
 
     def markPending(topic: String, done: Long, lo: Long, hi: Long): Unit =
       stateLock.synchronized {
-        state = state.updated(topic, TopicState(done, Some((lo, hi))))
+        val imp = state.get(topic).map(_.imported).getOrElse(0L)
+        state = state.updated(topic, TopicState(done, Some((lo, hi)), imp))
         saveState(targetRoot, state)
       }
 
-    def markDone(topic: String, done: Long): Unit = stateLock.synchronized {
-      state = state.updated(topic, TopicState(done, None))
-      saveState(targetRoot, state)
-    }
+    /** `landed` = entries this completion adds to the topic's imported
+      * count (the window-sizing estimator's state, see [[TopicState]]). */
+    def markDone(topic: String, done: Long, landed: Long = 0L): Unit =
+      stateLock.synchronized {
+        val imp = state.get(topic).map(_.imported).getOrElse(0L) + landed
+        state = state.updated(topic, TopicState(done, None, imp))
+        saveState(targetRoot, state)
+      }
 
     /** Import one window; on a frame-cap overflow (wire 507) split the
-      * window in half and recurse — see class doc. */
-    def importWindow(topic: String, doneBefore: Long, loUs: Long, hiUs: Long): Unit = {
+      * window in half and recurse — see class doc. Returns the number of
+      * entries landed (for the imported-count estimator). */
+    def importWindow(topic: String, doneBefore: Long, loUs: Long, hiUs: Long): Long = {
       val page =
         try fetch(topic, loUs, hiUs)
         catch {
           case e: WireException if e.code == 507 =>
             if (hiUs > loUs) {
               val mid = loUs + (hiUs - loUs) / 2
-              importWindow(topic, doneBefore, loUs, mid)
-              importWindow(topic, mid, mid + 1, hiUs)
-              return
+              val a = importWindow(topic, doneBefore, loUs, mid)
+              val b = importWindow(topic, mid, mid + 1, hiUs)
+              return a + b
             } else throw new IllegalStateException(
               s"topic $topic has more entries at ${fmtUs(loUs)} than fit one " +
                 "wire frame — an unsplittable window; import this store " +
@@ -351,12 +368,15 @@ object WireImport {
       pages.incrementAndGet()
       entries.addAndGet(page.size.toLong)
       onPage(topic, loUs, hiUs)
+      page.size.toLong
     }
 
     /** Re-land the missing suffix of an interrupted page: the target's
       * in-window count identifies the landed group prefix (strictly
       * increasing prefix sums — group sizes are nonzero). */
-    def recoverPending(topic: String, lo: Long, hi: Long): Unit = {
+    /** Returns the window's FULL entry count — the interrupted run never
+      * reached markDone, so none of it is in the imported count yet. */
+    def recoverPending(topic: String, lo: Long, hi: Long): Long = {
       val gs = groupsOf(
         try fetch(topic, lo, hi)
         catch {
@@ -389,6 +409,7 @@ object WireImport {
       pages.incrementAndGet()
       entries.addAndGet(suffix.map(_._2.size).sum.toLong)
       onPage(topic, lo, hi)
+      gs.map(_._2.size.toLong).sum
     }
 
     def importTopic(topic: String, n: Long, firstUs: Long, lastUs: Long): Unit = {
@@ -398,10 +419,11 @@ object WireImport {
       val effLast = if (holdback) lastUs - 1 else lastUs
       val prior = stateLock.synchronized(state.get(topic))
       prior.flatMap(_.pending).foreach { case (lo, hi) =>
-        recoverPending(topic, lo, hi)
-        markDone(topic, hi)
+        val recovered = recoverPending(topic, lo, hi)
+        markDone(topic, hi, recovered)
       }
-      val done = stateLock.synchronized(state.get(topic)).map(s => math.max(s.done,
+      val resumed = stateLock.synchronized(state.get(topic))
+      val done = resumed.map(s => math.max(s.done,
         s.pending.map(_._2).getOrElse(Long.MinValue))).getOrElse(Long.MinValue)
       val startUs = if (done == Long.MinValue) firstUs else done + 1
       if (startUs <= effLast) {
@@ -409,15 +431,27 @@ object WireImport {
         // [b_i, b_{i+1} − 1µs], the final closes exactly at effLast —
         // disjoint and covering. BigInt: span·i can exceed Long for
         // many-page topics even at µs scale.
-        val nPages = math.max(1L, (n + pageSize - 1) / pageSize)
+        //
+        // Window count is sized from the TAIL (n − imported), not the
+        // topic total: a follow cycle over a crawl-scale topic imports
+        // only its new entries, and total-sized paging would issue
+        // O(corpus/pageSize) mostly-empty QUERY round-trips per poll —
+        // cost ∝ corpus instead of ∝ tail (r16 ADVICE). The estimate can
+        // run low (source appended since STATS; pre-`imported` sidecars
+        // load 0 only on the BATCH resume path, where imported ≈ 0 is the
+        // old behavior anyway) — the 507 split-on-overflow bounds any
+        // over-dense window, so underestimates cost splits, never data.
+        val imported = resumed.map(_.imported).getOrElse(0L)
+        val tail = math.max(1L, n - imported)
+        val nPages = math.max(1L, (tail + pageSize - 1) / pageSize)
         val span = Math.subtractExact(effLast, startUs)
         def bound(i: Long): Long = startUs + (BigInt(span) * i / nPages).toLong
         (0L until nPages).foreach { i =>
           val lo = bound(i)
           val hi = if (i == nPages - 1) effLast else bound(i + 1) - 1
           if (hi >= lo) {
-            importWindow(topic, lo - 1, lo, hi)
-            markDone(topic, hi)
+            val landed = importWindow(topic, lo - 1, lo, hi)
+            markDone(topic, hi, landed)
           }
         }
       }

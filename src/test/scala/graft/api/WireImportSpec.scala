@@ -383,9 +383,46 @@ class WireImportSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_wi_state").toString
     val st = Map(
       "/plain" -> WireImport.TopicState(123456789L, None),
-      "/with \"quote\"" -> WireImport.TopicState(-5L, Some((-10L, 42L))))
+      "/counted" -> WireImport.TopicState(7L, None, 4200L),
+      "/with \"quote\"" -> WireImport.TopicState(-5L, Some((-10L, 42L)), 17L))
     WireImport.saveState(root, st)
     assert(WireImport.loadState(root) == st)
+    // a pre-`imported` sidecar (older library version) loads with count 0
+    Files.write(WireImport.stateFile(root),
+      """{ "/old": "done=99 pending=1:2" }""".getBytes("UTF-8"))
+    assert(WireImport.loadState(root) ==
+      Map("/old" -> WireImport.TopicState(99L, Some((1L, 2L)), 0L)))
+  }
+
+  test("follow cycles page the TAIL, not the corpus: a poll over an " +
+      "already-imported topic costs O(new entries / pageSize) queries") {
+    val srcRoot = Files.createTempDirectory("graft_wft_src").toString
+    val dstRoot = Files.createTempDirectory("graft_wft_dst").toString
+    val src = new LocalClient(spark, srcRoot, fixedClock)
+    src.createTopic("/big", "int64")
+    val t0 = 1735600000L * 1000L
+    (0 until 40).foreach(i =>
+      src.append("/big", i.toLong, new Timestamp(t0 + i * 1000L)))
+    val server = new WireServer(spark, Map("d" -> srcRoot), "d", fixedClock)
+    try {
+      val client = new RemoteClient("127.0.0.1", server.port, db = "d")
+      try {
+        val r1 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4)
+        assert(r1.pages >= 10) // the initial backfill IS corpus-sized
+        src.append("/big", 100L, new Timestamp(t0 + 100 * 1000L))
+        src.append("/big", 101L, new Timestamp(t0 + 101 * 1000L))
+        val r2 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4)
+        // total-sized paging would re-issue ~ceil(42/4) = 11 windows over
+        // the tail span; tail-sized paging issues 1 (the estimator's
+        // window), at most 2 with a 507 split
+        assert(r2.pages <= 2, s"follow cycle paged ${r2.pages} windows")
+        assert(r2.entries > 0L)
+        val r3 = WireImport.followOnce(spark, client, dstRoot, pageSize = 4,
+          closeBoundary = true)
+        assert(r1.entries + r2.entries + r3.entries == 42L)
+      } finally client.close()
+    } finally server.close()
+    assert(entriesOf(dstRoot) == entriesOf(srcRoot))
   }
 
   test("follow: live source keeps appending between poll cycles; final " +
