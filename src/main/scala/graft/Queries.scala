@@ -366,7 +366,43 @@ object Queries {
         .toDF("id", "date_us", "text")
         .orderBy("id")
     }),
+    // THE DSv2 FRONT DOOR — `spark.read.format("fossil")`
+    // ([[graft.connector.FossilDataSource]]): the idiomatic surface plain
+    // Spark users and external tools compose through. Three twins of
+    // library-path rows read the SAME store fixture through the
+    // connector: scan-all (result identity with the entries path —
+    // identical oracle to fql_scan_all), a time range (the bounds become
+    // parquet row-group predicates inside the scan; Plans gates the
+    // PushedFilters fragment in the BatchScan node), and a topic equality
+    // (partition-DIRECTORY pruning at planning time; Plans gates
+    // topics=1). Oracles are the events table itself.
+    "dsv2_scan_all" -> ((s, d) => entryOut(dsv2Read(s, d))),
+    "dsv2_between" -> ((s, d) => entryOut(dsv2Read(s, d).filter(
+      col("time") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-10T00:00:00Z"))) &&
+        col("time") <= lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-20T00:00:00Z")))))),
+    "dsv2_topic" -> ((s, d) => entryOut(
+      dsv2Read(s, d).filter(col("topic") === "/events/purchase"))),
   )
+
+  /** One connector-read store fixture per (JVM, sf dir): the events table
+    * ingested once through the library path, then every `dsv2_*` row reads
+    * it back through `spark.read.format("fossil")` — fixture cost is
+    * harness-charged like every import fixture. */
+  private val dsv2Roots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def dsv2Read(s: SparkSession, d: String): DataFrame = {
+    val root = dsv2Roots.computeIfAbsent(d, _ => harness("dsv2_scan_all") {
+      val r = scratchDir("graft_dsv2")
+      deleteOnExit(r)
+      val c = new graft.api.LocalClient(s, r, fixedClock)
+      c.createTopic("/events", "float64")
+      c.appendFrame(Tables.eventEntries(s, d).drop("__t_ns"), "float64")
+      r
+    })
+    s.read.format("fossil").load(root)
+  }
 
   /** One WARC fixture dir per (JVM, sf dir): the documents table written
     * as crawl-style response records across four `.warc`/`.warc.gz`
@@ -464,6 +500,13 @@ object Queries {
       "fql_since" -> ev("value",
         "ts >= TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2025-01-01'"),
       "fql_before" -> ev("value", "ts <= TIMESTAMP '2024-01-13'"),
+      // DSv2 connector twins: same store data, same oracles as the
+      // library-path rows — the comparison IS the identity proof
+      "dsv2_scan_all" -> ev("value"),
+      "dsv2_between" -> ev("value",
+        "ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'"),
+      "dsv2_topic" -> (
+        s"SELECT $entryCols, value FROM events WHERE event_type = 'purchase' ORDER BY t_us, topic"),
       "fql_filter" -> ev("value", "value > 100"),
       "fql_map_arith" -> ev("5.0/9.0 * (value - 32)"),
       "fql_map_tuple" -> ev("1.0 + value"),

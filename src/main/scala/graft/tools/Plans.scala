@@ -266,6 +266,13 @@ object Plans {
       // URL dedup = per-row canonicalization map + one partial-agg'd
       // groupBy — never a join
       "dedup_url" -> Seq("partial_", "HashAggregate", "!Join"),
+      // DSv2 connector: time bounds must land in the scan node as pushed
+      // filters (row-group pruning), and the topic-equality row must prune
+      // to ONE partition directory at planning time (topics=1 in the scan
+      // description) — a lost pushdown here fails like a hash mismatch
+      "dsv2_between" -> Seq("PushedFilters: [", "GreaterThanOrEqual(time",
+        "LessThanOrEqual(time"),
+      "dsv2_topic" -> Seq("EqualTo(topic", "topics=1"),
     )
     var failed = 0
     checks.foreach { case (name, wants) =>
