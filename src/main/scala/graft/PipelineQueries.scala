@@ -809,6 +809,21 @@ object PipelineQueries {
           shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
       Dedup.softDedupWeights(docs, "doc_id", memb).orderBy("id")
     }),
+    // score-aware soft dedup (r15/r16 verdicts' missing composition):
+    // the quality-canonical member of each cluster keeps the full 1e6
+    // document weight, the rest keep the base equal split of the
+    // cluster's unit soft mass — two verified stages composed into the
+    // reweighting pass a quality-aware mix actually runs
+    "dedup_soft_weights_scored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val memb = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000))
+      val scores = TextAnalysis.tokenStats(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_ws_tokens"))
+      Dedup.softDedupWeightsScored(docs, "doc_id", memb, scores, "n_ws_tokens")
+        .orderBy("id")
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a", "b")),
@@ -2090,6 +2105,42 @@ object PipelineQueries {
       |      LEFT JOIN sz ON sz.survivor = m.survivor)
       |SELECT id, cluster_size,
       |  CAST(round(1e6 / cluster_size::DOUBLE) AS BIGINT) AS weight_e6
+      |FROM w ORDER BY id""".stripMargin.trim,
+
+    // score-aware twin: replays the clustering + the dedup_canonical
+    // selection (row_number over score DESC, id), then promotes the
+    // canonical (and every singleton) to the full 1e6 weight
+    "dedup_soft_weights_scored" -> s"""
+      |WITH RECURSIVE $minhashPairsCtes,
+      |pairs AS (
+      |  SELECT DISTINCT a, b FROM cand WHERE ${jaccardE4("sh_a", "sh_b")} >= 5000),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(x, y) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |memb AS (
+      |  SELECT n.id, LEAST(n.id, MIN(r.y)) AS survivor
+      |  FROM nodes n JOIN reach r ON r.x = n.id GROUP BY n.id),
+      |sz AS (SELECT survivor, count(*) AS s FROM memb GROUP BY survivor),
+      |tc AS (SELECT doc_id AS id, CAST(len($TOKS) AS BIGINT) AS s
+      |       FROM documents),
+      |sel AS (
+      |  SELECT m.id,
+      |    row_number() OVER (PARTITION BY m.survivor
+      |      ORDER BY tc.s DESC, m.id) AS rn
+      |  FROM memb m JOIN tc USING (id)),
+      |canon AS (SELECT id FROM sel WHERE rn = 1),
+      |w AS (SELECT d.doc_id AS id, coalesce(sz.s, 1) AS cluster_size,
+      |        (m.id IS NULL OR c.id IS NOT NULL) AS is_canonical
+      |      FROM documents d LEFT JOIN memb m ON m.id = d.doc_id
+      |      LEFT JOIN sz ON sz.survivor = m.survivor
+      |      LEFT JOIN canon c ON c.id = d.doc_id)
+      |SELECT id, cluster_size, is_canonical,
+      |  CASE WHEN is_canonical THEN CAST(1000000 AS BIGINT)
+      |       ELSE CAST(round(1e6 / cluster_size::DOUBLE) AS BIGINT)
+      |  END AS weight_e6
       |FROM w ORDER BY id""".stripMargin.trim,
 
     "dedup_simhash" -> s"""

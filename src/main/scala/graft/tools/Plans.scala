@@ -133,6 +133,12 @@ object Plans {
       // equi-joins — never a nested loop over the corpus
       "dedup_soft_weights" -> Seq("HashAggregate", "partial_",
         "!SortAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      // score-aware twin: same contract plus the canonical max-score agg —
+      // still equi-joins only, no window (the canonical pick is the
+      // two-pass all-primitive argmax, not a row_number)
+      "dedup_soft_weights_scored" -> Seq("HashAggregate", "partial_",
+        "!SortAggregate", "!Window", "!BroadcastNestedLoopJoin",
+        "!CartesianProduct"),
       // fertility: per-row BPE count map + ONE id equi-join + narrow band
       // map — no agg, no window, no nested loop
       "text_fertility" -> Seq("Join", "!HashAggregate", "!Window",

@@ -103,6 +103,8 @@ object ScaleSweep {
       ("text_fertility", "linear"),
       // clustering + cluster-size agg + two equi-joins
       ("dedup_soft_weights", "linear"),
+      // + the canonical max-score agg and one more id equi-join
+      ("dedup_soft_weights_scored", "linear"),
       // grouped shingle lists (df-capped) + row-local pair explode:
       // replicas don't share shingles, so pairs replicate exactly
       ("dedup_containment", "linear"),

@@ -517,6 +517,28 @@ class DedupSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(w(_)._2).sum == 999999L)
   }
 
+  test("softDedupWeightsScored promotes the best-scored member to full " +
+      "weight; the rest keep the base split; singletons canonical") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"),
+      (6L, "w")).toDF("doc_id", "text")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "survivor")
+    // cluster {1,2,3}: doc 2 best score; cluster {4,5}: tie → lowest id 4
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 10L), (4L, 7L), (5L, 7L),
+      (6L, 1L)).toDF("doc_id", "s")
+    val w = Dedup.softDedupWeightsScored(docs, "doc_id", memb, scores, "s")
+      .as[(Long, Long, Boolean, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(w(2L) == ((3L, true, 1000000L)))   // promoted canonical
+    assert(w(1L) == ((3L, false, 333333L)))   // base split kept
+    assert(w(3L) == ((3L, false, 333333L)))
+    assert(w(4L) == ((2L, true, 1000000L)))   // tie → lowest id
+    assert(w(5L) == ((2L, false, 500000L)))
+    assert(w(6L) == ((1L, true, 1000000L)))   // singleton = own canonical
+    // cluster mass = full canonical + the remainder split: 1e6·(2 − 1/n)
+    assert(Seq(1L, 2L, 3L).map(w(_)._3).sum == 1666666L)
+  }
+
   test("containmentPairs surfaces subset quoting that Jaccard misses") {
     val big = (1 to 40).map(i => s"w$i").mkString(" ")
     val excerpt = (10 to 19).map(i => s"w$i").mkString(" ") // verbatim slice
