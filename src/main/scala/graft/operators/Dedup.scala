@@ -1257,6 +1257,58 @@ object Dedup {
           .cast("long").as("weight_e6"))
   }
 
+  /** Invert the minhash banding recall curve — the word-shingle/char-gram
+    * analog of [[Similarity.srpBandsForRecall]] (r16 verdict item 3).
+    * A true pair at Jaccard s survives (b bands × r rows) banding with
+    * probability 1 − (1 − s^r)^b; this returns the minimal b reaching
+    * `targetRecall` AT the verify threshold s = minJaccardE4/1e4 (pairs
+    * above the threshold have strictly higher recall, and the exact
+    * verify stage means precision never depends on banding).
+    *
+    * `rowsPerBand` stays the caller's PRECISION lever: it suppresses
+    * background band collisions, whose rate depends on the corpus's
+    * background similarity, not its size — word shingles default r=3,
+    * char-grams r=4 (higher background). The implied signature length is
+    * `numHashes = b·r` ([[minhashSizingForRecall]] returns both). The
+    * fixed (12, 4)/(12, 3) defaults of [[minhashPairs]] /
+    * [[ngramJaccardPairs]] are ≈0.94/0.99 recall at their documented
+    * design points (J=0.8 / J=0.95) and are UNCHANGED; this inversion is
+    * for thresholds and recall targets where a fixed geometry decays —
+    * e.g. recall 0.9 at the battery's verify floor τ=0.5 needs b=18×r=3,
+    * which no fixed default approximates. */
+  def minhashBandsForRecall(
+      minJaccardE4: Long, targetRecall: Double, rowsPerBand: Int): Int = {
+    require(minJaccardE4 > 0 && minJaccardE4 < 10000,
+      s"minJaccardE4 must be in (0, 1e4), got $minJaccardE4")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"target recall must be in (0, 1), got $targetRecall")
+    require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
+    val p = math.pow(minJaccardE4 / 10000.0, rowsPerBand)
+    val bands = math.ceil(math.log1p(-targetRecall) / math.log1p(-p))
+    // each band multiplies signature length and candidate volume — past
+    // this ceiling the (τ, recall, r) combination is a mis-sizing, not a
+    // plan (the SRP twin's round-8 stance); fail with the numbers named
+    require(bands <= MaxMinhashBands,
+      s"infeasible minhash sizing: recall $targetRecall at J=" +
+        s"${minJaccardE4 / 10000.0} with $rowsPerBand rows/band needs " +
+        s"${bands.toLong} bands (> $MaxMinhashBands); per-band survival " +
+        s"probability $p is too small — lower rowsPerBand, loosen the " +
+        "target, or raise the threshold")
+    math.max(1, bands.toInt)
+  }
+
+  /** Sanity ceiling for [[minhashBandsForRecall]]. */
+  val MaxMinhashBands: Int = 256
+
+  /** `(numHashes, numBands)` for [[minhashPairs]]/[[ngramJaccardPairs]]
+    * sized from (τ, target recall, rows/band) — pass straight through:
+    * `val (h, b) = minhashSizingForRecall(...); minhashPairs(..., h, b)`. */
+  def minhashSizingForRecall(
+      minJaccardE4: Long, targetRecall: Double, rowsPerBand: Int): (Int, Int) = {
+    val b = minhashBandsForRecall(minJaccardE4, targetRecall, rowsPerBand)
+    (b * rowsPerBand, b)
+  }
+
   /** Score-aware SoftDeDup — the quality-weighted variant a real training
     * mix uses (r15/r16 verdicts' composition of [[softDedupWeights]] and
     * [[canonicalPerCluster]]): the cluster's best-scored member (ties to

@@ -57,6 +57,9 @@ object Plans {
       // media_id-grouped aggregate, exactly one Window — the top-k rank)
       "mm_ann" -> Seq("nearest_centroids", "!CartesianProduct",
         "!BroadcastNestedLoopJoin", "!SortAggregate"),
+      // custom-vectorizer twin: the seam must not change the plan shape
+      "mm_ann_custom" -> Seq("nearest_centroids", "MapPartitions",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin", "!SortAggregate"),
       // minhash_sig in the plan = the signature runs as the row-local
       // kernel (r15) — no corpus-sized shingle explode + re-agg exchange
       "dedup_minhash" -> Seq("HashAggregate", "Join", "minhash_sig"),

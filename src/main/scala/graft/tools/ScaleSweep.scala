@@ -284,6 +284,22 @@ object ScaleSweep {
         s""""planted":$planted,"found":$found,"recall":${f2(recall)},"ok":$ok}"""
     }
 
+    // minhash recall at the SIZED geometry (r16 verdict item 3 —
+    // Dedup.minhashSizingForRecall, the SRP inversion's word-shingle
+    // twin): planted prefix-copy near-dups at ~J 0.67 at 1× and K×; the
+    // geometry sized for recall 0.9 AT the τ=0.5 verify floor must
+    // recover ≥ target at every n (planted sit above the floor, so the
+    // banding model has margin — the SRP probe's stance).
+    val mhRecallRows = Seq(base, out).map { dir =>
+      val (n, hashes, bands, planted, found, recall) = minhashRecall(spark, dir)
+      val ok = recall >= 0.9
+      if (!ok) failed += 1
+      println(f"[minhash-recall] dir=$dir n=$n hashes=$hashes bands=$bands " +
+        f"planted=$planted found=$found recall=$recall%.3f ${if (ok) "ok" else "FAIL"}")
+      s"""{"n":$n,"hashes":$hashes,"bands":$bands,"planted":$planted,""" +
+        s""""found":$found,"recall":${f2(recall)},"ok":$ok}"""
+    }
+
     // planted-hot-key probe (round-12 verdict #2): prepend ONE shared
     // 10-token boilerplate header to EVERY document — uncapped, the
     // header window alone emits n² join rows; with the default guard the
@@ -462,7 +478,7 @@ object ScaleSweep {
     val p = java.nio.file.Paths.get("target", "scale_sweep.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p,
-      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"hot_window":$hotJson,"hot_corpus":$hotCorpusJson,"import":$importJson}"""
+      s"""{"factor":$factor,"cpus":$cpus,"results":$json,"srp_recall":[${recallRows.mkString(",")}],"minhash_recall":[${mhRecallRows.mkString(",")}],"hot_window":$hotJson,"hot_corpus":$hotCorpusJson,"import":$importJson}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed scale checks FAILED"); sys.exit(1) }
@@ -512,6 +528,53 @@ object ScaleSweep {
       .count()
     spark.catalog.clearCache()
     (total, bits, stats, gt, found, if (gt == 0) 0.0 else found.toDouble / gt)
+  }
+
+  /** Minhash recall probe — [[srpRecall]]'s word-shingle twin: for every
+    * ~n/200th document plant a companion holding a verbatim ~85% token
+    * prefix plus unique noise (3-word-shingle Jaccard ≈ 0.67 — above the
+    * τ=0.5 floor, deterministic, no RNG), size the banding for recall 0.9
+    * AT τ via [[graft.operators.Dedup.minhashSizingForRecall]], and
+    * report the fraction of exact-ground-truth pairs (the public string
+    * kernel, j_e4 ≥ 5000) the sized geometry recovered. Returns
+    * (corpus n incl. planted, numHashes, numBands, planted, found,
+    * recall). */
+  private def minhashRecall(spark: SparkSession, dir: String)
+      : (Long, Int, Int, Long, Long, Double) = {
+    import graft.operators.{Dedup, TextOps}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).first().getLong(0) + 1
+    val n = docs.count()
+    val step = math.max(n / 200L, 1L)
+    val samples = docs.filter(col("doc_id") % step === 0)
+      // shingle sets need enough tokens that the kept prefix dominates
+      .filter(size(TextOps.tokens(col("text"))) >= 20)
+    val companions = samples.select((col("doc_id") + maxId).as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
+          (size(TextOps.tokens(col("text"))) * 17 / 20))),
+        concat(lit("zqnoise"), col("doc_id"), lit("a zqnoise"), col("doc_id"),
+          lit("b zqnoise"), col("doc_id"), lit("c"))).as("text"))
+    val corpus = docs.unionByName(companions)
+    val total = n + samples.count()
+    // exact ground truth via the public string kernel — the construction's
+    // spread around J≈0.67 cannot bias the measurement
+    val gt = samples.select(col("doc_id"), col("text").as("ta"))
+      .join(companions.select((col("doc_id") - maxId).as("doc_id"),
+        col("text").as("tb")), Seq("doc_id"))
+      .filter(graft.functions.JaccardE4(
+        TextOps.wordShingles(TextOps.tokens(col("ta")), 3),
+        TextOps.wordShingles(TextOps.tokens(col("tb")), 3)) >= 5000)
+      .count()
+    val (hashes, bands) = Dedup.minhashSizingForRecall(5000, 0.9, 3)
+    val found = Dedup.minhashPairs(corpus, "doc_id", "text",
+        shingleWords = 3, numHashes = hashes, numBands = bands,
+        minJaccardE4 = 5000)
+      .filter(col("b") === col("a") + maxId)
+      .count()
+    spark.catalog.clearCache()
+    (total, hashes, bands, gt, found, if (gt == 0) 0.0 else found.toDouble / gt)
   }
 
   private[tools] def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {

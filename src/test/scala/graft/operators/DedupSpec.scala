@@ -539,6 +539,41 @@ class DedupSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(w(_)._3).sum == 1666666L)
   }
 
+  test("minhashBandsForRecall inverts the banding curve; sized geometry " +
+      "recovers planted pairs at the target") {
+    // closed form: returned b is MINIMAL with 1 − (1 − s^r)^b ≥ recall
+    def recallOf(s: Double, r: Int, b: Int) =
+      1 - math.pow(1 - math.pow(s, r), b)
+    val b = Dedup.minhashBandsForRecall(5000, 0.9, 3)
+    assert(recallOf(0.5, 3, b) >= 0.9 && recallOf(0.5, 3, b - 1) < 0.9)
+    // the shipped (12, 4) word-shingle default sits at its documented
+    // J=0.8 design point: the inversion reproduces it
+    assert(Dedup.minhashBandsForRecall(8000, 0.9, 3) == 4)
+    assert(Dedup.minhashSizingForRecall(8000, 0.9, 3) == ((12, 4)))
+    // tighter target → more bands; infeasible combinations throw by name
+    assert(Dedup.minhashBandsForRecall(5000, 0.99, 3) > b)
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.minhashBandsForRecall(500, 0.999, 6)
+    }
+    assert(boom.getMessage.contains("infeasible"))
+    // planted pairs at J≈0.67 (> τ=0.5): the geometry sized for recall
+    // 0.9 AT τ must recover ≥ target (planted sit above the threshold,
+    // so the banding model has margin — same stance as the SRP probe)
+    val n = 120
+    val docs = (0 until n).flatMap { i =>
+      val toks = (0 until 40).map(t => s"w${i}_$t")
+      Seq((i.toLong, toks.mkString(" ")),
+        ((i + 10000).toLong,
+          (toks.take(34) ++ (0 until 10).map(t => s"n${i}_$t")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val (h, bands) = Dedup.minhashSizingForRecall(5000, 0.9, 3)
+    val found = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleWords = 3, numHashes = h, numBands = bands, minJaccardE4 = 5000)
+      .filter(col("b") === col("a") + 10000L).count()
+    assert(found >= math.ceil(0.9 * n).toLong,
+      s"sized-band recall ${found.toDouble / n} below target")
+  }
+
   test("containmentPairs surfaces subset quoting that Jaccard misses") {
     val big = (1 to 40).map(i => s"w$i").mkString(" ")
     val excerpt = (10 to 19).map(i => s"w$i").mkString(" ") // verbatim slice
