@@ -100,6 +100,13 @@ object Bench {
       import scala.jdk.CollectionConverters._
       Queries.harnessNs.asScala.map { case (k, v) => k -> v.sum() }.toMap
     }
+    // phase-ledger snapshot for the io-normalized headline below — the
+    // warm-up pass at sf0.001 also runs the phased rows, and its ledger
+    // time must not count against the timed battery
+    val phaseAtStartByKey: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Queries.phaseNs.asScala.map { case (k, v) => k -> v.sum() }.toMap
+    }
 
     // A query that THROWS must not report its analysis-exception latency as
     // an engine time (r9: 39 broken rows read as a fake 30% speedup). Failed
@@ -168,7 +175,44 @@ object Bench {
         "\"" + k + "\":" + f(v.sum() / 1e9)
       }.mkString("{", ",", "}")
     }
-    val total = f(results.map(_._2).filter(_ >= 0).sum)
+    val totalD = results.map(_._2).filter(_ >= 0).sum
+    val total = f(totalD)
+    val nGood = results.count(_._2 >= 0)
+
+    // ---- io-normalized headline (r16 verdict item 5) -------------------
+    // The battery's I/O-antenna phases — the checkpointed streaming
+    // restarts and the store ingest-write, exactly the ledger keys below —
+    // scale with the sandbox's disk weather, which io_calib_s measures
+    // independently. The normalized total replaces their measured time
+    // with what they WOULD have cost at a pinned nominal io_calib of
+    // IoCalibRefS, so cross-round comparisons of total_io_norm_s stop
+    // re-litigating the window's disk (r15 note 3 / r16 note 3: every
+    // round's closing analysis re-derived this correction by hand). The
+    // RAW total stays the headline "value" — normalization is reported,
+    // never substituted. Ledger deltas span all 3 passes, so /3 puts them
+    // on the same one-battery scale as the per-query medians.
+    val IoCalibRefS = 1.0 // pinned nominal disk probe time (r16 ≈ 1.28)
+    val ioAntennaPhases = Set(
+      "store_roundtrip/ingest_write",
+      "stream_session/pass_initial", "stream_session/pass_restart",
+      "stream_wire_follow/drain")
+    val ioPhasesS = {
+      import scala.jdk.CollectionConverters._
+      Queries.phaseNs.asScala.toSeq
+        .filter(kv => ioAntennaPhases.contains(kv._1))
+        .map { case (k, v) => (v.sum() - phaseAtStartByKey.getOrElse(k, 0L)) / 1e9 }
+        .sum / 3.0
+    }
+    val ioCalibMedD = ioCalibs.sorted.apply(ioCalibs.size / 2)
+    val totalIoNormD =
+      if (ioCalibMedD > 0) totalD - ioPhasesS + ioPhasesS * (IoCalibRefS / ioCalibMedD)
+      else totalD
+    val perRow = f(if (nGood > 0) totalD / nGood else -1.0)
+    val perRowIoNorm = f(if (nGood > 0) totalIoNormD / nGood else -1.0)
+    val ioNormJson =
+      s""""per_row_s":$perRow,"io_phases_s":${f(ioPhasesS)},""" +
+      s""""io_calib_ref_s":${f(IoCalibRefS)},"total_io_norm_s":${f(totalIoNormD)},""" +
+      s""""per_row_io_norm_s":$perRowIoNorm"""
     val failedArr = errors.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -194,6 +238,7 @@ object Bench {
     val finalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,""" +
       s""""harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed,""" +
+      s"""$ioNormJson,""" +
       s""""failed":$failedArr,"queries":$qs,"phases":$ps,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_final.json"),
       finalLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -224,6 +269,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,""" +
       s""""harness_s":$harnessTotal,"calib_s":$calibMed,"io_calib_s":$ioCalibMed,""" +
+      s"""$ioNormJson,""" +
       s""""n_queries":${results.size},"n_failed":${errors.size},""" +
       s""""failed":$failedCapped,"sf":"$sfDir",""" +
       s""""queries":$qsCapped,"queries_shown":${slowestEntries.size},""" +

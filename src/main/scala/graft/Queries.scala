@@ -384,6 +384,75 @@ object Queries {
           java.time.Instant.parse("2024-01-20T00:00:00Z")))))),
     "dsv2_topic" -> ((s, d) => entryOut(
       dsv2Read(s, d).filter(col("topic") === "/events/purchase"))),
+    // LIVE MIGRATION + LIVE ANALYTICS as one path (r16 verdict item 4): a
+    // wire server over a source store is followed cycle by cycle into a
+    // landing store WHILE the source keeps appending (time-ordered
+    // tranches — follow's high-water contract), and after each cycle one
+    // AvailableNow run of a checkpointed streaming FQL map over
+    // [[graft.streaming.StreamingIngest.storeStream]] drains exactly the
+    // newly landed files into the sink (the restart-exactly-once
+    // pattern). The result is every migrated entry mapped once — the
+    // oracle is the same arithmetic over the source events slice, so a
+    // double-land or a dropped boundary microsecond is a hash mismatch.
+    // A 10% time-keyed slice keeps the driver-paged wire leg (the
+    // migration tool's documented cost model) bench-sized.
+    "stream_wire_follow" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sink = scratchDir("graft_swf_sink")
+      val ckpt = scratchDir("graft_swf_ckpt")
+      val srcRoot = scratchDir("graft_swf_src")
+      val dstRoot = scratchDir("graft_swf_dst")
+      Seq(sink, ckpt, srcRoot, dstRoot).foreach(deleteOnExit)
+      val slice = Tables.eventEntries(s, d).drop("__t_ns")
+        .filter(unix_micros(col("time")) % 10 === 0)
+      // fixture prep (harness): tranche boundaries + the source's first
+      // tranche — test-rig work standing in for the OLD deployment
+      val b1 = harness("stream_wire_follow") {
+        val mm = slice.agg(min(unix_micros(col("time"))),
+          max(unix_micros(col("time")))).first()
+        mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      }
+      val src = harness("stream_wire_follow") {
+        val c = new graft.api.LocalClient(s, srcRoot, fixedClock)
+        c.createTopic("/events", "float64")
+        c.appendFrame(slice.filter(unix_micros(col("time")) <= b1), "float64")
+        c
+      }
+      // each drain is one checkpointed streaming restart — phase-
+      // attributed like stream_session's, so the bench's io-normalized
+      // headline can discount this row's disk-weather share too
+      def drain(): Unit = phase("stream_wire_follow/drain") {
+        val entries = graft.streaming.StreamingIngest
+          .storeStream(s, dstRoot, "float64")
+        val out = graft.streaming.StreamingFql.query(
+          "all in /events | map F -> 5/9 * (F-32)", entries, fixedClock)
+        out.select(unix_micros(col("time")).as("t_us"), col("topic"),
+            col("value"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .outputMode("append").start().awaitTermination()
+      }
+      val server = new graft.api.WireServer(s, Map("src" -> srcRoot), "src",
+        fixedClock)
+      try {
+        val client = new graft.api.RemoteClient("127.0.0.1", server.port,
+          db = "src")
+        try {
+          graft.sources.WireImport.followOnce(s, client, dstRoot)
+          drain()
+          harness("stream_wire_follow") {
+            src.appendFrame(slice.filter(unix_micros(col("time")) > b1),
+              "float64")
+          }
+          graft.sources.WireImport.followOnce(s, client, dstRoot,
+            closeBoundary = true)
+          drain()
+        } finally client.close()
+      } finally server.close()
+      s.read.parquet(sink).select("t_us", "topic", "value")
+        .orderBy("t_us", "topic")
+    }),
   )
 
   /** One connector-read store fixture per (JVM, sf dir): the events table
@@ -507,6 +576,10 @@ object Queries {
         "ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'"),
       "dsv2_topic" -> (
         s"SELECT $entryCols, value FROM events WHERE event_type = 'purchase' ORDER BY t_us, topic"),
+      // live follow + streaming FQL map over the landing store: exactly
+      // the sliced source entries, mapped once each
+      "stream_wire_follow" -> ev("5.0/9.0 * (value - 32)",
+        "epoch_us(ts) % 10 = 0"),
       "fql_filter" -> ev("value", "value > 100"),
       "fql_map_arith" -> ev("5.0/9.0 * (value - 32)"),
       "fql_map_tuple" -> ev("1.0 + value"),

@@ -104,6 +104,36 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming view over one schema group of a ParquetStore — the landing
+    * store as a REPLAYABLE LOG. This is the handoff seam between live
+    * migration and live analytics (r16 verdict item 4):
+    * [[graft.sources.WireImport.follow]] lands each poll cycle's pages
+    * through the store's batch append, and this source tails the group's
+    * files, so `follow → store files → storeStream → StreamingFql` is one
+    * composition — the migrated-to store serves continuous queries WHILE
+    * the migration is still draining the old deployment.
+    *
+    * One schema group per stream (a file source carries one data schema —
+    * the same reason [[graft.engine.ParquetStore]] lays groups out
+    * separately); `topic` is recovered from the partition directories.
+    * Pairs with `Trigger.AvailableNow` re-runs against one checkpoint:
+    * each run processes exactly the files that appeared since the last —
+    * the battery's restart-exactly-once pattern — or runs continuously
+    * with a processing-time trigger for true tailing.
+    *
+    * Output: canonical `(time TIMESTAMP, topic STRING, value T)`. */
+  def storeStream(spark: SparkSession, root: String, schemaDdl: String): DataFrame = {
+    val st = graft.engine.FossilSchema.parse(schemaDdl)
+    val dir = s"$root/data/sgroup=${graft.engine.ParquetStore.schemaKey(st)}"
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("time", TimestampType, nullable = false),
+        StructField("topic", StringType, nullable = false),
+        StructField("value", st.sparkType))))
+      .option("basePath", dir)
+      .parquet(s"$dir/topic=*")
+  }
+
   /** Sliding-window stats: overlapping windows of `windowDur` advancing by
     * `slideDur` — each row lands in windowDur/slideDur windows. */
   def slidingStats(entries: DataFrame, windowDur: String, slideDur: String,
