@@ -384,6 +384,18 @@ object Queries {
           java.time.Instant.parse("2024-01-20T00:00:00Z")))))),
     "dsv2_topic" -> ((s, d) => entryOut(
       dsv2Read(s, d).filter(col("topic") === "/events/purchase"))),
+    // the NATIVE half of the front door: format("fossil") pointed at the
+    // byte-faithful fossil v2 directory (gob segments + zlib catalog +
+    // corrupt-line WAL tail — the same fixture fossil_import decodes):
+    // layout auto-detected, segment files decoded on executors, values
+    // typed through the shared wire codec, WAL salvage included. Oracle =
+    // the events table itself, like fossil_import — a correct native read
+    // is indistinguishable from having read the source table directly.
+    "dsv2_native" -> ((s, d) =>
+      s.read.format("fossil").option("prefix", "/events")
+        .load(fossilFixture(s, d))
+        .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
+        .orderBy("t_us", "topic")),
     // LIVE MIGRATION + LIVE ANALYTICS as one path (r16 verdict item 4): a
     // wire server over a source store is followed cycle by cycle into a
     // landing store WHILE the source keeps appending (time-ordered
@@ -580,6 +592,8 @@ object Queries {
       // the sliced source entries, mapped once each
       "stream_wire_follow" -> ev("5.0/9.0 * (value - 32)",
         "epoch_us(ts) % 10 = 0"),
+      // native-dir connector read ≡ the source events, like fossil_import
+      "dsv2_native" -> ev("value"),
       "fql_filter" -> ev("value", "value > 100"),
       "fql_map_arith" -> ev("5.0/9.0 * (value - 32)"),
       "fql_map_tuple" -> ev("1.0 + value"),

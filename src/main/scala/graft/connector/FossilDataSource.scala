@@ -71,19 +71,30 @@ final class FossilDataSource extends TableProvider with DataSourceRegister {
 
 private[connector] object FossilDataSource {
 
-  /** Options → opened (read-only) table. */
-  def resolve(options: Map[String, String]): FossilTable = {
+  /** Options → opened (read-only) table. Layout is AUTO-DETECTED: a
+    * ParquetStore root (catalog.json) or a NATIVE fossil v2/v1 database
+    * directory (metadata / single-file `database`) — one front door for
+    * both the engine's own storage and the migration-source deployments
+    * [[graft.sources.FossilDatabase]] decodes. */
+  def resolve(options: Map[String, String]): FossilTableBase = {
     val ci = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val root = ci.get("path").orElse(singlePathOf(ci.get("paths"))).getOrElse(
       throw new IllegalArgumentException(
         "fossil source needs a store root: spark.read.format(\"fossil\").load(root)"))
     val prefix = ci.getOrElse("prefix", "/")
-    val (catalog, version) = ParquetStore.loadCatalog(root)
-    if (version > StoreMigration.CurrentVersion)
-      throw new IllegalStateException(
-        s"store at $root has format version $version, newer than the " +
-          s"supported version ${StoreMigration.CurrentVersion} — upgrade the library")
-    new FossilTable(root, prefix, catalog)
+    if (Files.exists(Paths.get(root, "metadata")) ||
+        Files.exists(Paths.get(root, "database")))
+      new FossilNativeTable(root, prefix)
+    else if (Files.exists(Paths.get(root, "catalog.json"))) {
+      val (catalog, version) = ParquetStore.loadCatalog(root)
+      if (version > StoreMigration.CurrentVersion)
+        throw new IllegalStateException(
+          s"store at $root has format version $version, newer than the " +
+            s"supported version ${StoreMigration.CurrentVersion} — upgrade the library")
+      new FossilTable(root, prefix, catalog)
+    } else throw new IllegalArgumentException(
+      s"$root is neither a fossil store root (no catalog.json) nor a " +
+        "native fossil database (no metadata / database file)")
   }
 
   /** `load(a, b)` arrives as a JSON array under "paths" — one root only
@@ -117,21 +128,19 @@ private[connector] object FossilDataSource {
   }
 }
 
-final class FossilTable(
-    val root: String, val prefix: String, val catalog: Catalog)
-  extends Table with SupportsRead {
-
-  /** Combined fossil schema over every catalog topic under the prefix —
-    * CATALOG-derived (deterministic from the sidecar alone, independent of
-    * which topics hold data yet), where the library's `entries` combines
-    * the on-disk groups; identical whenever every topic has landed data. */
-  val combined: SType = catalog.combinedSchema(prefix) match {
-    case SUnknown => FossilSchema.default
-    case s => s
-  }
-  val opaqueValue: Boolean = combined == SAmbiguous
-
-  override def name(): String = s"fossil:$root[$prefix]"
+/** What the shared [[FossilScanBuilder]] needs from either layout's table:
+  * the combined value typing, the prefix's topic list for directory/datum
+  * pruning, and a layout-specific scan factory. */
+trait FossilTableBase extends Table with SupportsRead {
+  def root: String
+  def prefix: String
+  def combined: SType
+  def opaqueValue: Boolean
+  /** Topics under the prefix (candidate set the pushed topic filters cut). */
+  def prefixTopics: Seq[String]
+  /** Layout-specific scan over the surviving topics. */
+  def makeScan(wanted: Seq[String], pruned: StructType,
+      loUs: Option[Long], hiUs: Option[Long], pushed: Array[Filter]): Scan
 
   override def schema(): StructType = StructType(Seq(
     StructField("time", TimestampType, nullable = false),
@@ -145,7 +154,30 @@ final class FossilTable(
     new FossilScanBuilder(this)
 }
 
-final class FossilScanBuilder(table: FossilTable)
+final class FossilTable(
+    val root: String, val prefix: String, val catalog: Catalog)
+  extends FossilTableBase {
+
+  /** Combined fossil schema over every catalog topic under the prefix —
+    * CATALOG-derived (deterministic from the sidecar alone, independent of
+    * which topics hold data yet), where the library's `entries` combines
+    * the on-disk groups; identical whenever every topic has landed data. */
+  val combined: SType = catalog.combinedSchema(prefix) match {
+    case SUnknown => FossilSchema.default
+    case s => s
+  }
+  val opaqueValue: Boolean = combined == SAmbiguous
+
+  override def name(): String = s"fossil:$root[$prefix]"
+
+  override def prefixTopics: Seq[String] = catalog.topicsUnder(prefix)
+
+  override def makeScan(wanted: Seq[String], pruned: StructType,
+      loUs: Option[Long], hiUs: Option[Long], pushed: Array[Filter]): Scan =
+    new FossilScan(this, wanted, pruned, loUs, hiUs, pushed)
+}
+
+final class FossilScanBuilder(table: FossilTableBase)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pruned: StructType = table.schema()
@@ -207,10 +239,10 @@ final class FossilScanBuilder(table: FossilTable)
   }
 
   override def build(): Scan = {
-    val wanted = table.catalog.topicsUnder(table.prefix).filter { t =>
+    val wanted = table.prefixTopics.filter { t =>
       topicAllow.forall(_.contains(t)) && topicPrefixes.forall(t.startsWith)
     }
-    new FossilScan(table, wanted, pruned, loUs, hiUs, accepted)
+    table.makeScan(wanted, pruned, loUs, hiUs, accepted)
   }
 }
 
