@@ -396,6 +396,22 @@ object Queries {
         .load(fossilFixture(s, d))
         .select(unix_micros(col("time")).as("t_us"), col("topic"), col("value"))
         .orderBy("t_us", "topic")),
+    // the SQL catalog path ([[graft.connector.FossilCatalog]]): topics as
+    // tables under `fossil.<db>.<path segments>`, plain Spark SQL on top —
+    // the grouped aggregate runs THROUGH the catalog's table resolution,
+    // proving the third leg of the connector surface (DataFrame read,
+    // native read, SQL catalog). Exact-cents sum keeps the double column
+    // hash-stable under parallel aggregation.
+    "dsv2_sql" -> ((s, d) => {
+      val root = dsv2Root(s, d)
+      s.conf.set("spark.sql.catalog.fossil_bench",
+        "graft.connector.FossilCatalog")
+      s.conf.set("spark.sql.catalog.fossil_bench.db.main", root)
+      s.sql("""SELECT topic, count(*) AS n,
+              |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+              |FROM fossil_bench.main.events
+              |GROUP BY topic ORDER BY topic""".stripMargin)
+    }),
     // LIVE MIGRATION + LIVE ANALYTICS as one path (r16 verdict item 4): a
     // wire server over a source store is followed cycle by cycle into a
     // landing store WHILE the source keeps appending (time-ordered
@@ -473,8 +489,8 @@ object Queries {
     * harness-charged like every import fixture. */
   private val dsv2Roots =
     new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def dsv2Read(s: SparkSession, d: String): DataFrame = {
-    val root = dsv2Roots.computeIfAbsent(d, _ => harness("dsv2_scan_all") {
+  private def dsv2Root(s: SparkSession, d: String): String =
+    dsv2Roots.computeIfAbsent(d, _ => harness("dsv2_scan_all") {
       val r = scratchDir("graft_dsv2")
       deleteOnExit(r)
       val c = new graft.api.LocalClient(s, r, fixedClock)
@@ -482,8 +498,8 @@ object Queries {
       c.appendFrame(Tables.eventEntries(s, d).drop("__t_ns"), "float64")
       r
     })
-    s.read.format("fossil").load(root)
-  }
+  private def dsv2Read(s: SparkSession, d: String): DataFrame =
+    s.read.format("fossil").load(dsv2Root(s, d))
 
   /** One WARC fixture dir per (JVM, sf dir): the documents table written
     * as crawl-style response records across four `.warc`/`.warc.gz`
@@ -594,6 +610,11 @@ object Queries {
         "epoch_us(ts) % 10 = 0"),
       // native-dir connector read ≡ the source events, like fossil_import
       "dsv2_native" -> ev("value"),
+      // SQL-catalog grouped aggregate over the store's events topics
+      "dsv2_sql" -> ("""SELECT '/events/' || event_type AS topic,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       "fql_filter" -> ev("value", "value > 100"),
       "fql_map_arith" -> ev("5.0/9.0 * (value - 32)"),
       "fql_map_tuple" -> ev("1.0 + value"),
