@@ -183,6 +183,43 @@ class FossilDataSourceSpec extends SparkSpec {
     assert(int96ToMicros(buf.array()) == 86400000000L + 1L)
   }
 
+  test("byte-range splits cover a multi-row-group file exactly once") {
+    // tiny parquet row groups + a tiny split size force ONE store file to
+    // span many ranges — row groups resolve to the range holding their
+    // midpoint, so the union must cover every row exactly once (the
+    // 100 TB shape: a compacted hot-topic file far bigger than
+    // maxPartitionBytes parallelizing across executors)
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hadoop.get("parquet.block.size")
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    hadoop.setInt("parquet.block.size", 1024)
+    try {
+      val root = newRoot("split")
+      val c = new LocalClient(spark, root, fixedClock)
+      c.createTopic("/big", "int64")
+      import spark.implicits._
+      val n = 5000
+      c.appendFrame(
+        spark.range(n).select(
+          org.apache.spark.sql.functions.timestamp_micros(
+            col("id") * 1000000L + 1700000000000000L).as("time"),
+          org.apache.spark.sql.functions.lit("/big").as("topic"),
+          col("id").as("value")),
+        "int64")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val df = readFossil(root)
+      val parts = scanOf(df).planInputPartitions()
+      assert(parts.length > 4, s"expected many byte-range splits, got ${parts.length}")
+      assert(df.count() == n)
+      assert(df.agg(org.apache.spark.sql.functions.sum("value")).first().getLong(0)
+        == n.toLong * (n - 1) / 2) // exactly-once: any dup/drop breaks the sum
+    } finally {
+      if (oldBlock == null) hadoop.unset("parquet.block.size")
+      else hadoop.set("parquet.block.size", oldBlock)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+    }
+  }
+
   test("SQL view over the connector composes with plain Spark SQL") {
     val root = floatStore()
     readFossil(root).createOrReplaceTempView("fossil_entries")
