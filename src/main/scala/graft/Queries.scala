@@ -467,14 +467,18 @@ object Queries {
         val client = new graft.api.RemoteClient("127.0.0.1", server.port,
           db = "src")
         try {
-          graft.sources.WireImport.followOnce(s, client, dstRoot)
+          phase("stream_wire_follow/follow") {
+            graft.sources.WireImport.followOnce(s, client, dstRoot)
+          }
           drain()
           harness("stream_wire_follow") {
             src.appendFrame(slice.filter(unix_micros(col("time")) > b1),
               "float64")
           }
-          graft.sources.WireImport.followOnce(s, client, dstRoot,
-            closeBoundary = true)
+          phase("stream_wire_follow/follow") {
+            graft.sources.WireImport.followOnce(s, client, dstRoot,
+              closeBoundary = true)
+          }
           drain()
         } finally client.close()
       } finally server.close()
