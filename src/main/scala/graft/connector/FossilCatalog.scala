@@ -55,8 +55,39 @@ class FossilCatalog extends TableCatalog with SupportsNamespaces {
     throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
       Array(db)))
 
-  private def tableOf(db: String, prefix: String): FossilTableBase =
-    FossilDataSource.resolve(Map("path" -> rootOf(db), "prefix" -> prefix))
+  /** Resolved tables memoized per (root, prefix) with a control-plane
+    * freshness stamp: Spark issues several catalog calls per statement
+    * (tableExists → loadTable → listings), and a cold resolve on a NATIVE
+    * root is a full control-plane open including WAL replay. The stamp is
+    * the (mtime, size) of the files whose content the cached table
+    * actually captures — `catalog.json` for a store root (data files are
+    * re-listed per scan, so only topic/schema registry freshness matters),
+    * `metadata` + `wal.log` for a native root (whose decoded control plane
+    * DOES hold the WAL-borne rows). Stale stamp → re-resolve. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Seq[Long], FossilTableBase)]
+
+  private def freshnessStamp(root: String): Seq[Long] = {
+    import java.nio.file.{Files, Paths}
+    Seq("catalog.json", "metadata", "wal.log", "database").flatMap { f =>
+      val p = Paths.get(root, f)
+      if (Files.exists(p)) Seq(Files.getLastModifiedTime(p).toMillis, Files.size(p))
+      else Seq(-1L, -1L)
+    }
+  }
+
+  private def tableOf(db: String, prefix: String): FossilTableBase = {
+    val root = rootOf(db)
+    val key = (root, prefix)
+    val stamp = freshnessStamp(root)
+    val cached = tableCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val t = FossilDataSource.resolve(Map("path" -> root, "prefix" -> prefix))
+      tableCache.put(key, (stamp, t))
+      t
+    }
+  }
 
   /** namespace tail + name → topic path ("/"-rooted). */
   private def topicPath(segs: Seq[String]): String = "/" + segs.mkString("/")
@@ -71,13 +102,16 @@ class FossilCatalog extends TableCatalog with SupportsNamespaces {
     val prefix = if (namespace.length == 1) "/" else topicPath(namespace.tail.toSeq)
     val t = tableOf(namespace.head, prefix)
     val depth = namespace.length - 1
-    // child namespace = next path segment of any topic strictly below it
+    // child namespace = next path segment of any topic strictly below it;
+    // dedupe on the segment NAME (a Set[String]) — Array[String] rows have
+    // reference equality, so .distinct over them never collapses anything
     t.prefixTopics.iterator
       .map(_.stripPrefix("/").split("/").toSeq)
       .filter(_.length > depth + 1)
       .filter(segs => topicPath(segs.take(depth)) == prefix || depth == 0)
-      .map(segs => namespace :+ segs(depth))
-      .distinct.toArray
+      .map(_(depth))
+      .toSet.toArray.sorted
+      .map(seg => namespace :+ seg)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =

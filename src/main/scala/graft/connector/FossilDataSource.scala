@@ -332,10 +332,15 @@ final class FossilScan(
 
 private[connector] object FossilScan {
   /** Split size from the active session (planning runs on the driver);
-    * falls back to Spark's 128 MB default outside a session. */
-  def maxPartitionBytes(): Long =
-    try {
-      val v = SparkSession.active.conf.get("spark.sql.files.maxPartitionBytes")
+    * falls back to Spark's 128 MB default ONLY when no session is active —
+    * a malformed conf value must fail by name, not silently default. */
+  def maxPartitionBytes(): Long = {
+    val session =
+      try Some(SparkSession.active)
+      catch { case _: IllegalStateException => None } // no active session
+    session.fold(128L * 1024 * 1024) { s =>
+      val v = s.conf.get("spark.sql.files.maxPartitionBytes")
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
-    } catch { case _: Throwable => 128L * 1024 * 1024 }
+    }
+  }
 }

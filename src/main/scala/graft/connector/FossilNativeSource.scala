@@ -138,6 +138,15 @@ final class FossilNativeScan(
       wantedTopics.toSet, pruned.fieldNames,
       table.combined.ddl, table.opaqueValue, loUs, hiUs)
 
+  /** Datums with out-of-catalog topic ids CANNOT surface through the
+    * connector (the planned value type comes from the catalog; a corrupt
+    * id's bytes have no schema) — where `importInto` deliberately lands
+    * them under synthesized binary topics so corruption never vanishes
+    * from counts. The connector makes the same corruption VISIBLE as a
+    * per-scan metric instead of silently shrinking the row count. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new UnknownTopicDatumsMetric)
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
       table.db.snapshotFiles.map(f => Files.size(Paths.get(f))).sum)
@@ -190,6 +199,8 @@ final class FossilNativeReader(
   private val lo = loUs.getOrElse(Long.MinValue)
   private val hi = hiUs.getOrElse(Long.MaxValue)
 
+  private var unknownTopicDatums: Long = 0L
+
   private def topicOf(tid: Int): String =
     if (tid >= 0 && tid < topics.length) topics(tid)
     else s"/__unknown_topic_$tid"
@@ -241,6 +252,7 @@ final class FossilNativeReader(
     while (rows.hasNext) {
       val (tNs, tid, bytes) = rows.next()
       val tUs = tNs / 1000L // integral, truncates toward zero — matches `div`
+      if (tid < 0 || tid >= topics.length) unknownTopicDatums += 1
       val topic = topicOf(tid)
       if (tUs >= lo && tUs <= hi && wanted.contains(topic)) {
         val out = new Array[Any](prunedFields.length)
@@ -265,5 +277,21 @@ final class FossilNativeReader(
 
   override def get(): InternalRow = current
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "unknownTopicDatums"
+      override def value(): Long = unknownTopicDatums
+    })
+
   override def close(): Unit = ()
+}
+
+/** Sum-aggregated scan metric: datums whose topic id is outside the
+  * catalog (corruption the import path would land as synthesized binary
+  * topics — see [[FossilNativeScan.supportedCustomMetrics]]). */
+final class UnknownTopicDatumsMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "unknownTopicDatums"
+  override def description(): String =
+    "native datums dropped: topic id outside the catalog"
 }

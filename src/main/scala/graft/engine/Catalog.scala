@@ -96,7 +96,16 @@ final class Catalog extends Serializable {
     else topics.keys.filter(t => t == p || t.startsWith(p + "/")).toSeq.sorted
   }
 
-  /** Merged schema for a prefix scan (`pkg/database/db.go:414-450`). */
+  /** Merged schema for a prefix scan (`pkg/database/db.go:414-450`).
+    *
+    * Schemas are DEDUPLICATED before combining, matching
+    * `ParquetStore.entries` (which combines distinct on-disk schema
+    * groups, not per-topic repeats): `combine` mirrors the reference's
+    * pairwise widening where composites are always ambiguous, so without
+    * the dedupe a prefix holding two topics with the SAME composite
+    * schema would read back opaque — while the library path serves typed
+    * structs. Identity between the two paths requires combining the
+    * distinct schema SET. */
   def combinedSchema(prefix: String): SType =
-    FossilSchema.combineAll(topicsUnder(prefix).flatMap(topics.get))
+    FossilSchema.combineAll(topicsUnder(prefix).flatMap(topics.get).distinct)
 }

@@ -54,6 +54,12 @@ class FossilCatalogSpec extends SparkSpec {
     root
     val dbs = spark.sql("SHOW NAMESPACES IN fossil").collect().map(_.getString(0))
     assert(dbs.toSeq == Seq("main"))
+    // child namespaces dedupe by VALUE: /events/click and /events/view share
+    // the 'events' segment — it must list once (r17 advice: Array[String]
+    // rows have reference equality, .distinct over them collapses nothing)
+    val subns = spark.sql("SHOW NAMESPACES IN fossil.main").collect()
+      .map(_.getString(0)).toSeq
+    assert(subns == Seq("main.events"), s"expected one deduped namespace, got $subns")
     val tables = spark.sql("SHOW TABLES IN fossil.main").collect()
       .map(_.getString(1)).sorted.toSeq
     assert(tables == Seq("events", "other"))

@@ -135,6 +135,28 @@ class FossilDataSourceSpec extends SparkSpec {
     assert(struct.getDouble(struct.fieldIndex("y")) == 2.5)
   }
 
+  test("two topics sharing one composite schema read back TYPED (r17 advice)") {
+    // combine(c, c) is ambiguous for composites by the reference's pairwise
+    // rule — the combined view must dedupe schemas first, like the library
+    // path, or identical-composite siblings silently null out
+    val root = newRoot("twincomp")
+    val c = new LocalClient(spark, root, fixedClock)
+    c.createTopic("/pts/a", "{x: int64, y: float64}")
+    c.createTopic("/pts/b", "{x: int64, y: float64}")
+    c.append("/pts/a", Row(1L, 1.5), ts("2024-01-01T00:00:00Z"))
+    c.append("/pts/b", Row(2L, 2.5), ts("2024-01-02T00:00:00Z"))
+    val df = readFossil(root, prefix = "/pts")
+    assert(df.schema("value").dataType.isInstanceOf[StructType],
+      s"expected typed struct, got ${df.schema("value").dataType}")
+    val rows = df.orderBy("time").collect()
+    assert(rows.length == 2 && rows.forall(!_.isNullAt(2)))
+    assert(rows.map(_.getStruct(2).getLong(0)).toSeq == Seq(1L, 2L))
+    // identity with the library path holds for the twin-composite case
+    val lib = new graft.engine.ParquetStore(spark, root).entries("/pts")
+      .orderBy("time", "topic").collect().toSeq
+    assert(df.orderBy("time", "topic").collect().toSeq == lib)
+  }
+
   test("ambiguous mixed-schema prefix reads as null binary, like entries()") {
     val root = newRoot("ambig")
     val c = new LocalClient(spark, root, fixedClock)
