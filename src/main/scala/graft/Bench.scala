@@ -195,7 +195,8 @@ object Bench {
     val ioAntennaPhases = Set(
       "store_roundtrip/ingest_write",
       "stream_session/pass_initial", "stream_session/pass_restart",
-      "stream_wire_follow/follow", "stream_wire_follow/drain")
+      "stream_wire_follow/follow", "stream_wire_follow/drain",
+      "stream_dsv2/follow", "stream_dsv2/drain")
     val ioPhasesS = {
       import scala.jdk.CollectionConverters._
       Queries.phaseNs.asScala.toSeq

@@ -67,14 +67,13 @@ class FossilCatalog extends TableCatalog with SupportsNamespaces {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Seq[Long], FossilTableBase)]
 
-  private def freshnessStamp(root: String): Seq[Long] = {
-    import java.nio.file.{Files, Paths}
+  private def freshnessStamp(root: String): Seq[Long] =
     Seq("catalog.json", "metadata", "wal.log", "database").flatMap { f =>
-      val p = Paths.get(root, f)
-      if (Files.exists(p)) Seq(Files.getLastModifiedTime(p).toMillis, Files.size(p))
-      else Seq(-1L, -1L)
+      graft.engine.StoreFs.stamp(s"$root/$f") match {
+        case Some((mtime, len)) => Seq(mtime, len)
+        case None => Seq(-1L, -1L)
+      }
     }
-  }
 
   private def tableOf(db: String, prefix: String): FossilTableBase = {
     val root = rootOf(db)

@@ -1,6 +1,5 @@
 package graft.connector
 
-import java.nio.file.{Files, Path => JPath, Paths}
 import java.util.OptionalLong
 
 import scala.jdk.CollectionConverters._
@@ -13,7 +12,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.engine.{Catalog, FossilSchema, ParquetStore, StoreMigration}
+import graft.engine.{Catalog, FossilSchema, ParquetStore, StoreFs, StoreMigration}
 import graft.engine.FossilSchema.{SAmbiguous, SType, SUnknown}
 
 /** `spark.read.format("fossil")` — the engine's front door for plain Spark
@@ -82,10 +81,9 @@ private[connector] object FossilDataSource {
       throw new IllegalArgumentException(
         "fossil source needs a store root: spark.read.format(\"fossil\").load(root)"))
     val prefix = ci.getOrElse("prefix", "/")
-    if (Files.exists(Paths.get(root, "metadata")) ||
-        Files.exists(Paths.get(root, "database")))
+    if (StoreFs.exists(s"$root/metadata") || StoreFs.exists(s"$root/database"))
       new FossilNativeTable(root, prefix)
-    else if (Files.exists(Paths.get(root, "catalog.json"))) {
+    else if (StoreFs.exists(s"$root/catalog.json")) {
       val (catalog, version) = ParquetStore.loadCatalog(root)
       if (version > StoreMigration.CurrentVersion)
         throw new IllegalStateException(
@@ -158,6 +156,14 @@ final class FossilTable(
     val root: String, val prefix: String, val catalog: Catalog)
   extends FossilTableBase {
 
+  /** The store layout also streams (`spark.readStream.format("fossil")`):
+    * an append-only file tree IS a replayable log — see
+    * [[FossilMicroBatchStream]]. The native layout stays batch-only (a
+    * frozen migration-source snapshot has no append stream to tail). */
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
   /** Combined fossil schema over every catalog topic under the prefix —
     * CATALOG-derived (deterministic from the sidecar alone, independent of
     * which topics hold data yet), where the library's `entries` combines
@@ -171,6 +177,27 @@ final class FossilTable(
   override def name(): String = s"fossil:$root[$prefix]"
 
   override def prefixTopics: Seq[String] = catalog.topicsUnder(prefix)
+
+  /** STATS-class metadata for SQL users (`DESCRIBE EXTENDED`, `SHOW
+    * TBLPROPERTIES`) — the visibility wire clients get from the STATS
+    * command. Lazy: computed on the FIRST properties call (a plain
+    * SELECT's planning never lists files through here), then fixed for
+    * this table handle. Row counts come from the same cached footer
+    * reads the scan statistics use, capped identically. */
+  override def properties(): java.util.Map[String, String] = tableProps
+
+  private lazy val tableProps: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("topics", prefixTopics.size.toString)
+    m.put("combined_schema", combined.ddl)
+    val files = FossilScan.listDataFiles(this, prefixTopics)
+    m.put("num_files", files.size.toString)
+    m.put("size_bytes", files.map(_.length).sum.toString)
+    if (files.size <= FossilScan.statsFooterCap)
+      m.put("num_rows",
+        files.map(f => FossilScan.footerRowCount(f.path, f.length)).sum.toString)
+    m
+  }
 
   override def makeScan(wanted: Seq[String], pruned: StructType,
       loUs: Option[Long], hiUs: Option[Long], pushed: Array[Filter]): Scan =
@@ -259,6 +286,10 @@ final class FossilScan(
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FossilMicroBatchStream(table, wantedTopics, pruned, loUs, hiUs)
+
   override def description(): String =
     s"FossilScan root=${table.root}, prefix=${table.prefix}, " +
       s"topics=${wantedTopics.size}, " +
@@ -271,28 +302,69 @@ final class FossilScan(
     * split by `spark.sql.files.maxPartitionBytes` byte ranges — row
     * groups resolve to the range holding their midpoint, so no footer is
     * read at planning time. */
-  private lazy val partitions: Array[FossilInputPartition] = {
-    val maxBytes = FossilScan.maxPartitionBytes()
-    val out = Array.newBuilder[FossilInputPartition]
+  private lazy val partitions: Array[FossilInputPartition] =
+    FossilScan.split(FossilScan.listDataFiles(table, wantedTopics),
+      FossilScan.maxPartitionBytes())
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitions.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FossilReaderFactory(pruned.fieldNames, table.combined.sparkType,
+      table.opaqueValue, loUs, hiUs,
+      new org.apache.spark.util.SerializableConfiguration(StoreFs.conf()))
+
+  /** Distinct planned files (a file splits into several byte-range
+    * partitions; stats must count it once). */
+  private lazy val plannedFiles: Seq[(String, Long)] =
+    partitions.map(p => (p.path, p.length)).groupBy(_._1)
+      .map { case (path, chunks) => (path, chunks.map(_._2).sum) }.toSeq
+
+  /** Exact row counts from parquet footers (r17 verdict item 5 — SQL
+    * users get the row visibility wire STATS clients have). Footer reads
+    * are driver-side O(planned files) on FIRST touch only: files are
+    * immutable, so counts cache JVM-wide by (path, length); above
+    * [[FossilScan.statsFooterCap]] files the scan skips numRows (keeps
+    * sizeInBytes) rather than stall planning on a petabyte listing. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(partitions.map(_.length).sum)
+    override def numRows(): OptionalLong =
+      if (plannedFiles.size > FossilScan.statsFooterCap) OptionalLong.empty()
+      else OptionalLong.of(plannedFiles.map { case (p, l) =>
+        FossilScan.footerRowCount(p, l)
+      }.sum)
+  }
+}
+
+private[connector] object FossilScan {
+
+  /** One discovered data file: absolute path, final length (parquet files
+    * are immutable once landed), owning topic (from the partition dir). */
+  final case class DataFile(path: String, length: Long, topic: String)
+
+  /** The scan's file discovery, shared by the batch listing and the
+    * micro-batch offset log: only surviving topics' partition directories
+    * are listed, through the Hadoop control plane. Deterministic order
+    * (schema group, then sorted dir/file names). */
+  def listDataFiles(table: FossilTable, wantedTopics: Seq[String]): Seq[DataFile] = {
+    val out = Seq.newBuilder[DataFile]
     val wantedSet = wantedTopics.toSet
     val schemas = wantedTopics.flatMap(table.catalog.schemaOf).distinct
     schemas.foreach { s =>
-      val gdir = Paths.get(table.root, "data", s"sgroup=${ParquetStore.schemaKey(s)}")
-      if (Files.isDirectory(gdir)) {
-        listDirs(gdir).foreach { td =>
-          val name = td.getFileName.toString
+      val gdir = s"${table.root}/data/sgroup=${ParquetStore.schemaKey(s)}"
+      if (StoreFs.isDirectory(gdir)) {
+        StoreFs.listStatus(gdir).filter(_.isDirectory).foreach { td =>
+          val name = td.getPath.getName
           if (name.startsWith("topic=")) {
             val topic = FossilDataSource.unescapePathName(name.stripPrefix("topic="))
             if (wantedSet.contains(topic)) {
-              listFiles(td).foreach { f =>
-                val len = Files.size(f)
-                var off = 0L
-                while (off < len) {
-                  val chunk = math.min(maxBytes, len - off)
-                  out += FossilInputPartition(f.toString, off, chunk, topic)
-                  off += chunk
-                }
-                if (len == 0L) () // empty file: no row groups, nothing to plan
+              StoreFs.listStatus(td.getPath.toString).filter { st =>
+                val n = st.getPath.getName
+                st.isFile && n.endsWith(".parquet") &&
+                  !n.startsWith(".") && !n.startsWith("_")
+              }.foreach { st =>
+                out += DataFile(st.getPath.toString, st.getLen, topic)
               }
             }
           }
@@ -302,35 +374,39 @@ final class FossilScan(
     out.result()
   }
 
-  private def listDirs(p: JPath): Seq[JPath] =
-    scala.util.Using.resource(Files.list(p)) { s =>
-      s.iterator().asScala.filter(Files.isDirectory(_)).toSeq.sortBy(_.toString)
+  /** Byte-range splitting, the same convention as the batch scan. */
+  def split(files: Seq[DataFile], maxBytes: Long): Array[FossilInputPartition] = {
+    val out = Array.newBuilder[FossilInputPartition]
+    files.foreach { f =>
+      var off = 0L
+      while (off < f.length) {
+        val chunk = math.min(maxBytes, f.length - off)
+        out += FossilInputPartition(f.path, off, chunk, f.topic)
+        off += chunk
+      }
     }
-
-  private def listFiles(p: JPath): Seq[JPath] =
-    scala.util.Using.resource(Files.list(p)) { s =>
-      s.iterator().asScala.filter { f =>
-        val n = f.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") &&
-          Files.isRegularFile(f)
-      }.toSeq.sortBy(_.toString)
-    }
-
-  override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray[InputPartition]
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FossilReaderFactory(pruned.fieldNames, table.combined.sparkType,
-      table.opaqueValue, loUs, hiUs)
-
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(partitions.map(_.length).sum)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    out.result()
   }
-}
 
-private[connector] object FossilScan {
+  /** Above this many planned files, [[FossilScan.estimateStatistics]]
+    * skips exact numRows — footer reads are cheap and cached, but a
+    * first-touch scan over millions of files must not stall planning. */
+  val statsFooterCap: Int = 10000
+
+  /** JVM-wide footer row-count cache keyed by (path, length) — parquet
+    * files in the store are immutable (landed by rename), so a count
+    * never goes stale; compaction REPLACES paths, which miss and re-read. */
+  private val footerRows =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]
+
+  def footerRowCount(path: String, length: Long): Long =
+    footerRows.computeIfAbsent((path, length), { _ =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), StoreFs.conf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try java.lang.Long.valueOf(r.getRecordCount) finally r.close()
+    }).longValue()
+
   /** Split size from the active session (planning runs on the driver);
     * falls back to Spark's 128 MB default ONLY when no session is active —
     * a malformed conf value must fail by name, not silently default. */

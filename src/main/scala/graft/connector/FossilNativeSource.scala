@@ -1,6 +1,5 @@
 package graft.connector
 
-import java.nio.file.{Files, Paths}
 import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -11,7 +10,7 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.engine.{Catalog, Codec, FossilSchema}
+import graft.engine.{Catalog, Codec, FossilSchema, StoreFs}
 import graft.engine.FossilSchema.{SAmbiguous, SArray, SComposite, SType, SUnknown, Scalar}
 import graft.sources.FossilDatabase
 
@@ -69,6 +68,18 @@ final class FossilNativeTable(val root: String, val prefix: String)
 
   override def prefixTopics: Seq[String] = catalog.topicsUnder(prefix)
 
+  /** STATS-class metadata (`DESCRIBE EXTENDED`) from the already-decoded
+    * control plane — metadata ints only, no segment content reads. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("topics", prefixTopics.size.toString)
+    m.put("combined_schema", combined.ddl)
+    m.put("format_version", db.version.toString)
+    m.put("segments", db.snapshotFiles.size.toString)
+    m.put("wal_skipped", db.walSkipped.toString)
+    m
+  }
+
   override def makeScan(wanted: Seq[String], pruned: StructType,
       loUs: Option[Long], hiUs: Option[Long], pushed: Array[Filter]): Scan =
     new FossilNativeScan(this, wanted, pruned, loUs, hiUs, pushed)
@@ -117,8 +128,8 @@ final class FossilNativeScan(
           // one driver-side segment decode, exactly like rawEntries
           val headNs =
             if (db.inlineSegments.nonEmpty) db.inlineSegments.last.headTimeNs
-            else FossilDatabase.decodeSegment(Files.readAllBytes(
-              Paths.get(db.snapshotFiles.last))).headTimeNs
+            else FossilDatabase.decodeSegment(
+              StoreFs.readBytes(db.snapshotFiles.last)).headTimeNs
           rows(FossilDatabase.Segment(headNs, db.walTail))
         }
       (inline ++ walSeg ++ tail).toArray
@@ -136,7 +147,8 @@ final class FossilNativeScan(
       table.db.topics.toArray.map(FossilDatabase.normalizeTopicName),
       table.db.topics.indices.map(table.db.ddlOf).toArray,
       wantedTopics.toSet, pruned.fieldNames,
-      table.combined.ddl, table.opaqueValue, loUs, hiUs)
+      table.combined.ddl, table.opaqueValue, loUs, hiUs,
+      new org.apache.spark.util.SerializableConfiguration(StoreFs.conf()))
 
   /** Datums with out-of-catalog topic ids CANNOT surface through the
     * connector (the planned value type comes from the catalog; a corrupt
@@ -149,7 +161,7 @@ final class FossilNativeScan(
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
-      table.db.snapshotFiles.map(f => Files.size(Paths.get(f))).sum)
+      table.db.snapshotFiles.map(f => StoreFs.stamp(f).map(_._2).getOrElse(0L)).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }
@@ -162,13 +174,15 @@ final class FossilNativeReaderFactory(
     combinedDdl: String,
     opaqueValue: Boolean,
     loUs: Option[Long],
-    hiUs: Option[Long])
+    hiUs: Option[Long],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rows = p match {
       case NativeSegmentPartition(path) =>
-        val seg = FossilDatabase.decodeSegment(Files.readAllBytes(Paths.get(path)))
+        val seg = FossilDatabase.decodeSegment(
+          StoreFs.readBytesWith(path, hadoopConf.value))
         seg.data.iterator.map(d => (seg.headTimeNs + d.deltaNs, d.topicId, d.data))
       case NativeRowsPartition(rs) => rs.iterator
       case other => throw new IllegalStateException(s"unexpected partition $other")

@@ -66,12 +66,18 @@ final class FossilReaderFactory(
     valueTarget: DataType,
     opaqueValue: Boolean,
     timeLoUs: Option[Long],
-    timeHiUs: Option[Long])
+    timeHiUs: Option[Long],
+    // driver's Hadoop conf, shipped to executors so spark.hadoop.* settings
+    // (object-store credentials, endpoints) reach the file opens — a bare
+    // executor-side `new Configuration()` would read file:///HDFS fine but
+    // silently drop s3a/gs/abfs auth
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FossilPartitionReader(p.asInstanceOf[FossilInputPartition],
-      prunedFields, valueTarget, opaqueValue, timeLoUs, timeHiUs)
+      prunedFields, valueTarget, opaqueValue, timeLoUs, timeHiUs,
+      hadoopConf.value)
 }
 
 final class FossilPartitionReader(
@@ -80,10 +86,9 @@ final class FossilPartitionReader(
     valueTarget: DataType,
     opaqueValue: Boolean,
     timeLoUs: Option[Long],
-    timeHiUs: Option[Long])
+    timeHiUs: Option[Long],
+    conf: Configuration)
   extends PartitionReader[InternalRow] {
-
-  private val conf = new Configuration()
   private val hPath = new Path(part.path)
   private val topicU = UTF8String.fromString(part.topic)
 

@@ -1,6 +1,5 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -133,7 +132,7 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     val schema = catalog.schemaOf(t).getOrElse(
       throw new IllegalArgumentException(s"unknown topic $t"))
     val d = groupDir(schema)
-    if (!Files.exists(Paths.get(d)))
+    if (!StoreFs.exists(d))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -148,7 +147,7 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     val wanted = catalog.topicsUnder(prefix)
     val schemas = wanted.flatMap(catalog.schemaOf).distinct
     val groups = schemas.map(s => (s, groupDir(s))).filter { case (_, d) =>
-      Files.exists(Paths.get(d))
+      StoreFs.exists(d)
     }
     if (groups.isEmpty) {
       val combined = catalog.combinedSchema(prefix) match {
@@ -204,41 +203,33 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * tree live or a recoverable trash dir, never data loss. The brief
     * window between the renames can make a CONCURRENT reader of this store
     * see the group as empty, so compact during a quiesced period (mutating
-    * ops are excluded by the store lock; readers are not).
+    * ops are excluded by the store lock; readers are not). Rename contract
+    * per scheme: see [[StoreFs]] — atomic on HDFS/local, an O(files) copy
+    * on S3A (compact object-store roots only in a quiesced window).
     * Returns (group, files before, files after) per schema group. */
   def compact(): Seq[(String, Long, Long)] = synchronized {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    val dataDir = Paths.get(root, "data")
-    if (!Files.exists(dataDir)) return Seq.empty
-    // Files.list/walk hold a directory handle until closed — leak-free via
-    // Using.resource (a periodic compactor would otherwise exhaust fds)
-    val groups = Using.resource(Files.list(dataDir)) { s =>
-      s.iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("sgroup="))
-        .toSeq.sortBy(_.toString)
-    }
+    val dataDir = s"$root/data"
+    if (!StoreFs.exists(dataDir)) return Seq.empty
+    val groups = StoreFs.listStatus(dataDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("sgroup="))
     groups.map { g =>
-      def countFiles(p: java.nio.file.Path): Long =
-        Using.resource(Files.walk(p)) { s =>
-          s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
-        }
-      val before = countFiles(g)
-      val tmp = Paths.get(root, "data", s".compact_tmp_${g.getFileName}")
-      spark.read.parquet(g.toString)
+      val gName = g.getPath.getName
+      val gDir = g.getPath.toString
+      def countFiles(p: String): Long =
+        StoreFs.countFilesRecursive(p)(_.getPath.getName.endsWith(".parquet"))
+      val before = countFiles(gDir)
+      val tmp = s"$root/data/.compact_tmp_$gName"
+      spark.read.parquet(gDir)
         .repartition(col("topic")) // one task (→ one file) per topic
         .sortWithinPartitions("topic", "time")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("topic")
-        .parquet(tmp.toString)
-      val trash = Paths.get(root, s".trash_compact_${g.getFileName}_${System.nanoTime()}")
-      Files.move(g, trash, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, g, StandardCopyOption.ATOMIC_MOVE)
-      Using.resource(Files.walk(trash)) { s =>
-        s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-      (g.getFileName.toString, before, countFiles(g))
+        .parquet(tmp)
+      val trash = s"$root/.trash_compact_${gName}_${System.nanoTime()}"
+      StoreFs.rename(gDir, trash)
+      StoreFs.rename(tmp, gDir)
+      StoreFs.deleteRecursive(trash)
+      (gName, before, countFiles(gDir))
     }
   }
 
@@ -254,8 +245,8 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
     * (mid-compact temp trees, Spark `_temporary` staging) are skipped
     * the same way Spark scans skip them. */
   def segmentCount: Long = {
-    val dataDir = Paths.get(root, "data")
-    if (!Files.exists(dataDir)) return 0L
+    val dataDir = s"$root/data"
+    if (!StoreFs.exists(dataDir)) return 0L
     segmentCountOrDegrade(() => walkSegmentCount(dataDir))
   }
 
@@ -281,18 +272,8 @@ final class ParquetStore(spark: SparkSession, root: String) extends TopicStore {
       }
     }
 
-  private def walkSegmentCount(dataDir: java.nio.file.Path): Long = {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    def hidden(c: String) = c.startsWith(".") || c.startsWith("_")
-    Using.resource(Files.walk(dataDir)) { s =>
-      s.iterator().asScala.count { p =>
-        p.getFileName.toString.endsWith(".parquet") &&
-          !dataDir.relativize(p).iterator().asScala
-            .exists(seg => hidden(seg.toString))
-      }.toLong
-    }
-  }
+  private def walkSegmentCount(dataDir: String): Long =
+    StoreFs.countFilesRecursive(dataDir)(_.getPath.getName.endsWith(".parquet"))
 
   private def persistCatalog(): Unit = ParquetStore.saveCatalog(root, catalog)
 }
@@ -322,16 +303,14 @@ object ParquetStore {
   }
 
   def saveCatalog(root: String, catalog: Catalog): Unit = {
-    Files.createDirectories(Paths.get(root))
+    StoreFs.mkdirs(root)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       (s"""  "${StoreMigration.VersionKey}": "${StoreMigration.CurrentVersion}"""" +:
         catalog.list.map { case (t, s) => s"""  "${esc(t)}": "${esc(s.ddl)}"""" })
         .mkString("{\n", ",\n", "\n}")
-    val tmp = Paths.get(root, ".catalog.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(root, "catalog.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // temp write + atomic overwrite-rename, scheme-agnostic (StoreFs doc)
+    StoreFs.writeAtomic(s"$root/catalog.json", json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Raw sidecar read: `(catalog, declared format version)`. Stores written
@@ -339,9 +318,9 @@ object ParquetStore {
   def loadCatalog(root: String): (Catalog, Int) = {
     val c = new Catalog
     var version = 1
-    val p = Paths.get(root, "catalog.json")
-    if (Files.exists(p)) {
-      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val p = s"$root/catalog.json"
+    if (StoreFs.exists(p)) {
+      val json = new String(StoreFs.readBytes(p), StandardCharsets.UTF_8)
       // minimal parser for the flat {"topic": "ddl", ...} shape we write
       val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       entry.findAllMatchIn(json).foreach { m =>
@@ -362,7 +341,7 @@ object ParquetStore {
     * named error, auto-upgrade an OLDER one through [[StoreMigration]]. */
   def openCatalog(root: String): Catalog = {
     val (c, version) = loadCatalog(root)
-    if (Files.exists(Paths.get(root, "catalog.json")))
+    if (StoreFs.exists(s"$root/catalog.json"))
       StoreMigration.migrate(root, c, version)
     c
   }

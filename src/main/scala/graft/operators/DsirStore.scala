@@ -1,7 +1,9 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+
+import graft.engine.StoreFs
+
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,14 +38,14 @@ object DsirStore {
     * smoothing changes. */
   val Tag = "dsir-uni+bi-md5x16.v1"
 
-  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
-  private def marker(root: String, corpusId: String): Path =
-    dir(root, corpusId).resolve("_params")
+  private def dir(root: String, corpusId: String): String = s"$root/$corpusId"
+  private def marker(root: String, corpusId: String): String =
+    s"${dir(root, corpusId)}/_params"
 
   private def markerText(root: String, corpusId: String): Option[String] = {
     val m = marker(root, corpusId)
-    if (Files.exists(m))
-      Some(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+    if (StoreFs.exists(m))
+      Some(new String(StoreFs.readBytes(m), StandardCharsets.UTF_8))
     else None
   }
 
@@ -68,15 +70,15 @@ object DsirStore {
       isTarget: Column, dim: Int, root: String, corpusId: String): Unit = {
     if (isBuilt(root, corpusId, dim)) return
     val d = dir(root, corpusId)
-    if (Files.exists(d)) rmTree(d)
-    Files.createDirectories(d)
+    StoreFs.deleteRecursive(d)
+    StoreFs.mkdirs(d)
     Curation.dsirLogRatios(docs, idCol, textCol, isTarget, dim)
-      .write.mode("overwrite").parquet(d.resolve("weights.parquet").toString)
+      .write.mode("overwrite").parquet(s"$d/weights.parquet")
     // the nonce makes every build's marker TEXT unique, so the broadcast
     // cache below can never serve a previous build's weights — mtime alone
     // is not a freshness signal (same-millisecond rebuilds, coarse-mtime
     // filesystems; r16 ADVICE)
-    Files.write(marker(root, corpusId),
+    StoreFs.writeAtomic(marker(root, corpusId),
       s"$Tag dim=$dim nonce=${java.util.UUID.randomUUID()}"
         .getBytes(StandardCharsets.UTF_8))
     ()
@@ -106,10 +108,10 @@ object DsirStore {
         s"no committed DSIR store under $root/$corpusId"))
     val dim = markerDim(m).getOrElse(throw new IllegalStateException(
       s"DSIR store $root/$corpusId was built under '$m', need '$Tag' — rebuild"))
-    val mtime = Files.getLastModifiedTime(marker(root, corpusId)).toMillis
+    val mtime = StoreFs.stamp(marker(root, corpusId)).map(_._1).getOrElse(0L)
     val bc = bcCache.computeIfAbsent((root, corpusId, m, mtime), _ => {
       val rows = spark.read
-        .parquet(dir(root, corpusId).resolve("weights.parquet").toString)
+        .parquet(s"${dir(root, corpusId)}/weights.parquet")
         .select(col("j").cast("int"), col("lr_e6").cast("long"))
         .collect()
       require(rows.length == dim,
@@ -121,11 +123,4 @@ object DsirStore {
     Curation.dsirScore(docs, idCol, textCol, bc, dim)
   }
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(p)) { s =>
-      s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
 }

@@ -1,9 +1,10 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.engine.StoreFs
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index for approximate-nearest-neighbor search — the ANN
@@ -49,15 +50,15 @@ import org.apache.spark.sql.functions._
   */
 object IvfStore {
 
-  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
-  private def marker(root: String, corpusId: String): Path =
-    dir(root, corpusId).resolve("_params")
+  private def dir(root: String, corpusId: String): String = s"$root/$corpusId"
+  private def marker(root: String, corpusId: String): String =
+    s"${dir(root, corpusId)}/_params"
 
   /** True iff a complete store exists for exactly this centroid-recipe tag. */
   def isBuilt(root: String, corpusId: String, tag: String): Boolean = {
     val m = marker(root, corpusId)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == tag
+    StoreFs.exists(m) &&
+      new String(StoreFs.readBytes(m), StandardCharsets.UTF_8) == tag
   }
 
   /** Assign `corpus` to its nearest centroid and persist the index;
@@ -78,18 +79,18 @@ object IvfStore {
       tag: String, pqSub: Int = 8, pqCodes: Int = 256): Unit = {
     if (isBuilt(root, corpusId, tag)) return
     val d = dir(root, corpusId)
-    if (Files.exists(d)) rmTree(d)
-    Files.createDirectories(d)
+    StoreFs.deleteRecursive(d)
+    StoreFs.mkdirs(d)
     val spark = corpus.sparkSession
     val cent = Similarity.centFrame(centroids, centroidIdCol, vecCol)
-    cent.write.mode("overwrite").parquet(d.resolve("centroids.parquet").toString)
+    cent.write.mode("overwrite").parquet(s"$d/centroids.parquet")
     // PQ codebook from this corpus (the deterministic subset recipe),
     // persisted FIRST so probes/appends encode against the exact table
     if (pqSub > 0) {
       try Similarity.pqCodebookFrame(
         corpus.select(col(idCol).as("id"),
           col(vecCol).cast("array<double>").as("v")), pqSub, pqCodes)
-        .write.mode("overwrite").parquet(d.resolve("codebook.parquet").toString)
+        .write.mode("overwrite").parquet(s"$d/codebook.parquet")
       catch { case e: IllegalArgumentException =>
         throw new IllegalArgumentException(
           s"IvfStore.build: PQ codebook training failed for corpusId=$corpusId " +
@@ -99,14 +100,14 @@ object IvfStore {
     // bucket from the JUST-PERSISTED artifacts so all three are
     // guaranteed consistent; partitionBy(bucket) → probe-side pruning
     val persistedCent = spark.read
-      .parquet(d.resolve("centroids.parquet").toString)
+      .parquet(s"$d/centroids.parquet")
     val cb = readCodebookOpt(spark, root, corpusId)
     writeBuckets(
       Similarity.assignBuckets(corpus, persistedCent, vecCol, idCol, "bucket", n = 1)
         .select(col(idCol).cast("long").as("id"), col("__v").as("v"),
           col("__n").as("n"), col("bucket").cast("long").as("bucket")),
       cb, d, overwrite = true)
-    Files.write(marker(root, corpusId), tag.getBytes(StandardCharsets.UTF_8))
+    StoreFs.writeAtomic(marker(root, corpusId), tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -116,7 +117,7 @@ object IvfStore {
     * codebook itself (w = |cw|, numSub = dim/w, numCodes = |cb|/numSub);
     * a PQ-less store (built with pqSub = 0) lands empty code arrays. */
   private def writeBuckets(assigned: DataFrame, cb: Option[Array[Array[Double]]],
-      d: Path, overwrite: Boolean): Unit = {
+      d: String, overwrite: Boolean): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb.orNull)
@@ -142,7 +143,7 @@ object IvfStore {
       .withColumn("qv", Similarity.quantize(col("v"), col("scale")))
       .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .partitionBy("bucket")
-      .parquet(d.resolve("buckets.parquet").toString)
+      .parquet(s"$d/buckets.parquet")
   }
 
   /** The persisted PQ codebook, flattened `[mi·numCodes + j] → subvector`,
@@ -151,9 +152,9 @@ object IvfStore {
     * probes go through [[codebook]]). */
   private def readCodebookOpt(spark: SparkSession, root: String,
       corpusId: String): Option[Array[Array[Double]]] = {
-    val p = dir(root, corpusId).resolve("codebook.parquet")
-    if (!Files.exists(p)) None
-    else Some(spark.read.parquet(p.toString)
+    val p = s"${dir(root, corpusId)}/codebook.parquet"
+    if (!StoreFs.exists(p)) None
+    else Some(spark.read.parquet(p)
       .orderBy("ix").select("cw")
       .collect().map(_.getSeq[Double](0).toArray))
   }
@@ -201,7 +202,7 @@ object IvfStore {
     val spark = batch.sparkSession
     if (assertDisjoint) {
       val existing = spark.read
-        .parquet(d.resolve("buckets.parquet").toString).select("id")
+        .parquet(s"$d/buckets.parquet").select("id")
       val clash = existing
         .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -212,19 +213,19 @@ object IvfStore {
           "only when ids are guaranteed fresh")
     }
     val persistedCent = spark.read
-      .parquet(d.resolve("centroids.parquet").toString)
+      .parquet(s"$d/centroids.parquet")
     // encode against the PERSISTED codebook: the appended rows' codes must
     // be comparable to every existing row's, so the codebook is as frozen
     // as the centroids are
     val cb = readCodebookOpt(spark, root, corpusId)
     val m = marker(root, corpusId)
-    Files.delete(m)
+    StoreFs.delete(m)
     writeBuckets(
       Similarity.assignBuckets(batch, persistedCent, vecCol, idCol, "bucket", n = 1)
         .select(col(idCol).cast("long").as("id"), col("__v").as("v"),
           col("__n").as("n"), col("bucket").cast("long").as("bucket")),
       cb, d, overwrite = false)
-    Files.write(m, tag.getBytes(StandardCharsets.UTF_8))
+    StoreFs.writeAtomic(m, tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -277,11 +278,11 @@ object IvfStore {
     require(maxSkew >= 1.0, s"maxSkew must be >= 1.0, got $maxSkew")
     if (bucketSkew(spark, root, corpusId, tag) <= maxSkew) return None
     val d = dir(root, corpusId)
-    val snap = Paths.get(root, s"${corpusId}__rebal_src.parquet")
-    if (Files.exists(snap)) rmTree(snap) // a crashed rebalance's leftover
+    val snap = s"$root/${corpusId}__rebal_src.parquet"
+    StoreFs.deleteRecursive(snap) // a crashed rebalance's leftover
     buckets(spark, root, corpusId, tag).select("id", "v")
-      .write.parquet(snap.toString)
-    val corpus = spark.read.parquet(snap.toString)
+      .write.parquet(snap)
+    val corpus = spark.read.parquet(snap)
     val n = corpus.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
     val cent = Similarity.kmeansCentroids(corpus, "id", "v", k, iters,
@@ -298,11 +299,11 @@ object IvfStore {
     // own ';'-separated recipe fields (e.g. "kmeans.v1;k=64;it=5")
     val newTag = s"${tag.replaceAll(";rebal=k\\d+\\.i\\d+$", "")};rebal=k$k.i$iters"
     // invalidate first: from here the old index is gone either way
-    Files.delete(marker(root, corpusId))
-    rmTree(d)
+    StoreFs.delete(marker(root, corpusId))
+    StoreFs.deleteRecursive(d)
     build(corpus, cent, "id", "v", "cid", root, corpusId, newTag,
       pqSub = pqSub, pqCodes = pqCodes)
-    rmTree(snap)
+    StoreFs.deleteRecursive(snap)
     Some(newTag)
   }
 
@@ -324,7 +325,7 @@ object IvfStore {
   def centroids(spark: SparkSession, root: String, corpusId: String,
       tag: String): DataFrame = {
     requireBuilt(root, corpusId, tag)
-    spark.read.parquet(dir(root, corpusId).resolve("centroids.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/centroids.parquet")
   }
 
   /** Persisted bucketed corpus `(id, v, n, bucket, scale, qv)` — a bare
@@ -332,7 +333,7 @@ object IvfStore {
   def buckets(spark: SparkSession, root: String, corpusId: String,
       tag: String): DataFrame = {
     requireBuilt(root, corpusId, tag)
-    spark.read.parquet(dir(root, corpusId).resolve("buckets.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/buckets.parquet")
   }
 
   private def requireBuilt(root: String, corpusId: String, tag: String): Unit =
@@ -340,11 +341,4 @@ object IvfStore {
       s"IVF store $root/$corpusId is missing, incomplete, or was built with " +
         s"a different centroid recipe than '$tag' — run IvfStore.build")
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(p)) { s =>
-      s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+
+import graft.engine.StoreFs
+
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,15 +40,15 @@ object LmStore {
   /** Bumped when tokenization or smoothing changes. */
   val Tag = "unigram-addone.v1"
 
-  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
-  private def marker(root: String, corpusId: String): Path =
-    dir(root, corpusId).resolve("_params")
+  private def dir(root: String, corpusId: String): String = s"$root/$corpusId"
+  private def marker(root: String, corpusId: String): String =
+    s"${dir(root, corpusId)}/_params"
 
   /** True iff a complete store exists under the current [[Tag]]. */
   def isBuilt(root: String, corpusId: String): Boolean = {
     val m = marker(root, corpusId)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == Tag
+    StoreFs.exists(m) &&
+      new String(StoreFs.readBytes(m), StandardCharsets.UTF_8) == Tag
   }
 
   /** Train and persist the corpus LM; idempotent per (corpusId, [[Tag]]) —
@@ -55,18 +57,18 @@ object LmStore {
       root: String, corpusId: String): Unit = {
     if (isBuilt(root, corpusId)) return
     val d = dir(root, corpusId)
-    if (Files.exists(d)) rmTree(d)
-    Files.createDirectories(d)
+    StoreFs.deleteRecursive(d)
+    StoreFs.mkdirs(d)
     val counts = docs
       .select(explode(TextOps.tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    counts.write.mode("overwrite").parquet(d.resolve("counts.parquet").toString)
+    counts.write.mode("overwrite").parquet(s"$d/counts.parquet")
     // totals derive from the JUST-PERSISTED counts, so the two artifacts
     // are consistent even if the corpus changes under a concurrent build
-    docs.sparkSession.read.parquet(d.resolve("counts.parquet").toString)
+    docs.sparkSession.read.parquet(s"$d/counts.parquet")
       .agg(sum(col("c")).as("n_total"), count(lit(1)).as("vocab"))
-      .write.mode("overwrite").parquet(d.resolve("totals.parquet").toString)
-    Files.write(marker(root, corpusId), Tag.getBytes(StandardCharsets.UTF_8))
+      .write.mode("overwrite").parquet(s"$d/totals.parquet")
+    StoreFs.writeAtomic(marker(root, corpusId), Tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -81,19 +83,13 @@ object LmStore {
     require(isBuilt(root, corpusId),
       s"LmStore at $root/$corpusId is missing or built under another tag")
     val d = dir(root, corpusId)
-    val totals = spark.read.parquet(d.resolve("totals.parquet").toString)
+    val totals = spark.read.parquet(s"$d/totals.parquet")
     val vocab = totals.head().getAs[Long]("vocab") // 1-row artifact
     require(vocab > 0,
       s"LmStore at $root/$corpusId was trained on an empty corpus (vocab 0)")
     TextAnalysis.nllAgainst(docs, idCol, textCol,
-      spark.read.parquet(d.resolve("counts.parquet").toString),
+      spark.read.parquet(s"$d/counts.parquet"),
       totals)
   }
 
-  private def rmTree(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { Files.delete(q); () })
-    }
-  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+
+import graft.engine.StoreFs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -62,15 +63,15 @@ object SignatureStore {
     def tag: String = s"minhash.v3;w=$shingleWords;h=$numHashes;b=$numBands"
   }
 
-  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
-  private def marker(root: String, corpusId: String): Path =
-    dir(root, corpusId).resolve("_params")
+  private def dir(root: String, corpusId: String): String = s"$root/$corpusId"
+  private def marker(root: String, corpusId: String): String =
+    s"${dir(root, corpusId)}/_params"
 
   /** True iff a complete store exists for exactly these params. */
   def isBuilt(root: String, corpusId: String, params: Params): Boolean = {
     val m = marker(root, corpusId)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == params.tag
+    StoreFs.exists(m) &&
+      new String(StoreFs.readBytes(m), StandardCharsets.UTF_8) == params.tag
   }
 
   /** Compute and persist `docs`' signatures; idempotent per
@@ -82,23 +83,23 @@ object SignatureStore {
     if (isBuilt(root, corpusId, params)) return
     val spark = docs.sparkSession
     val d = dir(root, corpusId)
-    if (Files.exists(d)) rmTree(d)
-    Files.createDirectories(d)
+    StoreFs.deleteRecursive(d)
+    StoreFs.mkdirs(d)
     Dedup.shingleFrame(docs, idCol, textCol, params.shingleWords)
-      .write.mode("overwrite").parquet(d.resolve("shingles.parquet").toString)
+      .write.mode("overwrite").parquet(s"$d/shingles.parquet")
     // bands and verify arrays derive from the JUST-PERSISTED shingles:
     // the tokenize/shingle pass runs once, and all artifacts are
     // guaranteed byte-consistent
     Dedup.bandFrame(
-        spark.read.parquet(d.resolve("shingles.parquet").toString),
+        spark.read.parquet(s"$d/shingles.parquet"),
         params.numHashes, params.numBands)
-      .write.mode("overwrite").parquet(d.resolve("bands.parquet").toString)
-    spark.read.parquet(d.resolve("shingles.parquet").toString)
+      .write.mode("overwrite").parquet(s"$d/bands.parquet")
+    spark.read.parquet(s"$d/shingles.parquet")
       .select(org.apache.spark.sql.functions.col("id"),
         graft.functions.HashedSortedShingles(
           org.apache.spark.sql.functions.col("sh")).as("shh"))
-      .write.mode("overwrite").parquet(d.resolve("hashed.parquet").toString)
-    Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
+      .write.mode("overwrite").parquet(s"$d/hashed.parquet")
+    StoreFs.writeAtomic(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -108,7 +109,7 @@ object SignatureStore {
   def bands(spark: SparkSession, root: String, corpusId: String,
       params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)
-    spark.read.parquet(dir(root, corpusId).resolve("bands.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/bands.parquet")
   }
 
   /** Shingle sets `(id, sh)` of a persisted corpus — the audit / exact
@@ -116,7 +117,7 @@ object SignatureStore {
   def shingles(spark: SparkSession, root: String, corpusId: String,
       params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)
-    spark.read.parquet(dir(root, corpusId).resolve("shingles.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/shingles.parquet")
   }
 
   /** Sorted-xxhash64 verify arrays `(id, shh)` of a persisted corpus —
@@ -129,7 +130,7 @@ object SignatureStore {
     // Parquet reads arrays back element-NULLABLE; re-assert the
     // hashed_shingles contract (validating scan + containsNull=false) so
     // the verify kernel's strict type check accepts the stored path
-    spark.read.parquet(dir(root, corpusId).resolve("hashed.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/hashed.parquet")
       .select(org.apache.spark.sql.functions.col("id"),
         graft.functions.AssertHashArrayNotNull(
           org.apache.spark.sql.functions.col("shh")).as("shh"))
@@ -140,14 +141,6 @@ object SignatureStore {
       s"signature store $root/$corpusId is missing, incomplete, or was built " +
         s"with different parameters than ${params.tag} — run SignatureStore.build")
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    Using.resource(Files.walk(p)) { s =>
-      s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
 }
 
 /** Persisted stride-1 substring WINDOWS of a frozen corpus — the
@@ -179,14 +172,14 @@ object SubstringWindowStore {
     def tag: String = s"substring.v4;k=$k;cap=$maxDocsPerWindow"
   }
 
-  private def dir(root: String, corpusId: String): Path = Paths.get(root, corpusId)
-  private def marker(root: String, corpusId: String): Path =
-    dir(root, corpusId).resolve("_params")
+  private def dir(root: String, corpusId: String): String = s"$root/$corpusId"
+  private def marker(root: String, corpusId: String): String =
+    s"${dir(root, corpusId)}/_params"
 
   def isBuilt(root: String, corpusId: String, params: Params): Boolean = {
     val m = marker(root, corpusId)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8) == params.tag
+    StoreFs.exists(m) &&
+      new String(StoreFs.readBytes(m), StandardCharsets.UTF_8) == params.tag
   }
 
   /** Persist `docs`' distinct `(id, h)` windows; idempotent per
@@ -211,8 +204,8 @@ object SubstringWindowStore {
       root: String, corpusId: String, params: Params = Params()): Unit = {
     if (isBuilt(root, corpusId, params)) return
     val d = dir(root, corpusId)
-    if (Files.exists(d)) rmTree(d)
-    Files.createDirectories(d)
+    StoreFs.deleteRecursive(d)
+    StoreFs.mkdirs(d)
     import org.apache.spark.sql.functions.{col, count, lit}
     val w = Dedup.windowFrame128(docs, idCol, textCol, params.k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -223,11 +216,11 @@ object SubstringWindowStore {
             .filter(col("n_docs") > params.maxDocsPerWindow)
         else
           w.filter(lit(false)).groupBy("h1", "h2").agg(count(lit(1)).as("n_docs"))
-      hot.write.mode("overwrite").parquet(d.resolve("hot.parquet").toString)
+      hot.write.mode("overwrite").parquet(s"$d/hot.parquet")
       Dedup.groupedWindows(w, params.maxDocsPerWindow)
-        .write.mode("overwrite").parquet(d.resolve("windows.parquet").toString)
+        .write.mode("overwrite").parquet(s"$d/windows.parquet")
     } finally { w.unpersist(); () }
-    Files.write(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
+    StoreFs.writeAtomic(marker(root, corpusId), params.tag.getBytes(StandardCharsets.UTF_8))
     ()
   }
 
@@ -237,7 +230,7 @@ object SubstringWindowStore {
   def windows(spark: org.apache.spark.sql.SparkSession, root: String,
       corpusId: String, params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)
-    spark.read.parquet(dir(root, corpusId).resolve("windows.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/windows.parquet")
   }
 
   /** Surfaced over-cap windows `(h1, h2, n_docs)` — what the build
@@ -249,7 +242,7 @@ object SubstringWindowStore {
   def hotWindows(spark: org.apache.spark.sql.SparkSession, root: String,
       corpusId: String, params: Params = Params()): DataFrame = {
     requireBuilt(root, corpusId, params)
-    spark.read.parquet(dir(root, corpusId).resolve("hot.parquet").toString)
+    spark.read.parquet(s"${dir(root, corpusId)}/hot.parquet")
   }
 
   private def requireBuilt(root: String, corpusId: String, params: Params): Unit =
@@ -258,12 +251,4 @@ object SubstringWindowStore {
         s"was built with different parameters than ${params.tag} — run " +
         "SubstringWindowStore.build")
 
-  private def rmTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    Using.resource(Files.walk(p)) { s =>
-      s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
 }

@@ -2,14 +2,13 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{FossilSchema, ParquetStore}
+import graft.engine.{FossilSchema, ParquetStore, StoreFs}
 import graft.functions.FossilDecode
 
 /** Reader for fossil's on-disk database layout — the migration path OFF a
@@ -75,11 +74,11 @@ object FossilDatabase {
 
   /** `pkg/database/migration.go:107-135` detectVersion. */
   def detectVersion(dir: String): Int = {
-    val meta = Paths.get(dir, "metadata")
-    if (!Files.exists(meta)) {
-      if (Files.exists(Paths.get(dir, "database"))) 1 else 0
+    val meta = s"$dir/metadata"
+    if (!StoreFs.exists(meta)) {
+      if (StoreFs.exists(s"$dir/database")) 1 else 0
     } else {
-      val bytes = Files.readAllBytes(meta)
+      val bytes = StoreFs.readBytes(meta)
       if (bytes.length < 4) 0
       else ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
     }
@@ -97,11 +96,11 @@ object FossilDatabase {
       case v => throw new IllegalArgumentException(
         s"cannot read fossil database: on-disk version $v is newer than 2")
     }
-    replayWal(Paths.get(dir, "wal.log"), snapshot)
+    replayWal(s"$dir/wal.log", snapshot)
   }
 
   private def openV2(dir: String): Db = {
-    val meta = Files.readAllBytes(Paths.get(dir, "metadata"))
+    val meta = StoreFs.readBytes(s"$dir/metadata")
     val buf = ByteBuffer.wrap(meta).order(ByteOrder.LITTLE_ENDIAN)
     val version = buf.getInt
     val segmentCount = buf.getInt
@@ -109,16 +108,16 @@ object FossilDatabase {
     // rest of the file = RFC3339 STime; informational only
 
     val files = (0 until segmentCount).map(i => s"$dir/segments/$i").toVector
-    val topics = jsonStringArray(inflate(Files.readAllBytes(Paths.get(dir, "topics"))))
+    val topics = jsonStringArray(inflate(StoreFs.readBytes(s"$dir/topics")))
       .map(normalizeTopicName)
-    val schemas = jsonStringArray(inflate(Files.readAllBytes(Paths.get(dir, "schemas"))))
+    val schemas = jsonStringArray(inflate(StoreFs.readBytes(s"$dir/schemas")))
     Db(version, topics, schemas, files, Vector.empty, Vector.empty, Vector.empty, 0)
   }
 
   /** v1: one gob file holding the whole database struct; migration gives
     * every topic the "string" schema (`pkg/database/migration.go:76-100`). */
   private def openV1(dir: String): Db = {
-    val r = new Gob.Reader(Files.readAllBytes(Paths.get(dir, "database")))
+    val r = new Gob.Reader(StoreFs.readBytes(s"$dir/database"))
     val m = r.next().getOrElse(throw new Gob.GobException("empty v1 database file"))
       .asInstanceOf[Map[String, Any]]
     val topics = m.getOrElse("TopicLookup", Vector.empty).asInstanceOf[Vector[Any]]
@@ -170,8 +169,8 @@ object FossilDatabase {
     * before any WAL-born segment land in `walTail`, after in the last of
     * `walSegments`. An event with no segment anywhere is corruption —
     * skipped (the reference would crash; its own FIXME marks the gap). */
-  private[sources] def replayWal(path: Path, snapshot: Db): Db = {
-    if (!Files.exists(path)) return snapshot
+  private[sources] def replayWal(path: String, snapshot: Db): Db = {
+    if (!StoreFs.exists(path)) return snapshot
     var topics = snapshot.topics
     var schemas = snapshot.schemas
     var walSegments = snapshot.walSegments
@@ -180,8 +179,10 @@ object FossilDatabase {
     val hasSnapshotSegments =
       snapshot.snapshotFiles.nonEmpty || snapshot.inlineSegments.nonEmpty
 
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(path, StandardCharsets.UTF_8).asScala.foreach { line =>
+    // split on the same terminators readAllLines recognizes; Java split
+    // drops trailing empties, matching readAllLines' no-phantom-last-line
+    new String(StoreFs.readBytes(path), StandardCharsets.UTF_8)
+      .split("\r\n|\r|\n").foreach { line =>
       try {
         val semi = line.indexOf(';')
         if (semi < 0) throw new Gob.GobException("no action separator")
@@ -308,8 +309,7 @@ object FossilDatabase {
           // the WAL tail continues the snapshot's current (last) segment
           val headNs =
             if (db.inlineSegments.nonEmpty) db.inlineSegments.last.headTimeNs
-            else decodeSegment(Files.readAllBytes(
-              Paths.get(db.snapshotFiles.last))).headTimeNs
+            else decodeSegment(StoreFs.readBytes(db.snapshotFiles.last)).headTimeNs
           rows(Segment(headNs, db.walTail))
         }
       (inline ++ walSeg ++ tail).toSeq
@@ -320,12 +320,16 @@ object FossilDatabase {
       else {
         val topicsB = spark.sparkContext.broadcast(db.topics.toArray)
         val ddlsB = spark.sparkContext.broadcast(db.schemas.toArray)
+        // ship the driver's Hadoop conf: executors have no active session,
+        // and segment reads must reach the same filesystem (credentials
+        // included) the control plane planned against
+        val hconf = new org.apache.spark.util.SerializableConfiguration(StoreFs.conf())
         Some(spark.sparkContext
           .parallelize(db.snapshotFiles,
             math.max(1, math.min(db.snapshotFiles.size, 32)))
           .mapPartitions { paths =>
             paths.flatMap { p =>
-              val seg = decodeSegment(Files.readAllBytes(Paths.get(p)))
+              val seg = decodeSegment(StoreFs.readBytesWith(p, hconf.value))
               seg.data.iterator.map { d =>
                 val tid = d.topicId
                 val topic =

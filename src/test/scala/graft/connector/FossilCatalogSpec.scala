@@ -68,6 +68,25 @@ class FossilCatalogSpec extends SparkSpec {
     assert(sub == Seq("click", "view"))
   }
 
+  test("DESCRIBE EXTENDED surfaces STATS-class table properties") {
+    root
+    val props = spark.sql("DESCRIBE TABLE EXTENDED fossil.main.events")
+      .filter("col_name = 'Table Properties'").collect()
+    assert(props.length == 1, "no Table Properties row in DESCRIBE EXTENDED")
+    val line = props.head.getString(1)
+    // 6 rows across /events/click + /events/view; 3 registered topics
+    // under the prefix (/events itself plus the two children)
+    assert(line.contains("num_rows=6"), s"properties: $line")
+    assert(line.contains("topics=3"), s"properties: $line")
+    assert(line.contains("combined_schema=float64"), s"properties: $line")
+    // and the scan's estimateStatistics carries exact numRows too
+    val scan = spark.sql("SELECT * FROM fossil.main.events")
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    assert(scan.stats.rowCount.contains(BigInt(6)), s"stats: ${scan.stats}")
+  }
+
   test("read-only: DDL refuses by name; unknown table errors") {
     root
     val e = intercept[Exception] {
