@@ -11,6 +11,9 @@ object TimeSome {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench: checkpoint CRC sidecars off (see Bench.scala)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
