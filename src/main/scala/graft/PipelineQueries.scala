@@ -601,20 +601,27 @@ object PipelineQueries {
       val outDir = Queries.scratchDir("graft_stream_dedup_out")
       val ck = Queries.scratchDir("graft_stream_dedup_ck")
       Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Dedup.minhashPairsAgainstStored(
-            batch, "doc_id", "text",
-            SignatureStore.bands(s, root, "ref90"),
-            SignatureStore.shingleHashes(s, root, "ref90"),
-            shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // the frozen reference is identical for every micro-batch: read +
+      // persist it once per invocation instead of re-paying the store
+      // scan per batch (r18 profile: the per-batch wall was dominated by
+      // the reference side's re-read, not the batch's own signatures);
+      // unpersisted before the row returns — nothing survives the run
+      val bandsRef = SignatureStore.bands(s, root, "ref90").persist()
+      val hashesRef = SignatureStore.shingleHashes(s, root, "ref90").persist()
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Dedup.minhashPairsAgainstStored(
+              batch, "doc_id", "text", bandsRef, hashesRef,
+              shingleWords = 3, numHashes = 12, numBands = 4, minJaccardE4 = 5000)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { bandsRef.unpersist(); hashesRef.unpersist(); () }
       s.read.parquet(outDir).orderBy("a", "b")
     }),
     // the live-crawl perplexity-filter shape: new documents stream in and
@@ -635,17 +642,23 @@ object PipelineQueries {
       val outDir = Queries.scratchDir("graft_stream_nll_out")
       val ck = Queries.scratchDir("graft_stream_nll_ck")
       Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.LmStore.score(s, root, "train95",
-            batch, "doc_id", "text")
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // load the stored LM once (tag gate + 1-row vocab action) and
+      // persist its frames for the whole replay — LmStore.score per batch
+      // re-ran a driver head() job and re-scanned both artifacts (r18)
+      val model = graft.operators.LmStore.load(s, root, "train95")
+      model.counts.persist(); model.totals.persist()
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            model.score(batch, "doc_id", "text")
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { model.counts.unpersist(); model.totals.unpersist(); () }
       s.read.parquet(outDir).orderBy("id")
     }),
     // streaming incremental SUBSTRING dedup: each micro-batch of the
@@ -665,18 +678,25 @@ object PipelineQueries {
       val outDir = Queries.scratchDir("graft_stream_substr_out")
       val ck = Queries.scratchDir("graft_stream_substr_ck")
       Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Dedup.substringPairsAgainstStored(
-            batch, "doc_id", "text", s, root, "base",
-            operators.SubstringWindowStore.Params(k = 10))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // frozen reference windows read + persisted once per invocation
+      // (see stream_dedup_ref) — the tag-gated store read happens here,
+      // each micro-batch pays only its own windows + the narrow join
+      val swParams = operators.SubstringWindowStore.Params(k = 10)
+      val refW = operators.SubstringWindowStore
+        .windows(s, root, "base", swParams).persist()
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Dedup.substringPairsAgainstRef(
+              batch, "doc_id", "text", refW, swParams)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { refW.unpersist(); () }
       s.read.parquet(outDir).orderBy("a", "b")
     }),
     // streaming SPAN REMOVAL against the frozen reference — the
@@ -697,18 +717,24 @@ object PipelineQueries {
       val outDir = Queries.scratchDir("graft_stream_spans_out")
       val ck = Queries.scratchDir("graft_stream_spans_ck")
       Queries.deleteOnExit(outDir); Queries.deleteOnExit(ck)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Dedup.dropSharedSpansAgainstStored(
-            batch, "doc_id", "text", s, root, "base",
-            operators.SubstringWindowStore.Params(k = 10))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // frozen reference windows read + persisted once per invocation
+      // (see stream_dedup_ref / stream_dedup_substring)
+      val spParams = operators.SubstringWindowStore.Params(k = 10)
+      val refSp = operators.SubstringWindowStore
+        .windows(s, root, "base", spParams).persist()
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Dedup.dropSharedSpansAgainstRef(
+              batch, "doc_id", "text", refSp, spParams)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { refSp.unpersist(); () }
       s.read.parquet(outDir).orderBy("id")
     }),
     // deterministic hash-stratified subsampling (training-mix rates):

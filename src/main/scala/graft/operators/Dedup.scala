@@ -858,10 +858,27 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       spark: org.apache.spark.sql.SparkSession, root: String, corpusId: String,
       params: SubstringWindowStore.Params = SubstringWindowStore.Params()): DataFrame =
+    substringPairsAgainstRef(newDocs, idCol, textCol,
+      SubstringWindowStore.windows(spark, root, corpusId, params), params)
+
+  /** [[substringPairsAgainstStored]] with the reference windows frame
+    * PRE-LOADED by the caller — the seam a many-batch consumer (the
+    * streaming replay rows, a production incremental scorer) needs to
+    * read + persist the frozen reference ONCE instead of re-paying the
+    * store scan and its planning in every micro-batch (r18: the
+    * per-batch cost of the foreachBatch rows was dominated by the
+    * reference side's re-read/re-broadcast, not the batch's own work).
+    * `refWindows` must be [[SubstringWindowStore.windows]] of a store
+    * built with the same `params` — the delegating overload above is the
+    * tag-gated way to obtain it. Output is identical frame-for-frame. */
+  def substringPairsAgainstRef(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      refWindows: DataFrame,
+      params: SubstringWindowStore.Params): DataFrame =
     substringCrossPairs(
       groupedWindows(windowFrame128(newDocs, idCol, textCol, params.k),
         params.maxDocsPerWindow),
-      SubstringWindowStore.windows(spark, root, corpusId, params))
+      refWindows)
 
   /** Shared cross-corpus pair stage over GROUPED `(h1, h2, __ids)` sides:
     * the key join carries ONE row per window key per side (id lists,
@@ -1097,11 +1114,19 @@ object Dedup {
   def dropSharedSpansAgainstStored(
       newDocs: DataFrame, idCol: String, textCol: String,
       spark: org.apache.spark.sql.SparkSession, root: String, corpusId: String,
-      params: SubstringWindowStore.Params = SubstringWindowStore.Params()): DataFrame = {
+      params: SubstringWindowStore.Params = SubstringWindowStore.Params()): DataFrame =
+    dropSharedSpansAgainstRef(newDocs, idCol, textCol,
+      SubstringWindowStore.windows(spark, root, corpusId, params), params)
+
+  /** [[dropSharedSpansAgainstStored]] with the reference windows frame
+    * PRE-LOADED — same seam and caveats as [[substringPairsAgainstRef]]. */
+  def dropSharedSpansAgainstRef(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      refWindows: DataFrame,
+      params: SubstringWindowStore.Params): DataFrame = {
     val base = OperatorCache.scoped(tokenized(newDocs, idCol, textCol))
     val starts = positionedWindows(base, params.k)
-      .join(SubstringWindowStore.windows(spark, root, corpusId, params)
-        .select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+      .join(refWindows.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
       .select(col("id"), col("pos"))
     reassembleWithout(base, starts, params.k)
   }

@@ -72,14 +72,22 @@ object LmStore {
     ()
   }
 
-  /** Score `docs` under the stored LM — [[TextAnalysis.unigramNll]]'s
-    * output shape `(id, n_tokens, nll_e4)`, reference side two bare
-    * parquet scans. Fails loudly on an LM trained from an all-empty
+  /** A loaded LM: the two reference frames plus the degenerate-model gate
+    * already paid. The seam a many-batch consumer needs — load (and
+    * optionally persist the frames) ONCE, score every micro-batch without
+    * re-paying the store listing, the 1-row vocab action, and the tag
+    * check per batch (r18: [[score]] ran a driver `head()` job per
+    * micro-batch of the streaming replay row). */
+  final case class Model(counts: DataFrame, totals: DataFrame) {
+    def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+      TextAnalysis.nllAgainst(docs, idCol, textCol, counts, totals)
+  }
+
+  /** Open the stored LM. Fails loudly on an LM trained from an all-empty
     * corpus (vocab 0 ⇒ `sum(c)` persisted NULL ⇒ every lp would go
     * silently null and non-empty docs would score as (0, 0) — a
     * degenerate model must not masquerade as a typicality verdict). */
-  def score(spark: SparkSession, root: String, corpusId: String,
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def load(spark: SparkSession, root: String, corpusId: String): Model = {
     require(isBuilt(root, corpusId),
       s"LmStore at $root/$corpusId is missing or built under another tag")
     val d = dir(root, corpusId)
@@ -87,9 +95,14 @@ object LmStore {
     val vocab = totals.head().getAs[Long]("vocab") // 1-row artifact
     require(vocab > 0,
       s"LmStore at $root/$corpusId was trained on an empty corpus (vocab 0)")
-    TextAnalysis.nllAgainst(docs, idCol, textCol,
-      spark.read.parquet(s"$d/counts.parquet"),
-      totals)
+    Model(spark.read.parquet(s"$d/counts.parquet"), totals)
   }
+
+  /** Score `docs` under the stored LM — [[TextAnalysis.unigramNll]]'s
+    * output shape `(id, n_tokens, nll_e4)`, reference side two bare
+    * parquet scans. One-shot convenience over [[load]]. */
+  def score(spark: SparkSession, root: String, corpusId: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    load(spark, root, corpusId).score(docs, idCol, textCol)
 
 }

@@ -324,6 +324,16 @@ class DedupSpec extends SparkSpec {
       spark, root, "ref", SubstringWindowStore.Params(k = 8))
       .as[(Long, Long, Long)].collect().toSet
     assert(stored == inline)
+    // pre-loaded (persisted) reference seam ≡ the store-reading path —
+    // the many-batch consumers hold the frozen ref hot across batches
+    val refW = SubstringWindowStore.windows(spark, root, "ref",
+      SubstringWindowStore.Params(k = 8)).persist()
+    try {
+      val viaRef = Dedup.substringPairsAgainstRef(fresh, "doc_id", "text",
+        refW, SubstringWindowStore.Params(k = 8))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaRef == inline)
+    } finally { refW.unpersist(); () }
     // param mismatch (k or cap) refuses to serve rather than hash-miss
     assertThrows[IllegalArgumentException] {
       Dedup.substringPairsAgainstStored(fresh, "doc_id", "text",
@@ -375,6 +385,15 @@ class DedupSpec extends SparkSpec {
       Dedup.dropSharedSpansAgainstStored(fresh, "doc_id", "text",
         spark, root, "ref", SubstringWindowStore.Params(k = 9))
     }
+    // pre-loaded (persisted) reference seam ≡ the store-reading path
+    val refW = SubstringWindowStore.windows(spark, root, "ref",
+      SubstringWindowStore.Params(k = 10)).persist()
+    try {
+      val viaRef = Dedup.dropSharedSpansAgainstRef(fresh, "doc_id", "text",
+        refW, SubstringWindowStore.Params(k = 10))
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(viaRef == out)
+    } finally { refW.unpersist(); () }
   }
 
   test("hot-window guard is ON by default: a planted boilerplate window " +

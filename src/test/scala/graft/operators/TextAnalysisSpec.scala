@@ -82,6 +82,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(10L) == ((1L, nll(Seq(0)))))
     assert(out(11L) == ((2L, nll(Seq(6, 0)))))
     assert(out(12L) == ((0L, 0L)))
+    // load-once Model seam (persisted frames, many-batch consumers) ≡
+    // the one-shot score path
+    val model = LmStore.load(spark, root, "c1")
+    model.counts.persist(); model.totals.persist()
+    try {
+      val viaModel = model.score(batch, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      assert(viaModel == out)
+    } finally { model.counts.unpersist(); model.totals.unpersist(); () }
     // idempotent: a second build leaves the marker (and artifacts) alone
     val mtime = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(root, "c1", "_params"))
