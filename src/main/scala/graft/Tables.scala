@@ -12,8 +12,27 @@ import graft.engine.{Catalog, FossilSchema}
   */
 object Tables {
 
+  /** Per-(session, dir, table) memo of the BUILT frame. Building a
+    * `spark.read.parquet` relation is driver work — file listing, footer
+    * schema inference, analysis — measured at 95-176 ms per call on this
+    * box (tools/ReadProbe, r18); the battery builds these frames several
+    * hundred times per bench run. The memo holds analyzed PLANS, never
+    * results: every action still scans the parquet inputs. The driver test
+    * tables are immutable for a JVM's lifetime, so a snapshotted file
+    * listing cannot go stale; weak session keys keep a long-lived process
+    * from pinning dead sessions. */
+  private val frames =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  private def memo(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    frames.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), _ => build)
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` has shipped in two parquet physical types across driver
     * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses —
@@ -29,13 +48,16 @@ object Tables {
     * time predicates on it push down natively, and `__t_ns` is derived
     * (`unix_micros * 1000`), kept only for the FQL compiler's ns-exact
     * bound semantics. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "__events_normalized")(eventsBuild(spark, dir))
+
+  private def eventsBuild(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // no-tz TIMESTAMP_MICROS would otherwise infer as TIMESTAMP_NTZ, which
     // every downstream comparison against TimestampType literals rejects at
     // analysis; with session tz pinned to UTC the instant is identical
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = read(spark, dir, "events")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) read as raw int64 nanos
         raw

@@ -1119,14 +1119,30 @@ object Dedup {
       SubstringWindowStore.windows(spark, root, corpusId, params), params)
 
   /** [[dropSharedSpansAgainstStored]] with the reference windows frame
-    * PRE-LOADED — same seam and caveats as [[substringPairsAgainstRef]]. */
+    * PRE-LOADED — same seam and caveats as [[substringPairsAgainstRef]].
+    *
+    * Join direction (r18): the membership probe broadcasts the BATCH's
+    * distinct window keys into a semi scan of the reference, then the
+    * (≤ batch-sized) shared-key set broadcasts back over the batch
+    * windows. The naive direction — `batch semi-join ref` — must build a
+    * hash relation over the whole reference EVERY batch while it fits the
+    * broadcast threshold, and silently degrades to shuffling the
+    * reference per batch once it does not; this form only ever SCANS the
+    * reference, and both broadcast builds are bounded by the batch (the
+    * small side by design — guide §3.1/§8). Verified output-identical to
+    * the naive direction on sf0.1 (keys ∈ ref∩batch ⇔ ∈ ref, for batch
+    * windows). */
   def dropSharedSpansAgainstRef(
       newDocs: DataFrame, idCol: String, textCol: String,
       refWindows: DataFrame,
       params: SubstringWindowStore.Params): DataFrame = {
     val base = OperatorCache.scoped(tokenized(newDocs, idCol, textCol))
-    val starts = positionedWindows(base, params.k)
-      .join(refWindows.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+    val pw = OperatorCache.scoped(positionedWindows(base, params.k))
+    val newKeys = pw.select("h1", "h2").distinct()
+    val sharedKeys = refWindows.select("h1", "h2")
+      .join(broadcast(newKeys), Seq("h1", "h2"), "left_semi")
+    val starts = pw
+      .join(broadcast(sharedKeys), Seq("h1", "h2"), "left_semi")
       .select(col("id"), col("pos"))
     reassembleWithout(base, starts, params.k)
   }
