@@ -456,12 +456,28 @@ object Similarity {
   /** Exact brute-force top-k: for every query row, the k nearest corpus
     * rows by (sim_e6 desc, id asc), self-matches excluded.
     * Output: (q, rank, id, sim_e6). */
+  /** Parallelism insurance for the NLJ-scan family (same contract as
+    * [[Dedup.spread]]): the corpus side of a broadcast-queries scan
+    * inherits the SCAN's partitioning, and a small-file corpus (one
+    * parquet file < maxPartitionBytes) collapses the whole scoring scan
+    * to ONE task — r19 ProfileQ measured ann_pq's ADC as a single 18 s
+    * task with 31 idle cores. Repartition by id only when the scan is
+    * narrower than the cluster; at real scale the scan already carries
+    * more partitions than cores and this is a no-op (the unconditional
+    * repartition it replaces in [[bruteForceTopK]] would shuffle the
+    * full corpus vectors once for nothing there). */
+  private def spreadVecs(df: DataFrame, idCol: String): DataFrame =
+    if (df.rdd.getNumPartitions >=
+        df.sparkSession.sparkContext.defaultParallelism) df
+    else df.repartition(col(idCol))
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val qd = queries.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-    val cd = corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .repartition(col(idCol)) // corpus streams against broadcast queries
+    val cd = spreadVecs(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+      idCol) // corpus streams against broadcast queries
     val q = qd.select(col(idCol).as("q"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
     val c = cd.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     val scored = c.join(broadcast(q), col("id") =!= col("q"))
@@ -496,9 +512,12 @@ object Similarity {
           lit(s"truncatedTopK: subDim=$subDim exceeds vector dimension "),
           size(v).cast("string"))))
     // scoped: the prepped corpus feeds the pre-rank scan AND the rescore
-    // join-back
+    // join-back; spread so the pre-rank NLJ scan parallelizes (see
+    // [[spreadVecs]])
     val cd = OperatorCache.scoped(
-      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      spreadVecs(
+        corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+        "id")
         .withColumn("n", norm(col("v")))
         .withColumn("tv", truncated(col("v")))
         .withColumn("tn", norm(col("tv"))))
@@ -856,6 +875,23 @@ object Similarity {
     codes
   }
 
+  /** ADC pair score: Σ_mi lut[mi·numCodes + codes[mi]] as a STATICALLY
+    * UNROLLED sum of `element_at` terms. The `aggregate(sequence(...))`
+    * higher-order fold this replaces is a codegen-fallback expression —
+    * every (query, vector) pair paid an interpreted lambda loop with
+    * boxed accumulators, measured as the dominant cost of the ADC scan
+    * (guide §4.1: prefer codegen-able built-ins on the hot path). numSub
+    * is a small constant, so the unrolled sum codegens to straight array
+    * loads + adds. Fold order is preserved (left-to-right, ascending mi);
+    * the only IEEE divergence from the fold's 0.0 seed is the sign of a
+    * -0.0 total, which the e6 round-and-cast collapses anyway — so every
+    * iscore is bit-identical to the previous expression and the oracle's. */
+  private def adcScore(numSub: Int, numCodes: Int): org.apache.spark.sql.Column =
+    (0 until numSub).map { mi =>
+      element_at(col("lut"),
+        lit(mi * numCodes) + element_at(col("codes"), mi + 1) + 1)
+    }.reduceLeft(_ + _)
+
   /** Per-query ADC table: lut[mi·numCodes + j] = qsub·cw, ordered. */
   private[operators] def pqLutOf(
       cb: Array[Array[Double]], numCodes: Int, w: Int)(
@@ -995,8 +1031,8 @@ object Similarity {
       numSub: Int, numCodes: Int, k: Int, refine: Int = 4): DataFrame = {
     require(cbArr.length == numSub * numCodes,
       s"codebook has ${cbArr.length} entries, expected ${numSub * numCodes}")
-    val cd = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    val cd = spreadVecs(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")), "id")
     val w = cbArr.head.length
 
     // Encode and LUT-build run as primitive-loop mapPartitions kernels
@@ -1034,9 +1070,7 @@ object Similarity {
         }.toDF("q", "qv", "qn", "lut"))
 
     // ADC pair score: numSub lookups, integer-e6 for a deterministic cut
-    val adc = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
-      (acc, mi) => acc + element_at(col("lut"),
-        mi * numCodes + element_at(col("codes"), mi + 1) + 1))
+    val adc = adcScore(numSub, numCodes)
     val iscored = coded.select(col("id"), col("codes"))
       .join(broadcast(q.select(col("q"), col("lut"))), col("id") =!= col("q"))
       .select(col("q"), col("id"), round(adc * 1e6, 0).cast("long").as("iscore"))
@@ -1099,9 +1133,7 @@ object Similarity {
             (id, v, n, b, pqLutOf(cb, numCodes, w)(v))
           }
         }.toDF("q", "qv", "qn", "bucket", "lut"))
-    val adc = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
-      (acc, mi) => acc + element_at(col("lut"),
-        mi * numCodes + element_at(col("codes"), mi + 1) + 1))
+    val adc = adcScore(numSub, numCodes)
     val iscored = coded.select(col("id"), col("bucket"), col("codes"))
       .join(probed.select(col("q"), col("bucket"), col("lut")), Seq("bucket"))
       .filter(col("id") =!= col("q"))
@@ -1155,9 +1187,7 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException("empty query batch"))
     val numSub = dim / w
     val numCodes = numCodesTotal / numSub
-    val adc = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
-      (acc, mi) => acc + element_at(col("lut"),
-        mi * numCodes + element_at(col("codes"), mi + 1) + 1))
+    val adc = adcScore(numSub, numCodes)
     val iscored = store.select(col("id"), col("bucket"), col("codes"))
       .join(probed.select(col("q"), col("bucket"), col("lut")), Seq("bucket"))
       .filter(col("id") =!= col("q"))
